@@ -1,0 +1,61 @@
+"""Headline-query benchmark (driver contract).
+
+Runs the registry's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Materialization uses the noop sink (reference's own timing idiom,
+udf_complex_logic.py:64-68): the full plan executes, no bytes written,
+no driver-side collect skew.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from data_pipeline_with_spark_spark.plans import headline_queries
+from data_pipeline_with_spark_spark.session import get_spark
+from data_pipeline_with_spark_spark.sources.writers import write_noop
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def parse_sf(path: str) -> float:
+    name = Path(path).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    for name, spec in headline_queries().items():
+        # Warm the JVM/scan caches out of the measured path? No — cold
+        # first-run times are what a fresh pipeline sees; measure as-is.
+        t0 = time.perf_counter()
+        write_noop(spec.build(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": parse_sf(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""UDF surface (SURVEY §2.10 U1–U2) and native equivalents.
+
+Reference parity: ``data_manipulation/udf_complex_logic.py`` computes a
+decade label (1994 → '1990s') three ways — row-pickled Python UDF
+(:49-57), Arrow-vectorized pandas UDF (:86-93), and notes that native
+Catalyst expressions beat both (:8). We keep all three so the U3 timing
+harness can reproduce the comparison, and use the native form in every
+real query.
+
+Doctrine (kept from the reference): native > pandas_udf > udf. A Python
+UDF forces a JVM↔Python round trip per batch and blinds Catalyst — at
+100 TB a hot-path Python UDF is the single worst perf bug available.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def decade_native(year: Column | str) -> Column:
+    """Catalyst-native decade label: codegen'd, optimizer-visible."""
+    y = F.col(year) if isinstance(year, str) else year
+    return F.concat((F.floor(y / 10) * 10).cast("int").cast("string"), F.lit("s"))
+
+
+def _decade_py(year: int | None) -> str | None:
+    return None if year is None else f"{int(year / 10) * 10}s"
+
+
+# U1: row-at-a-time Python UDF (slow path, kept for the benchmark).
+decade_python_udf = F.udf(_decade_py, T.StringType())
+
+
+# U2: Arrow-vectorized pandas UDF.
+@F.pandas_udf(T.StringType())
+def decade_pandas_udf(year: pd.Series) -> pd.Series:
+    return ((year // 10) * 10).astype("Int64").astype(str) + "s"

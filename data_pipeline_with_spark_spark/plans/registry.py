@@ -1,0 +1,61 @@
+"""Query registry: the driver-facing catalog of (Spark builder, DuckDB
+oracle) pairs.
+
+Every operator the engine claims (SURVEY §2) registers at least one
+QuerySpec here. ``oracle`` is ANSI SQL DuckDB runs over the same parquet
+fixtures; ``None`` marks genuinely non-SQL-expressible ops (true
+streaming state, versioned-table DML) which get the driver's weaker
+rows-only check plus their own pytest round-trips.
+
+Hash-parity rules (SURVEY §5/§7) applied throughout the catalog:
+- alias every computed column identically on both sides;
+- unique tiebreakers in every ranked/top-k order;
+- explicit casts on string-typed numerics;
+- round order-dependent float aggregates (sum/avg/stddev of doubles) to
+  2 decimals on both sides — per-row IEEE arithmetic is bit-identical
+  across engines and is left unrounded;
+- timestamps leave the query as epoch seconds / extracted years, never
+  raw timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    headline: bool = False  # included in bench.py's headline set
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(spec: QuerySpec) -> QuerySpec:
+    if spec.name in _REGISTRY:
+        raise ValueError(f"duplicate query name {spec.name}")
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # Import side-effect modules that populate the registry.
+    from data_pipeline_with_spark_spark.plans import (  # noqa: F401
+        catalog_core,
+        catalog_llm,
+        catalog_streaming,
+    )
+
+    return dict(_REGISTRY)
+
+
+def headline_queries() -> dict[str, QuerySpec]:
+    return {k: v for k, v in all_queries().items() if v.headline}

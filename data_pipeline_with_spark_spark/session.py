@@ -1,0 +1,82 @@
+"""SparkSession builder for the engine.
+
+Reference parity: the reference runs on a managed Databricks cluster and
+introspects its config (`setup.py:12-28`, `data_import.ipynb.py:16-33`).
+We own session construction instead: local[N] for tests/bench, but every
+config below is cluster-safe — on a real cluster the master/memory flags
+are supplied by the submitter and the SQL configs still apply.
+
+Scale notes (100 TB design intent):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  broadcast-join demotion are essential at 1000-executor scale.
+- ``spark.sql.shuffle.partitions`` is a *default*; AQE coalesces down,
+  and big shuffles should set it via ``spark.sql.adaptive`` rather than
+  hand-tuning per query.
+- Arrow on: every pandas-interop path (Pandas UDFs, toPandas) is
+  batch-columnar instead of row-pickled.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _builder(
+    app_name: str,
+    master: str | None,
+    shuffle_partitions: int,
+    extra_conf: dict[str, str] | None,
+) -> SparkSession.Builder:
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    conf: dict[str, str] = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Files: pack small files, split large ones. 128 MiB default is
+        # right for the 100 TB target; local parquet fixtures are tiny
+        # so AQE coalescing handles them.
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.parquet.compression.codec": "snappy",
+        # Keep the UI off for headless runs (bench/pytest).
+        "spark.ui.showConsoleProgress": "false",
+        "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder
+
+
+def get_spark(
+    app_name: str = "data_pipeline_with_spark_spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master=None`` defers to spark-submit / an existing session; tests
+    and bench pass ``local[N]`` explicitly.
+    """
+    if master is None and os.environ.get("SPARK_GRAFT_LOCAL", "1") == "1":
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    spark = _builder(app_name, master, shuffle_partitions, extra_conf).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,99 @@
+"""Unit tests for the operator library on tiny in-memory frames —
+reference-shaped edge cases (hazard column names, all-null rows, union
+alignment, unpivot round-trip, top-k ties)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_spark.operators import (
+    distinct_rows,
+    drop_all_null_rows,
+    equi_join,
+    lag_diff,
+    melt,
+    normalize_column_names,
+    pivot_wide,
+    top_k_per_group,
+    union_by_name,
+)
+from data_pipeline_with_spark_spark.operators.projection import normalize_name
+
+
+def test_normalize_name_hazards():
+    # Reference hazard names (SURVEY §1): spaces → underscores, parens
+    # stripped, '/' and digit-leading survive.
+    assert normalize_name("Country Name") == "Country_Name"
+    assert normalize_name("Enedc (g/km)") == "Enedc_g/km"
+    assert normalize_name("2-alpha_code") == "2-alpha_code"
+
+
+def test_normalize_column_names(spark):
+    df = spark.createDataFrame([(1, "x")], ["a col (raw)", "2-weird/name"])
+    out = normalize_column_names(df)
+    assert out.columns == ["a_col_raw", "2-weird/name"]
+    assert out.collect()[0][0] == 1
+
+
+def test_drop_all_null_rows(spark):
+    df = spark.createDataFrame(
+        [(1, None, None), (2, "a", None), (3, None, 1.0)],
+        ["id", "s", "v"],
+    )
+    kept = drop_all_null_rows(df, subset=["s", "v"]).collect()
+    assert [r.id for r in kept] == [2, 3]
+
+
+def test_distinct_subset_and_full(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (1, "b")], ["k", "v"])
+    assert distinct_rows(df).count() == 2
+    assert distinct_rows(df, subset=["k"]).count() == 1
+
+
+def test_union_by_name_alignment(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "v"])
+    b = spark.createDataFrame([("y", 2)], ["v", "id"])
+    rows = union_by_name([a, b]).collect()
+    assert [(r.id, r.v) for r in rows] == [(1, "x"), (2, "y")]
+
+
+def test_union_by_name_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "v"])
+    b = spark.createDataFrame([(2,)], ["id"])
+    rows = union_by_name([a, b], allow_missing=True).orderBy("id").collect()
+    assert rows[1].v is None
+
+
+def test_top_k_ties_deterministic(spark):
+    df = spark.createDataFrame(
+        [("g", 10.0, 1), ("g", 10.0, 2), ("g", 5.0, 3)], ["grp", "val", "id"]
+    )
+    out = top_k_per_group(
+        df, ["grp"], [F.desc("val"), F.asc("id")], k=2
+    ).orderBy("id")
+    assert [r.id for r in out.collect()] == [1, 2]
+
+
+def test_melt_pivot_round_trip(spark):
+    wide = spark.createDataFrame([("A", 1.0, 2.0), ("B", 3.0, None)], ["k", "1995", "1996"])
+    long = melt(wide, ["k"], ["1995", "1996"], "year", "v", var_cast="int")
+    assert long.count() == 4
+    back = pivot_wide(long, ["k"], "year", "v", agg="sum", pivot_values=[1995, 1996])
+    assert sorted(back.columns) == ["1995", "1996", "k"]
+    row = {r.k: r for r in back.collect()}
+    assert row["A"]["1995"] == 1.0 and row["B"]["1996"] is None
+
+
+def test_equi_join_how_passthrough(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "l"])
+    right = spark.createDataFrame([(1, "x")], ["k", "r"])
+    assert equi_join(left, right, ["k"], how="left_anti").collect()[0].k == 2
+    assert equi_join(left, right, ["k"], how="left_semi").collect()[0].k == 1
+
+
+def test_lag_diff(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 15.0), ("b", 1, 1.0)], ["g", "t", "v"]
+    )
+    out = lag_diff(df, ["g"], "t", "v", diff_col="d").orderBy("g", "t").collect()
+    assert out[0].d is None and out[1].d == 5.0 and out[2].d is None

@@ -1,0 +1,107 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet fixtures, then compares row count, column
+names, and order-insensitive values EXACTLY (float bit equality — the
+strictest interpretation of the driver's value hash).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from data_pipeline_with_spark_spark.plans import all_queries
+from data_pipeline_with_spark_spark.session import get_spark
+from data_pipeline_with_spark_spark.sources.readers import TESTDATA_TABLES
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return out
+
+
+def main() -> int:
+    only = set(sys.argv[2:])
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    specs = all_queries()
+    failures = []
+    for name, spec in specs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.build(spark, SF_DIR)
+            s_cols = sdf.columns
+            s_rows = sdf.collect()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if spec.oracle is None:
+            print(f"ok   {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount: spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            sn = norm_rows(s_cols, [tuple(r) for r in s_rows])
+            dn = norm_rows(d_cols, d_rows)
+            if sn != dn:
+                diff_i = next(
+                    (i for i, (a, b) in enumerate(zip(sn, dn)) if a != b), None
+                )
+                problems.append(
+                    f"values differ at sorted-row {diff_i}:\n  spark={sn[diff_i] if diff_i is not None else '?'}\n  duck ={dn[diff_i] if diff_i is not None else '?'}"
+                )
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"ok   {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(specs) - len(failures)}/{len(specs)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
