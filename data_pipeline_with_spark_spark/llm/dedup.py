@@ -1,0 +1,245 @@
+"""Deduplication operators: exact (hash group), MinHash+LSH near-dup,
+SimHash, n-gram Jaccard verification.
+
+Scale design (the 100 TB story):
+- Exact dedup shuffles a 16-byte md5 digest per row, never the document
+  bodies.
+- MinHash+LSH is the classic shingle → K-min-signature → banded-bucket
+  pipeline: candidate generation shuffles only (band_idx, band_hash,
+  doc_id) triples; the quadratic Jaccard verify runs per-bucket on
+  LSH-reduced candidates, never all-pairs.
+- All hashing is md5-based so every stage is DuckDB-oracle-checkable:
+  fixed-width lowercase hex compares lexicographically == numerically,
+  making `array_min` over hex digests a valid min-hash.
+
+References: Broder '97 (MinHash), Charikar '02 (SimHash), the
+MinHashLSH design in Spark MLlib (pyspark.ml.feature.MinHashLSH) — we
+use expression-level md5 instead of MLlib's vector types so the
+pipeline stays pure SQL/DataFrame and cross-engine verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_spark.llm.text import tokens
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical texts by md5 digest: keeper = min id, plus copy
+    count. Only the digest shuffles."""
+    return (
+        df.withColumn("text_hash", F.md5(F.col(text_col)))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (the min-id one) per distinct text."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingling + MinHash
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles from a token array; documents
+    shorter than k yield their single short shingle."""
+    return F.array_distinct(_shingle_expr(toks, k))
+
+
+def _shingle_expr(toks: Column, k: int) -> Column:
+    seq = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    return F.transform(seq, lambda i: F.array_join(F.slice(toks, i, k), " "))
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    return df.withColumn("shingles", F.array_distinct(_shingle_expr(tokens(text_col), k)))
+
+
+def _minhash_element(shingles: Column, j: int) -> Column:
+    prefix = f"{j}:"
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """K-function MinHash signature: element j = min over shingles of
+    md5(j || ':' || shingle). Hex min == numeric min (fixed width)."""
+    return F.array(*[_minhash_element(shingles, j) for j in range(num_hashes)])
+
+
+def with_minhash(
+    df: DataFrame, text_col: str = "text", k_shingle: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    out = with_shingles(df, text_col, k_shingle)
+    return out.withColumn("minhash", minhash_signature(F.col("shingles"), num_hashes))
+
+
+# --------------------------------------------------------------------------
+# LSH banding → candidate pairs
+def lsh_band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of band digests: band b = md5(concat of its signature rows)."""
+    return F.array(
+        *[
+            F.md5(F.concat_ws("", F.slice(sig, b * rows_per_band + 1, rows_per_band)))
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: documents sharing at least one band bucket.
+    Shuffles only (band_idx, band_hash, id); the self-join runs
+    per-bucket. Returns distinct (id_a < id_b) pairs."""
+    rows_per_band = num_hashes // bands
+    sigs = with_minhash(df, text_col, k_shingle, num_hashes).select(
+        F.col(id_col),
+        F.posexplode(lsh_band_hashes(F.col("minhash"), bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = sigs.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, on=["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard verification
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the verify stage
+    after LSH): |A∩B| / |A∪B|, rounded to 6 for cross-engine parity."""
+    sh = with_shingles(df, text_col, k_shingle).select(
+        F.col(id_col), F.col("shingles")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: LSH candidates → exact
+    Jaccard ≥ threshold."""
+    cands = minhash_candidate_pairs(df, id_col, text_col, k_shingle, num_hashes, bands)
+    return jaccard_pairs(df, cands, id_col, text_col, k_shingle).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Charikar SimHash over tokens. Portable bit source: hex digit b of
+    md5(token) ≥ '8' means bit b set (top bit of each nibble) — no hex→
+    int conversion needed, so the identical formula runs in DuckDB.
+    Final value = Σ 2^b over bits with positive token-vote sum."""
+    toks = F.array_distinct(tokens(text_col))
+    hashes = F.transform(toks, F.md5)
+
+    def bit_vote(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.substring(h, b + 1, 1) >= "8", 1).otherwise(-1),
+        )
+
+    bit_votes = [bit_vote(b) for b in range(bits)]
+    value = None
+    for b, vote in enumerate(bit_votes):
+        term = F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("bigint")
+        value = term if value is None else value + term
+    return df.withColumn("simhash", value)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 3,
+    band_bits: int = 4,
+) -> DataFrame:
+    """SimHash near-dups: band the fingerprint into band_bits chunks
+    (pigeonhole: ≤ max_hamming differing bits ⇒ some band equal for
+    bits/band_bits > max_hamming), bucket-join, verify Hamming ≤ max."""
+    sh = with_simhash(df, text_col, bits).select(F.col(id_col), F.col("simhash"))
+    n_bands = bits // band_bits
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * band_bits).bitwiseAND(
+                        F.lit(2**band_bits - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val"
+    )
+    pairs = (
+        a.join(b, on=["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,96 @@
+"""Multimodal columns: opaque binary payloads with typed metadata,
+processed by Arrow-batched Pandas functions over ``mapInPandas``.
+
+The pattern for a 100 TB multimodal lakehouse:
+- payload is an opaque ``binary`` column (or a pointer struct to object
+  storage); metadata is a typed struct carried through all relational
+  ops — filters/joins/partitioning never touch the bytes;
+- decode / feature-extract runs in ``mapInPandas`` so bytes move
+  JVM→Python once per Arrow batch, not per row, and the operator
+  composes with Catalyst like any other plan node.
+
+The image/audio codec libraries are not in this container, so the real
+codec call is STUBBED: ``decode_image_stub`` raises NotImplementedError
+unless ``fake=True``, in which case a deterministic fake decoder (byte
+histogram features + checksum) exercises the full Spark plumbing —
+schema, batching, partitioning — with verifiable output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 16
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model a multimodal asset table: binary payload + typed metadata
+    struct. (Fixtures have no real media, so the payload is the UTF-8
+    bytes of the text column — the column *types* are the contract.)"""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "meta",
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(F.col("payload")).alias("n_bytes"),
+            F.lit(1).alias("version"),
+        ),
+    )
+
+
+def decode_image_stub(payload: bytes, fake: bool = False) -> dict:
+    """Codec boundary. Real implementation would be PIL/libvips/ffmpeg;
+    those libraries are not available here, so this is a clearly-marked
+    stub. ``fake=True`` produces a deterministic fake decode."""
+    if not fake:
+        raise NotImplementedError(
+            "image/audio codecs not available in this environment; "
+            "use fake=True for the deterministic test decoder"
+        )
+    n = len(payload)
+    checksum = sum(payload) % (2**32)
+    hist = [0] * FEATURE_DIM
+    for b in payload:
+        hist[b % FEATURE_DIM] += 1
+    features = [h / n if n else 0.0 for h in hist]
+    return {"n_bytes": n, "checksum": checksum, "features": features}
+
+
+def extract_features(
+    assets: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched feature extraction over mapInPandas. One Python
+    worker call per Arrow batch; output schema is fixed and typed so
+    downstream relational ops (joins to the doc table, ANN over
+    ``features``) plan normally."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_image_stub(p, fake=fake) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [d["n_bytes"] for d in decoded],
+                    "checksum": [d["checksum"] for d in decoded],
+                    "features": [d["features"] for d in decoded],
+                }
+            )
+
+    return assets.select(id_col, payload_col).mapInPandas(run, DECODED_SCHEMA)

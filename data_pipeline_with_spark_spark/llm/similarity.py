@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard ANN playbook:
+- **Brute-force cosine top-k** — the exactness baseline. Queries are a
+  small set: broadcast them, so the big side streams through one scan
+  with no shuffle; per-query top-k via a ranked window.
+- **LSH-bucketed top-k** — the scale path: sign-of-coordinate random-
+  hyperplane buckets (Charikar '02 simplified to axis hyperplanes so
+  the bucket formula is portable SQL); candidates only meet inside a
+  bucket, turning O(N·Q) into O(N·Q/2^b) with recall traded via
+  ``n_probe``-style multi-band ORs (here: band count).
+
+All arithmetic is element-wise double (cast from float32 first, then a
+sequential fold), and final scores round to 6 decimals so rankings are
+stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def with_norm(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    return df.withColumn("emb_norm", norm(F.col(emb_col)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query. Queries broadcast; the
+    corpus is scanned once; ranking window partitions by query."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cos_sim", F.round(cosine(F.col(emb_col), F.col("q_emb")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cos_sim", "rnk")
+    )
+
+
+def sign_lsh_bucket(emb: Column, bits: int = 8) -> Column:
+    """Axis-hyperplane sign bucket: bit i set iff coordinate i > 0.
+    Portable to ANSI SQL (element_at is 1-based in both engines)."""
+    value = None
+    for i in range(bits):
+        term = (
+            F.when(F.element_at(emb, i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        ).cast("int")
+        value = term if value is None else value + term
+    return value
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket. At cluster scale the corpus side is bucket-partitioned
+    (repartition on bucket) so each bucket's candidate join is local."""
+    c = corpus.withColumn("bucket", sign_lsh_bucket(F.col(emb_col), bits))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(emb_col).alias("q_emb"),
+        sign_lsh_bucket(F.col(emb_col), bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cos_sim", F.round(cosine(F.col(emb_col), F.col("q_emb")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cos_sim", "rnk")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucketed self-join:
+    only same-bucket pairs are scored (id_a < id_b), then thresholded."""
+    b = df.withColumn("bucket", sign_lsh_bucket(F.col(emb_col), bits))
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"), "bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"), "bucket"
+    )
+    return (
+        left.join(right, on="bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,122 @@
+"""Text analysis operators: tokenization, profiling/quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All pure Catalyst expressions (split/filter/transform/aggregate over
+arrays) — JVM-side, codegen'd, no UDFs — so they run at full scan speed
+over a 100 TB documents table and every one is DuckDB-oracle-checkable.
+
+Cross-engine determinism notes: token arrays come from the same regex
+split in both engines; ratios do integer counts first and exactly one
+double division at the end (bit-identical IEEE); md5 is the portable
+hash primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny in-expression stopword/marker sets. Real deployments swap in a
+# broadcast lookup table; these stay literal so the whole pipeline is a
+# single projection.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "los", "de", "y"),
+    "fr": ("le", "les", "des", "et", "une"),
+    "de": ("der", "die", "und", "nicht", "ein"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text, empties dropped."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+
+
+def _sql_array(words: tuple[str, ...]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def with_text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document text statistics: char/token counts, average token
+    length, distinct-token ratio, stopword ratio, non-alnum ratio."""
+    out = df.withColumn("toks", tokens(text_col))
+    stop_arr = _sql_array(STOPWORDS)
+    return (
+        out.withColumn("n_chars_calc", F.length(text_col).cast("bigint"))
+        .withColumn("n_tokens", F.size("toks").cast("bigint"))
+        .withColumn(
+            "avg_token_len",
+            F.expr(
+                "CAST(aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x) AS DOUBLE)"
+                " / CAST(size(toks) AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.expr("CAST(size(array_distinct(toks)) AS DOUBLE) / CAST(size(toks) AS DOUBLE)"),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.expr(
+                f"CAST(size(filter(toks, t -> array_contains({stop_arr}, t))) AS DOUBLE)"
+                " / CAST(size(toks) AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "non_alnum_ratio",
+            (
+                (F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), "[^a-z0-9 ]", "")))
+                .cast("double")
+                / F.length(text_col).cast("double")
+            ),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0, 1]: rewards mid-length docs with
+    diverse tokens and a natural stopword rate, penalizes symbol soup.
+    Deterministic arithmetic over the profile columns."""
+    out = with_text_profile(df, text_col)
+    length_score = F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+    return out.withColumn(
+        "quality_score",
+        F.round(
+            0.3 * length_score
+            + 0.3 * F.col("distinct_ratio")
+            + 0.2 * F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
+            + 0.2 * (1 - F.col("non_alnum_ratio")),
+            4,
+        ),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language-ID heuristic: score = number of language
+    marker words present; argmax with a fixed tie order (en>es>fr>de),
+    'und' (undetermined) when no marker hits. CJK codepoints short-cut
+    to 'zh'. (On the synthetic fixture corpus all langs share an
+    English-ish vocabulary, so this verifies the *operator*, not a real
+    detector — swap marker sets for fastText-style models in prod.)"""
+    out = df.withColumn("toks", tokens(text_col))
+    for lang, markers in LANG_MARKERS.items():
+        arr = _sql_array(markers)
+        out = out.withColumn(
+            f"score_{lang}",
+            F.expr(f"size(filter({arr}, m -> array_contains(toks, m)))"),
+        )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.when(F.col(text_col).rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
+    for lang in LANG_MARKERS:  # dict order == tie order
+        pred = pred.when((F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang))
+    return out.withColumn("pred_lang", pred.otherwise(F.lit("und")))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the normalized token stream —
+    robust to whitespace/case differences, exact otherwise."""
+    return df.withColumn(
+        "fingerprint", F.md5(F.array_join(tokens(text_col), " "))
+    )

@@ -1,3 +1,455 @@
-"""LLM-data-pipeline query catalog (SURVEY §2.14) — filled in as the
-llm package lands: dedup, similarity search, text analysis, multimodal.
+"""LLM-data-pipeline query catalog (SURVEY §2.14): dedup, similarity
+search, text analysis, multimodal — each operator gets a queries()
+entry over documents/embeddings and, wherever expressible, a DuckDB
+oracle built from the SAME portable primitives (md5 hashing, regex
+tokenization, integer-counts-then-one-divide ratios, round-6 scores).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_spark.llm import dedup, multimodal, similarity, text
+from data_pipeline_with_spark_spark.plans.registry import QuerySpec, register
+from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + "]"
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+def _text_profile(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    return text.with_text_profile(docs).select(
+        "doc_id", "n_chars_calc", "n_tokens", "avg_token_len",
+        "distinct_ratio", "stopword_ratio", "non_alnum_ratio",
+    )
+
+
+register(
+    QuerySpec(
+        name="text_profile",
+        build=_text_profile,
+        headline=True,
+        doc="per-document text statistics (token/char counts, ratios)",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(toks, s -> length(s))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+               CAST(len(list_filter(toks, s -> list_contains({_STOP_SQL}, s))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+               CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) AS non_alnum_ratio
+        FROM t
+        """,
+    )
+)
+
+
+def _quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    return text.with_quality_score(docs).select("doc_id", "quality_score")
+
+
+register(
+    QuerySpec(
+        name="text_quality_score",
+        build=_quality,
+        doc="composite document quality score (length/diversity/stopword/symbol)",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+        p AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS DOUBLE) AS n_tokens,
+                 CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+                 CAST(len(list_filter(toks, s -> list_contains({_STOP_SQL}, s))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+                 CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS non_alnum_ratio
+          FROM t)
+        SELECT doc_id,
+               round(0.3 * least(n_tokens / 100.0, 1.0)
+                     + 0.3 * distinct_ratio
+                     + 0.2 * least(stopword_ratio * 4, 1.0)
+                     + 0.2 * (1 - non_alnum_ratio), 4) AS quality_score
+        FROM p
+        """,
+    )
+)
+
+
+def _lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    return text.with_lang_id(docs).select("doc_id", "pred_lang")
+
+
+_MARKER_SCORES = ",\n".join(
+    "len(list_filter(["
+    + ", ".join(f"'{m}'" for m in markers)
+    + f"], m -> list_contains(toks, m))) AS score_{lang}"
+    for lang, markers in text.LANG_MARKERS.items()
+)
+_MARKER_CASE = "\n".join(
+    f"WHEN score_{lang} = best AND best > 0 THEN '{lang}'" for lang in text.LANG_MARKERS
+)
+
+register(
+    QuerySpec(
+        name="text_lang_id",
+        build=_lang_id,
+        doc="marker-word language-ID heuristic (formula-verified; see llm/text.py)",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+        s AS (SELECT doc_id, text, {_MARKER_SCORES} FROM t),
+        b AS (SELECT *, greatest(score_en, score_es, score_fr, score_de) AS best FROM s)
+        SELECT doc_id,
+               CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+               {_MARKER_CASE}
+               ELSE 'und' END AS pred_lang
+        FROM b
+        """,
+    )
+)
+
+
+def _fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    return text.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+register(
+    QuerySpec(
+        name="text_fingerprint",
+        build=_fingerprint,
+        doc="normalized-token-stream md5 fingerprint",
+        oracle=f"""
+        SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint
+        FROM documents
+        """,
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+def _exact_groups(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup_groups(read_testdata(spark, sf, "documents"))
+
+
+register(
+    QuerySpec(
+        name="dedup_exact_groups",
+        build=_exact_groups,
+        doc="exact dedup groups: md5(text) → keeper id + copy count",
+        oracle="""
+        SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+        """,
+    )
+)
+
+
+def _exact_keep(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "lang", "source")
+
+
+register(
+    QuerySpec(
+        name="dedup_exact_keep_one",
+        build=_exact_keep,
+        doc="exact dedup keeping the min-id row per distinct text",
+        oracle="""
+        SELECT doc_id, lang, source FROM documents
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        """,
+    )
+)
+
+
+_K_SHINGLE, _NUM_HASHES, _BANDS = 3, 16, 8
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+
+_SHINGLES_SQL = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len(toks) - {_K_SHINGLE} + 1, 1)),"
+    f" i -> array_to_string(toks[i:i+{_K_SHINGLE}-1], ' ')))"
+)
+_MINHASH_SQL = (
+    "["
+    + ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{j}:' || s)))"
+        for j in range(_NUM_HASHES)
+    )
+    + "]"
+)
+
+
+def _minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    sigs = dedup.with_minhash(docs, k_shingle=_K_SHINGLE, num_hashes=_NUM_HASHES)
+    return sigs.select(
+        "doc_id",
+        F.element_at("minhash", 1).alias("sig_first"),
+        F.md5(F.concat_ws("", "minhash")).alias("sig_digest"),
+    )
+
+
+register(
+    QuerySpec(
+        name="dedup_minhash_signatures",
+        build=_minhash_sigs,
+        headline=True,
+        doc="MinHash signatures (16 md5 hash functions over 3-gram shingles)",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+        sig AS (SELECT doc_id, {_MINHASH_SQL} AS minhash FROM sh)
+        SELECT doc_id, minhash[1] AS sig_first,
+               md5(array_to_string(minhash, '')) AS sig_digest
+        FROM sig
+        """,
+    )
+)
+
+
+def _lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    return dedup.minhash_candidate_pairs(
+        docs, k_shingle=_K_SHINGLE, num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+
+
+_BANDS_SQL = (
+    "["
+    + ", ".join(
+        f"md5(array_to_string(minhash[{b * _ROWS_PER_BAND + 1}:{(b + 1) * _ROWS_PER_BAND}], ''))"
+        for b in range(_BANDS)
+    )
+    + "]"
+)
+
+register(
+    QuerySpec(
+        name="dedup_minhash_lsh_pairs",
+        build=_lsh_pairs,
+        doc="LSH banded candidate pairs (8 bands × 2 rows)",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+        sig AS (SELECT doc_id, {_MINHASH_SQL} AS minhash FROM sh),
+        bands AS (
+          SELECT doc_id, j AS band_idx, ({_BANDS_SQL})[j] AS band_hash
+          FROM sig, (SELECT unnest(generate_series(1, {_BANDS})) AS j)
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        WHERE a.doc_id < b.doc_id
+        """,
+    )
+)
+
+
+def _jaccard_consecutive(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .join(ids.select(F.col("doc_id").alias("id_b")), F.expr("id_b = id_a + 1"))
+    )
+    return dedup.jaccard_pairs(docs, pairs, k_shingle=_K_SHINGLE)
+
+
+register(
+    QuerySpec(
+        name="dedup_ngram_jaccard",
+        build=_jaccard_consecutive,
+        doc="exact shingle-set Jaccard on a deterministic pair set",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE),
+                     6) AS jaccard
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+    )
+)
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    return dedup.with_simhash(docs, bits=_SIMHASH_BITS).select("doc_id", "simhash")
+
+
+_SIMHASH_TERMS = " + ".join(
+    f"CASE WHEN list_sum(list_transform(toks_d, s ->"
+    f" CASE WHEN substr(md5(s), {b + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0"
+    f" THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for b in range(_SIMHASH_BITS)
+)
+
+register(
+    QuerySpec(
+        name="dedup_simhash",
+        build=_simhash,
+        doc="Charikar SimHash (16-bit, portable hex-nibble bit source)",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks_d FROM documents)
+        SELECT doc_id, {_SIMHASH_TERMS} AS simhash FROM t
+        """,
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+_COS_SQL = (
+    "round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+)
+
+
+def _bf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_testdata(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+register(
+    QuerySpec(
+        name="sim_cosine_topk_bruteforce",
+        build=_bf_topk,
+        headline=True,
+        doc="exact cosine top-5 neighbors for 5 query vectors (broadcast + window)",
+        oracle=f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.q_id, e.vec_id AS neighbor_id,
+                 {_COS_SQL.format(a='e.embedding', b='q.q_emb')} AS cos_sim
+          FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+        SELECT q_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        """,
+    )
+)
+
+
+_LSH_BITS = 8
+_BUCKET_SQL = " + ".join(
+    f"CASE WHEN {{e}}[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END" for i in range(_LSH_BITS)
+)
+
+
+def _lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_testdata(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.lsh_bucketed_topk(emb, queries, k=5, bits=_LSH_BITS)
+
+
+register(
+    QuerySpec(
+        name="sim_cosine_topk_lsh",
+        build=_lsh_topk,
+        doc="sign-LSH bucketed approximate top-5 (candidates meet in-bucket only)",
+        oracle=f"""
+        WITH b AS (SELECT vec_id, embedding,
+                          {_BUCKET_SQL.format(e='embedding')} AS bucket
+                   FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 5),
+        scored AS (
+          SELECT q.q_id, e.vec_id AS neighbor_id,
+                 {_COS_SQL.format(a='e.embedding', b='q.q_emb')} AS cos_sim
+          FROM b e JOIN q ON e.bucket = q.bucket
+          WHERE e.vec_id <> q.q_id)
+        SELECT q_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        """,
+    )
+)
+
+
+def _emb_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_testdata(spark, sf, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.9, bits=_LSH_BITS)
+
+
+register(
+    QuerySpec(
+        name="sim_embedding_near_dups",
+        build=_emb_near_dups,
+        doc="embedding-cosine near-dup pairs via bucketed self-join",
+        oracle=f"""
+        WITH b AS (SELECT vec_id, embedding,
+                          {_BUCKET_SQL.format(e='embedding')} AS bucket
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+               {_COS_SQL.format(a='a.embedding', b='x.embedding')} AS cos_sim
+        FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+        WHERE {_COS_SQL.format(a='a.embedding', b='x.embedding')} >= 0.9
+        """,
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+def _mm_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    assets = multimodal.attach_binary_payload(docs)
+    return assets.groupBy(F.col("meta.mime").alias("mime")).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+        F.max(F.col("meta.n_bytes")).alias("max_bytes"),
+    )
+
+
+register(
+    QuerySpec(
+        name="multimodal_meta_stats",
+        build=_mm_stats,
+        doc="binary payload + typed metadata struct carried through relational ops",
+        oracle="""
+        SELECT 'text/plain' AS mime, count(*) AS n_assets,
+               sum(octet_length(encode(text))) AS total_bytes,
+               max(octet_length(encode(text))) AS max_bytes
+        FROM documents
+        """,
+    )
+)
+
+
+def _mm_features(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    assets = multimodal.attach_binary_payload(docs)
+    feats = multimodal.extract_features(assets, fake=True)
+    return feats.select("doc_id", "n_bytes", "checksum")
+
+
+register(
+    QuerySpec(
+        name="multimodal_extract_features",
+        build=_mm_features,
+        doc="Arrow-batched mapInPandas decode/feature-extract (deterministic fake codec; real codec stubbed — llm/multimodal.py)",
+        oracle=None,  # byte-level checksum not SQL-expressible; pytest covers values
+    )
+)

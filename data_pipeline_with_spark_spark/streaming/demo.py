@@ -1,0 +1,131 @@
+"""True Structured Streaming execution of the engine's window operators.
+
+``run_tumbling_stream`` replays the events fixture through a file
+source with a watermark and materializes the tumbling aggregation into
+a memory sink — the identical logical plan as the batch
+``tumbling_window_agg``, now with incremental state. Used by pytest to
+assert batch/stream result equivalence (the strongest check available
+for non-SQL-expressible streaming state; SURVEY §2.13).
+
+Also includes a custom stateful operator via ``applyInPandasWithState``
+(per-user running counters) — the escape hatch for semantics the
+built-in window operators can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_READ_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources.readers)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a stream: file source + nanos→timestamp cast +
+    event-time column, ready for watermarking."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_READ_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_tumbling_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+    sink_table: str = "tumbling_stream_sink",
+) -> DataFrame:
+    """Run the tumbling aggregation as a streaming query to completion
+    (complete mode, memory sink); returns the materialized result."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = (
+        events.groupBy(F.window("ts", window))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_table)
+
+
+USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+
+
+def user_running_stats(
+    pdf_key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: per-user running (count, sum) kept in
+    GroupState across micro-batches."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [pdf_key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def run_stateful_user_stats(
+    spark: SparkSession, sf_dir: str, sink_table: str = "user_stats_sink"
+) -> DataFrame:
+    """applyInPandasWithState over the event stream: running per-user
+    counters, update mode."""
+    events = read_events_stream(spark, sf_dir)
+    stats = events.groupBy("user_id").applyInPandasWithState(
+        user_running_stats,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        stats.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_table)

@@ -1,0 +1,105 @@
+"""LLM-op semantics on hand-built frames where ground truth is obvious:
+near-dup detection actually finds planted near-duplicates, exact dedup
+keeps the right row, similarity search returns the nearest vector, and
+the multimodal stub decodes deterministically."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_spark.llm import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near-dup of 1
+        (4, "completely different text about spark query engines and shuffles"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    kept = dedup.exact_dedup(docs)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4]
+    groups = {r.keeper_id: r.n_copies for r in dedup.exact_dedup_groups(docs).collect()}
+    assert groups[1] == 2 and groups[3] == 1
+
+
+def test_minhash_near_dup_finds_planted_pair(docs):
+    pairs = dedup.near_dup_pairs(docs, threshold=0.5, bands=8)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in found  # exact dup always collides
+    assert (1, 3) in found or (2, 3) in found  # near-dup caught
+    assert all(4 not in p for p in found)  # unrelated doc never pairs
+
+
+def test_simhash_near_dup(docs):
+    pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=3)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in found
+    hams = {p: r for p, r in ((tuple((x.id_a, x.id_b)), x.hamming) for x in pairs.collect())}
+    assert hams[(1, 2)] == 0
+
+
+def test_jaccard_values(docs):
+    pairs = docs.select(F.lit(1).alias("id_a"), F.lit(2).alias("id_b")).limit(1)
+    j = dedup.jaccard_pairs(docs, pairs).collect()[0]
+    assert j.jaccard == 1.0
+
+
+def test_brute_force_topk_finds_nearest(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),  # nearest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.brute_force_topk(emb, emb.where("vec_id = 1"), k=2)
+    got = [(r.neighbor_id, r.rnk) for r in out.orderBy("rnk").collect()]
+    assert got[0][0] == 2 and got[1][0] == 3
+
+
+def test_lsh_bucket_respects_signs(spark):
+    rows = [(1, [1.0, 1.0]), (2, [1.0, -1.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    b = emb.select(similarity.sign_lsh_bucket(F.col("embedding"), 2).alias("b")).collect()
+    assert b[0].b == 3 and b[1].b == 1
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (1, "the cat and the dog of the house"),
+        (2, "el perro y la casa de los gatos"),
+        (3, "zzz qqq www"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.pred_lang for r in text.with_lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "und"}
+
+
+def test_multimodal_stub_decode(spark):
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    assets = multimodal.attach_binary_payload(df)
+    feats = multimodal.extract_features(assets, fake=True).collect()[0]
+    assert feats.n_bytes == 3
+    assert feats.checksum == sum(b"abc")
+    assert len(feats.features) == multimodal.FEATURE_DIM
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_stub(b"x", fake=False)
+
+
+def test_quality_score_orders_sensibly(spark):
+    rows = [
+        (1, "the report describes a detailed analysis of the query engine and it covers many cases " * 3),
+        (2, "@@@ ### !!! $$$ %%%"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.quality_score for r in text.with_quality_score(df).collect()}
+    assert got[1] > got[2]

@@ -1,0 +1,33 @@
+"""True-streaming checks: the streaming plan must produce the same
+result as its batch face, and the custom stateful operator must match a
+plain aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_spark.sources.readers import read_testdata
+from data_pipeline_with_spark_spark.streaming import demo, windows
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    batch = windows.tumbling_window_agg(read_testdata(spark, sf_dir, "events"))
+    stream = demo.run_tumbling_stream(spark, sf_dir)
+    assert _rows(stream, "win_start") == _rows(batch, "win_start")
+
+
+def test_stateful_user_stats_equals_batch(spark, sf_dir):
+    stream = demo.run_stateful_user_stats(spark, sf_dir)
+    batch = (
+        read_testdata(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    assert _rows(stream, "user_id") == _rows(batch, "user_id")
