@@ -1,0 +1,106 @@
+"""Versioned-table round-trips modeled on the reference's
+update_versioning.py flow (update → time-travel → restore) plus schema
+enforcement/evolution from lakehouse_data_igestion.py, and the
+three-zone pipeline end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_spark.lake.versioned import (
+    SchemaEnforcementError,
+    VersionedTable,
+)
+from data_pipeline_with_spark_spark.lake.zones import LakeLayout, run_reference_pipeline
+
+
+@pytest.fixture()
+def cars(spark):
+    # Mirrors the EEA CO2 shape (FIXTURES.md group B): MS/Mh/ec_cm3/year.
+    return spark.createDataFrame(
+        [
+            ("IT", "FERRARI", 4000.0, 2018),
+            ("DE", "BMW", 2000.0, 2018),
+            ("FR", "RENAULT", 1200.0, 2019),
+        ],
+        ["MS", "Mh", "ec_cm3", "year"],
+    )
+
+
+def test_update_time_travel_restore(spark, cars, tmp_path):
+    # update_versioning.py:40-79 round-trip.
+    t = VersionedTable(spark, str(tmp_path / "cars")).create(cars)
+    t.update(where="Mh = 'FERRARI'", set_exprs={"ec_cm3": "ec_cm3 + 10"})
+    after = {r.Mh: r.ec_cm3 for r in t.read().collect()}
+    assert after["FERRARI"] == 4010.0 and after["BMW"] == 2000.0
+    # D5 time travel to v0
+    before = {r.Mh: r.ec_cm3 for r in t.read(version=0).collect()}
+    assert before["FERRARI"] == 4000.0
+    # D6 restore
+    t.restore(0)
+    assert {r.Mh: r.ec_cm3 for r in t.read().collect()}["FERRARI"] == 4000.0
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["RESTORE", "UPDATE", "CREATE"]
+
+
+def test_schema_enforcement_and_evolution(spark, cars, tmp_path):
+    # lakehouse_data_igestion.py:126-128 (reject) + 202-212 (mergeSchema).
+    t = VersionedTable(spark, str(tmp_path / "evo")).create(cars)
+    batch_2020 = spark.createDataFrame(
+        [("ES", "SEAT", 1500.0, 2020, 95.5)],
+        ["MS", "Mh", "ec_cm3", "year", "Enedc_g/km_V2"],
+    )
+    with pytest.raises(SchemaEnforcementError):
+        t.append(batch_2020)
+    t.append(batch_2020, merge_schema=True)
+    df = t.read()
+    assert "Enedc_g/km_V2" in df.columns and df.count() == 4
+    # old rows null in the evolved column
+    assert df.where(F.col("`Enedc_g/km_V2`").isNull()).count() == 3
+    # type mismatch always rejected
+    bad = spark.createDataFrame([("X", "Y", "not-a-number", 2021)], ["MS", "Mh", "ec_cm3", "year"])
+    with pytest.raises(SchemaEnforcementError):
+        t.append(bad, merge_schema=True)
+
+
+def test_append_references_prior_files(spark, cars, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "app")).create(cars)
+    t.append(cars)
+    assert t.read().count() == 6
+    assert t.read(version=0).count() == 3
+
+
+def test_convert_and_optimize_zorder(spark, cars, tmp_path):
+    src = str(tmp_path / "plain_parquet")
+    cars.repartition(3).write.parquet(src)
+    t = VersionedTable.convert_from_parquet(spark, src, str(tmp_path / "conv"))
+    assert t.read().count() == 3  # D1: no data copied, log points at src
+    t.optimize(zorder_by=["MS"])
+    assert t.read().count() == 3
+    assert t.history()[0]["operation"] == "OPTIMIZE"
+    # compacted output is a single partition file set
+    assert t.read().rdd.getNumPartitions() == 1
+
+
+def test_delete_and_vacuum(spark, cars, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "del")).create(cars)
+    t.delete(where="MS = 'IT'")
+    assert t.read().count() == 2
+    removed = t.vacuum(keep_versions=1)
+    assert removed  # v0's data dir no longer referenced
+    assert t.read().count() == 2  # live snapshot intact
+
+
+def test_reference_pipeline_zones(spark, sf_dir, tmp_path):
+    counts = run_reference_pipeline(spark, sf_dir, str(tmp_path / "lake"))
+    assert counts["raw"] == 3  # one row per returnflag
+    assert counts["curated"] == 3
+    assert 0 < counts["serving"] <= 2 * 7  # top-2 per year
+    lake = LakeLayout(str(tmp_path / "lake"))
+    # partitioned serving layout (X2): year=... directories exist
+    from pathlib import Path
+
+    parts = list(Path(lake.serving, "top_by_year").glob("year=*"))
+    assert parts
