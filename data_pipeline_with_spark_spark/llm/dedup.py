@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_spark.llm.text import tokens
+from data_pipeline_with_spark_spark.util import ensure_min_partitions
 
 
 # --------------------------------------------------------------------------
@@ -62,20 +63,39 @@ def _shingle_expr(toks: Column, k: int) -> Column:
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    df = ensure_min_partitions(df)
     return df.withColumn("shingles", F.array_distinct(_shingle_expr(tokens(text_col), k)))
 
 
-def _minhash_element(shingles: Column, j: int) -> Column:
-    prefix = f"{j}:"
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
-    )
+CHUNKS_PER_DIGEST = 4  # four 8-hex (32-bit) chunks per md5
+
+
+def _digest_array(shingles: Column, salt: int) -> Column:
+    prefix = f"{salt}:"
+    return F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """K-function MinHash signature: element j = min over shingles of
-    md5(j || ':' || shingle). Hex min == numeric min (fixed width)."""
-    return F.array(*[_minhash_element(shingles, j) for j in range(num_hashes)])
+    """K-value MinHash signature. Each salted md5 digest yields FOUR
+    independent 32-bit hash values (8-hex chunks), so K signatures cost
+    K/4 md5 passes over the shingles instead of K — the md5 is the hot
+    loop at scale. Element j = min over shingles of chunk (j mod 4) of
+    md5((j div 4) || ':' || shingle); fixed-width lowercase hex compares
+    lexicographically == numerically, so array_min is a valid min-hash.
+    """
+    def chunk_min(digests: Column, off: int) -> Column:
+        # NB: bind off via closure, not a lambda default — a 2-param
+        # lambda makes PySpark pass (element, index) positionally.
+        return F.array_min(F.transform(digests, lambda d: F.substring(d, off, 8)))
+
+    sig = []
+    for salt in range((num_hashes + CHUNKS_PER_DIGEST - 1) // CHUNKS_PER_DIGEST):
+        digests = _digest_array(shingles, salt)
+        for chunk in range(CHUNKS_PER_DIGEST):
+            if len(sig) == num_hashes:
+                break
+            sig.append(chunk_min(digests, chunk * 8 + 1))
+    return F.array(*sig)
 
 
 def with_minhash(
@@ -180,6 +200,7 @@ def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataF
     md5(token) ≥ '8' means bit b set (top bit of each nibble) — no hex→
     int conversion needed, so the identical formula runs in DuckDB.
     Final value = Σ 2^b over bits with positive token-vote sum."""
+    df = ensure_min_partitions(df)
     toks = F.array_distinct(tokens(text_col))
     hashes = F.transform(toks, F.md5)
 

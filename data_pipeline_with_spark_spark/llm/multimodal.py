@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_pipeline_with_spark_spark.util import ensure_min_partitions
+
 FEATURE_DIM = 16
 
 DECODED_SCHEMA = T.StructType(
@@ -93,4 +95,5 @@ def extract_features(
                 }
             )
 
-    return assets.select(id_col, payload_col).mapInPandas(run, DECODED_SCHEMA)
+    inp = ensure_min_partitions(assets.select(id_col, payload_col))
+    return inp.mapInPandas(run, DECODED_SCHEMA)

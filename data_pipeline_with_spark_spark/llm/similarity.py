@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_with_spark_spark.util import ensure_min_partitions
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -60,7 +62,8 @@ def brute_force_topk(
         F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb")
     )
     scored = (
-        corpus.crossJoin(F.broadcast(q))
+        ensure_min_partitions(corpus)
+        .crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col(query_id_col))
         .withColumn("cos_sim", F.round(cosine(F.col(emb_col), F.col("q_emb")), 6))
     )
@@ -96,7 +99,7 @@ def lsh_bucketed_topk(
     """Approximate top-k: candidates restricted to the query's sign-LSH
     bucket. At cluster scale the corpus side is bucket-partitioned
     (repartition on bucket) so each bucket's candidate join is local."""
-    c = corpus.withColumn("bucket", sign_lsh_bucket(F.col(emb_col), bits))
+    c = ensure_min_partitions(corpus).withColumn("bucket", sign_lsh_bucket(F.col(emb_col), bits))
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(emb_col).alias("q_emb"),
@@ -124,7 +127,7 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via bucketed self-join:
     only same-bucket pairs are scored (id_a < id_b), then thresholded."""
-    b = df.withColumn("bucket", sign_lsh_bucket(F.col(emb_col), bits))
+    b = ensure_min_partitions(df).withColumn("bucket", sign_lsh_bucket(F.col(emb_col), bits))
     left = b.select(
         F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"), "bucket"
     )

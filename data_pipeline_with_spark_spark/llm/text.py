@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_with_spark_spark.util import ensure_min_partitions
+
 # Tiny in-expression stopword/marker sets. Real deployments swap in a
 # broadcast lookup table; these stay literal so the whole pipeline is a
 # single projection.
@@ -41,7 +43,7 @@ def _sql_array(words: tuple[str, ...]) -> str:
 def with_text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document text statistics: char/token counts, average token
     length, distinct-token ratio, stopword ratio, non-alnum ratio."""
-    out = df.withColumn("toks", tokens(text_col))
+    out = ensure_min_partitions(df).withColumn("toks", tokens(text_col))
     stop_arr = _sql_array(STOPWORDS)
     return (
         out.withColumn("n_chars_calc", F.length(text_col).cast("bigint"))
@@ -100,7 +102,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     to 'zh'. (On the synthetic fixture corpus all langs share an
     English-ish vocabulary, so this verifies the *operator*, not a real
     detector — swap marker sets for fastText-style models in prod.)"""
-    out = df.withColumn("toks", tokens(text_col))
+    out = ensure_min_partitions(df).withColumn("toks", tokens(text_col))
     for lang, markers in LANG_MARKERS.items():
         arr = _sql_array(markers)
         out = out.withColumn(
@@ -117,6 +119,6 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the normalized token stream —
     robust to whitespace/case differences, exact otherwise."""
-    return df.withColumn(
+    return ensure_min_partitions(df).withColumn(
         "fingerprint", F.md5(F.array_join(tokens(text_col), " "))
     )

@@ -182,10 +182,12 @@ _SHINGLES_SQL = (
     f"list_distinct(list_transform(generate_series(1, greatest(len(toks) - {_K_SHINGLE} + 1, 1)),"
     f" i -> array_to_string(toks[i:i+{_K_SHINGLE}-1], ' ')))"
 )
+# Chunked minhash (see llm/dedup.py): element j = min over shingles of
+# substr(md5((j div 4) || ':' || shingle), (j mod 4)*8 + 1, 8).
 _MINHASH_SQL = (
     "["
     + ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{j}:' || s)))"
+        f"list_min(list_transform(shingles, s -> substr(md5('{j // 4}:' || s), {(j % 4) * 8 + 1}, 8)))"
         for j in range(_NUM_HASHES)
     )
     + "]"
