@@ -15,6 +15,7 @@ from data_pipeline_with_spark_spark.operators.filters import (
     filter_rlike,
 )
 from data_pipeline_with_spark_spark.operators.joins import equi_join, expr_join
+from data_pipeline_with_spark_spark.operators.asof import asof_join, range_join
 from data_pipeline_with_spark_spark.operators.aggregates import group_agg, table_stats
 from data_pipeline_with_spark_spark.operators.windows import lag_diff, top_k_per_group
 from data_pipeline_with_spark_spark.operators.setops import union_by_name
@@ -35,6 +36,8 @@ __all__ = [
     "filter_rlike",
     "equi_join",
     "expr_join",
+    "asof_join",
+    "range_join",
     "group_agg",
     "table_stats",
     "lag_diff",

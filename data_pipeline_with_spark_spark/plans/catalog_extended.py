@@ -462,3 +462,82 @@ register(
         oracle=_Q6_SQL,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Custom joins Spark lacks natively (operators/asof.py)
+def _asof(spark: SparkSession, sf: str) -> DataFrame:
+    from data_pipeline_with_spark_spark.operators import asof_join
+
+    ev = read_testdata(spark, sf, "events")
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    # dedupe right per (key, ts) so the as-of match is well-defined
+    purchases = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join(clicks, purchases, key="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("click_epoch"),
+        "purchase_value",
+    )
+
+
+register(
+    QuerySpec(
+        name="j6_asof_join",
+        build=_asof,
+        headline=True,
+        doc="backward as-of join via union + last-non-null window (one shuffle); oracle = DuckDB native ASOF JOIN",
+        oracle="""
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), purchases AS (
+          SELECT user_id, ts, max(value) AS purchase_value
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        )
+        SELECT c.event_id, c.user_id,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+               p.purchase_value
+        FROM clicks c
+        ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+    )
+)
+
+
+def _range_join(spark: SparkSession, sf: str) -> DataFrame:
+    from data_pipeline_with_spark_spark.operators import range_join
+
+    orders = read_testdata(spark, sf, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0), ("high", 300000.0, 1e9)],
+        ["band", "lo", "hi"],
+    )
+    joined = range_join(orders, bands, point="o_totalprice", lower="lo", upper="hi")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+register(
+    QuerySpec(
+        name="j7_range_join",
+        build=_range_join,
+        doc="point-in-interval range join, interval side broadcast (fact side never shuffles)",
+        oracle="""
+        SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        JOIN (VALUES ('low', 0.0, 100000.0),
+                     ('mid', 100000.0, 300000.0),
+                     ('high', 300000.0, 1000000000.0)) AS bands(band, lo, hi)
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+        """,
+    )
+)
