@@ -541,3 +541,56 @@ register(
         """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured: typed from_json and explode/unnest
+def _from_json(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = read_testdata(spark, sf, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    return ev.select(
+        "event_id", F.from_json("props", schema).alias("p")
+    ).select("event_id", F.col("p.k").alias("k"))
+
+
+register(
+    QuerySpec(
+        name="json_from_json_typed",
+        build=_from_json,
+        doc="schema-typed from_json -> struct field access (vs stringly get_json_object)",
+        oracle="""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events
+        """,
+    )
+)
+
+
+def _explode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from data_pipeline_with_spark_spark.llm.text import tokens
+
+    docs = read_testdata(spark, sf, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 100)
+    )
+
+
+register(
+    QuerySpec(
+        name="explode_token_frequencies",
+        build=_explode_tokens,
+        doc="explode/unnest + frequency aggregation (word-count shape)",
+        oracle="""
+        SELECT token, count(*) AS n FROM (
+          SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    x -> x <> '')) AS token
+          FROM documents
+        ) GROUP BY token HAVING count(*) >= 100
+        """,
+    )
+)

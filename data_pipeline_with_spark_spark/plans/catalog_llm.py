@@ -455,3 +455,19 @@ register(
         oracle=None,  # byte-level checksum not SQL-expressible; pytest covers values
     )
 )
+
+
+def _ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_testdata(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
+register(
+    QuerySpec(
+        name="sim_cosine_topk_ivf",
+        build=_ivf_topk,
+        doc="IVF ANN: seeded k-means coarse quantizer + multi-probe + exact re-rank (k-means not portable to SQL -> rows-only; pytest asserts recall@k vs brute force)",
+        oracle=None,
+    )
+)

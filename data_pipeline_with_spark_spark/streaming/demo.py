@@ -129,3 +129,28 @@ def run_stateful_user_stats(
     )
     query.awaitTermination()
     return spark.table(sink_table)
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "45 days",
+    sink_table: str = "dedup_stream_sink",
+) -> DataFrame:
+    """Streaming deduplication: dropDuplicatesWithinWatermark keeps one
+    row per key combination with bounded state (keys expire after the
+    watermark). With a watermark longer than the fixture's 30-day span
+    this equals a global batch dropDuplicates — pytest asserts that."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    deduped = events.dropDuplicatesWithinWatermark(list(keys))
+    query = (
+        deduped.select(*keys)
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_table)

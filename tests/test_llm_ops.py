@@ -103,3 +103,16 @@ def test_quality_score_orders_sensibly(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r.doc_id: r.quality_score for r in text.with_quality_score(df).collect()}
     assert got[1] > got[2]
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.where("vec_id < 10")
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+    e = {(r.q_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.q_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # multi-probe IVF keeps most true neighbors

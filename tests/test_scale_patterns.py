@@ -1,0 +1,68 @@
+"""Scale-pattern guards: bucketed joins must elide shuffles, partitioned
+reads must prune partitions, and the partition-count guard must not
+repartition already-parallel inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_spark.sources.bucketing import (
+    bucketed_join,
+    write_bucketed_table,
+)
+from data_pipeline_with_spark_spark.sources.writers import write_parquet_table
+from data_pipeline_with_spark_spark.util import ensure_min_partitions
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    # disable AQE for this plan check: AQE wraps the plan before execution
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = read_testdata(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        orders = read_testdata(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        write_bucketed_table(li, "b_lineitem", ["l_orderkey"], 8, sort_by=["l_orderkey"])
+        write_bucketed_table(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "b_orders",
+            ["l_orderkey"],
+            8,
+            sort_by=["l_orderkey"],
+        )
+        joined = bucketed_join(spark, "b_lineitem", "b_orders", on=["l_orderkey"])
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        # sanity: result is correct
+        assert joined.count() == read_testdata(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(y, i, float(i)) for y in (1995, 1996, 1997) for i in range(100)],
+        ["year", "id", "v"],
+    )
+    out = str(tmp_path / "pt")
+    write_parquet_table(df, out, partition_by=["year"])
+    read = spark.read.parquet(out).where(F.col("year") == 1996)
+    plan = _plan(read)
+    assert "PartitionFilters" in plan and "1996" in plan
+    # only one of three partitions scanned
+    assert read.count() == 100
+
+
+def test_ensure_min_partitions_noop_when_parallel(spark):
+    df = spark.range(1000).repartition(64)
+    out = ensure_min_partitions(df, target=32)
+    assert out is df  # guard: no extra shuffle added

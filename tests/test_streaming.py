@@ -31,3 +31,13 @@ def test_stateful_user_stats_equals_batch(spark, sf_dir):
         )
     )
     assert _rows(stream, "user_id") == _rows(batch, "user_id")
+
+
+def test_streaming_dedup_equals_batch(spark, sf_dir):
+    stream = demo.run_streaming_dedup(spark, sf_dir)
+    batch = (
+        read_testdata(spark, sf_dir, "events")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    assert _rows(stream, "user_id", "event_type") == _rows(batch, "user_id", "event_type")
