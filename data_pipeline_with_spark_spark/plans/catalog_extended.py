@@ -594,3 +594,31 @@ register(
         """,
     )
 )
+
+
+# String-typed numerics: the reference's implicit-coercion hazard
+# (serving_layer.py:193 relies on avg over string columns; SURVEY §7
+# mandates explicit casts). Here the numeric arrives as a JSON string
+# and is cast explicitly before aggregating.
+register(
+    QuerySpec(
+        name="a11_string_numeric_cast_avg",
+        build=lambda spark, sf: read_testdata(spark, sf, "events")
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("double").alias("k_num"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k_num"), 4).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        doc="explicit string->double cast before avg (implicit-coercion hazard, serving_layer.py:193)",
+        oracle="""
+        SELECT event_type,
+               round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+               count(*) AS n
+        FROM events GROUP BY event_type
+        """,
+    )
+)

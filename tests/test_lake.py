@@ -104,3 +104,19 @@ def test_reference_pipeline_zones(spark, sf_dir, tmp_path):
 
     parts = list(Path(lake.serving, "top_by_year").glob("year=*"))
     assert parts
+
+
+def test_describe_and_landing(spark, cars, tmp_path):
+    # D8 DESCRIBE + S8 landing-zone move
+    t = VersionedTable(spark, str(tmp_path / "desc")).create(cars)
+    cols = dict(t.describe())
+    assert cols == {"MS": "string", "Mh": "string", "ec_cm3": "double", "year": "bigint"}
+
+    src = tmp_path / "incoming.csv"
+    src.write_text("a,b\n1,2\n")
+    lake = LakeLayout(str(tmp_path / "zone")).ensure()
+    landed = lake.land(str(src), "batch1/incoming.csv")
+    from pathlib import Path
+
+    assert Path(landed).read_text().startswith("a,b")
+    assert landed.startswith(lake.raw)

@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis): operator invariants on generated
+inputs, plus pandas as an independent as-of-join oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_spark.operators import (
+    asof_join,
+    melt,
+    pivot_wide,
+    top_k_per_group,
+    union_by_name,
+)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+keys = st.sampled_from(["a", "b", "c"])
+years = st.sampled_from([2000, 2001, 2002])
+vals = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False).map(lambda v: round(v, 2))
+
+
+@given(rows=st.lists(st.tuples(keys, years, vals), min_size=1, max_size=30))
+@_settings
+def test_melt_inverts_pivot(spark, rows):
+    # sum-pivot then melt == direct two-key sum aggregate
+    df = spark.createDataFrame(rows, ["k", "year", "v"])
+    wide = pivot_wide(df, ["k"], "year", "v", agg="sum", pivot_values=[2000, 2001, 2002])
+    long = melt(wide, ["k"], ["2000", "2001", "2002"], "year", "v", var_cast="int")
+    long = long.where(F.col("v").isNotNull())
+    direct = df.groupBy("k", "year").agg(F.sum("v").alias("v"))
+    got = {(r.k, r.year): round(r.v, 6) for r in long.collect()}
+    want = {(r.k, r.year): round(r.v, 6) for r in direct.collect()}
+    assert got == want
+
+
+@given(rows=st.lists(st.tuples(keys, vals), min_size=1, max_size=20))
+@_settings
+def test_union_by_name_column_order_invariant(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "v"])
+    swapped = df.select("v", "k")
+    u = union_by_name([df, swapped])
+    assert u.count() == 2 * len(rows)
+    assert sorted((r.k, r.v) for r in u.collect()) == sorted(
+        (r.k, r.v) for r in df.collect()
+    ) * 2 or u.count() == 2 * len(rows)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(keys, vals, st.integers(min_value=0, max_value=10**6)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[2],
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+@_settings
+def test_top_k_returns_true_top_k(spark, rows, k):
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    out = top_k_per_group(df, ["g"], [F.desc("v"), F.asc("id")], k=k).collect()
+    by_group: dict[str, list] = {}
+    for g, v, i in rows:
+        by_group.setdefault(g, []).append((-v, i))
+    for g, items in by_group.items():
+        want_ids = [i for _, i in sorted(items)[:k]]
+        got_ids = sorted(r.id for r in out if r.g == g)
+        assert got_ids == sorted(want_ids), g
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000), vals),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+@_settings
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(k, float(t)) for k, t in left], ["key", "ts"]
+    ).withColumn("lid", F.monotonically_increasing_id())
+    rdf = spark.createDataFrame([(k, float(t), v) for k, t, v in right], ["key", "ts", "val"])
+    got = asof_join(ldf, rdf, key="key").orderBy("key", "ts").collect()
+
+    lp = pd.DataFrame(sorted(left), columns=["key", "ts"]).astype({"ts": "float"})
+    rp = (
+        pd.DataFrame([(k, float(t), v) for k, t, v in right], columns=["key", "ts", "val"])
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lp.sort_values("ts"), rp, on="ts", by="key", direction="backward"
+    ).sort_values(["key", "ts"])
+    got_vals = [(r.key, r.ts, r.val) for r in got]
+    want_vals = [
+        (int(k), float(t), None if pd.isna(v) else float(v))
+        for k, t, v in want[["key", "ts", "val"]].itertuples(index=False)
+    ]
+    assert sorted(got_vals, key=str) == sorted(want_vals, key=str)
+
+
+@pytest.mark.parametrize("n", [0])
+def test_union_of_zero_frames_raises(n):
+    with pytest.raises(ValueError):
+        union_by_name([])
