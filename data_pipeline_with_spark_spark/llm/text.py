@@ -122,3 +122,45 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return ensure_min_partitions(df).withColumn(
         "fingerprint", F.md5(F.array_join(tokens(text_col), " "))
     )
+
+
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def with_token_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token count estimate: regex pieces (letter runs, digit
+    runs, single symbols) plus a length/4 subword correction for long
+    words — the standard cheap proxy for LLM tokenizer counts when the
+    real tokenizer can't run JVM-side."""
+    df = ensure_min_partitions(df)
+    pieces = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), 0)
+    # explicit floor(): Spark truncates double→int, DuckDB rounds — only
+    # floor is portable.
+    long_word_extra = F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, p: acc
+        + F.when(F.length(p) > 4, F.floor((F.length(p) - 1) / 4)).otherwise(0).cast("int"),
+    )
+    return df.withColumn("n_pieces", F.size(pieces).cast("bigint")).withColumn(
+        "n_tokens_est", (F.size(pieces) + long_word_extra).cast("bigint")
+    )
+
+
+def with_winnow_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 8, n_mins: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-lite): hash every
+    char k-gram, keep the n smallest digests, fingerprint = md5 of
+    their concatenation. Robust to local edits — an edit perturbs only
+    the k-grams overlapping it, usually none of the global minima
+    (Schleimer et al. '03 winnowing, simplified to global minima so the
+    identical formula runs in DuckDB)."""
+    df = ensure_min_partitions(df)
+    # substring(str, pos, len) with a column pos needs the SQL-expr form
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(regexp_replace(lower({text_col}), '\\\\s+', ' ')) - {k - 1}, 1)),"
+        f" i -> md5(substring(regexp_replace(lower({text_col}), '\\\\s+', ' '), i, {k})))"
+    )
+    mins = F.slice(F.array_sort(F.array_distinct(grams)), 1, n_mins)
+    return df.withColumn("winnow_fp", F.md5(F.concat_ws("", mins)))

@@ -45,3 +45,31 @@ def expr_join(
     survive (disambiguate via parent-frame refs, as the reference does)."""
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, condition, how)
+
+
+def salted_skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join hardened against a hot key: salt the (large, skewed)
+    left side with a random bucket and replicate every right row across
+    all buckets, so one hot key spreads over ``salt_buckets`` tasks
+    instead of melting a single reducer.
+
+    AQE's skew-join split (on in session.py) handles moderate skew at
+    runtime; this explicit form is for the pathological case — a single
+    key holding >1/buckets of the data — or engines/stages where AQE
+    can't help (e.g. skewed window partitions rewritten as joins).
+    Right-side replication costs salt_buckets× its size: use only with
+    a small-to-medium right side.
+    """
+    salted_left = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_left.join(salted_right, on=[key, "__salt"], how=how).drop("__salt")

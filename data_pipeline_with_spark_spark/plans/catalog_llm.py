@@ -471,3 +471,58 @@ register(
         oracle=None,
     )
 )
+
+
+def _token_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    return text.with_token_estimate(docs).select("doc_id", "n_pieces", "n_tokens_est")
+
+
+register(
+    QuerySpec(
+        name="text_token_estimate",
+        build=_token_estimate,
+        doc="BPE-ish tokenizer-count estimate (regex pieces + subword correction)",
+        oracle=r"""
+        WITH p AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS pieces
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(pieces) AS BIGINT) AS n_pieces,
+               CAST(len(pieces) + list_sum(list_transform(pieces, s ->
+                 CASE WHEN length(s) > 4
+                      THEN CAST(floor((length(s) - 1) / 4) AS INT)
+                      ELSE 0 END)) AS BIGINT) AS n_tokens_est
+        FROM p
+        """,
+    )
+)
+
+
+def _winnow(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    return text.with_winnow_fingerprint(docs).select("doc_id", "winnow_fp")
+
+
+register(
+    QuerySpec(
+        name="text_winnow_fingerprint",
+        build=_winnow,
+        doc="rolling-hash winnowing-lite fingerprint (char 8-gram digest minima)",
+        oracle=r"""
+        WITH n AS (
+          SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, greatest(length(t) - 7, 1)),
+                                i -> md5(substring(t, i, 8))) AS grams
+          FROM n
+        )
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(grams))[1:4], '')) AS winnow_fp
+        FROM g
+        """,
+    )
+)

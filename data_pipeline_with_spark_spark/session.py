@@ -80,3 +80,20 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def conf_summary(spark: SparkSession, prefix: str = "spark.sql.") -> dict[str, str]:
+    """X5 config introspection (reference: getConf().getAll() /
+    SET -v, data_import.ipynb.py:16-33) scoped to a prefix."""
+    jconf = spark.sparkContext.getConf().getAll()
+    out = {k: v for k, v in jconf if k.startswith(prefix)}
+    for k in (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.session.timeZone",
+    ):
+        try:
+            out[k] = spark.conf.get(k)
+        except Exception:
+            pass
+    return out

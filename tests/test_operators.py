@@ -97,3 +97,24 @@ def test_lag_diff(spark):
     )
     out = lag_diff(df, ["g"], "t", "v", diff_col="d").orderBy("g", "t").collect()
     assert out[0].d is None and out[1].d == 5.0 and out[2].d is None
+
+
+def test_salted_skew_join_matches_plain(spark):
+    from data_pipeline_with_spark_spark.operators.joins import salted_skew_join
+
+    # one hot key (90% of rows) + a long tail
+    left = spark.createDataFrame(
+        [(0 if i % 10 else i % 7, i) for i in range(1000)], ["k", "lv"]
+    )
+    right = spark.createDataFrame([(i, f"r{i}") for i in range(7)], ["k", "rv"])
+    plain = left.join(right, on="k").orderBy("lv").collect()
+    salted = salted_skew_join(left, right, key="k").orderBy("lv").collect()
+    assert [(r.k, r.lv, r.rv) for r in plain] == [(r.k, r.lv, r.rv) for r in salted]
+
+
+def test_conf_summary(spark):
+    from data_pipeline_with_spark_spark.session import conf_summary
+
+    conf = conf_summary(spark)
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    assert conf["spark.sql.session.timeZone"] == "UTC"
