@@ -97,3 +97,93 @@ def extract_features(
 
     inp = ensure_min_partitions(assets.select(id_col, payload_col))
     return inp.mapInPandas(run, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_image_stub(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
+    """Resize codec boundary (real impl: PIL/libvips). ``fake=True``
+    deterministically truncates/pads the byte stream to width*height
+    bytes so the plumbing (binary in → binary out, metadata update) is
+    exercised end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available in this environment; use fake=True"
+        )
+    target = width * height
+    return payload[:target].ljust(target, b"\0")
+
+
+def resize_images(
+    assets: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched resize over mapInPandas: binary→binary with new
+    dimension metadata, composable with any downstream relational op."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "payload": [
+                        resize_image_stub(p, width, height, fake=fake)
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    inp = ensure_min_partitions(assets.select(id_col, payload_col))
+    return inp.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_frames_total", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame,
+    every_nth: int = 4,
+    frame_bytes: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling for video-shaped payloads: treat the byte stream
+    as fixed-size frames, emit every Nth (deterministic fake of an
+    ffmpeg keyframe sample; one input row → many output rows, which is
+    why this is mapInPandas and not a scalar UDF)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame": [], "n_frames_total": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n_total = max(1, (len(payload) + frame_bytes - 1) // frame_bytes)
+                for idx in range(0, n_total, every_nth):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["frame"].append(payload[idx * frame_bytes : (idx + 1) * frame_bytes])
+                    out["n_frames_total"].append(n_total)
+            yield pd.DataFrame(out)
+
+    inp = ensure_min_partitions(assets.select(id_col, payload_col))
+    return inp.mapInPandas(run, FRAMES_SCHEMA)

@@ -526,3 +526,35 @@ register(
         """,
     )
 )
+
+
+def _mm_frames(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    assets = multimodal.attach_binary_payload(docs)
+    frames = multimodal.sample_frames(assets, every_nth=4, frame_bytes=64)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("n_frames_total").alias("n_frames_total"),
+    )
+
+
+register(
+    QuerySpec(
+        name="multimodal_frame_sampling",
+        build=_mm_frames,
+        doc="video-shaped frame sampling via mapInPandas (1 row -> N frames); sampled/total counts are byte-length arithmetic -> oracle-checkable",
+        oracle="""
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+        ), f AS (
+          SELECT doc_id,
+                 greatest(1, CAST(ceil(n_bytes / 64.0) AS INT)) AS n_frames_total
+          FROM b
+        )
+        SELECT doc_id,
+               CAST(ceil(n_frames_total / 4.0) AS BIGINT) AS n_sampled,
+               n_frames_total
+        FROM f
+        """,
+    )
+)

@@ -116,3 +116,23 @@ def test_ivf_recall_vs_brute_force(spark):
     a = {(r.q_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, recall  # multi-probe IVF keeps most true neighbors
+
+
+def test_multimodal_resize_and_frames(spark):
+    df = spark.createDataFrame([(1, "x" * 100), (2, "y" * 300)], ["doc_id", "text"])
+    assets = multimodal.attach_binary_payload(df)
+    resized = {r.doc_id: r for r in multimodal.resize_images(assets, 8, 8).collect()}
+    assert all(len(r.payload) == 64 for r in resized.values())
+    assert resized[1].width == 8
+
+    frames = multimodal.sample_frames(assets, every_nth=2, frame_bytes=64).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc1: 100 bytes -> 2 frames total, sampled idx 0
+    assert [f.frame_idx for f in by_doc[1]] == [0]
+    assert by_doc[1][0].n_frames_total == 2
+    # doc2: 300 bytes -> 5 frames total, sampled idx 0,2,4
+    assert sorted(f.frame_idx for f in by_doc[2]) == [0, 2, 4]
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image_stub(b"x", 2, 2, fake=False)
