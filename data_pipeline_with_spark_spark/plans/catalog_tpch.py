@@ -1,0 +1,354 @@
+"""TPC-H-shaped analytical suite over the driver's star schema.
+
+SURVEY §5 designates the driver's TPC-H-ish fixtures as the stand-in
+query corpus (the reference ships no test queries of its own), and §2.4
+notes the reference exercises only two join shapes — this module widens
+the engine's demonstrated planning surface to the full classic OLAP
+join/agg repertoire: EXISTS/NOT-EXISTS semi-joins, multi-dim snowflake
+joins, correlated-threshold joins, scalar subqueries, conditional
+aggregation, and top-k with HAVING.
+
+Queries are *adapted* TPC-H: the fixtures omit partsupp and several
+columns (l_commitdate, l_shipmode, p_container, c_phone), so q2/q9/q16/
+q17 use the lineitem (l_partkey, l_suppkey) pairs as the part-supplier
+link and q4/q12/q19/q22 substitute available predicates with the same
+plan shape.
+
+Scale doctrine (the point of this suite at 100 TB):
+- Every dim table (region/nation/supplier/part/customer at TPC-H
+  proportions) sits far under ``autoBroadcastJoinThreshold`` relative to
+  lineitem; with AQE on, Catalyst broadcast-hash-joins them so the
+  lineitem scan never shuffles for the dim side.
+- Date/brand/size predicates are plain Catalyst expressions → pushed to
+  the parquet scan (PushedFilters), so a 100 TB scan reads only the
+  matching row groups and the projected columns.
+- Group-bys run partial (map-side) aggregation first; the only full
+  shuffles are on the grouping keys themselves.
+
+SQL is written in the shared Spark/DuckDB dialect (registry doctrine:
+identical aliases, explicit casts, rounded order-dependent aggregates,
+unique tiebreakers under LIMIT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_pipeline_with_spark_spark.plans.registry import QuerySpec, register
+from data_pipeline_with_spark_spark.sources.readers import register_testdata_views
+
+
+def _sql(name: str, sql: str, doc: str, headline: bool = False) -> None:
+    """Register a shared-dialect SQL query: Spark runs it via spark.sql
+    (E2 entry shape, SURVEY §3), DuckDB runs the identical text."""
+
+    def build(spark: SparkSession, sf: str, _sql: str = sql) -> DataFrame:
+        register_testdata_views(spark, sf)
+        return spark.sql(_sql)
+
+    register(QuerySpec(name=name, build=build, oracle=sql, doc=doc, headline=headline))
+
+
+# --------------------------------------------------------------------------
+# Q2 (adapted): min-acctbal supplier per part, window-min formulation.
+# The classic correlated scalar subquery is expressed as a single
+# min-over-window so the candidate set is scanned once — at scale this is
+# one shuffle on p_partkey instead of a re-scan per row.
+_sql(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH supply AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), cand AS (
+      SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+             min(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+      FROM part
+      JOIN supply   ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name
+    FROM cand WHERE s_acctbal = min_bal
+    """,
+    doc="Q2-shaped correlated-min supplier selection via window min (one pass)",
+)
+
+# Q4 (adapted): order-priority counts for orders with >=1 returned line.
+# EXISTS lowers to a left-semi hash join on l_orderkey; only the two key
+# columns of lineitem are read.
+_sql(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    doc="Q4-shaped EXISTS semi-join + priority counts",
+)
+
+# Q7: bilateral shipping volume between two nations by year.
+_sql(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="Q7-shaped bilateral nation-pair revenue; both nation joins broadcast",
+    headline=True,
+)
+
+# Q8 (adapted): market share of one supplier nation within a region/type.
+_sql(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    doc="Q8-shaped eight-table snowflake + conditional-share aggregation",
+)
+
+# Q9 (adapted): profit by supplier nation and year; lineitem links
+# part↔supplier (no partsupp in fixtures; cost proxied by retailprice).
+_sql(
+    "tpch_q9_product_profit",
+    """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - p_retailprice * l_quantity * 0.1 AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%blue%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    doc="Q9-shaped profit rollup; p_name LIKE pushed to part scan",
+    headline=True,
+)
+
+# Q10: top-20 customers by revenue lost to returns.
+_sql(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           c_acctbal, n_name, c_mktsegment
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="Q10-shaped returned-revenue top-20 (unique c_custkey tiebreaker)",
+)
+
+# Q12 (adapted): priority mix per return flag. count(CASE…) keeps the
+# output BIGINT in both dialects (DuckDB sum(int) widens to HUGEINT).
+_sql(
+    "tpch_q12_priority_shipping",
+    """
+    SELECT l_returnflag,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    doc="Q12-shaped conditional counts over an order-line join",
+)
+
+# Q13: distribution of per-customer order counts (left join keeps
+# zero-order customers; two-level aggregation).
+_sql(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS INT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    doc="Q13-shaped order-count histogram; outer join + double aggregation",
+)
+
+# Q14: promotion revenue share in one month.
+_sql(
+    "tpch_q14_promo_effect",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """,
+    doc="Q14-shaped promo share; part broadcast, one scalar result",
+)
+
+# Q15: supplier(s) with maximum quarterly revenue (scalar-subquery max
+# over a shared CTE; revenue rounded before the equality so both engines
+# compare identical values).
+_sql(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="Q15-shaped argmax supplier via scalar subquery over a CTE",
+)
+
+# Q16 (adapted): distinct supplier count per part attribute bucket,
+# lineitem as the part↔supplier bridge.
+_sql(
+    "tpch_q16_supplier_part_cnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="Q16-shaped distinct-agg over bridged part/supplier pairs",
+)
+
+# Q17 (adapted): revenue from small-quantity lines, threshold = half the
+# per-part average quantity — the correlated subquery is planned as an
+# aggregate + equi-join so the fact table is scanned exactly twice.
+_sql(
+    "tpch_q17_small_qty_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS a_partkey, 0.5 * avg(l_quantity) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    ) thresholds ON p_partkey = a_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < qty_threshold
+    """,
+    doc="Q17-shaped per-part threshold join (de-correlated aggregate)",
+)
+
+# Q18: large-volume orders (HAVING-filtered IN subquery → semi join).
+_sql(
+    "tpch_q18_large_volume_customer",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+    """,
+    doc="Q18-shaped HAVING semi-join for large-volume orders",
+    headline=True,
+)
+
+# Q19 (adapted): disjunctive brand/size/quantity predicates — Catalyst
+# extracts the common join key and pushes each OR-arm's part predicates
+# to the scan.
+_sql(
+    "tpch_q19_discounted_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="Q19-shaped OR-of-conjunctions join predicate",
+)
+
+# Q22 (adapted): well-funded customers with no urgent orders, by nation
+# (every fixture customer has ≥1 order, so plain "never ordered" is
+# degenerate; the priority predicate keeps the anti-join non-empty).
+_sql(
+    "tpch_q22_global_sales_opportunity",
+    """
+    SELECT c_nationkey, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    doc="Q22-shaped scalar-subquery filter + anti-join",
+)

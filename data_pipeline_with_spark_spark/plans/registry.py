@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
         catalog_lake,
         catalog_llm,
         catalog_streaming,
+        catalog_tpch,
     )
 
     return dict(_REGISTRY)

@@ -98,3 +98,30 @@ def test_w1_uses_partial_topk(spark):
     # means shuffling the full fact table at scale.
     df = all_queries()["w1_topk_per_group"].build(spark, "/root/testdata/sf0.001")
     assert "WindowGroupLimit" in _physical_plan(df)
+
+
+def test_tpch_q9_broadcasts_all_dims(spark):
+    # part/supplier/orders/nation are all dims relative to lineitem at
+    # TPC-H proportions; the fact side must never shuffle for the joins.
+    df = all_queries()["tpch_q9_product_profit"].build(spark, "/root/testdata/sf0.001")
+    plan = _physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q4_exists_is_semi_join(spark):
+    df = all_queries()["tpch_q4_order_priority"].build(spark, "/root/testdata/sf0.001")
+    plan = _physical_plan(df)
+    assert "LeftSemi" in plan
+
+
+def test_tpch_q19_pushes_or_predicates(spark):
+    # the OR-of-conjunctions must still push brand/size down to the part
+    # scan (Catalyst extracts the per-table disjunction).
+    df = all_queries()["tpch_q19_discounted_revenue"].build(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert any(
+        "PushedFilters" in line and "p_brand" in line for line in plan.splitlines()
+    )
