@@ -352,3 +352,87 @@ _sql(
     """,
     doc="Q22-shaped scalar-subquery filter + anti-join",
 )
+
+# Q11 (adapted): part-value concentration within one nation's shipments —
+# the CTE is computed once and reused for both the per-part values and
+# the scalar threshold (Catalyst reuses the exchange; DuckDB the CTE).
+_sql(
+    "tpch_q11_part_value_concentration",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, sum(l_extendedprice) AS val
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(val, 2) AS value
+    FROM shipped
+    WHERE val > (SELECT 0.001 * sum(val) FROM shipped)
+    """,
+    doc="Q11-shaped concentration filter via scalar subquery over a CTE",
+)
+
+# Q20 (adapted): suppliers in one nation who shipped >50 units of any
+# 'blue' part in 1995 (IN over a grouped HAVING subquery → semi join).
+# NATION_22 is the nation with the most qualifying suppliers at sf0.01.
+_sql(
+    "tpch_q20_part_supplier",
+    """
+    SELECT s_name, s_suppkey
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_22'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'blue%'
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 50
+      )
+    """,
+    doc="Q20-shaped grouped-HAVING IN subquery → aggregate + semi join",
+)
+
+# Q21 (adapted): sole-returning supplier in multi-supplier finished
+# orders ("late" proxied by l_returnflag since fixtures lack
+# commit/receipt dates). Correlated EXISTS / NOT EXISTS with a <> guard.
+_sql(
+    "tpch_q21_waiting_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND n_name = 'NATION_1'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+    doc="Q21-shaped double-correlated EXISTS/NOT-EXISTS semi/anti pair",
+)
+
+# GROUPING SETS: the one multi-level aggregate shape a8 rollup / a9 cube
+# don't cover — explicit set list with a grand total.
+_sql(
+    "a12_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="explicit GROUPING SETS with grand total (partial-agg single shuffle)",
+)
