@@ -80,6 +80,29 @@ def run_tumbling_stream(
     return spark.table(sink_table)
 
 
+def run_windowed_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    sink_table: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Run any batch window-agg builder (``streaming.windows.*``) as a
+    streaming query: identical logical plan, incremental state, complete
+    mode into a memory sink. The batch face is the oracle."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    query = (
+        build(events)
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_table)
+
+
 USER_STATS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -41,3 +41,19 @@ def test_streaming_dedup_equals_batch(spark, sf_dir):
         .select("user_id", "event_type")
     )
     assert _rows(stream, "user_id", "event_type") == _rows(batch, "user_id", "event_type")
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir):
+    batch = windows.sliding_window_agg(read_testdata(spark, sf_dir, "events"))
+    stream = demo.run_windowed_stream(
+        spark, sf_dir, windows.sliding_window_agg, "sliding_stream_sink"
+    )
+    assert _rows(stream, "win_start") == _rows(batch, "win_start")
+
+
+def test_session_stream_equals_batch(spark, sf_dir):
+    batch = windows.session_window_agg(read_testdata(spark, sf_dir, "events"))
+    stream = demo.run_windowed_stream(
+        spark, sf_dir, windows.session_window_agg, "session_stream_sink"
+    )
+    assert _rows(stream, "user_id", "sess_start") == _rows(batch, "user_id", "sess_start")
