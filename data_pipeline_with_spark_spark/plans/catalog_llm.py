@@ -558,3 +558,53 @@ register(
         """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Flagship composed pipeline: the end-to-end curation pass a training-data
+# pipeline runs over a raw documents table — language gate, quality gate,
+# exact dedup (keep lowest doc_id per identical text) — in ONE declarative
+# plan. At 100 TB this is a single scan + projection (lang/quality are
+# narrow, Catalyst-visible expressions) followed by exactly one shuffle
+# for the dedup window on md5(text); near-dup removal (minhash LSH) runs
+# as the separate dedup_minhash_lsh_pairs stage downstream.
+def _curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    scored = text.with_quality_score(docs)
+    kept = scored.where((F.col("lang") == "en") & (F.col("quality_score") >= 0.5))
+    deduped = dedup.exact_dedup(kept)
+    return deduped.select("doc_id", "source", "n_tokens", "quality_score")
+
+
+register(
+    QuerySpec(
+        name="curation_pipeline",
+        build=_curation_pipeline,
+        headline=True,
+        doc="composed curation pass: lang gate → quality gate → exact dedup",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, lang, source, text, {_TOKS_SQL} AS toks FROM documents),
+        p AS (
+          SELECT doc_id, lang, source, text,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(toks) AS DOUBLE) AS n_tokens_d,
+                 CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+                 CAST(len(list_filter(toks, s -> list_contains({_STOP_SQL}, s))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+                 CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS non_alnum_ratio
+          FROM t),
+        scored AS (
+          SELECT doc_id, lang, source, text, n_tokens,
+                 round(0.3 * least(n_tokens_d / 100.0, 1.0)
+                       + 0.3 * distinct_ratio
+                       + 0.2 * least(stopword_ratio * 4, 1.0)
+                       + 0.2 * (1 - non_alnum_ratio), 4) AS quality_score
+          FROM p)
+        SELECT doc_id, source, n_tokens, quality_score
+        FROM scored
+        WHERE lang = 'en' AND quality_score >= 0.5
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        """,
+    )
+)
