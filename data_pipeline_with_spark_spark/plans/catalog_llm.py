@@ -608,3 +608,60 @@ register(
         """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling + split assignment. Training-data pipelines must
+# never use RNG sampling (irreproducible across retries/engines); the
+# scalable idiom is content-hash bucketing — a pure projection, no
+# shuffle, identical on any engine and any cluster size. Bucket by the
+# leading hex of md5(doc_id): each hex char is a uniform 1/16 slice.
+def _hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.where(bucket.isin("0", "1")).select("doc_id", "lang", "source")
+
+
+register(
+    QuerySpec(
+        name="sample_hash_bucket",
+        build=_hash_sample,
+        doc="deterministic 2/16 content-hash sample (reproducible, shuffle-free)",
+        oracle="""
+        SELECT doc_id, lang, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        """,
+    )
+)
+
+
+def _split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    # two leading hex chars = 256 uniform buckets: [00,f0) train (15/16),
+    # [f0,f8) val (1/32), [f8,ff] test (1/32).
+    b2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(b2 < "f0", "train").when(b2 < "f8", "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+register(
+    QuerySpec(
+        name="split_train_val_test",
+        build=_split_assign,
+        doc="hash-range train/val/test split (stable under re-runs and appends)",
+        oracle="""
+        SELECT split, count(*) AS n_docs FROM (
+          SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f0' THEN 'train'
+                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f8' THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        GROUP BY split
+        """,
+    )
+)
