@@ -71,6 +71,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other vectorized columnar format a vanilla Spark
+    reads natively; same pushdown/pruning behavior as parquet."""
+    return spark.read.orc(path)
+
+
 def read_table(spark: SparkSession, name: str) -> DataFrame:
     """Catalog table scan (S4); SQL strings go through ``spark.sql``."""
     return spark.table(name)

@@ -63,6 +63,35 @@ def write_parquet_table(
         writer.save(path)
 
 
+def write_files(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+    target_files: int | None = None,
+    **options: str,
+) -> None:
+    """Format-generic file sink: parquet/orc/csv/json (the formats a
+    vanilla Spark distribution writes without extra packages).
+
+    CSV defaults to ``header=true`` + ``escape='"'`` so a write/read
+    round trip through :func:`readers.read_csv` is lossless for quoted
+    fields — the reference's CSV dialect (curate_data.py:39,49).
+    Columnar formats (parquet/orc) are the scale path; csv/json exist
+    for interchange and small serving extracts only.
+    """
+    out = df.coalesce(target_files) if target_files is not None else df
+    writer = out.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true").option("escape", '"')
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
 def write_noop(df: DataFrame) -> None:
     """noop sink (S7): materializes the full plan without writing bytes —
     the benchmark action used by the reference's UDF timing harness."""

@@ -81,3 +81,48 @@ def test_udf_timing_harness(spark, sf_dir):
     timings = compare_udf_variants(spark, sf_dir)
     assert set(timings) == {"native_expr", "pandas_udf", "python_udf"}
     assert all(v > 0 for v in timings.values())
+
+
+def test_format_round_trips(spark, sf_dir, tmp_path):
+    from data_pipeline_with_spark_spark.sources.readers import (
+        read_csv,
+        read_json,
+        read_orc,
+        read_testdata,
+    )
+    from data_pipeline_with_spark_spark.sources.writers import write_files
+
+    src = read_testdata(spark, sf_dir, "nation")
+    expected = {tuple(r) for r in src.collect()}
+
+    orc_path = str(tmp_path / "nation_orc")
+    write_files(src, orc_path, fmt="orc")
+    assert {tuple(r) for r in read_orc(spark, orc_path).collect()} == expected
+
+    json_path = str(tmp_path / "nation_json")
+    write_files(src, json_path, fmt="json")
+    got_json = read_json(spark, json_path, multiline=False).select(*src.columns)
+    assert {tuple(r) for r in got_json.collect()} == expected
+
+    # CSV lands all-string (reference dialect); compare after cast-back.
+    csv_path = str(tmp_path / "nation_csv")
+    write_files(src, csv_path, fmt="csv")
+    got_csv = read_csv(spark, csv_path).selectExpr(
+        "CAST(n_nationkey AS INT) n_nationkey",
+        "n_name",
+        "CAST(n_regionkey AS INT) n_regionkey",
+    )
+    assert {tuple(r) for r in got_csv.collect()} == expected
+
+
+def test_orc_filter_pushdown(spark, sf_dir, tmp_path):
+    from data_pipeline_with_spark_spark.sources.readers import read_orc, read_testdata
+    from data_pipeline_with_spark_spark.sources.writers import write_files
+
+    path = str(tmp_path / "orders_orc")
+    write_files(read_testdata(spark, sf_dir, "orders"), path, fmt="orc")
+    df = read_orc(spark, path).where("o_orderstatus = 'F'").select("o_orderkey")
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "o_orderstatus" in plan
