@@ -1,0 +1,93 @@
+"""Event-analytics queries over the events fixture: conversion funnel
+and cohort retention — the batch analytics a pipeline runs next to the
+streaming faces in `streaming/windows.py`.
+
+Dialect note: Spark spells epoch extraction ``unix_timestamp`` where
+DuckDB spells it ``epoch``, so unlike catalog_tpch these register
+*separate* Spark and oracle SQL texts with identical output columns.
+Both truncate weeks with ``date_trunc('week', ts)`` (Monday-start in
+both engines) and do all offset arithmetic on integer epoch seconds —
+portable and timezone-free (sessions pin UTC).
+
+Scale: both queries aggregate to per-user rows first (one shuffle on
+user_id), then run cheap second-stage aggregations on the much smaller
+intermediate — the classic two-stage funnel shape that survives 100 TB
+of raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_pipeline_with_spark_spark.plans.registry import QuerySpec, register
+from data_pipeline_with_spark_spark.sources.readers import register_testdata_views
+
+_FUNNEL_SPARK = """
+WITH clicks AS (
+  SELECT user_id, min(ts) AS first_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+), conv AS (
+  SELECT DISTINCT c.user_id
+  FROM clicks c JOIN events e
+    ON e.user_id = c.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts > c.first_click
+   AND e.ts <= c.first_click + INTERVAL 1 HOUR
+)
+SELECT (SELECT count(*) FROM clicks) AS n_clickers,
+       (SELECT count(*) FROM conv) AS n_converted,
+       round(CAST((SELECT count(*) FROM conv) AS DOUBLE)
+             / CAST((SELECT count(*) FROM clicks) AS DOUBLE), 4) AS conv_rate
+"""
+
+# DuckDB: identical text works (INTERVAL 1 HOUR parses in both).
+_FUNNEL_ORACLE = _FUNNEL_SPARK
+
+
+def _funnel(spark: SparkSession, sf: str) -> DataFrame:
+    register_testdata_views(spark, sf)
+    return spark.sql(_FUNNEL_SPARK)
+
+
+register(
+    QuerySpec(
+        name="events_conversion_funnel",
+        build=_funnel,
+        doc="click→purchase-within-1h funnel: per-user min + ranged semi join",
+        oracle=_FUNNEL_ORACLE,
+    )
+)
+
+
+def _retention_sql(epoch_fn: str) -> str:
+    return f"""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST({epoch_fn}(date_trunc('week', min(ts))) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id,
+             CAST({epoch_fn}(date_trunc('week', ts)) AS BIGINT) AS act_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST((a.act_week - f.cohort_week) / 604800 AS INT) AS week_offset,
+           count(DISTINCT a.user_id) AS active_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, CAST((a.act_week - f.cohort_week) / 604800 AS INT)
+    """
+
+
+def _retention(spark: SparkSession, sf: str) -> DataFrame:
+    register_testdata_views(spark, sf)
+    return spark.sql(_retention_sql("unix_timestamp"))
+
+
+register(
+    QuerySpec(
+        name="events_cohort_retention",
+        build=_retention,
+        doc="weekly cohort retention matrix (first-week cohort × week offset)",
+        oracle=_retention_sql("epoch"),
+    )
+)

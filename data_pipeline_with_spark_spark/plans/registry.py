@@ -50,6 +50,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules that populate the registry.
     from data_pipeline_with_spark_spark.plans import (  # noqa: F401
         catalog_core,
+        catalog_events,
         catalog_extended,
         catalog_lake,
         catalog_llm,
