@@ -665,3 +665,52 @@ register(
         """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Corpus n-gram statistics: top-5 bigrams per language. The shuffle
+# carries (lang, bigram) partial counts — never raw documents — and the
+# final top-k is a WindowGroupLimit-able ranked window, so the pattern
+# holds when the corpus is 100 TB and the bigram vocabulary is millions.
+def _top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    toks = text.tokens(F.col("text"))
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+        " i -> concat(toks[i - 1], ' ', toks[i]))"
+    )
+    from pyspark.sql import Window
+
+    counts = (
+        docs.withColumn("toks", toks)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("lang", "bigram", "n", "rnk")
+    )
+
+
+register(
+    QuerySpec(
+        name="text_top_bigrams_per_lang",
+        build=_top_bigrams,
+        doc="top-5 bigrams per language: explode → count → ranked window",
+        oracle=f"""
+        WITH t AS (SELECT lang, {_TOKS_SQL} AS toks FROM documents),
+        b AS (
+          SELECT lang, unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+          FROM t),
+        c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY lang, bigram)
+        SELECT lang, bigram, n,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INT) AS rnk
+        FROM c QUALIFY rnk <= 5
+        """,
+    )
+)
