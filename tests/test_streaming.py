@@ -57,3 +57,12 @@ def test_session_stream_equals_batch(spark, sf_dir):
         spark, sf_dir, windows.session_window_agg, "session_stream_sink"
     )
     assert _rows(stream, "user_id", "sess_start") == _rows(batch, "user_id", "sess_start")
+
+
+def test_stream_into_lakehouse_equals_batch(spark, sf_dir, tmp_path):
+    table = demo.run_stream_into_lakehouse(spark, sf_dir, str(tmp_path / "hourly"))
+    batch = windows.tumbling_window_agg(
+        read_testdata(spark, sf_dir, "events"), window="1 hour"
+    )
+    assert _rows(table.read(), "win_start") == _rows(batch, "win_start")
+    assert len(table.history()) >= 1  # each micro-batch = one commit
