@@ -42,9 +42,16 @@ register(
 
 
 def _anti(spark: SparkSession, sf: str) -> DataFrame:
+    # Anti-join against URGENT orders: every fixture customer has ≥1
+    # order, so the unfiltered variant would be vacuously empty and the
+    # oracle comparison would prove nothing.
     cust = read_testdata(spark, sf, "customer")
-    orders = read_testdata(spark, sf, "orders").withColumnRenamed("o_custkey", "c_custkey")
-    return equi_join(cust, orders, on=["c_custkey"], how="left_anti").select(
+    urgent = (
+        read_testdata(spark, sf, "orders")
+        .where("o_orderpriority = '1-URGENT'")
+        .withColumnRenamed("o_custkey", "c_custkey")
+    )
+    return equi_join(cust, urgent, on=["c_custkey"], how="left_anti").select(
         "c_custkey", "c_mktsegment"
     )
 
@@ -53,10 +60,12 @@ register(
     QuerySpec(
         name="j4_anti_join",
         build=_anti,
-        doc="left-anti join: customers with no orders (NOT EXISTS)",
+        doc="left-anti join: customers with no URGENT orders (NOT EXISTS)",
         oracle="""
         SELECT c_custkey, c_mktsegment FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
         """,
     )
 )

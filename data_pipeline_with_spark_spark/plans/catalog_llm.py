@@ -391,15 +391,18 @@ register(
 
 
 def _emb_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    # 0.3 (not the production 0.9): fixture embeddings have no true
+    # near-dups (max pairwise cosine ≈ 0.51), and a threshold above the
+    # data's range would make the oracle comparison vacuous (0 ≡ 0).
     emb = read_testdata(spark, sf, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.9, bits=_LSH_BITS)
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.3, bits=_LSH_BITS)
 
 
 register(
     QuerySpec(
         name="sim_embedding_near_dups",
         build=_emb_near_dups,
-        doc="embedding-cosine near-dup pairs via bucketed self-join",
+        doc="embedding-cosine similar-pair mining via bucketed self-join",
         oracle=f"""
         WITH b AS (SELECT vec_id, embedding,
                           {_BUCKET_SQL.format(e='embedding')} AS bucket
@@ -407,7 +410,7 @@ register(
         SELECT a.vec_id AS id_a, x.vec_id AS id_b,
                {_COS_SQL.format(a='a.embedding', b='x.embedding')} AS cos_sim
         FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
-        WHERE {_COS_SQL.format(a='a.embedding', b='x.embedding')} >= 0.9
+        WHERE {_COS_SQL.format(a='a.embedding', b='x.embedding')} >= 0.3
         """,
     )
 )
@@ -711,6 +714,72 @@ register(
         SELECT lang, bigram, n,
                CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INT) AS rnk
         FROM c QUALIFY rnk <= 5
+        """,
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Capstone joint text+vector query: semantic near-dup candidate pairs
+# enriched with document metadata (vec_id ↔ doc_id is 1:1 in the
+# fixtures). The pair generation shuffles only (bucket, vec) tuples; the
+# metadata join is a broadcast of the slim documents projection — at
+# 100 TB the pair set, not the corpus, is the joined fact.
+_DUP_BITS, _DUP_THRESHOLD = 4, 0.35
+_DUP_BUCKET_SQL = " + ".join(
+    f"CASE WHEN {{e}}[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END" for i in range(_DUP_BITS)
+)
+
+
+def _semantic_dup_report(spark: SparkSession, sf: str) -> DataFrame:
+    # Fixture embeddings are label-clustered but contain no true
+    # near-dups (max pairwise cosine ≈ 0.51), so the report uses a
+    # same-cluster threshold of 0.35 with coarse 4-bit buckets; a real
+    # dedup deployment keeps 0.9+ with more bands.
+    emb = read_testdata(spark, sf, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, threshold=_DUP_THRESHOLD, bits=_DUP_BITS
+    )
+    docs = read_testdata(spark, sf, "documents").select("doc_id", "lang", "source")
+    a = docs.toDF("id_a", "lang_a", "source_a")
+    b = docs.toDF("id_b", "lang_b", "source_b")
+    return (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("cos_sim", 4).alias("cos_sim"),
+            "lang_a",
+            "lang_b",
+            (F.col("lang_a") == F.col("lang_b")).alias("same_lang"),
+            (F.col("source_a") == F.col("source_b")).alias("same_source"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="sim_semantic_dup_report",
+        build=_semantic_dup_report,
+        doc="near-dup pairs joined to document metadata (text+vector capstone)",
+        oracle=f"""
+        WITH b AS (SELECT vec_id, embedding,
+                          {_DUP_BUCKET_SQL.format(e='embedding')} AS bucket
+                   FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+                 {_COS_SQL.format(a='a.embedding', b='x.embedding')} AS cos_sim
+          FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+          WHERE {_COS_SQL.format(a='a.embedding', b='x.embedding')} >= {_DUP_THRESHOLD}
+        )
+        SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim,
+               da.lang AS lang_a, db.lang AS lang_b,
+               da.lang = db.lang AS same_lang,
+               da.source = db.source AS same_source
+        FROM pairs
+        JOIN documents da ON da.doc_id = id_a
+        JOIN documents db ON db.doc_id = id_b
         """,
     )
 )
