@@ -66,3 +66,29 @@ def test_ensure_min_partitions_noop_when_parallel(spark):
     df = spark.range(1000).repartition(64)
     out = ensure_min_partitions(df, target=32)
     assert out is df  # guard: no extra shuffle added
+
+
+def test_headline_shuffle_budgets(spark):
+    # Pin the shuffle count of load-bearing plans: a regression that adds
+    # an Exchange is invisible at test scale but dominates at 100 TB.
+    import re
+
+    from data_pipeline_with_spark_spark.plans import all_queries
+
+    budgets = {
+        "tpch_q5_local_supplier_volume": 1,  # dims broadcast; 1 agg shuffle
+        "tpch_q9_product_profit": 1,
+        "w1_topk_per_group": 1,              # window partition shuffle only
+        "text_profile": 1,                   # ensure_min_partitions only
+        "a2_group_avg_multikey": 1,
+    }
+    specs = all_queries()
+    for name, budget in budgets.items():
+        df = specs[name].build(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        n = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+        assert n <= budget, f"{name}: {n} shuffles (budget {budget})"
