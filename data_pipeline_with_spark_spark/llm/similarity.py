@@ -205,3 +205,62 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cos_sim", "rnk")
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means as pure DataFrame ops — the iterative-algorithm
+    pattern on Spark: per iteration, ONE distributed pass assigns points
+    to the nearest centroid (squared-euclid via zip_with/aggregate, all
+    Catalyst expressions) and one partial-aggregated groupBy recomputes
+    means; only the k centroids (tiny) ever reach the driver, exactly
+    like MLlib's own implementation. Deterministic: init = the k
+    lowest-id vectors, so results are reproducible run-to-run (pytest
+    checks against an independent numpy implementation).
+
+    Returns (assignments DataFrame [id_col, cluster], final centroids).
+    `ivf_topk` wraps MLlib's KMeans; this exists so the engine also
+    demonstrates the driver-loop iterative shape MLlib hides.
+    """
+    vecs = df.select(id_col, _as_double(F.col(emb_col)).alias("__v"))
+    centroids = [
+        [float(x) for x in r["__v"]]
+        for r in vecs.orderBy(id_col).limit(k).collect()
+    ]
+
+    def dist_sq(c: list[float]) -> Column:
+        lit = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("__v"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = None
+    for _ in range(iters):
+        dists = F.array(*[dist_sq(c) for c in centroids])
+        assigned = vecs.withColumn(
+            "cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+        new_rows = (
+            assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("c")
+            )
+            .collect()
+        )
+        by_cluster = {r.cluster: [float(x) for x in r.c] for r in new_rows}
+        # empty clusters keep their previous centroid
+        centroids = [by_cluster.get(i, centroids[i]) for i in range(k)]
+    return assigned.select(id_col, "cluster"), centroids

@@ -783,3 +783,23 @@ register(
         """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Iterative algorithm surface: pure-DataFrame Lloyd's k-means over the
+# embedding table (genuinely non-SQL-expressible per the driver
+# contract: iterative driver loop → rows-only check; correctness is
+# pinned by test_kmeans_lloyd_matches_numpy's exact cross-check).
+def _kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_testdata(spark, sf, "embeddings")
+    assigned, _ = similarity.kmeans_lloyd(emb, k=8, iters=5)
+    return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+register(
+    QuerySpec(
+        name="cluster_kmeans_lloyd",
+        build=_kmeans_clusters,
+        doc="pure-DataFrame Lloyd's k-means (deterministic init, 5 iters): cluster sizes",
+    )
+)

@@ -232,3 +232,60 @@ def run_stream_into_lakehouse(
     )
     query.awaitTermination()
     return table
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_table: str = "ss_join_sink",
+    max_lag: str = "1 HOUR",
+) -> DataFrame:
+    """Stream–stream inner join: clicks joined to purchases by the same
+    user within ``max_lag`` after the click. Watermarks on BOTH sides +
+    the time-range join condition let Spark bound the join state (a
+    click can be dropped from state once the purchase-side watermark
+    passes click_ts + max_lag) — unbounded state is the failure mode of
+    naive stream joins at scale. Batch face: the identical join over the
+    static events table (asserted equal in pytest)."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.where("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user)
+        & (purchases.p_ts > clicks.click_ts)
+        & (purchases.p_ts <= clicks.click_ts + F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    ).select(
+        "click_id",
+        "user_id",
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        F.unix_timestamp("p_ts").alias("purchase_epoch"),
+        "p_value",
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_table)

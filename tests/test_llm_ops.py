@@ -136,3 +136,32 @@ def test_multimodal_resize_and_frames(spark):
     assert sorted(f.frame_idx for f in by_doc[2]) == [0, 2, 4]
     with pytest.raises(NotImplementedError):
         multimodal.resize_image_stub(b"x", 2, 2, fake=False)
+
+
+def test_kmeans_lloyd_matches_numpy(spark):
+    import numpy as np
+
+    from data_pipeline_with_spark_spark.llm.similarity import kmeans_lloyd
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    k, iters = 8, 5
+    assigned, cents = kmeans_lloyd(emb, k=k, iters=iters)
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+
+    rows = sorted(
+        (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    ids = [i for i, _ in rows]
+    X = np.stack([v for _, v in rows])
+    C = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            if (a == j).any():
+                C[j] = X[a == j].mean(axis=0)
+    expected = dict(zip(ids, a.tolist()))
+    assert got == expected
+    assert np.allclose(np.array(cents), C, atol=1e-8)

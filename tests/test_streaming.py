@@ -66,3 +66,30 @@ def test_stream_into_lakehouse_equals_batch(spark, sf_dir, tmp_path):
     )
     assert _rows(table.read(), "win_start") == _rows(batch, "win_start")
     assert len(table.history()) >= 1  # each micro-batch = one commit
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    stream = demo.run_stream_stream_join(spark, sf_dir)
+    ev = read_testdata(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "user_id", "ts AS click_ts"
+    )
+    purchases = ev.where("event_type = 'purchase'").selectExpr(
+        "user_id AS p_user", "ts AS p_ts", "value AS p_value"
+    )
+    batch = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user)
+        & (purchases.p_ts > clicks.click_ts)
+        & (purchases.p_ts <= F.expr("click_ts + INTERVAL 1 HOUR")),
+        "inner",
+    ).selectExpr(
+        "click_id",
+        "user_id",
+        "unix_timestamp(click_ts) AS click_epoch",
+        "unix_timestamp(p_ts) AS purchase_epoch",
+        "p_value",
+    )
+    assert _rows(stream, "click_id", "purchase_epoch") == _rows(
+        batch, "click_id", "purchase_epoch"
+    )
