@@ -289,3 +289,62 @@ def run_stream_stream_join(
     )
     query.awaitTermination()
     return spark.table(sink_table)
+
+
+try:
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+except ImportError:  # pre-4.0 Spark: transformWithState unavailable
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+
+
+class UserStatsProcessor(StatefulProcessor):
+    """StatefulProcessor for transformWithStateInPandas — Spark 4's
+    successor to applyInPandasWithState: named state variables via the
+    handle, explicit lifecycle, timer support. Same per-user running
+    (count, sum) semantics as ``user_running_stats`` above so pytest can
+    assert the two APIs and the batch aggregation all agree."""
+
+    def init(self, handle) -> None:
+        self._stats = handle.getValueState("stats", "n BIGINT, total DOUBLE")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total = self._stats.get() if self._stats.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._stats.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def run_transform_with_state(
+    spark: SparkSession, sf_dir: str, sink_table: str = "tws_sink"
+) -> DataFrame:
+    """transformWithStateInPandas face of the per-user running stats.
+
+    Requires ``google.protobuf`` at runtime (the transformWithState
+    state server's wire protocol) — absent in this container, so pytest
+    importorskips; the applyInPandasWithState twin above covers the
+    semantics in CI either way.
+    """
+    proc = UserStatsProcessor()
+    events = read_events_stream(spark, sf_dir)
+    stats = events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=USER_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    query = (
+        stats.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_table)

@@ -4,6 +4,8 @@ plain aggregation."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_spark.sources.readers import read_testdata
@@ -93,3 +95,19 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     assert _rows(stream, "click_id", "purchase_epoch") == _rows(
         batch, "click_id", "purchase_epoch"
     )
+
+
+def test_transform_with_state_equals_batch(spark, sf_dir):
+    # transformWithState's state server speaks protobuf; this container
+    # ships no google.protobuf, so the API can only run where it exists.
+    pytest.importorskip("google.protobuf")
+    stream = demo.run_transform_with_state(spark, sf_dir)
+    batch = (
+        read_testdata(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    assert _rows(stream, "user_id") == _rows(batch, "user_id")
