@@ -298,6 +298,80 @@ class VersionedTable:
         reader = self.spark.read.schema(schema)
         return reader.parquet(*commit.data_dirs)
 
+    def _snapshot_files(self, version: int | None = None) -> tuple[list[str], T.StructType]:
+        commits = self._commits()
+        if not commits:
+            raise FileNotFoundError(f"no versioned table at {self.root}")
+        commit = commits[-1] if version is None else {c.version: c for c in commits}[version]
+        schema = T.StructType.fromJson(json.loads(commit.schema_json))
+        files: list[str] = []
+        for d in commit.data_dirs:
+            files.extend(str(p) for p in sorted(Path(d).glob("*.parquet")))
+        return files, schema
+
+    def plan_files(
+        self, predicate: tuple[str, str, object], version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Data skipping (Delta's file-stats pruning, SURVEY §4): decide
+        which parquet files of the snapshot can possibly satisfy
+        ``(column, op, value)`` using footer min/max statistics only —
+        no data read. Returns (kept_files, total_file_count).
+
+        Files with missing stats for the column are conservatively kept;
+        correctness never depends on skipping (``read_where`` re-applies
+        the exact predicate), skipping only reduces I/O — the same
+        contract as Delta data skipping. Pays off after ``optimize(
+        zorder_by=[col])``, which makes per-file ranges disjoint.
+        """
+        import pyarrow.parquet as pq
+
+        col, op, val = predicate
+        files, _ = self._snapshot_files(version)
+        kept = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if col not in names:
+                kept.append(f)
+                continue
+            lo = hi = None
+            ok_stats = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[col]).statistics
+                if st is None or not st.has_min_max:
+                    ok_stats = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if not ok_stats or lo is None:
+                kept.append(f)
+                continue
+            may_match = {
+                "=": lo <= val <= hi,
+                ">": hi > val,
+                ">=": hi >= val,
+                "<": lo < val,
+                "<=": lo <= val,
+            }[op]
+            if may_match:
+                kept.append(f)
+        return kept, len(files)
+
+    def read_where(
+        self, predicate: tuple[str, str, object], version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read with file-level data skipping + exact residual
+        filter. Semantically identical to ``read().where(...)``; the
+        pruned file list is the I/O win."""
+        col, op, val = predicate
+        kept, _ = self.plan_files(predicate, version)
+        _, schema = self._snapshot_files(version)
+        lit = f"'{val}'" if isinstance(val, str) else repr(val)
+        cond = f"`{col}` {('==' if op == '=' else op)} {lit}"
+        if not kept:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*kept).where(cond)
+
     def history(self) -> list[dict]:
         """D3 DESCRIBE HISTORY."""
         return [

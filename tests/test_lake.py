@@ -120,3 +120,22 @@ def test_describe_and_landing(spark, cars, tmp_path):
 
     assert Path(landed).read_text().startswith("a,b")
     assert landed.startswith(lake.raw)
+
+
+def test_data_skipping_prunes_files(spark, tmp_path):
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    orders = read_testdata(spark, "/root/testdata/sf0.01", "orders")
+    t = VersionedTable(spark, str(tmp_path / "orders_v"))
+    t.create(orders)
+    # Z-order-lite on o_custkey → disjoint per-file ranges → skippable.
+    t.optimize(zorder_by=["o_custkey"], target_partitions=8)
+
+    pred = ("o_custkey", "<=", 50)
+    kept, total = t.plan_files(pred)
+    assert total == 8 and len(kept) < total  # pruning actually happened
+
+    got = {tuple(r) for r in t.read_where(pred).collect()}
+    expected = {tuple(r) for r in t.read().where("o_custkey <= 50").collect()}
+    assert got == expected and len(got) > 0
