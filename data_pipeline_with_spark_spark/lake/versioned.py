@@ -232,6 +232,27 @@ class VersionedTable:
         d = self._write_data(remaining, version)
         return self._commit_write(remaining, "DELETE", {"where": where}, [d])
 
+    def merge_upsert(self, source: DataFrame, keys: list[str]) -> "VersionedTable":
+        """MERGE INTO (Delta's upsert DML): WHEN MATCHED UPDATE SET * /
+        WHEN NOT MATCHED INSERT * — the source row wins on key match,
+        unmatched target rows are kept, unmatched source rows insert.
+
+        Planned as one anti join + union: target rows NOT hit by the
+        merge keys survive, everything from the source lands as-is.
+        At scale both sides shuffle once on the merge keys (or the
+        source broadcasts when small) — the same physical shape Delta
+        produces for a full-table merge without file-level pruning.
+        """
+        self._enforce(source.schema, merge_schema=False)
+        target = self.read()
+        survivors = target.join(
+            source.select(*keys).distinct(), on=keys, how="left_anti"
+        )
+        merged = source.select(*target.columns).unionByName(survivors)
+        version = self._next_version()
+        d = self._write_data(merged, version)
+        return self._commit_write(merged, "MERGE", {"keys": keys}, [d])
+
     def restore(self, version: int) -> "VersionedTable":
         """D6 RESTORE TABLE ... TO VERSION AS OF: new commit pointing at
         the old snapshot's files (no data copy, history preserved)."""

@@ -139,3 +139,22 @@ def test_data_skipping_prunes_files(spark, tmp_path):
     got = {tuple(r) for r in t.read_where(pred).collect()}
     expected = {tuple(r) for r in t.read().where("o_custkey <= 50").collect()}
     assert got == expected and len(got) > 0
+
+
+def test_merge_upsert(spark, tmp_path):
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "m"))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id INT, tag STRING, v DOUBLE"
+    )
+    t.create(base)
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "id INT, tag STRING, v DOUBLE"
+    )
+    t.merge_upsert(source, keys=["id"])
+    got = {(r.id, r.tag, r.v) for r in t.read().collect()}
+    assert got == {(1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0), (4, "d", 40.0)}
+    assert t.history()[0]["operation"] == "MERGE"
+    # pre-merge snapshot intact via time travel
+    assert {r.id for r in t.read(version=0).collect()} == {1, 2, 3}
