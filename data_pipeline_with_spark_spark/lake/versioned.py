@@ -42,7 +42,7 @@ import time
 from dataclasses import dataclass
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -59,6 +59,35 @@ def try_delta(spark: SparkSession) -> bool:
 
 class SchemaEnforcementError(ValueError):
     pass
+
+
+class MergeCardinalityError(ValueError):
+    """A target row was matched by more than one source row (Delta raises
+    the same error: the merge result would be nondeterministic)."""
+
+
+@dataclass
+class WhenMatched:
+    """MERGE clause for key-matched rows. ``update=None, delete=False``
+    means ``UPDATE SET *`` (every column from the source row). ``update``
+    maps target column → SQL expression over ``t.<col>`` / ``s.<col>``.
+    ``condition`` is an extra predicate (same ``t.``/``s.`` scope) beyond
+    the key equality — Delta's ``WHEN MATCHED AND <cond>``."""
+
+    update: dict[str, str] | None = None
+    delete: bool = False
+    condition: str | None = None
+
+
+@dataclass
+class WhenNotMatched:
+    """MERGE clause for source rows with no key match. ``insert=None``
+    means ``INSERT *``; otherwise maps target column → SQL expression
+    over ``s.<col>`` (unlisted columns insert NULL). ``condition`` is
+    Delta's ``WHEN NOT MATCHED AND <cond>`` (source-scope only)."""
+
+    insert: dict[str, str] | None = None
+    condition: str | None = None
 
 
 @dataclass
@@ -253,6 +282,126 @@ class VersionedTable:
         d = self._write_data(merged, version)
         return self._commit_write(merged, "MERGE", {"keys": keys}, [d])
 
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        matched: list[WhenMatched] | None = None,
+        not_matched: list[WhenNotMatched] | None = None,
+        validate_unique_source: bool = True,
+    ) -> "VersionedTable":
+        """Full MERGE INTO with conditional clauses (Delta DML family,
+        the generalization of D4 UPDATE at ``update_versioning.py:40-44``):
+        ``WHEN MATCHED [AND cond] THEN UPDATE SET …/DELETE`` and
+        ``WHEN NOT MATCHED [AND cond] THEN INSERT …``. Clauses apply
+        first-match-wins in list order, exactly Delta's semantics;
+        matched rows hit by no clause and target rows with no key match
+        pass through unchanged.
+
+        Physical plan: one full-outer join of target and source on the
+        merge keys — both sides shuffle once on the keys (the source
+        broadcasts when small), then every clause resolves as a CASE
+        projection with no further shuffle. Conditions and update/insert
+        expressions are SQL strings over ``t.<col>`` / ``s.<col>``.
+
+        ``validate_unique_source`` replicates Delta's cardinality check:
+        a target row matched by >1 source rows is nondeterministic and
+        raises MergeCardinalityError (one extra count job over the
+        source keys; disable only if uniqueness is guaranteed upstream).
+        """
+        import functools
+        import operator
+
+        matched = list(matched or [])
+        not_matched = list(not_matched or [])
+        if not matched and not not_matched:
+            raise ValueError("merge needs at least one WHEN clause")
+        star = any(cl.update is None and not cl.delete for cl in matched) or any(
+            cl.insert is None for cl in not_matched
+        )
+        if star:
+            self._enforce(source.schema, merge_schema=False)
+        if validate_unique_source:
+            dups = (
+                source.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > 1)
+            )
+            if dups.limit(1).count():
+                raise MergeCardinalityError(
+                    f"source has duplicate rows on merge keys {keys}"
+                )
+        target = self.read()
+        t = target.withColumn("__t", F.lit(1)).alias("t")
+        s = source.withColumn("__s", F.lit(1)).alias("s")
+        key_cond = functools.reduce(
+            operator.and_, [F.col(f"t.`{k}`") == F.col(f"s.`{k}`") for k in keys]
+        )
+        joined = t.join(s, on=key_cond, how="full_outer")
+
+        def first_clause_idx(clauses) -> Column:
+            idx = F.lit(-1)
+            for i in range(len(clauses) - 1, -1, -1):
+                cond = (
+                    F.expr(clauses[i].condition)
+                    if clauses[i].condition
+                    else F.lit(True)
+                )
+                idx = F.when(cond, F.lit(i)).otherwise(idx)
+            return idx
+
+        midx = first_clause_idx(matched)
+        nidx = first_clause_idx(not_matched)
+        is_matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+        t_present = F.col("t.__t").isNotNull()
+
+        def out_col(fld: T.StructField) -> Column:
+            c = fld.name
+            t_c = F.col(f"t.`{c}`")
+            s_c = F.col(f"s.`{c}`") if c in source.columns else F.lit(None)
+            val_m: Column = t_c
+            for i, cl in enumerate(matched):
+                if cl.delete:
+                    continue
+                e = (
+                    s_c
+                    if cl.update is None
+                    else (F.expr(cl.update[c]) if c in cl.update else t_c)
+                )
+                val_m = F.when(midx == i, e).otherwise(val_m)
+            val_i: Column = F.lit(None)
+            for i, cl in enumerate(not_matched):
+                e = (
+                    s_c
+                    if cl.insert is None
+                    else (F.expr(cl.insert[c]) if c in cl.insert else F.lit(None))
+                )
+                val_i = F.when(nidx == i, e).otherwise(val_i)
+            picked = F.when(is_matched, val_m).when(t_present, t_c).otherwise(val_i)
+            return picked.cast(fld.dataType).alias(c)
+
+        del_idx = [i for i, cl in enumerate(matched) if cl.delete]
+        keep_m = ~midx.isin(del_idx) if del_idx else F.lit(True)
+        keep = (
+            F.when(is_matched, keep_m)
+            .when(t_present, F.lit(True))
+            .otherwise(nidx != -1)
+        )
+        merged = joined.where(keep).select(
+            *[out_col(f) for f in target.schema.fields]
+        )
+        d = self._write_data(merged, self._next_version())
+        return self._commit_write(
+            merged,
+            "MERGE",
+            {
+                "keys": keys,
+                "matched_clauses": len(matched),
+                "not_matched_clauses": len(not_matched),
+            },
+            [d],
+        )
+
     def restore(self, version: int) -> "VersionedTable":
         """D6 RESTORE TABLE ... TO VERSION AS OF: new commit pointing at
         the old snapshot's files (no data copy, history preserved)."""
@@ -288,12 +437,63 @@ class VersionedTable:
             cur, "OPTIMIZE", {"zorder_by": zorder_by or []}, [d]
         )
 
+    def optimize_where(
+        self,
+        predicate: tuple[str, str, object],
+        zorder_by: list[str] | None = None,
+        target_partitions: int = 1,
+    ) -> "VersionedTable":
+        """``OPTIMIZE … WHERE``: partial compaction (Delta's
+        partition-scoped OPTIMIZE). Only files whose footer min/max
+        stats can satisfy ``(column, op, value)`` are rewritten —
+        compacted and optionally Z-order-lite clustered; every other
+        file of the snapshot carries over *by reference*, no copy.
+        Purely physical: selected files are rewritten whole (no row
+        filtering), so the snapshot's content is bit-identical.
+
+        This is what makes maintenance affordable at 100 TB: a daily
+        OPTIMIZE over the hot partition touches only that partition's
+        files instead of rewriting the table (the full ``optimize()``).
+        """
+        selected, _total = self.plan_files(predicate)
+        if not selected:
+            return self  # nothing overlaps the predicate; no commit
+        files, schema = self._snapshot_files()
+        sel = set(selected)
+        untouched = [f for f in files if f not in sel]
+        df = self.spark.read.schema(schema).parquet(*selected)
+        if zorder_by:
+            cols = [F.col(c) for c in zorder_by]
+            df = df.repartitionByRange(target_partitions, *cols).sortWithinPartitions(
+                *cols
+            )
+        else:
+            df = df.coalesce(target_partitions)
+        d = self._write_data(df, self._next_version())
+        return self._commit_write(
+            df,
+            "OPTIMIZE",
+            {
+                "where": list(predicate),
+                "zorder_by": zorder_by or [],
+                "rewritten_files": len(selected),
+                "carried_files": len(untouched),
+            },
+            untouched + [d],
+        )
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Remove data directories referenced only by pruned history
         (Delta VACUUM analogue). Returns removed paths."""
         commits = self._commits()
         keep = commits[-keep_versions:]
-        live = {d for c in keep for d in c.data_dirs}
+        live: set[str] = set()
+        for c in keep:
+            for d in c.data_dirs:
+                live.add(d)
+                p = Path(d)
+                if p.is_file():  # loose-file ref pins its parent directory
+                    live.add(str(p.parent))
         removed = []
         if self.data_dir.exists():
             for d in self.data_dir.iterdir():
@@ -327,7 +527,11 @@ class VersionedTable:
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
         files: list[str] = []
         for d in commit.data_dirs:
-            files.extend(str(p) for p in sorted(Path(d).glob("*.parquet")))
+            p = Path(d)
+            if p.is_file():  # partial compaction commits reference loose files
+                files.append(str(p))
+            else:
+                files.extend(str(x) for x in sorted(p.glob("*.parquet")))
         return files, schema
 
     def plan_files(
@@ -351,6 +555,8 @@ class VersionedTable:
         kept = []
         for f in files:
             md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue  # empty part-file matches nothing — always skip
             names = {md.schema.column(i).name: i for i in range(md.num_columns)}
             if col not in names:
                 kept.append(f)

@@ -158,3 +158,108 @@ def test_merge_upsert(spark, tmp_path):
     assert t.history()[0]["operation"] == "MERGE"
     # pre-merge snapshot intact via time travel
     assert {r.id for r in t.read(version=0).collect()} == {1, 2, 3}
+
+
+def test_merge_conditional_clauses(spark, tmp_path):
+    # Delta-style MERGE with conditional UPDATE / DELETE / INSERT clauses.
+    from data_pipeline_with_spark_spark.lake.versioned import (
+        VersionedTable,
+        WhenMatched,
+        WhenNotMatched,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "mc"))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id INT, tag STRING, v DOUBLE",
+    )
+    t.create(base)
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (3, "C", -1.0), (5, "e", 50.0), (6, "f", -5.0)],
+        "id INT, tag STRING, v DOUBLE",
+    )
+    t.merge(
+        source,
+        keys=["id"],
+        matched=[
+            # first-match-wins: negative source v deletes the target row …
+            WhenMatched(delete=True, condition="s.v < 0"),
+            # … otherwise update tag from source and bump v by the source's
+            WhenMatched(update={"tag": "s.tag", "v": "t.v + s.v"}),
+        ],
+        not_matched=[
+            # only non-negative source rows insert, with a computed tag
+            WhenNotMatched(
+                insert={"id": "s.id", "tag": "upper(s.tag)", "v": "s.v"},
+                condition="s.v >= 0",
+            ),
+        ],
+    )
+    got = {(r.id, r.tag, r.v) for r in t.read().collect()}
+    assert got == {
+        (1, "a", 10.0),      # target-only: untouched
+        (2, "B", 119.0),     # matched, 2nd clause: tag from source, v summed
+        # 3 deleted (s.v < 0)
+        (4, "d", 40.0),      # target-only: untouched
+        (5, "E", 50.0),      # not-matched insert with computed tag
+        # 6 not inserted (condition s.v >= 0 fails)
+    }
+    assert t.history()[0]["operation"] == "MERGE"
+    # pre-merge snapshot intact
+    assert {r.id for r in t.read(version=0).collect()} == {1, 2, 3, 4}
+
+
+def test_merge_cardinality_check(spark, tmp_path):
+    from data_pipeline_with_spark_spark.lake.versioned import (
+        MergeCardinalityError,
+        VersionedTable,
+        WhenMatched,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "dup"))
+    t.create(spark.createDataFrame([(1, 1.0)], "id INT, v DOUBLE"))
+    dup_source = spark.createDataFrame([(1, 2.0), (1, 3.0)], "id INT, v DOUBLE")
+    with pytest.raises(MergeCardinalityError):
+        t.merge(dup_source, keys=["id"], matched=[WhenMatched()])
+
+
+def test_optimize_where_partial_compaction(spark, tmp_path):
+    # OPTIMIZE … WHERE rewrites only stats-overlapping files; content is
+    # unchanged and untouched files carry over by reference.
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    rows = [(i, i % 7, float(i)) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "k INT, g INT, v DOUBLE")
+    t = VersionedTable(spark, str(tmp_path / "ow"))
+    t.create(df)
+    # cluster on k so per-file ranges are disjoint → predicate selects few
+    t.optimize(zorder_by=["k"], target_partitions=8)
+    before = {tuple(r) for r in t.read().collect()}
+    files_before, total_before = t._snapshot_files(), None
+    sel, total = t.plan_files(("k", "<=", 50))
+    assert 0 < len(sel) < total
+
+    t.optimize_where(("k", "<=", 50), zorder_by=["k"], target_partitions=1)
+    # content identical
+    assert {tuple(r) for r in t.read().collect()} == before
+    # only the selected files were rewritten; the rest carried over
+    params = next(h for h in t.history() if h["operation"] == "OPTIMIZE")["params"]
+    assert params.get("rewritten_files") == len(sel)
+    assert params.get("carried_files") == total - len(sel)
+    files_after, _ = t._snapshot_files()
+    assert set(files_after) & set(files_before[0])  # untouched files shared
+    # time travel still reads the pre-compaction snapshot
+    assert {tuple(r) for r in t.read(version=1).collect()} == before
+    # vacuum keeps directories pinned by loose-file references
+    t.vacuum(keep_versions=1)
+    assert {tuple(r) for r in t.read().collect()} == before
+
+
+def test_optimize_where_noop_when_no_overlap(spark, tmp_path):
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "nop"))
+    t.create(spark.createDataFrame([(1, 1.0)], "k INT, v DOUBLE"))
+    n_commits = len(t.history())
+    t.optimize_where(("k", ">", 100))
+    assert len(t.history()) == n_commits  # no-op commits nothing
