@@ -670,6 +670,69 @@ register(
 )
 
 
+def _stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    # Per-stratum rates via per-lang hash thresholds: downsample the
+    # over-represented language (en: 4/16) while keeping the tail at
+    # 8/16 — the standard rebalancing move for training corpora. Still
+    # a pure projection + filter: no shuffle, no RNG, reproducible on
+    # any engine/cluster size, stable under appends.
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    rate = F.when(F.col("lang") == "en", F.lit("4")).otherwise(F.lit("8"))
+    return docs.where(bucket < rate).select("doc_id", "lang", "source")
+
+
+register(
+    QuerySpec(
+        name="sample_stratified_by_lang",
+        build=_stratified_sample,
+        doc="stratified per-lang hash sampling (rate per stratum, shuffle-free)",
+        oracle="""
+        SELECT doc_id, lang, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              < CASE WHEN lang = 'en' THEN '4' ELSE '8' END
+        """,
+    )
+)
+
+
+def _topk_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    # Reservoir-free "exactly k per group" sampling: rank by content
+    # hash inside each group and keep the first k. Deterministic (no
+    # RNG state), one shuffle on the group key, and WindowGroupLimit
+    # pushes the k-cutoff below the sort at scale — unlike reservoir
+    # sampling there is no driver-side state to merge.
+    from pyspark.sql import Window
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("doc_id", "lang", "rnk")
+    )
+
+
+register(
+    QuerySpec(
+        name="sample_topk_per_group",
+        build=_topk_sample_per_group,
+        doc="exact-k-per-group deterministic sampling via rank-over-hash",
+        oracle="""
+        SELECT doc_id, lang, rnk FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                 ) AS rnk
+          FROM documents)
+        WHERE rnk <= 10
+        """,
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Corpus n-gram statistics: top-5 bigrams per language. The shuffle
 # carries (lang, bigram) partial counts — never raw documents — and the
