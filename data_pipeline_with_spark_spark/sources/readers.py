@@ -82,6 +82,15 @@ def read_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.table(name)
 
 
+# Per-session fixture-DataFrame cache. This is *metadata* caching only
+# (the lazy DataFrame + its resolved schema — what a catalog/metastore
+# provides for free on a real deployment); no data is pinned. Repeated
+# spark.read.parquet on the same path re-reads footers and re-resolves
+# the schema through py4j, which dominates plan-build time for
+# multi-table queries.
+_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one driver fixture table from an sf directory.
 
@@ -92,6 +101,10 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """
     if table not in TESTDATA_TABLES:
         raise ValueError(f"unknown testdata table {table!r}; one of {TESTDATA_TABLES}")
+    key = (spark, sf_dir, table)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     if table == "events":
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -100,8 +113,10 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    _DF_CACHE[key] = df
+    return df
 
 
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
