@@ -264,3 +264,36 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+def decontamination_overlap(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 5,
+) -> DataFrame:
+    """Training-set decontamination (GPT-3 appendix C / PaLM style):
+    flag corpus documents sharing any word k-gram with a benchmark
+    ("probe") set. Returns (id, n_shared_grams) per contaminated doc.
+
+    Scale shape: the probe side — distinct benchmark k-grams — is tiny
+    relative to the corpus (benchmarks are MBs, corpora are TBs), so it
+    broadcasts; the corpus side streams through exploded shingles with
+    no shuffle until the per-doc count, which aggregates only the
+    matched (id, gram) pairs.
+    """
+    probe_grams = (
+        probe.select(F.explode(word_shingles(tokens(text_col), k_shingle)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_shingles(tokens(text_col), k_shingle)).alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(probe_grams), on="gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+    )

@@ -164,3 +164,36 @@ def with_winnow_fingerprint(
     )
     mins = F.slice(F.array_sort(F.array_distinct(grams)), 1, n_mins)
     return df.withColumn("winnow_fp", F.md5(F.concat_ws("", mins)))
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signal (Rae et al. '21 §A1.1):
+    the fraction of a document's bigrams claimed by its single most
+    frequent bigram. Boilerplate and degenerate generations spike this;
+    natural prose stays low.
+
+    Physical shape at corpus scale: explode → two aggregations keyed by
+    (doc, bigram) then doc. The shuffles carry (doc_id, bigram, count)
+    partial aggregates — map-side combine collapses each doc's bigrams
+    before anything moves, so shuffle volume is O(distinct bigrams per
+    doc), never the corpus text.
+    """
+    toks = tokens(text_col)
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+        " i -> concat(toks[i - 1], ' ', toks[i]))"
+    )
+    counts = (
+        ensure_min_partitions(df)
+        .withColumn("toks", toks)
+        .select(id_col, F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.groupBy(id_col).agg(
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+        F.max("n").cast("bigint").alias("top_bigram_n"),
+        F.round(
+            F.max("n").cast("double") / F.sum("n").cast("double"), 6
+        ).alias("top_bigram_frac"),
+    )

@@ -242,6 +242,7 @@ register(
     QuerySpec(
         name="dedup_minhash_lsh_pairs",
         build=_lsh_pairs,
+        headline=True,
         doc="LSH banded candidate pairs (8 bands × 2 rows)",
         oracle=f"""
         WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
@@ -728,6 +729,66 @@ register(
                  ) AS rnk
           FROM documents)
         WHERE rnk <= 10
+        """,
+    )
+)
+
+
+def _repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    return text.with_repetition_stats(docs)
+
+
+register(
+    QuerySpec(
+        name="text_repetition_stats",
+        build=_repetition_stats,
+        doc="Gopher-style repetition signal: top-bigram coverage fraction per doc",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        b AS (
+          SELECT doc_id, unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+          FROM t),
+        c AS (SELECT doc_id, bigram, count(*) AS n FROM b GROUP BY doc_id, bigram)
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_bigrams,
+               CAST(max(n) AS BIGINT) AS top_bigram_n,
+               round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS top_bigram_frac
+        FROM c GROUP BY doc_id
+        """,
+    )
+)
+
+
+def _decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    # Pseudo-benchmark: every 10th doc stands in for an eval set; the
+    # rest of the corpus is scanned for 5-gram contamination against it.
+    probe = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return dedup.decontamination_overlap(corpus, probe, k_shingle=5)
+
+
+register(
+    QuerySpec(
+        name="decontam_benchmark_overlap",
+        build=_decontam_overlap,
+        headline=True,
+        doc="benchmark decontamination: docs sharing 5-grams with a probe set (broadcast)",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 4, 1) + 1),
+                   i -> list_aggregate(toks[i:i+4], 'string_agg', ' ')))) AS gram
+          FROM t),
+        probe AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+        FROM g
+        WHERE doc_id % 10 <> 0 AND gram IN (SELECT gram FROM probe)
+        GROUP BY doc_id
         """,
     )
 )

@@ -165,3 +165,36 @@ def test_kmeans_lloyd_matches_numpy(spark):
     expected = dict(zip(ids, a.tolist()))
     assert got == expected
     assert np.allclose(np.array(cents), C, atol=1e-8)
+
+
+def test_decontamination_overlap_semantics(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # shares the probe 5-gram
+            (2, "totally different words here now friend"),
+            (3, "alpha beta gamma delta epsilon other"),  # shares it too
+        ],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.n_shared_grams)
+        for r in dedup.decontamination_overlap(corpus, probe, k_shingle=5).collect()
+    }
+    assert got == {(1, 1), (3, 1)}  # doc 2 clean, docs 1/3 share exactly one 5-gram
+
+
+def test_repetition_stats_flags_repeats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # one bigram dominates
+            (2, "one two three four five six"),    # all bigrams unique
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in text.with_repetition_stats(df).collect()}
+    assert rows[1].top_bigram_frac == 1.0          # 5 identical "spam spam" bigrams
+    assert rows[2].top_bigram_n == 1
+    assert rows[2].top_bigram_frac == pytest.approx(0.2)
