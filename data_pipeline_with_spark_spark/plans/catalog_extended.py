@@ -631,3 +631,69 @@ register(
         """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Analytic-window breadth (beyond the reference's single ranking window,
+# SURVEY §2.6): lag/lead offsets, explicit ROWS frames (running total,
+# moving average), and distribution functions (ntile/percent_rank/
+# cume_dist). All share ONE window ordering, so the physical plan is a
+# single hash-partition shuffle on o_custkey + one sort — adding the
+# seven outputs costs nothing extra at 100 TB; that's the point of
+# consolidating analytic specs.
+def _analytic_windows(spark: SparkSession, sf: str) -> DataFrame:
+    orders = read_testdata(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(run), 2).alias("running_spend"),
+        # moving average over integer cents: engines disagree in the last
+        # ulp of a sliding double avg (accumulation order) AND in round()
+        # half-boundary behavior, so do exact-integer sums and half-up
+        # via floor(x + 0.5) — deterministic on identical doubles.
+        (
+            F.floor(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).over(mov)
+                / F.count(F.lit(1)).over(mov)
+                + 0.5
+            )
+            / 100.0
+        ).alias("moving_avg3"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+register(
+    QuerySpec(
+        name="w2_analytic_windows",
+        build=_analytic_windows,
+        doc="lag/lead, ROWS frames (running sum, moving avg), ntile/percent_rank/cume_dist in one window sort",
+        oracle="""
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+               floor(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                 * 1.0 / count(*) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                 + 0.5) / 100.0 AS moving_avg3,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+    )
+)
