@@ -16,8 +16,10 @@ which keeps the *semantics* (versioned snapshots, enforcement,
 time travel, restore) with an explicitly simpler physical design:
 
 - data files are immutable parquet directories, one per commit
-  (``data/v{N}/``); a commit's snapshot is the file-list in its log
-  entry, so appends reference prior directories without copying;
+  (``data/v{N}/``), hive-partitioned when the table declares
+  ``partition_by`` (Delta's partitionColumns); a commit's snapshot is
+  the file-list in its log entry, so appends reference prior
+  directories without copying;
 - the log is one JSON file per version (``_log/{N:020d}.json``),
   committed via atomic rename — single-writer, crash-safe;
 - UPDATE rewrites the full snapshot into a new commit (Delta rewrites
@@ -55,6 +57,27 @@ def try_delta(spark: SparkSession) -> bool:
         return True
     except ImportError:
         return False
+
+
+def _hive_values(path: str) -> dict[str, str]:
+    """Partition column values encoded in a file path's ``k=v`` segments."""
+    out: dict[str, str] = {}
+    for seg in Path(path).parts[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = v
+    return out
+
+
+def _hive_base(path: str) -> str:
+    """Ancestor directory above the first ``k=v`` segment — the
+    ``basePath`` Spark needs to re-derive partition columns when reading
+    loose files out of a hive tree."""
+    parts = Path(path).parts
+    for i, seg in enumerate(parts[:-1]):
+        if "=" in seg:
+            return str(Path(*parts[:i]))
+    return str(Path(path).parent)
 
 
 class SchemaEnforcementError(ValueError):
@@ -98,6 +121,9 @@ class Commit:
     params: dict
     data_dirs: list[str]
     schema_json: str
+    # Hive partition columns of the table (Delta's partitionColumns
+    # metadata); default keeps pre-feature logs readable.
+    partition_by: list[str] | None = None
 
 
 class VersionedTable:
@@ -166,9 +192,19 @@ class VersionedTable:
         return current
 
     # ------------------------------------------------------------ writes
-    def _write_data(self, df: DataFrame, version: int) -> str:
+    def partition_columns(self) -> list[str]:
+        """The table's hive partition columns (empty when unpartitioned)."""
+        commits = self._commits()
+        return list(commits[-1].partition_by or []) if commits else []
+
+    def _write_data(
+        self, df: DataFrame, version: int, partition_by: list[str] | None = None
+    ) -> str:
         target = self.data_dir / f"v{version}"
-        df.write.mode("errorifexists").parquet(str(target))
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(target))
         return str(target)
 
     def _commit_write(
@@ -182,15 +218,36 @@ class VersionedTable:
                 params=params,
                 data_dirs=data_dirs,
                 schema_json=json.dumps(df.schema.jsonValue()),
+                partition_by=self.partition_columns() or None,
             )
         )
         return self
 
-    def create(self, df: DataFrame) -> "VersionedTable":
+    def create(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> "VersionedTable":
+        """Create the table, optionally hive-partitioned (Delta's
+        ``partitionColumns``; reference partitions every serious write,
+        SURVEY §2.1 S5). Partitioning is fixed at create time and every
+        later rewrite preserves it."""
         if self.log_dir.exists() and any(self.log_dir.glob("*.json")):
             raise FileExistsError(f"table already exists at {self.root}")
-        d = self._write_data(df, 0)
-        return self._commit_write(df, "CREATE", {}, [d])
+        missing = set(partition_by or []) - set(df.columns)
+        if missing:
+            raise ValueError(f"partition columns {sorted(missing)} not in schema")
+        d = self._write_data(df, 0, partition_by)
+        self._write_commit(
+            Commit(
+                version=0,
+                timestamp=time.time(),
+                operation="CREATE",
+                params={"partition_by": partition_by or []},
+                data_dirs=[d],
+                schema_json=json.dumps(df.schema.jsonValue()),
+                partition_by=list(partition_by) if partition_by else None,
+            )
+        )
+        return self
 
     @classmethod
     def convert_from_parquet(
@@ -226,7 +283,7 @@ class VersionedTable:
             ]
         )
         version = self._next_version()
-        d = self._write_data(aligned, version)
+        d = self._write_data(aligned, version, self.partition_columns())
         dirs = self._latest().data_dirs + [d]
         self._write_commit(
             Commit(
@@ -236,6 +293,7 @@ class VersionedTable:
                 params={"mergeSchema": merge_schema},
                 data_dirs=dirs,
                 schema_json=json.dumps(merged.jsonValue()),
+                partition_by=self.partition_columns() or None,
             )
         )
         return self
@@ -250,7 +308,7 @@ class VersionedTable:
             }
         )
         version = self._next_version()
-        d = self._write_data(updated, version)
+        d = self._write_data(updated, version, self.partition_columns())
         return self._commit_write(
             updated, "UPDATE", {"where": where, "set": set_exprs}, [d]
         )
@@ -258,7 +316,7 @@ class VersionedTable:
     def delete(self, where: str) -> "VersionedTable":
         remaining = self.read().where(f"NOT ({where})")
         version = self._next_version()
-        d = self._write_data(remaining, version)
+        d = self._write_data(remaining, version, self.partition_columns())
         return self._commit_write(remaining, "DELETE", {"where": where}, [d])
 
     def merge_upsert(self, source: DataFrame, keys: list[str]) -> "VersionedTable":
@@ -279,7 +337,7 @@ class VersionedTable:
         )
         merged = source.select(*target.columns).unionByName(survivors)
         version = self._next_version()
-        d = self._write_data(merged, version)
+        d = self._write_data(merged, version, self.partition_columns())
         return self._commit_write(merged, "MERGE", {"keys": keys}, [d])
 
     def merge(
@@ -390,7 +448,7 @@ class VersionedTable:
         merged = joined.where(keep).select(
             *[out_col(f) for f in target.schema.fields]
         )
-        d = self._write_data(merged, self._next_version())
+        d = self._write_data(merged, self._next_version(), self.partition_columns())
         return self._commit_write(
             merged,
             "MERGE",
@@ -417,24 +475,51 @@ class VersionedTable:
                 params={"to_version": version},
                 data_dirs=old.data_dirs,
                 schema_json=old.schema_json,
+                partition_by=old.partition_by,
             )
         )
         return self
 
     def optimize(self, zorder_by: list[str] | None = None, target_partitions: int = 1) -> "VersionedTable":
         """D2 OPTIMIZE [ZORDER BY]: compact the snapshot; with
-        ``zorder_by``, range-partition + sort on those columns so parquet
-        row-group stats enable data skipping (Z-order-lite)."""
+        ``zorder_by``, cluster so parquet min/max stats enable data
+        skipping. Multi-column numeric keys use a true Morton-curve
+        interleave (every listed column prunes); otherwise lexicographic
+        range-sort (leading column prunes)."""
         cur = self.read()
-        if zorder_by:
-            cols = [F.col(c) for c in zorder_by]
-            cur = cur.repartitionByRange(target_partitions, *cols).sortWithinPartitions(*cols)
+        pcols = self.partition_columns()
+        if pcols:
+            # hive layout preserved: one task per partition-key hash,
+            # rows clustered by (partition cols, zorder cols) within it;
+            # target_partitions is a per-table knob and doesn't apply.
+            order = pcols + [c for c in (zorder_by or []) if c not in pcols]
+            cur = cur.repartition(*[F.col(c) for c in pcols]).sortWithinPartitions(
+                *[F.col(c) for c in order]
+            )
+        elif zorder_by:
+            cur = self._cluster(cur, zorder_by, target_partitions)
         else:
             cur = cur.coalesce(target_partitions)
         version = self._next_version()
-        d = self._write_data(cur, version)
+        d = self._write_data(cur, version, pcols)
         return self._commit_write(
             cur, "OPTIMIZE", {"zorder_by": zorder_by or []}, [d]
+        )
+
+    @staticmethod
+    def _cluster(df: DataFrame, zorder_by: list[str], target_partitions: int) -> DataFrame:
+        if len(zorder_by) > 1:
+            try:
+                from data_pipeline_with_spark_spark.operators.zorder import (
+                    zorder_cluster,
+                )
+
+                return zorder_cluster(df, zorder_by, target_partitions)
+            except TypeError:
+                pass  # non-numeric key columns: lexicographic fallback
+        cols = [F.col(c) for c in zorder_by]
+        return df.repartitionByRange(target_partitions, *cols).sortWithinPartitions(
+            *cols
         )
 
     def optimize_where(
@@ -461,15 +546,18 @@ class VersionedTable:
         files, schema = self._snapshot_files()
         sel = set(selected)
         untouched = [f for f in files if f not in sel]
-        df = self.spark.read.schema(schema).parquet(*selected)
-        if zorder_by:
-            cols = [F.col(c) for c in zorder_by]
-            df = df.repartitionByRange(target_partitions, *cols).sortWithinPartitions(
-                *cols
+        df = self._df_for_paths(selected, schema)
+        pcols = self.partition_columns()
+        if pcols:
+            order = pcols + [c for c in (zorder_by or []) if c not in pcols]
+            df = df.repartition(*[F.col(c) for c in pcols]).sortWithinPartitions(
+                *[F.col(c) for c in order]
             )
+        elif zorder_by:
+            df = self._cluster(df, zorder_by, target_partitions)
         else:
             df = df.coalesce(target_partitions)
-        d = self._write_data(df, self._next_version())
+        d = self._write_data(df, self._next_version(), pcols)
         return self._commit_write(
             df,
             "OPTIMIZE",
@@ -492,8 +580,13 @@ class VersionedTable:
             for d in c.data_dirs:
                 live.add(d)
                 p = Path(d)
-                if p.is_file():  # loose-file ref pins its parent directory
-                    live.add(str(p.parent))
+                if p.is_file():
+                    # loose-file ref pins every ancestor up to the data
+                    # root (hive trees nest k=v dirs under the v-dir)
+                    for anc in p.parents:
+                        live.add(str(anc))
+                        if anc == self.data_dir:
+                            break
         removed = []
         if self.data_dir.exists():
             for d in self.data_dir.iterdir():
@@ -503,21 +596,61 @@ class VersionedTable:
         return removed
 
     # ------------------------------------------------------------- reads
-    def read(self, version: int | None = None) -> DataFrame:
-        """Current snapshot, or D5 time travel when ``version`` given."""
+    def _resolve_commit(self, version: int | None) -> Commit:
         commits = self._commits()
         if not commits:
             raise FileNotFoundError(f"no versioned table at {self.root}")
         if version is None:
-            commit = commits[-1]
-        else:
-            by_v = {c.version: c for c in commits}
-            if version not in by_v:
-                raise ValueError(f"version {version} not in history (0..{commits[-1].version})")
-            commit = by_v[version]
+            return commits[-1]
+        by_v = {c.version: c for c in commits}
+        if version not in by_v:
+            raise ValueError(f"version {version} not in history (0..{commits[-1].version})")
+        return by_v[version]
+
+    def _df_for_paths(self, paths: list[str], schema: T.StructType) -> DataFrame:
+        """Read a mix of directories and loose files as one DataFrame.
+        Loose files inside hive trees are grouped per basePath so their
+        partition columns re-materialize; output column order follows the
+        table schema in every branch so the union is positional-safe."""
+        cols = [F.col(f"`{f.name}`") for f in schema.fields]
+        parts: list[DataFrame] = []
+        plain: list[str] = []  # flat dirs + hive-free files: one multi-path scan
+        solo: list[str] = []  # hive trees: partition discovery needs its own root
+        by_base: dict[str, list[str]] = {}
+        for p in paths:
+            pp = Path(p)
+            if pp.is_file():
+                if _hive_values(p):
+                    by_base.setdefault(_hive_base(p), []).append(p)
+                else:
+                    plain.append(p)
+            elif pp.is_dir() and any(
+                "=" in c.name for c in pp.iterdir() if c.is_dir()
+            ):
+                solo.append(p)
+            else:
+                plain.append(p)
+        if plain:
+            parts.append(self.spark.read.schema(schema).parquet(*plain).select(*cols))
+        for d in solo:
+            parts.append(self.spark.read.schema(schema).parquet(d).select(*cols))
+        for base, fl in by_base.items():
+            parts.append(
+                self.spark.read.schema(schema)
+                .option("basePath", base)
+                .parquet(*fl)
+                .select(*cols)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current snapshot, or D5 time travel when ``version`` given."""
+        commit = self._resolve_commit(version)
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
-        reader = self.spark.read.schema(schema)
-        return reader.parquet(*commit.data_dirs)
+        return self._df_for_paths(commit.data_dirs, schema)
 
     def _snapshot_files(self, version: int | None = None) -> tuple[list[str], T.StructType]:
         commits = self._commits()
@@ -530,8 +663,8 @@ class VersionedTable:
             p = Path(d)
             if p.is_file():  # partial compaction commits reference loose files
                 files.append(str(p))
-            else:
-                files.extend(str(x) for x in sorted(p.glob("*.parquet")))
+            else:  # recursive: hive-partitioned commits nest k=v dirs
+                files.extend(str(x) for x in sorted(p.glob("**/*.parquet")))
         return files, schema
 
     def plan_files(
@@ -551,9 +684,40 @@ class VersionedTable:
         import pyarrow.parquet as pq
 
         col, op, val = predicate
-        files, _ = self._snapshot_files(version)
+        files, schema = self._snapshot_files(version)
+        ftype = next(
+            (f.dataType.simpleString() for f in schema.fields if f.name == col), None
+        )
+
+        def may_match(lo, hi) -> bool:
+            return {
+                "=": lo <= val <= hi,
+                ">": hi > val,
+                ">=": hi >= val,
+                "<": lo < val,
+                "<=": lo <= val,
+            }[op]
+
         kept = []
         for f in files:
+            # Hive partition pruning first: the predicate column may be
+            # encoded in the path, not the file (partitioned tables).
+            hv = _hive_values(f)
+            if col in hv:
+                raw = hv[col]
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    continue  # NULL partition never satisfies a comparison
+                if ftype in ("tinyint", "smallint", "int", "bigint"):
+                    typed: object = int(raw)
+                elif ftype in ("float", "double"):
+                    typed = float(raw)
+                elif ftype == "boolean":
+                    typed = raw == "true"
+                else:
+                    typed = raw
+                if may_match(typed, typed):
+                    kept.append(f)
+                continue
             md = pq.ParquetFile(f).metadata
             if md.num_rows == 0:
                 continue  # empty part-file matches nothing — always skip
@@ -573,14 +737,7 @@ class VersionedTable:
             if not ok_stats or lo is None:
                 kept.append(f)
                 continue
-            may_match = {
-                "=": lo <= val <= hi,
-                ">": hi > val,
-                ">=": hi >= val,
-                "<": lo < val,
-                "<=": lo <= val,
-            }[op]
-            if may_match:
+            if may_match(lo, hi):
                 kept.append(f)
         return kept, len(files)
 
@@ -597,7 +754,7 @@ class VersionedTable:
         cond = f"`{col}` {('==' if op == '=' else op)} {lit}"
         if not kept:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*kept).where(cond)
+        return self._df_for_paths(kept, schema).where(cond)
 
     def history(self) -> list[dict]:
         """D3 DESCRIBE HISTORY."""

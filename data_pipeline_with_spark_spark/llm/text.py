@@ -197,3 +197,37 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "
             F.max("n").cast("double") / F.sum("n").cast("double"), 6
         ).alias("top_bigram_frac"),
     )
+
+
+# PII patterns: conservative, line-speed regexes (no lookbehind — Java
+# regex runs JVM-side via regexp_replace, fully codegen'd). Real
+# deployments layer NER models on top; the regex pass is the standard
+# first filter at corpus scale because it costs one projection.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+    kinds: tuple[str, ...] = ("email", "ssn", "ipv4", "phone"),
+) -> DataFrame:
+    """PII scrubbing pass: replace each matched span with ``[<KIND>]``
+    and count replacements per kind. Chained ``regexp_replace`` — one
+    JVM-side projection, no shuffle, no Python; the counting reuses the
+    same patterns via ``regexp_count``. Order matters: specific shapes
+    (ssn, ipv4) run before the permissive phone pattern so it can't
+    swallow them; counts are always taken on the original text."""
+    out = df
+    redacted = F.col(text_col)
+    for k in kinds:
+        out = out.withColumn(
+            f"n_{k}", F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[k])).cast("int")
+        )
+        redacted = F.regexp_replace(redacted, PII_PATTERNS[k], f"[{k.upper()}]")
+    return out.withColumn(out_col, redacted)

@@ -263,3 +263,69 @@ def test_optimize_where_noop_when_no_overlap(spark, tmp_path):
     n_commits = len(t.history())
     t.optimize_where(("k", ">", 100))
     assert len(t.history()) == n_commits  # no-op commits nothing
+
+
+def test_partitioned_table_lifecycle(spark, tmp_path):
+    # Hive-partitioned VersionedTable: layout preserved across DML,
+    # partition pruning from paths, content stable through OPTIMIZE WHERE.
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    df = spark.createDataFrame(
+        [(i, 2018 + i % 3, float(i)) for i in range(90)], "k INT, year INT, v DOUBLE"
+    )
+    t = VersionedTable(spark, str(tmp_path / "pt"))
+    t.create(df, partition_by=["year"])
+    assert t.partition_columns() == ["year"]
+    base = {tuple(r) for r in df.collect()}
+    assert {tuple(r) for r in t.read().collect()} == base
+    # append inherits the layout
+    t.append(spark.createDataFrame([(1000, 2021, 1.0)], "k INT, year INT, v DOUBLE"))
+    assert {tuple(r) for r in t.read().collect()} == base | {(1000, 2021, 1.0)}
+    # partition pruning straight from k=v paths (no footer reads needed)
+    kept, total = t.plan_files(("year", "=", 2018))
+    assert kept and len(kept) < total and all("year=2018" in f for f in kept)
+    got = {tuple(r) for r in t.read_where(("year", "=", 2018)).collect()}
+    assert got == {r for r in base if r[1] == 2018}
+    # UPDATE rewrites but keeps hive layout
+    t.update(where="k = 0", set_exprs={"v": "v + 100"})
+    v2 = t.data_dir / "v2"
+    assert any(c.name.startswith("year=") for c in v2.iterdir() if c.is_dir())
+    assert {r.v for r in t.read().where("k = 0").collect()} == {100.0}
+    # partial compaction of one partition: content identical, others carried
+    before = {tuple(r) for r in t.read().collect()}
+    t.optimize_where(("year", "=", 2019))
+    assert {tuple(r) for r in t.read().collect()} == before
+    params = t.history()[0]["params"]
+    assert params["rewritten_files"] > 0 and params["carried_files"] > 0
+    # time travel reaches the pre-update partitioned snapshot
+    assert {r.v for r in t.read(version=1).where("k = 0").collect()} == {0.0}
+    # vacuum never breaks the live snapshot (loose refs pin ancestors)
+    t.vacuum(keep_versions=1)
+    assert {tuple(r) for r in t.read().collect()} == before
+
+
+def test_true_zorder_prunes_on_both_columns(spark, tmp_path):
+    # Morton interleave vs lexicographic: after Z-ORDER BY (x, y), a
+    # range predicate on y alone must prune files — lexicographic
+    # clustering can't do that (every file spans all of y).
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    rows = [(x, y, x * 64 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x INT, y INT, payload INT")
+
+    tz = VersionedTable(spark, str(tmp_path / "z")).create(df)
+    tz.optimize(zorder_by=["x", "y"], target_partitions=16)
+    kept_x, total = tz.plan_files(("x", "<=", 15))
+    kept_y, _ = tz.plan_files(("y", "<=", 15))
+    assert total == 16
+    assert len(kept_x) <= total // 2      # leading column prunes
+    assert len(kept_y) <= total // 2      # trailing column prunes too
+    # correctness unchanged
+    got = {tuple(r) for r in tz.read_where(("y", "<=", 15)).collect()}
+    assert got == {r for r in rows if r[1] <= 15}
+
+    # single-column path stays lexicographic and still prunes
+    tl = VersionedTable(spark, str(tmp_path / "lex")).create(df)
+    tl.optimize(zorder_by=["x"], target_partitions=16)
+    kept_lx, _ = tl.plan_files(("x", "<=", 15))
+    assert len(kept_lx) <= 5

@@ -198,3 +198,21 @@ def test_repetition_stats_flags_repeats(spark):
     assert rows[1].top_bigram_frac == 1.0          # 5 identical "spam spam" bigrams
     assert rows[2].top_bigram_n == 1
     assert rows[2].top_bigram_frac == pytest.approx(0.2)
+
+
+def test_pii_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe@example.com or call +1 (555) 123-4567 ok"),
+            (2, "server 192.168.0.1 holds ssn 123-45-6789"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in text.redact_pii(df).collect()}
+    assert "[EMAIL]" in rows[1].text_redacted and "[PHONE]" in rows[1].text_redacted
+    assert rows[1].n_email == 1 and rows[1].n_phone == 1
+    # specific patterns win over the permissive phone regex
+    assert "[IPV4]" in rows[2].text_redacted and "[SSN]" in rows[2].text_redacted
+    assert rows[2].n_ipv4 == 1 and rows[2].n_ssn == 1
+    assert rows[3].text_redacted == rows[3].text and rows[3].n_email == 0
