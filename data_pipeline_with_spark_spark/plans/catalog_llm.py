@@ -843,6 +843,111 @@ register(
 )
 
 
+def _tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Scale shape: the shuffles carry
+    (doc_id, term, count) partials and the vocabulary-sized DF table;
+    corpus size N joins in as a broadcast scalar; the final per-doc
+    top-k is a WindowGroupLimit-able ranked window."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dt"))
+    df_tbl = (
+        toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf").cast("double") / F.col("dt").cast("double"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", F.col("tf").cast("bigint").alias("tf"),
+                F.col("df").cast("bigint").alias("df"), "tfidf", "rnk")
+    )
+
+
+register(
+    QuerySpec(
+        name="text_tfidf_top_terms",
+        build=_tfidf_top_terms,
+        doc="top-3 TF-IDF terms per doc (broadcast DF table + ranked window)",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, count(*) AS dt FROM tok GROUP BY doc_id),
+        dfq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                 round((CAST(tf.tf AS DOUBLE) / CAST(dl.dt AS DOUBLE))
+                       * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)), 6) AS tfidf
+          FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n)
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rnk
+        FROM scored QUALIFY rnk <= 3
+        """,
+    )
+)
+
+
+def _embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vector int8-style quantization of the embedding column — the
+    standard 4× memory shrink before ANN indexing at corpus scale. Pure
+    projection (array_min/max + transform), zero shuffle; integer output
+    makes cross-engine parity exact. Half-up via floor(x+0.5): round()
+    half-boundary behavior differs across engines."""
+    emb = read_testdata(spark, sf, "embeddings")
+    lo = F.array_min("embedding").cast("double")
+    hi = F.array_max("embedding").cast("double")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(hi == lo, F.lit(0)).otherwise(
+            F.floor((x.cast("double") - lo) * 255.0 / (hi - lo) + 0.5)
+        ).cast("int"),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(lo, 6).alias("q_min"),
+        F.round(hi, 6).alias("q_max"),
+        q.alias("q_vec"),
+    )
+
+
+register(
+    QuerySpec(
+        name="embedding_quantize_int8",
+        build=_embedding_quantize,
+        doc="per-vector int8 quantization of embeddings (zero-shuffle projection)",
+        oracle="""
+        SELECT vec_id,
+               round(CAST(list_min(embedding) AS DOUBLE), 6) AS q_min,
+               round(CAST(list_max(embedding) AS DOUBLE), 6) AS q_max,
+               list_transform(embedding, x -> CASE
+                 WHEN CAST(list_max(embedding) AS DOUBLE) = CAST(list_min(embedding) AS DOUBLE) THEN 0
+                 ELSE CAST(floor((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255.0
+                      / (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) + 0.5) AS INT)
+               END) AS q_vec
+        FROM embeddings
+        """,
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Capstone joint text+vector query: semantic near-dup candidate pairs
 # enriched with document metadata (vec_id ↔ doc_id is 1:1 in the
