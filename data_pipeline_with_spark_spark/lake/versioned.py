@@ -756,6 +756,36 @@ class VersionedTable:
             return self.spark.createDataFrame([], schema)
         return self._df_for_paths(kept, schema).where(cond)
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change data feed (Delta CDF / ``table_changes`` analogue):
+        row-level diff between two snapshots, tagged ``_change_type`` of
+        'insert' or 'delete' (an update surfaces as delete+insert, CDF's
+        representation without per-commit row tracking).
+
+        Computed as two ``exceptAll`` set differences — each is one
+        hash-partition shuffle of the narrower snapshot; no log replay
+        or file diffing needed because snapshots are declarative here.
+        Multiset semantics: duplicate rows count, so an append of an
+        already-present row still surfaces as one 'insert'.
+        """
+        newer = self.read(version=to_version)
+        older = self.read(version=from_version)
+        # align the older snapshot to the newer schema (evolution-safe:
+        # columns added since from_version read as NULL, like Delta CDF)
+        aligned = older.select(
+            *[
+                F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
+                if f.name in older.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in newer.schema.fields
+            ]
+        )
+        inserted = newer.exceptAll(aligned)
+        deleted = aligned.exceptAll(newer)
+        return inserted.withColumn("_change_type", F.lit("insert")).unionByName(
+            deleted.withColumn("_change_type", F.lit("delete"))
+        )
+
     def history(self) -> list[dict]:
         """D3 DESCRIBE HISTORY."""
         return [

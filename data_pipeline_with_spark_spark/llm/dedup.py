@@ -297,3 +297,67 @@ def decontamination_overlap(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster resolution: connected components over near-dup pairs
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve pairwise duplicate edges into clusters: every node gets
+    ``component`` = the minimum id reachable from it. This is the step
+    that turns near-dup PAIRS into keeper decisions (keep min-id doc per
+    component) — transitivity matters because Jaccard similarity isn't
+    transitive but "is a duplicate of" must be.
+
+    Algorithm: min-label propagation (the Pregel/GraphX formulation, as
+    in Spark's GraphFrames connectedComponents): each iteration joins
+    labels to the undirected edge list and takes the min of neighbor
+    labels; converges in O(diameter) iterations. Dup clusters are tiny
+    (diameter ≤ a few hops), so 3-4 rounds settle real corpora; each
+    round is one shuffle join + one min-aggregation, labels only —
+    document bodies never move.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    labels.persist()
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, on=edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on=labels.node == neighbor_min.src, how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -289,6 +289,62 @@ register(
 )
 
 
+def _dup_components(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    pairs = dedup.near_dup_pairs(
+        docs,
+        threshold=0.7,
+        k_shingle=_K_SHINGLE,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+    ).select("id_a", "id_b")
+    cc = dedup.connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").cast("bigint").alias("component")
+    )
+
+
+register(
+    QuerySpec(
+        name="dedup_connected_components",
+        build=_dup_components,
+        doc="dup-cluster resolution: min-label propagation over verified near-dup pairs "
+        "(iterative label joins; oracle = recursive CTE transitive closure)",
+        oracle=f"""
+        WITH RECURSIVE t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+        sig AS (SELECT doc_id, {_MINHASH_SQL} AS minhash FROM sh),
+        bands AS (
+          SELECT doc_id, j AS band_idx, ({_BANDS_SQL})[j] AS band_hash
+          FROM sig, (SELECT unnest(generate_series(1, {_BANDS})) AS j)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          WHERE a.doc_id < b.doc_id
+        ),
+        ver AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+          WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE),
+                6) >= 0.7
+        ),
+        e AS (SELECT id_a AS src, id_b AS dst FROM ver
+              UNION SELECT id_b AS src, id_a AS dst FROM ver),
+        reach AS (
+          SELECT src, src AS node FROM (SELECT DISTINCT src FROM e)
+          UNION
+          SELECT r.src, e.dst AS node FROM reach r JOIN e ON e.src = r.node
+        )
+        SELECT node AS doc_id, CAST(min(src) AS BIGINT) AS component
+        FROM reach GROUP BY node
+        """,
+    )
+)
+
+
 _SIMHASH_BITS = 16
 
 

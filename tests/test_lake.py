@@ -329,3 +329,29 @@ def test_true_zorder_prunes_on_both_columns(spark, tmp_path):
     tl.optimize(zorder_by=["x"], target_partitions=16)
     kept_lx, _ = tl.plan_files(("x", "<=", 15))
     assert len(kept_lx) <= 5
+
+
+def test_change_data_feed(spark, tmp_path):
+    # Delta CDF analogue: insert/delete tagging across versions,
+    # updates surface as delete+insert, schema evolution null-fills.
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "cdf"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id INT, tag STRING"))
+    t.append(spark.createDataFrame([(3, "c")], "id INT, tag STRING"))
+    t.update(where="id = 1", set_exprs={"tag": "'A'"})
+
+    v0_v1 = {(r.id, r.tag, r._change_type) for r in t.changes(0, 1).collect()}
+    assert v0_v1 == {(3, "c", "insert")}
+    v1_v2 = {(r.id, r.tag, r._change_type) for r in t.changes(1, 2).collect()}
+    assert v1_v2 == {(1, "a", "delete"), (1, "A", "insert")}
+    # full-range diff vs latest
+    v0_now = {(r.id, r.tag, r._change_type) for r in t.changes(0).collect()}
+    assert v0_now == {(3, "c", "insert"), (1, "a", "delete"), (1, "A", "insert")}
+    # evolution: new column reads as NULL for pre-evolution rows
+    t.append(
+        spark.createDataFrame([(4, "d", 9.0)], "id INT, tag STRING, score DOUBLE"),
+        merge_schema=True,
+    )
+    delta = {(r.id, r.tag, r.score, r._change_type) for r in t.changes(2, 3).collect()}
+    assert delta == {(4, "d", 9.0, "insert")}

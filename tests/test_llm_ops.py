@@ -216,3 +216,16 @@ def test_pii_redaction(spark):
     assert "[IPV4]" in rows[2].text_redacted and "[SSN]" in rows[2].text_redacted
     assert rows[2].n_ipv4 == 1 and rows[2].n_ssn == 1
     assert rows[3].text_redacted == rows[3].text and rows[3].n_email == 0
+
+
+def test_connected_components_transitive(spark):
+    # a-b, b-c chain must merge into one component even though (a, c)
+    # was never a pair; (x, y) stays its own cluster.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        (r.node, r.component)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
