@@ -298,6 +298,56 @@ class VersionedTable:
         )
         return self
 
+    def idempotent_append(
+        self,
+        df: DataFrame,
+        app_id: str,
+        batch_id: int,
+        merge_schema: bool = False,
+    ) -> bool:
+        """Exactly-once streaming sink transaction (Delta's
+        ``txnAppId``/``txnVersion`` pattern): append ``df`` tagged with
+        ``(app_id, batch_id)``; a replay of an already-committed batch
+        id (foreachBatch retries after failure) is a no-op. Returns
+        whether the batch was applied.
+
+        The check is monotonic per app_id — batch ids must not decrease
+        — which is exactly Structured Streaming's foreachBatch contract.
+        """
+        last = -1
+        for c in self._commits():
+            if c.params.get("txn_app") == app_id:
+                last = max(last, int(c.params.get("txn_batch", -1)))
+        if batch_id <= last:
+            return False
+        merged = self._enforce(df.schema, merge_schema)
+        aligned = df.select(
+            *[
+                F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in merged.fields
+            ]
+        )
+        version = self._next_version()
+        d = self._write_data(aligned, version, self.partition_columns())
+        self._write_commit(
+            Commit(
+                version=version,
+                timestamp=time.time(),
+                operation="APPEND",
+                params={
+                    "mergeSchema": merge_schema,
+                    "txn_app": app_id,
+                    "txn_batch": batch_id,
+                },
+                data_dirs=self._latest().data_dirs + [d],
+                schema_json=json.dumps(merged.jsonValue()),
+                partition_by=self.partition_columns() or None,
+            )
+        )
+        return True
+
     def update(self, where: str, set_exprs: dict[str, str]) -> "VersionedTable":
         """D4 UPDATE ... SET col = expr WHERE predicate (SQL strings)."""
         cur = self.read()
@@ -785,6 +835,20 @@ class VersionedTable:
         return inserted.withColumn("_change_type", F.lit("insert")).unionByName(
             deleted.withColumn("_change_type", F.lit("delete"))
         )
+
+    def stream_changes(self, start_version: int = 0):
+        """Incremental CDC consumption: yield ``(version, changes_df)``
+        for every commit after ``start_version`` (Delta's
+        ``readChangeFeed`` with ``startingVersion``, surfaced as the
+        batch-incremental form downstream jobs actually consume).
+        Consumers checkpoint the last version they processed and resume
+        from there — each yielded frame is one commit's row-level delta.
+        """
+        versions = sorted(c.version for c in self._commits())
+        for v in versions:
+            if v <= start_version:
+                continue
+            yield v, self.changes(v - 1, v)
 
     def history(self) -> list[dict]:
         """D3 DESCRIBE HISTORY."""

@@ -850,6 +850,50 @@ register(
 )
 
 
+def _source_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus health report: volume, language spread, size,
+    exact-dup rate, english share. One grouped aggregation — the
+    distinct-counts rewrite into two-phase partial aggs, so the shuffle
+    carries (source, lang) / (source, digest) partials, never text."""
+    docs = read_testdata(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.floor(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)) + 0.5
+        ).cast("bigint").alias("avg_chars"),
+        F.round(
+            1.0
+            - F.countDistinct(F.md5("text")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("en_share"),
+    )
+
+
+register(
+    QuerySpec(
+        name="corpus_source_report",
+        build=_source_report,
+        doc="per-source curation dashboard: volume, lang spread, dup rate, en share",
+        oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(floor(CAST(sum(n_chars) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS avg_chars,
+               round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+               round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS en_share
+        FROM documents GROUP BY source
+        """,
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Corpus n-gram statistics: top-5 bigrams per language. The shuffle
 # carries (lang, bigram) partial counts — never raw documents — and the

@@ -355,3 +355,36 @@ def test_change_data_feed(spark, tmp_path):
     )
     delta = {(r.id, r.tag, r.score, r._change_type) for r in t.changes(2, 3).collect()}
     assert delta == {(4, "d", 9.0, "insert")}
+
+
+def test_idempotent_append_exactly_once(spark, tmp_path):
+    # foreachBatch replay protection: same (app, batch) applies once.
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "txn"))
+    t.create(spark.createDataFrame([(0, "seed")], "id INT, tag STRING"))
+    batch = spark.createDataFrame([(1, "a")], "id INT, tag STRING")
+    assert t.idempotent_append(batch, app_id="job1", batch_id=0) is True
+    assert t.idempotent_append(batch, app_id="job1", batch_id=0) is False  # replay
+    assert t.read().count() == 2
+    assert t.idempotent_append(batch, app_id="job1", batch_id=1) is True
+    # a different app's transaction log is independent
+    assert t.idempotent_append(batch, app_id="job2", batch_id=0) is True
+    assert t.read().count() == 4
+
+
+def test_stream_changes_incremental(spark, tmp_path):
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "cdc"))
+    t.create(spark.createDataFrame([(1, "a")], "id INT, tag STRING"))
+    t.append(spark.createDataFrame([(2, "b")], "id INT, tag STRING"))
+    t.update(where="id = 1", set_exprs={"tag": "'A'"})
+    seen = {
+        v: {(r.id, r.tag, r._change_type) for r in df.collect()}
+        for v, df in t.stream_changes(start_version=0)
+    }
+    assert seen == {
+        1: {(2, "b", "insert")},
+        2: {(1, "a", "delete"), (1, "A", "insert")},
+    }

@@ -92,3 +92,32 @@ def test_headline_shuffle_budgets(spark):
         )
         n = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
         assert n <= budget, f"{name}: {n} shuffles (budget {budget})"
+
+
+def test_new_query_plan_contracts(spark):
+    # Pin the scale-load-bearing plan properties of this round's queries:
+    # broadcast (not shuffle) joins where one side is small, single
+    # window sort for the analytic battery, WindowGroupLimit for the
+    # per-group sampler.
+    from data_pipeline_with_spark_spark.plans import all_queries
+
+    specs = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    p = _plan(specs["decontam_benchmark_overlap"].build(spark, sf))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    p = _plan(specs["text_tfidf_top_terms"].build(spark, sf))
+    assert "SortMergeJoin" not in p  # DF table + corpus-size scalar broadcast
+
+    p = _plan(specs["w2_analytic_windows"].build(spark, sf))
+    assert p.count("Exchange") <= 1  # one consolidated window ordering
+
+    p = _plan(specs["sample_topk_per_group"].build(spark, sf))
+    assert "WindowGroupLimit" in p
+
+    p = _plan(specs["sample_stratified_by_lang"].build(spark, sf))
+    assert "Exchange" not in p  # pure projection + filter
+
+    p = _plan(specs["embedding_quantize_int8"].build(spark, sf))
+    assert "Exchange" not in p and "EvalPython" not in p
