@@ -192,14 +192,17 @@ def run_stream_into_lakehouse(
     versioned table — the incremental face of the reference's batch
     `mode('append')` ingestion (lakehouse_data_igestion.py:159-169).
 
-    At scale: foreachBatch gives exactly-once-per-batch commits keyed by
-    the streaming epoch; state stays bounded because the aggregation is
-    windowed + watermarked upstream of the sink. NOTE: complete mode
-    recomputes the full result every batch, so append-per-batch is only
-    correct for a single-batch replay (this fixture: one file, one
-    availableNow batch). A continuous deployment switches to
-    append-mode emission of watermark-finalized windows, or overwrites
-    the table per epoch — same foreachBatch hook either way.
+    At scale: the sink is transactional — ``idempotent_append`` tags
+    each commit with (app_id, epoch_id), so a foreachBatch retry after a
+    failure (Structured Streaming replays the epoch) is a no-op instead
+    of a duplicate: exactly-once end to end, Delta's txnAppId/txnVersion
+    pattern. State stays bounded because the aggregation is windowed +
+    watermarked upstream of the sink. NOTE: complete mode recomputes the
+    full result every batch, so append-per-batch is only correct for a
+    single-batch replay (this fixture: one file, one availableNow
+    batch). A continuous deployment switches to append-mode emission of
+    watermark-finalized windows, or overwrites the table per epoch —
+    same transactional hook either way.
     """
     from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
 
@@ -217,12 +220,10 @@ def run_stream_into_lakehouse(
         )
     )
     table = VersionedTable(spark, table_path)
+    table.create(spark.createDataFrame([], agg.schema))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if table.history():
-            table.append(batch_df)
-        else:
-            table.create(batch_df)
+        table.idempotent_append(batch_df, app_id="stream_ingest", batch_id=epoch_id)
 
     query = (
         agg.writeStream.foreachBatch(sink)
