@@ -74,15 +74,74 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
     return key.alias("__zorder_key")
 
 
+def _string_bucket_map(df: DataFrame, c: str, n: int) -> DataFrame:
+    """Rank-dictionary buckets for a string column: distinct values →
+    percent_rank → 0..n-1. The global-order window runs over the
+    DISTINCT value set only (vocabulary-sized, not corpus-sized), which
+    is how Delta assigns range ids to string Z-order columns; for
+    unbounded-cardinality columns, sample the distinct set first."""
+    from pyspark.sql import Window
+
+    vals = df.select(c).where(F.col(c).isNotNull()).distinct()
+    w = Window.orderBy(F.col(c))
+    return vals.withColumn(
+        f"__zb_{c}",
+        (F.percent_rank().over(w) * (n - 1)).cast("bigint"),
+    )
+
+
 def zorder_cluster(
     df: DataFrame, cols: list[str], target_partitions: int, bits: int = 8
 ) -> DataFrame:
     """Repartition + sort ``df`` along the Z-curve of ``cols`` so each
-    output file covers a compact hyper-rectangle of the key space."""
-    key = zorder_key(df, cols, bits)
+    output file covers a compact hyper-rectangle of the key space.
+    Numeric/date/timestamp columns bucket by ``width_bucket`` over their
+    range; string columns bucket by rank dictionary (broadcast-joined).
+    """
+    if bits * len(cols) > 63:
+        raise ValueError(f"zorder key too wide: {bits} bits × {len(cols)} cols > 63")
+    dtypes = dict(df.dtypes)
+    bad = [c for c in cols if dtypes.get(c) not in _NUMERIC and dtypes.get(c) != "string"]
+    if bad:
+        raise TypeError(f"zorder_cluster supports numeric/date/timestamp/string; got {bad}")
+    n = 2**bits
+    numeric = [c for c in cols if dtypes[c] in _NUMERIC]
+    stats = (
+        df.agg(
+            *[F.min(F.col(c)).alias(f"min_{c}") for c in numeric],
+            *[F.max(F.col(c)).alias(f"max_{c}") for c in numeric],
+        ).first()
+        if numeric
+        else None
+    )
+    work = df
+    buckets: list[Column] = []
+    for c in cols:
+        if dtypes[c] in _NUMERIC:
+            lo = _as_double(F.lit(stats[f"min_{c}"]), dtypes[c])
+            hi = _as_double(F.lit(stats[f"max_{c}"]), dtypes[c])
+            v = _as_double(F.col(c), dtypes[c])
+            b = F.when(hi <= lo, F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n - 1),
+                    F.greatest(F.lit(0), F.width_bucket(v, lo, hi, F.lit(n)) - 1),
+                )
+            )
+            buckets.append(F.coalesce(b, F.lit(0)).cast("bigint"))
+        else:
+            work = work.join(F.broadcast(_string_bucket_map(df, c, n)), on=c, how="left")
+            buckets.append(F.coalesce(F.col(f"__zb_{c}"), F.lit(0)).cast("bigint"))
+    key: Column | None = None
+    for j, bucket in enumerate(buckets):
+        for i in range(bits):
+            bit = F.shiftrightunsigned(bucket, i).bitwiseAND(F.lit(1))
+            term = F.shiftleft(bit, i * len(cols) + j)
+            key = term if key is None else key + term
+    helper = [f"__zb_{c}" for c in cols if dtypes[c] == "string"]
     return (
-        df.withColumn("__zorder_key", key)
+        work.withColumn("__zorder_key", key)
         .repartitionByRange(target_partitions, F.col("__zorder_key"))
         .sortWithinPartitions("__zorder_key")
-        .drop("__zorder_key")
+        .drop("__zorder_key", *helper)
+        .select(*[F.col(f"`{c}`") for c in df.columns])
     )

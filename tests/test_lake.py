@@ -388,3 +388,22 @@ def test_stream_changes_incremental(spark, tmp_path):
         1: {(2, "b", "insert")},
         2: {(1, "a", "delete"), (1, "A", "insert")},
     }
+
+
+def test_zorder_string_column_prunes(spark, tmp_path):
+    # String Z-order via rank dictionary: equality on the string column
+    # must prune files after clustering on (category, x).
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    cats = ["apple", "berry", "cherry", "damson", "elder", "fig", "grape", "haw"]
+    rows = [(cats[i % 8], i, float(i)) for i in range(512)]
+    df = spark.createDataFrame(rows, "category STRING, x INT, v DOUBLE")
+    t = VersionedTable(spark, str(tmp_path / "zs")).create(df)
+    t.optimize(zorder_by=["category", "x"], target_partitions=8)
+    kept, total = t.plan_files(("category", "=", "apple"))
+    assert total == 8 and len(kept) < total
+    got = {tuple(r) for r in t.read_where(("category", "=", "apple")).collect()}
+    assert got == {r for r in rows if r[0] == "apple"}
+    # numeric co-key still prunes as well
+    kept_x, _ = t.plan_files(("x", "<=", 63))
+    assert len(kept_x) < total
