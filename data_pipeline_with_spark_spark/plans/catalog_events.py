@@ -91,3 +91,51 @@ register(
         oracle=_retention_sql("epoch"),
     )
 )
+
+
+def _sessionize_sql(es_expr: str) -> str:
+    # Inactivity-gap sessionization (4 h), the lag+cumsum idiom — the
+    # batch complement of streaming session_window. All three windows
+    # share one (user_id, es, event_id) ordering, so the physical plan
+    # is one shuffle + one sort; the per-session rollup reuses the same
+    # user_id partitioning. Integer epoch arithmetic end-to-end; the
+    # epoch extraction must TRUNCATE sub-second parts in both dialects
+    # (Spark unix_timestamp floors; a bare DuckDB BIGINT cast rounds).
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, {es_expr} AS es, value
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, es, value,
+             CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) IS NULL
+                    OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) > 14400
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, es, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(sess_idx AS INT) AS sess_idx,
+           count(*) AS n_events,
+           min(es) AS sess_start, max(es) AS sess_end,
+           CAST(max(es) - min(es) AS BIGINT) AS duration_s,
+           round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sess_idx
+    """
+
+
+def _sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    register_testdata_views(spark, sf)
+    return spark.sql(_sessionize_sql("CAST(unix_timestamp(ts) AS BIGINT)"))
+
+
+register(
+    QuerySpec(
+        name="events_sessionize",
+        build=_sessionize,
+        doc="inactivity-gap sessionization (lag + cumsum, one window sort) + per-session rollup",
+        oracle=_sessionize_sql("CAST(floor(epoch(ts)) AS BIGINT)"),
+    )
+)
