@@ -697,3 +697,50 @@ register(
         """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Time-based RANGE frame: the one frame type w2/w3 don't cover. The
+# frame bound is a VALUE offset on the ordering key (7 days of epoch
+# seconds), not a row count — Spark evaluates it with the same single
+# partition shuffle + sort as any other window; only the frame pointer
+# logic differs, so cost is unchanged at scale.
+def _time_range_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata as _rt
+
+    ev = _rt(spark, sf, "events")
+    es = F.unix_timestamp("ts").cast("bigint")
+    base = ev.select("user_id", "event_id", es.alias("es"), "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-7 * 86400, Window.currentRow)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "es",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.round(F.sum("value").over(w), 2).alias("sum_value_7d"),
+    )
+
+
+register(
+    QuerySpec(
+        name="w5_time_range_rolling",
+        build=_time_range_rolling,
+        doc="7-day rolling count/sum per user via RANGE frame on epoch seconds",
+        oracle="""
+        WITH base AS (
+          SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+          FROM events
+        )
+        SELECT user_id, event_id, es,
+               count(*) OVER w AS n_7d,
+               round(sum(value) OVER w, 2) AS sum_value_7d
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY es
+                     RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        """,
+    )
+)
