@@ -69,6 +69,18 @@ def _hive_values(path: str) -> dict[str, str]:
     return out
 
 
+def _typed_partition_value(ftype: str | None, raw: str) -> object:
+    """Hive path partition values are strings; compare them in the
+    declared column type."""
+    if ftype in ("tinyint", "smallint", "int", "bigint"):
+        return int(raw)
+    if ftype in ("float", "double"):
+        return float(raw)
+    if ftype == "boolean":
+        return raw == "true"
+    return raw
+
+
 def _hive_base(path: str) -> str:
     """Ancestor directory above the first ``k=v`` segment — the
     ``basePath`` Spark needs to re-derive partition columns when reading
@@ -620,6 +632,47 @@ class VersionedTable:
             untouched + [d],
         )
 
+    def optimize_fragmented(
+        self,
+        max_partitions: int = 1,
+        min_files: int = 2,
+        zorder_by: list[str] | None = None,
+    ) -> list[object]:
+        """Maintenance scheduler: compact the ``max_partitions`` most
+        fragmented hive partitions (most data files), worst first —
+        the nightly-OPTIMIZE pattern that keeps write-hot partitions
+        healthy without ever paying a full-table rewrite. Returns the
+        partition values compacted.
+
+        Fragmentation is measured from the commit log's file list alone
+        (no data read); each compaction is one ``optimize_where`` over
+        that partition's files. Only single-column-partitioned tables
+        are supported (the dominant layout; composite keys would need a
+        conjunctive predicate in plan_files).
+        """
+        pcols = self.partition_columns()
+        if len(pcols) != 1:
+            raise ValueError("optimize_fragmented needs a single-column partitioned table")
+        pcol = pcols[0]
+        files, schema = self._snapshot_files()
+        ftype = next(
+            (f.dataType.simpleString() for f in schema.fields if f.name == pcol), None
+        )
+        counts: dict[str, int] = {}
+        for f in files:
+            raw = _hive_values(f).get(pcol)
+            if raw is not None and raw != "__HIVE_DEFAULT_PARTITION__":
+                counts[raw] = counts.get(raw, 0) + 1
+        worst = sorted(counts.items(), key=lambda kv: -kv[1])[:max_partitions]
+        compacted: list[object] = []
+        for raw, n in worst:
+            if n < min_files:
+                break
+            val = _typed_partition_value(ftype, raw)
+            self.optimize_where((pcol, "=", val), zorder_by=zorder_by)
+            compacted.append(val)
+        return compacted
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Remove data directories referenced only by pruned history
         (Delta VACUUM analogue). Returns removed paths."""
@@ -757,14 +810,7 @@ class VersionedTable:
                 raw = hv[col]
                 if raw == "__HIVE_DEFAULT_PARTITION__":
                     continue  # NULL partition never satisfies a comparison
-                if ftype in ("tinyint", "smallint", "int", "bigint"):
-                    typed: object = int(raw)
-                elif ftype in ("float", "double"):
-                    typed = float(raw)
-                elif ftype == "boolean":
-                    typed = raw == "true"
-                else:
-                    typed = raw
+                typed = _typed_partition_value(ftype, raw)
                 if may_match(typed, typed):
                     kept.append(f)
                 continue

@@ -361,3 +361,48 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+# --------------------------------------------------------------------------
+# Cross-document duplicated spans (boilerplate detection)
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    win: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """Find token windows repeated across documents — the span-level
+    (paragraph-granularity) dedup that catches shared boilerplate
+    exact/near doc-level dedup misses (C4 / RefinedWeb run exactly this
+    pass on line or paragraph units; with no newline structure in the
+    fixtures, fixed ``win``-token windows at ``stride`` stand in).
+
+    Scale shape: one projection explodes each doc into ~len/stride
+    window *hashes* (16-byte md5, never the window text), one grouped
+    aggregation finds hashes spanning ≥2 docs. Shuffle volume is
+    O(windows), map-side combine collapses per-partition repeats.
+    """
+    toks = tokens(text_col)
+    n_wins = F.greatest(
+        F.floor((F.size("__toks") - F.lit(win)) / F.lit(float(stride))).cast("int")
+        + F.lit(1),
+        F.lit(1),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), n_wins),
+        lambda i: F.md5(
+            F.array_join(F.slice(F.col("__toks"), (i - 1) * stride + 1, win), " ")
+        ),
+    )
+    return (
+        df.withColumn("__toks", toks)
+        .select(F.col(id_col), F.explode(wins).alias("win_hash"))
+        .groupBy("win_hash")
+        .agg(
+            F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("example_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

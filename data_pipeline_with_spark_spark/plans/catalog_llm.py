@@ -345,6 +345,33 @@ register(
 )
 
 
+def _dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    return dedup.duplicated_spans(docs, win=20, stride=10)
+
+
+register(
+    QuerySpec(
+        name="dedup_duplicated_spans",
+        build=_dup_spans,
+        doc="cross-doc duplicated 20-token spans (boilerplate pass; hash-only shuffle)",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        w AS (
+          SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(CAST(floor((len(toks) - 20) / 10.0) AS INT) + 1, 1) + 1),
+                   i -> md5(array_to_string(toks[(i-1)*10+1:(i-1)*10+20], ' ')))) AS win_hash
+          FROM t)
+        SELECT win_hash,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               count(*) AS n_occurrences,
+               min(doc_id) AS example_doc
+        FROM w GROUP BY win_hash HAVING count(DISTINCT doc_id) >= 2
+        """,
+    )
+)
+
+
 _SIMHASH_BITS = 16
 
 

@@ -407,3 +407,31 @@ def test_zorder_string_column_prunes(spark, tmp_path):
     # numeric co-key still prunes as well
     kept_x, _ = t.plan_files(("x", "<=", 63))
     assert len(kept_x) < total
+
+
+def test_optimize_fragmented_targets_worst_partition(spark, tmp_path):
+    # Three appends fragment year=2020 most; the scheduler must pick it,
+    # compact only it, and leave content identical.
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "frag"))
+    t.create(
+        spark.createDataFrame([(1, 2019, "a"), (2, 2020, "b")], "k INT, year INT, tag STRING"),
+        partition_by=["year"],
+    )
+    for i in range(3):
+        t.append(spark.createDataFrame([(10 + i, 2020, "x")], "k INT, year INT, tag STRING"))
+    before = {tuple(r) for r in t.read().collect()}
+
+    def files_for(year):
+        files, _ = t._snapshot_files()
+        return [f for f in files if f"year={year}" in f]
+
+    frag_before = len(files_for(2020))
+    assert frag_before >= 4
+    compacted = t.optimize_fragmented(max_partitions=1)
+    assert compacted == [2020]
+    assert {tuple(r) for r in t.read().collect()} == before
+    assert len(files_for(2020)) < frag_before
+    # already-compact table: nothing to do
+    assert t.optimize_fragmented(max_partitions=1) == []
