@@ -418,10 +418,14 @@ class VersionedTable:
         matched rows hit by no clause and target rows with no key match
         pass through unchanged.
 
-        Physical plan: one full-outer join of target and source on the
-        merge keys — both sides shuffle once on the keys (the source
-        broadcasts when small), then every clause resolves as a CASE
-        projection with no further shuffle. Conditions and update/insert
+        Physical plan: one outer join of target and source on the merge
+        keys, then every clause resolves as a CASE projection with no
+        further shuffle. The join shape follows the clause set: with no
+        NOT MATCHED clauses a left-outer suffices, which Spark CAN
+        broadcast when the source is small (the common small-batch
+        UPDATE/DELETE merge); insert-bearing merges need the full outer,
+        where both sides sort-merge on the keys — the right strategy
+        when both sides are large. Conditions and update/insert
         expressions are SQL strings over ``t.<col>`` / ``s.<col>``.
 
         ``validate_unique_source`` replicates Delta's cardinality check:
@@ -457,7 +461,8 @@ class VersionedTable:
         key_cond = functools.reduce(
             operator.and_, [F.col(f"t.`{k}`") == F.col(f"s.`{k}`") for k in keys]
         )
-        joined = t.join(s, on=key_cond, how="full_outer")
+        how = "left_outer" if not not_matched else "full_outer"
+        joined = t.join(s, on=key_cond, how=how)
 
         def first_clause_idx(clauses) -> Column:
             idx = F.lit(-1)

@@ -921,6 +921,53 @@ register(
 )
 
 
+def _unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc mean unigram negative log-probability — the cheap
+    perplexity proxy quality filter (CCNet ranks documents by LM
+    perplexity; a corpus-fit unigram model is its shuffle-light
+    first approximation). High scores = rare-token-heavy documents
+    (gibberish, OCR noise); low = common-token boilerplate.
+
+    Scale shape: the vocabulary table (token, count) broadcasts; each
+    doc's tokens join against it map-side, then one per-doc aggregation.
+    The corpus total rides along as a broadcast scalar."""
+    docs = read_testdata(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "nll", -F.log(F.col("tc").cast("double") / F.col("n_total").cast("double"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("nll") / F.count(F.lit(1)), 4).alias("mean_nll"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="text_unigram_logprob",
+        build=_unigram_logprob,
+        doc="per-doc mean unigram -log p (perplexity-proxy quality filter, broadcast vocab)",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        vocab AS (SELECT term, count(*) AS tc FROM tok GROUP BY term),
+        total AS (SELECT count(*) AS n_total FROM tok)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(sum(-ln(CAST(tc AS DOUBLE) / CAST(n_total AS DOUBLE))) / count(*), 4) AS mean_nll
+        FROM tok JOIN vocab USING (term) CROSS JOIN total
+        GROUP BY doc_id
+        """,
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Corpus n-gram statistics: top-5 bigrams per language. The shuffle
 # carries (lang, bigram) partial counts — never raw documents — and the

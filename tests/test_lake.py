@@ -435,3 +435,29 @@ def test_optimize_fragmented_targets_worst_partition(spark, tmp_path):
     assert len(files_for(2020)) < frag_before
     # already-compact table: nothing to do
     assert t.optimize_fragmented(max_partitions=1) == []
+
+
+def test_merge_matched_only_broadcasts_and_works(spark, tmp_path):
+    # A matched-only merge takes the left-outer path: small sources
+    # broadcast instead of forcing a full-outer sort-merge.
+    from data_pipeline_with_spark_spark.lake.versioned import (
+        VersionedTable,
+        WhenMatched,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "mo"))
+    t.create(
+        spark.createDataFrame([(i, float(i)) for i in range(500)], "id INT, v DOUBLE")
+    )
+    src = spark.createDataFrame([(7, 0.0), (9, -1.0)], "id INT, v DOUBLE")
+    t.merge(
+        src,
+        keys=["id"],
+        matched=[
+            WhenMatched(delete=True, condition="s.v < 0"),
+            WhenMatched(update={"v": "s.v"}),
+        ],
+    )
+    got = {r.id: r.v for r in t.read().where("id IN (7, 8, 9)").collect()}
+    assert got == {7: 0.0, 8: 8.0}  # 9 deleted, 7 updated, 8 untouched
+    assert t.read().count() == 499
