@@ -591,7 +591,7 @@ class VersionedTable:
 
     def optimize_where(
         self,
-        predicate: tuple[str, str, object],
+        predicate: tuple[str, str, object] | list[tuple[str, str, object]],
         zorder_by: list[str] | None = None,
         target_partitions: int = 1,
     ) -> "VersionedTable":
@@ -651,31 +651,34 @@ class VersionedTable:
 
         Fragmentation is measured from the commit log's file list alone
         (no data read); each compaction is one ``optimize_where`` over
-        that partition's files. Only single-column-partitioned tables
-        are supported (the dominant layout; composite keys would need a
-        conjunctive predicate in plan_files).
+        that partition's files (a conjunctive equality predicate for
+        composite partition keys).
         """
         pcols = self.partition_columns()
-        if len(pcols) != 1:
-            raise ValueError("optimize_fragmented needs a single-column partitioned table")
-        pcol = pcols[0]
+        if not pcols:
+            raise ValueError("optimize_fragmented needs a partitioned table")
         files, schema = self._snapshot_files()
-        ftype = next(
-            (f.dataType.simpleString() for f in schema.fields if f.name == pcol), None
-        )
-        counts: dict[str, int] = {}
+        ftypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+        counts: dict[tuple[str, ...], int] = {}
         for f in files:
-            raw = _hive_values(f).get(pcol)
-            if raw is not None and raw != "__HIVE_DEFAULT_PARTITION__":
-                counts[raw] = counts.get(raw, 0) + 1
+            hv = _hive_values(f)
+            raws = tuple(hv.get(c) for c in pcols)
+            if None in raws or "__HIVE_DEFAULT_PARTITION__" in raws:
+                continue
+            counts[raws] = counts.get(raws, 0) + 1
         worst = sorted(counts.items(), key=lambda kv: -kv[1])[:max_partitions]
         compacted: list[object] = []
-        for raw, n in worst:
+        for raws, n in worst:
             if n < min_files:
                 break
-            val = _typed_partition_value(ftype, raw)
-            self.optimize_where((pcol, "=", val), zorder_by=zorder_by)
-            compacted.append(val)
+            vals = tuple(
+                _typed_partition_value(ftypes.get(c), raw)
+                for c, raw in zip(pcols, raws)
+            )
+            self.optimize_where(
+                [(c, "=", v) for c, v in zip(pcols, vals)], zorder_by=zorder_by
+            )
+            compacted.append(vals[0] if len(vals) == 1 else vals)
         return compacted
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
@@ -776,28 +779,30 @@ class VersionedTable:
         return files, schema
 
     def plan_files(
-        self, predicate: tuple[str, str, object], version: int | None = None
+        self,
+        predicate: tuple[str, str, object] | list[tuple[str, str, object]],
+        version: int | None = None,
     ) -> tuple[list[str], int]:
         """Data skipping (Delta's file-stats pruning, SURVEY §4): decide
-        which parquet files of the snapshot can possibly satisfy
-        ``(column, op, value)`` using footer min/max statistics only —
-        no data read. Returns (kept_files, total_file_count).
+        which parquet files of the snapshot can possibly satisfy the
+        predicate — one ``(column, op, value)`` or a LIST of them joined
+        by AND (composite-partition pruning) — using hive path values
+        and footer min/max statistics only; no data read. Returns
+        (kept_files, total_file_count).
 
-        Files with missing stats for the column are conservatively kept;
-        correctness never depends on skipping (``read_where`` re-applies
-        the exact predicate), skipping only reduces I/O — the same
-        contract as Delta data skipping. Pays off after ``optimize(
-        zorder_by=[col])``, which makes per-file ranges disjoint.
+        Columns with missing stats are conservatively kept; correctness
+        never depends on skipping (``read_where`` re-applies the exact
+        predicate), skipping only reduces I/O — the same contract as
+        Delta data skipping. Pays off after ``optimize(zorder_by=…)``,
+        which makes per-file ranges disjoint.
         """
         import pyarrow.parquet as pq
 
-        col, op, val = predicate
+        preds = [predicate] if isinstance(predicate, tuple) else list(predicate)
         files, schema = self._snapshot_files(version)
-        ftype = next(
-            (f.dataType.simpleString() for f in schema.fields if f.name == col), None
-        )
+        ftypes = {f.name: f.dataType.simpleString() for f in schema.fields}
 
-        def may_match(lo, hi) -> bool:
+        def may_match(op: str, val, lo, hi) -> bool:
             return {
                 "=": lo <= val <= hi,
                 ">": hi > val,
@@ -808,51 +813,68 @@ class VersionedTable:
 
         kept = []
         for f in files:
-            # Hive partition pruning first: the predicate column may be
-            # encoded in the path, not the file (partitioned tables).
             hv = _hive_values(f)
-            if col in hv:
-                raw = hv[col]
-                if raw == "__HIVE_DEFAULT_PARTITION__":
-                    continue  # NULL partition never satisfies a comparison
-                typed = _typed_partition_value(ftype, raw)
-                if may_match(typed, typed):
-                    kept.append(f)
-                continue
-            md = pq.ParquetFile(f).metadata
-            if md.num_rows == 0:
-                continue  # empty part-file matches nothing — always skip
-            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            if col not in names:
-                kept.append(f)
-                continue
-            lo = hi = None
-            ok_stats = True
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(names[col]).statistics
-                if st is None or not st.has_min_max:
-                    ok_stats = False
+            md = names = None
+            keep = True
+            for col, op, val in preds:
+                # Hive partition pruning first: the column may be
+                # encoded in the path, not the file (partitioned tables).
+                if col in hv:
+                    raw = hv[col]
+                    if raw == "__HIVE_DEFAULT_PARTITION__":
+                        keep = False  # NULL partition fails any comparison
+                        break
+                    typed = _typed_partition_value(ftypes.get(col), raw)
+                    if not may_match(op, val, typed, typed):
+                        keep = False
+                        break
+                    continue
+                if md is None:
+                    md = pq.ParquetFile(f).metadata
+                    if md.num_rows == 0:
+                        keep = False  # empty part-file matches nothing
+                        break
+                    names = {
+                        md.schema.column(i).name: i for i in range(md.num_columns)
+                    }
+                if col not in names:
+                    continue  # unknown column: conservative keep
+                lo = hi = None
+                ok_stats = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(names[col]).statistics
+                    if st is None or not st.has_min_max:
+                        ok_stats = False
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if not ok_stats or lo is None:
+                    continue  # missing stats: conservative keep
+                if not may_match(op, val, lo, hi):
+                    keep = False
                     break
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-            if not ok_stats or lo is None:
-                kept.append(f)
-                continue
-            if may_match(lo, hi):
+            if keep:
                 kept.append(f)
         return kept, len(files)
 
     def read_where(
-        self, predicate: tuple[str, str, object], version: int | None = None
+        self,
+        predicate: tuple[str, str, object] | list[tuple[str, str, object]],
+        version: int | None = None,
     ) -> DataFrame:
         """Snapshot read with file-level data skipping + exact residual
-        filter. Semantically identical to ``read().where(...)``; the
-        pruned file list is the I/O win."""
-        col, op, val = predicate
-        kept, _ = self.plan_files(predicate, version)
+        filter; ``predicate`` is one ``(col, op, value)`` or an AND list.
+        Semantically identical to ``read().where(...)``; the pruned file
+        list is the I/O win."""
+        preds = [predicate] if isinstance(predicate, tuple) else list(predicate)
+        kept, _ = self.plan_files(preds, version)
         _, schema = self._snapshot_files(version)
-        lit = f"'{val}'" if isinstance(val, str) else repr(val)
-        cond = f"`{col}` {('==' if op == '=' else op)} {lit}"
+
+        def term(col: str, op: str, val: object) -> str:
+            lit = f"'{val}'" if isinstance(val, str) else repr(val)
+            return f"`{col}` {('==' if op == '=' else op)} {lit}"
+
+        cond = " AND ".join(term(*p) for p in preds)
         if not kept:
             return self.spark.createDataFrame([], schema)
         return self._df_for_paths(kept, schema).where(cond)

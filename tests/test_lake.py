@@ -461,3 +461,27 @@ def test_merge_matched_only_broadcasts_and_works(spark, tmp_path):
     got = {r.id: r.v for r in t.read().where("id IN (7, 8, 9)").collect()}
     assert got == {7: 0.0, 8: 8.0}  # 9 deleted, 7 updated, 8 untouched
     assert t.read().count() == 499
+
+
+def test_conjunctive_predicate_pruning(spark, tmp_path):
+    # AND-list predicates: composite-partition pruning + stats pruning
+    # compose; read_where applies the full conjunction.
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    rows = [(i, 2018 + i % 2, ["eu", "us"][i % 2 == 0], float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k INT, year INT, region STRING, v DOUBLE")
+    t = VersionedTable(spark, str(tmp_path / "conj"))
+    t.create(df, partition_by=["year", "region"])
+    preds = [("year", "=", 2018), ("k", "<=", 50)]
+    kept, total = t.plan_files(preds)
+    assert 0 < len(kept) < total
+    assert all("year=2018" in f for f in kept)
+    got = {tuple(r) for r in t.read_where(preds).collect()}
+    assert got == {r for r in rows if r[1] == 2018 and r[0] <= 50} and got
+    # composite-partition fragmentation targeting
+    t.append(spark.createDataFrame([(1000, 2018, "us", 0.0)] , "k INT, year INT, region STRING, v DOUBLE"))
+    t.append(spark.createDataFrame([(1001, 2018, "us", 0.0)] , "k INT, year INT, region STRING, v DOUBLE"))
+    before = {tuple(r) for r in t.read().collect()}
+    compacted = t.optimize_fragmented(max_partitions=1)
+    assert compacted == [(2018, "us")]
+    assert {tuple(r) for r in t.read().collect()} == before
