@@ -187,3 +187,105 @@ def sample_frames(
 
     inp = ensure_min_partitions(assets.select(id_col, payload_col))
     return inp.mapInPandas(run, FRAMES_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+_PHASH_BITS = 63  # 8x8 DCT block minus the DC coefficient; stays in int64
+
+
+def perceptual_hash(
+    assets: DataFrame,
+    size: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Perceptual hash (pHash) for image-shaped payloads: decode/resize
+    to a ``size``×``size`` grayscale grid (codec stubbed, like every
+    decode here), 2-D DCT-II (real numpy math — matmul with the cosine
+    basis), keep the 8×8 low-frequency block, threshold the 63 AC
+    coefficients at their median → 63-bit fingerprint. Near-identical
+    images differ in a few bits; resized/re-encoded copies usually in
+    none — the standard image-dedup fingerprint, one Arrow batch per
+    Python call."""
+    import numpy as np
+
+    n = size
+    k = np.arange(n)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = resize_image_stub(payload, n, n, fake=fake)
+                grid = (
+                    np.frombuffer(raw, dtype=np.uint8)
+                    .reshape(n, n)
+                    .astype(np.float64)
+                )
+                dct = basis @ grid @ basis.T
+                block = dct[:8, :8].flatten()[1:]  # drop DC
+                med = float(np.median(block))
+                h = 0
+                for i, v in enumerate(block):
+                    if v > med:
+                        h |= 1 << i
+                ids.append(int(doc_id))
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    inp = ensure_min_partitions(assets.select(id_col, payload_col))
+    return inp.mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 4,
+    band_bits: int = 7,
+) -> DataFrame:
+    """Image near-dup pairs from pHash fingerprints: pigeonhole banding
+    (63 bits → 9 bands of 7; ≤ max_hamming differing bits ⇒ some band
+    equal) → bucket self-join → exact Hamming verify. Only (id, band,
+    hash) triples shuffle — same LSH shape as the text SimHash pipeline,
+    applied to the image modality."""
+    n_bands = _PHASH_BITS // band_bits
+    banded = hashed.select(
+        id_col,
+        hash_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(hash_col), b * band_bits).bitwiseAND(
+                        F.lit(2**band_bits - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), "band_idx", "band_val"
+    )
+    pairs = (
+        a.join(b, on=["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1122,6 +1122,24 @@ register(
 )
 
 
+def _phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    assets = multimodal.attach_binary_payload(docs)
+    hashed = multimodal.perceptual_hash(assets)
+    return multimodal.phash_near_dup_pairs(hashed, max_hamming=4)
+
+
+register(
+    QuerySpec(
+        name="multimodal_phash_near_dups",
+        build=_phash_pairs,
+        doc="image near-dup pairs via perceptual hash (DCT pHash + banded LSH); "
+        "numpy DCT not SQL-expressible → rows-only, pytest-verified",
+        oracle=None,
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Capstone joint text+vector query: semantic near-dup candidate pairs
 # enriched with document metadata (vec_id ↔ doc_id is 1:1 in the

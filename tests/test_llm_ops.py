@@ -229,3 +229,26 @@ def test_connected_components_transitive(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_phash_image_near_dups(spark):
+    # Identical payloads share a pHash (hamming 0); an unrelated payload
+    # must not pair with them within the hamming budget.
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    rows = [
+        (1, base),
+        (2, base),                            # exact image dup
+        (3, "completely different pixel soup " * 40),
+    ]
+    assets = multimodal.attach_binary_payload(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    )
+    hashed = multimodal.perceptual_hash(assets)
+    hs = {r.doc_id: r.phash for r in hashed.collect()}
+    assert hs[1] == hs[2] != hs[3]
+    pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in multimodal.phash_near_dup_pairs(hashed, max_hamming=4).collect()
+    }
+    assert (1, 2, 0) in pairs
+    assert not any(3 in (p[0], p[1]) for p in pairs)
