@@ -96,6 +96,11 @@ class SchemaEnforcementError(ValueError):
     pass
 
 
+class ConstraintViolationError(ValueError):
+    """A write contained rows failing a table CHECK constraint (Delta
+    raises the same; NULL evaluations pass, per SQL CHECK semantics)."""
+
+
 class MergeCardinalityError(ValueError):
     """A target row was matched by more than one source row (Delta raises
     the same error: the merge result would be nondeterministic)."""
@@ -136,6 +141,9 @@ class Commit:
     # Hive partition columns of the table (Delta's partitionColumns
     # metadata); default keeps pre-feature logs readable.
     partition_by: list[str] | None = None
+    # CHECK constraints (Delta table feature): name -> SQL expression,
+    # enforced on every write, carried forward commit to commit.
+    constraints: dict | None = None
 
 
 class VersionedTable:
@@ -209,6 +217,65 @@ class VersionedTable:
         commits = self._commits()
         return list(commits[-1].partition_by or []) if commits else []
 
+    def constraints(self) -> dict[str, str]:
+        """The table's CHECK constraints (empty when none)."""
+        commits = self._commits()
+        return dict(commits[-1].constraints or {}) if commits else {}
+
+    def _check_constraints(
+        self, df: DataFrame, constraints: dict[str, str] | None = None
+    ) -> None:
+        cons = self.constraints() if constraints is None else constraints
+        for name, expr in cons.items():
+            # SQL CHECK semantics: only a FALSE evaluation violates.
+            bad = df.where(f"NOT coalesce(({expr}), true)").limit(1).count()
+            if bad:
+                raise ConstraintViolationError(
+                    f"CHECK constraint {name!r} ({expr}) violated by write"
+                )
+
+    def add_constraint(self, name: str, expr: str) -> "VersionedTable":
+        """ALTER TABLE ... ADD CONSTRAINT ... CHECK (Delta feature):
+        validates the current snapshot, then records the constraint in a
+        metadata-only commit; every later write enforces it."""
+        cons = self.constraints()
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        self._check_constraints(self.read(), {name: expr})
+        cons[name] = expr
+        latest = self._latest()
+        self._write_commit(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="ADD CONSTRAINT",
+                params={"name": name, "expr": expr},
+                data_dirs=latest.data_dirs,
+                schema_json=latest.schema_json,
+                partition_by=latest.partition_by,
+                constraints=cons,
+            )
+        )
+        return self
+
+    def drop_constraint(self, name: str) -> "VersionedTable":
+        cons = self.constraints()
+        cons.pop(name, None)
+        latest = self._latest()
+        self._write_commit(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="DROP CONSTRAINT",
+                params={"name": name},
+                data_dirs=latest.data_dirs,
+                schema_json=latest.schema_json,
+                partition_by=latest.partition_by,
+                constraints=cons or None,
+            )
+        )
+        return self
+
     def _write_data(
         self, df: DataFrame, version: int, partition_by: list[str] | None = None
     ) -> str:
@@ -231,6 +298,7 @@ class VersionedTable:
                 data_dirs=data_dirs,
                 schema_json=json.dumps(df.schema.jsonValue()),
                 partition_by=self.partition_columns() or None,
+                constraints=self.constraints() or None,
             )
         )
         return self
@@ -294,6 +362,7 @@ class VersionedTable:
                 for f in merged.fields
             ]
         )
+        self._check_constraints(aligned)
         version = self._next_version()
         d = self._write_data(aligned, version, self.partition_columns())
         dirs = self._latest().data_dirs + [d]
@@ -306,6 +375,7 @@ class VersionedTable:
                 data_dirs=dirs,
                 schema_json=json.dumps(merged.jsonValue()),
                 partition_by=self.partition_columns() or None,
+                constraints=self.constraints() or None,
             )
         )
         return self
@@ -341,6 +411,7 @@ class VersionedTable:
                 for f in merged.fields
             ]
         )
+        self._check_constraints(aligned)
         version = self._next_version()
         d = self._write_data(aligned, version, self.partition_columns())
         self._write_commit(
@@ -356,6 +427,7 @@ class VersionedTable:
                 data_dirs=self._latest().data_dirs + [d],
                 schema_json=json.dumps(merged.jsonValue()),
                 partition_by=self.partition_columns() or None,
+                constraints=self.constraints() or None,
             )
         )
         return True
@@ -369,6 +441,7 @@ class VersionedTable:
                 for c, e in set_exprs.items()
             }
         )
+        self._check_constraints(updated)
         version = self._next_version()
         d = self._write_data(updated, version, self.partition_columns())
         return self._commit_write(
@@ -515,6 +588,7 @@ class VersionedTable:
         merged = joined.where(keep).select(
             *[out_col(f) for f in target.schema.fields]
         )
+        self._check_constraints(merged)
         d = self._write_data(merged, self._next_version(), self.partition_columns())
         return self._commit_write(
             merged,
@@ -526,6 +600,40 @@ class VersionedTable:
             },
             [d],
         )
+
+    @classmethod
+    def clone_from(
+        cls,
+        source: "VersionedTable",
+        target_path: str,
+        version: int | None = None,
+    ) -> "VersionedTable":
+        """SHALLOW CLONE (Delta feature): a new table whose v0 references
+        the source snapshot's data files — zero bytes copied, instant,
+        and subsequent writes to either table never affect the other
+        (commits are immutable, clones only add new directories).
+        ``version`` clones a historical snapshot (time-travel clone).
+
+        Caveat shared with Delta: VACUUM on the source can delete files
+        a shallow clone still references — deploys either vacuum with
+        clone awareness or deep-copy before source retirement.
+        """
+        src_commit = source._resolve_commit(version)
+        table = cls(source.spark, target_path)
+        if table.log_dir.exists() and any(table.log_dir.glob("*.json")):
+            raise FileExistsError(f"table already exists at {target_path}")
+        table._write_commit(
+            Commit(
+                version=0,
+                timestamp=time.time(),
+                operation="CLONE",
+                params={"source": str(source.root), "source_version": src_commit.version},
+                data_dirs=src_commit.data_dirs,
+                schema_json=src_commit.schema_json,
+                partition_by=src_commit.partition_by,
+            )
+        )
+        return table
 
     def restore(self, version: int) -> "VersionedTable":
         """D6 RESTORE TABLE ... TO VERSION AS OF: new commit pointing at

@@ -139,3 +139,39 @@ register(
         oracle=_sessionize_sql("CAST(floor(epoch(ts)) AS BIGINT)"),
     )
 )
+
+
+def _anomaly_sql(epoch_fn: str) -> str:
+    # Per-user z-score outliers: two-pass shape expressed as one query —
+    # per-user moments (one shuffle on user_id), broadcast back, flag
+    # |z| > 2.5. Sample stddev in both engines; users with <5 events or
+    # zero variance are excluded (z undefined).
+    return f"""
+    WITH stats AS (
+      SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma,
+             count(*) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id,
+           CAST({epoch_fn} AS BIGINT) AS es,
+           round(e.value, 2) AS value,
+           round((e.value - s.mu) / s.sigma, 3) AS z
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    WHERE s.n >= 5 AND s.sigma > 0
+      AND abs((e.value - s.mu) / s.sigma) > 2.5
+    """
+
+
+def _anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    register_testdata_views(spark, sf)
+    return spark.sql(_anomaly_sql("unix_timestamp(e.ts)"))
+
+
+register(
+    QuerySpec(
+        name="events_value_anomalies",
+        build=_anomaly,
+        doc="per-user z-score outliers (|z| > 2.5): per-key moments + broadcast-back flagging",
+        oracle=_anomaly_sql("floor(epoch(e.ts))"),
+    )
+)

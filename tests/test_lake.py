@@ -485,3 +485,57 @@ def test_conjunctive_predicate_pruning(spark, tmp_path):
     compacted = t.optimize_fragmented(max_partitions=1)
     assert compacted == [(2018, "us")]
     assert {tuple(r) for r in t.read().collect()} == before
+
+
+def test_shallow_clone_zero_copy(spark, tmp_path):
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.create(spark.createDataFrame([(1, "a"), (2, "b")], "id INT, tag STRING"))
+    src.append(spark.createDataFrame([(3, "c")], "id INT, tag STRING"))
+    clone = VersionedTable.clone_from(src, str(tmp_path / "cl"))
+    assert {r.id for r in clone.read().collect()} == {1, 2, 3}
+    # divergence: writes to either side don't affect the other
+    clone.append(spark.createDataFrame([(4, "d")], "id INT, tag STRING"))
+    src.delete(where="id = 1")
+    assert {r.id for r in clone.read().collect()} == {1, 2, 3, 4}
+    assert {r.id for r in src.read().collect()} == {2, 3}
+    # historical clone
+    old = VersionedTable.clone_from(src, str(tmp_path / "cl0"), version=0)
+    assert {r.id for r in old.read().collect()} == {1, 2}
+    assert old.history()[0]["operation"] == "CLONE"
+
+
+def test_check_constraints_enforced(spark, tmp_path):
+    from data_pipeline_with_spark_spark.lake.versioned import (
+        ConstraintViolationError,
+        VersionedTable,
+        WhenMatched,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "ck"))
+    t.create(spark.createDataFrame([(1, 10.0), (2, 20.0)], "id INT, v DOUBLE"))
+    t.add_constraint("v_positive", "v > 0")
+    # adding a constraint the snapshot violates must fail
+    with pytest.raises(ConstraintViolationError):
+        t.add_constraint("v_small", "v < 15")
+    # appends enforce
+    with pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(3, -1.0)], "id INT, v DOUBLE"))
+    t.append(spark.createDataFrame([(3, 3.0)], "id INT, v DOUBLE"))
+    # UPDATE enforces
+    with pytest.raises(ConstraintViolationError):
+        t.update(where="id = 1", set_exprs={"v": "-5.0"})
+    # MERGE enforces
+    with pytest.raises(ConstraintViolationError):
+        t.merge(
+            spark.createDataFrame([(2, -9.0)], "id INT, v DOUBLE"),
+            keys=["id"],
+            matched=[WhenMatched()],
+        )
+    # NULL evaluations pass (SQL CHECK semantics)
+    t.append(spark.createDataFrame([(4, None)], "id INT, v DOUBLE"))
+    # drop, then the bad append goes through
+    t.drop_constraint("v_positive")
+    t.append(spark.createDataFrame([(5, -1.0)], "id INT, v DOUBLE"))
+    assert t.read().count() == 5
