@@ -1043,6 +1043,26 @@ class VersionedTable:
             for c in reversed(self._commits())
         ]
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL (Delta): table-level metadata snapshot —
+        location, format, counts/bytes of live files, partition columns,
+        constraints, version span. Computed from the commit log + file
+        footers only; no data read."""
+        commit = self._latest()
+        files, schema = self._snapshot_files()
+        return {
+            "location": str(self.root),
+            "format": "parquet+jsonlog",
+            "version": commit.version,
+            "num_files": len(files),
+            "size_bytes": sum(Path(f).stat().st_size for f in files),
+            "partition_columns": list(commit.partition_by or []),
+            "constraints": dict(commit.constraints or {}),
+            "num_columns": len(schema.fields),
+            "created_version_timestamp": self._commits()[0].timestamp,
+            "last_modified_timestamp": commit.timestamp,
+        }
+
     def describe(self) -> list[tuple[str, str]]:
         """D8 DESCRIBE TABLE: (column, type) pairs of the live schema."""
         schema = T.StructType.fromJson(json.loads(self._latest().schema_json))

@@ -539,3 +539,19 @@ def test_check_constraints_enforced(spark, tmp_path):
     t.drop_constraint("v_positive")
     t.append(spark.createDataFrame([(5, -1.0)], "id INT, v DOUBLE"))
     assert t.read().count() == 5
+
+
+def test_describe_detail(spark, tmp_path):
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "det"))
+    t.create(
+        spark.createDataFrame([(1, 2020, 1.0)], "k INT, year INT, v DOUBLE"),
+        partition_by=["year"],
+    )
+    t.add_constraint("v_pos", "v > 0")
+    d = t.detail()
+    assert d["version"] == 1 and d["num_files"] >= 1 and d["size_bytes"] > 0
+    assert d["partition_columns"] == ["year"]
+    assert d["constraints"] == {"v_pos": "v > 0"}
+    assert d["num_columns"] == 3
