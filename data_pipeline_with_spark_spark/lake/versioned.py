@@ -144,6 +144,9 @@ class Commit:
     # CHECK constraints (Delta table feature): name -> SQL expression,
     # enforced on every write, carried forward commit to commit.
     constraints: dict | None = None
+    # Generated columns (Delta GENERATED ALWAYS AS): column -> SQL
+    # expression, computed when an append omits the column.
+    generated: dict | None = None
 
 
 class VersionedTable:
@@ -222,6 +225,26 @@ class VersionedTable:
         commits = self._commits()
         return dict(commits[-1].constraints or {}) if commits else {}
 
+    def generated_columns(self) -> dict[str, str]:
+        """Generated-column expressions (empty when none)."""
+        commits = self._commits()
+        return dict(commits[-1].generated or {}) if commits else {}
+
+    def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Project ``df`` onto the table schema: present columns cast,
+        missing generated columns computed from their expression (Delta
+        GENERATED ALWAYS AS), other missing columns NULL-filled."""
+        gen = self.generated_columns()
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f"`{f.name}`").cast(f.dataType).alias(f.name))
+            elif f.name in gen:
+                cols.append(F.expr(gen[f.name]).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
     def _check_constraints(
         self, df: DataFrame, constraints: dict[str, str] | None = None
     ) -> None:
@@ -299,22 +322,32 @@ class VersionedTable:
                 schema_json=json.dumps(df.schema.jsonValue()),
                 partition_by=self.partition_columns() or None,
                 constraints=self.constraints() or None,
+                generated=self.generated_columns() or None,
             )
         )
         return self
 
     def create(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> "VersionedTable":
         """Create the table, optionally hive-partitioned (Delta's
         ``partitionColumns``; reference partitions every serious write,
         SURVEY §2.1 S5). Partitioning is fixed at create time and every
-        later rewrite preserves it."""
+        later rewrite preserves it. ``generated`` declares Delta-style
+        GENERATED ALWAYS AS columns (column -> SQL expr over the other
+        columns); appends that omit such a column get it computed —
+        the idiom for derived partition keys (e.g. date from ts)."""
         if self.log_dir.exists() and any(self.log_dir.glob("*.json")):
             raise FileExistsError(f"table already exists at {self.root}")
         missing = set(partition_by or []) - set(df.columns)
         if missing:
             raise ValueError(f"partition columns {sorted(missing)} not in schema")
+        gen_missing = set(generated or {}) - set(df.columns)
+        if gen_missing:
+            raise ValueError(f"generated columns {sorted(gen_missing)} not in schema")
         d = self._write_data(df, 0, partition_by)
         self._write_commit(
             Commit(
@@ -325,6 +358,7 @@ class VersionedTable:
                 data_dirs=[d],
                 schema_json=json.dumps(df.schema.jsonValue()),
                 partition_by=list(partition_by) if partition_by else None,
+                generated=dict(generated) if generated else None,
             )
         )
         return self
@@ -354,14 +388,7 @@ class VersionedTable:
     def append(self, df: DataFrame, merge_schema: bool = False) -> "VersionedTable":
         """D6/D7 append with schema enforcement / opt-in evolution."""
         merged = self._enforce(df.schema, merge_schema)
-        aligned = df.select(
-            *[
-                F.col(f.name).cast(f.dataType)
-                if f.name in df.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in merged.fields
-            ]
-        )
+        aligned = self._align(df, merged)
         self._check_constraints(aligned)
         version = self._next_version()
         d = self._write_data(aligned, version, self.partition_columns())
@@ -376,6 +403,7 @@ class VersionedTable:
                 schema_json=json.dumps(merged.jsonValue()),
                 partition_by=self.partition_columns() or None,
                 constraints=self.constraints() or None,
+                generated=self.generated_columns() or None,
             )
         )
         return self
@@ -403,14 +431,7 @@ class VersionedTable:
         if batch_id <= last:
             return False
         merged = self._enforce(df.schema, merge_schema)
-        aligned = df.select(
-            *[
-                F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
-                if f.name in df.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in merged.fields
-            ]
-        )
+        aligned = self._align(df, merged)
         self._check_constraints(aligned)
         version = self._next_version()
         d = self._write_data(aligned, version, self.partition_columns())
@@ -428,6 +449,7 @@ class VersionedTable:
                 schema_json=json.dumps(merged.jsonValue()),
                 partition_by=self.partition_columns() or None,
                 constraints=self.constraints() or None,
+                generated=self.generated_columns() or None,
             )
         )
         return True

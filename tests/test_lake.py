@@ -555,3 +555,32 @@ def test_describe_detail(spark, tmp_path):
     assert d["partition_columns"] == ["year"]
     assert d["constraints"] == {"v_pos": "v > 0"}
     assert d["num_columns"] == 3
+
+
+def test_generated_columns_computed_on_append(spark, tmp_path):
+    # Delta GENERATED ALWAYS AS: appends omitting the derived partition
+    # key get it computed; partition pruning then works on it.
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    base = spark.createDataFrame(
+        [(1, 1704067200, 2024)], "id INT, ts_epoch BIGINT, year INT"
+    )
+    t = VersionedTable(spark, str(tmp_path / "gen"))
+    t.create(
+        base,
+        partition_by=["year"],
+        generated={"year": "year(timestamp_seconds(ts_epoch))"},
+    )
+    # append WITHOUT the generated column
+    t.append(spark.createDataFrame([(2, 1735689600)], "id INT, ts_epoch BIGINT"))
+    got = {(r.id, r.year) for r in t.read().collect()}
+    assert got == {(1, 2024), (2, 2025)}
+    # pruning on the generated partition key
+    kept, total = t.plan_files(("year", "=", 2025))
+    assert kept and all("year=2025" in f for f in kept)
+    # exactly-once path computes it too
+    t.idempotent_append(
+        spark.createDataFrame([(3, 1767225600)], "id INT, ts_epoch BIGINT"),
+        app_id="gen", batch_id=0,
+    )
+    assert (3, 2026) in {(r.id, r.year) for r in t.read().collect()}
