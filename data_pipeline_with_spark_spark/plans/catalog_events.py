@@ -175,3 +175,37 @@ register(
         oracle=_anomaly_sql("floor(epoch(e.ts))"),
     )
 )
+
+
+def _transitions_sql() -> str:
+    # User-journey mining: first-order Markov transition counts between
+    # consecutive event types per user. One lag window (single shuffle
+    # on user_id) + one count aggregation over (from, to) pairs — the
+    # shuffle carries type pairs, never event payloads. Identical text
+    # runs in both engines (no epoch extraction needed: ordering only).
+    return """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """
+
+
+def _transitions(spark: SparkSession, sf: str) -> DataFrame:
+    register_testdata_views(spark, sf)
+    return spark.sql(_transitions_sql())
+
+
+register(
+    QuerySpec(
+        name="events_type_transitions",
+        build=_transitions,
+        doc="first-order event-type transition counts per user (journey mining)",
+        oracle=_transitions_sql(),
+    )
+)

@@ -1140,6 +1140,47 @@ register(
 )
 
 
+def _embedding_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding geometry report: count, mean L2 norm, norm
+    spread. The norm is a pure array expression (zero-shuffle map side);
+    only (label, partial moments) aggregate. The standard pre-ANN sanity
+    check — unnormalized or collapsed clusters show up here first."""
+    emb = read_testdata(spark, sf, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norms = emb.select("label", F.sqrt(sq).alias("norm"))
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("norm"), 4).alias("mean_norm"),
+        F.round(F.min("norm"), 4).alias("min_norm"),
+        F.round(F.max("norm"), 4).alias("max_norm"),
+    )
+
+
+register(
+    QuerySpec(
+        name="embedding_norm_stats",
+        build=_embedding_norm_stats,
+        doc="per-label L2-norm stats over embeddings (pre-ANN sanity report)",
+        oracle="""
+        WITH n AS (
+          SELECT label,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS norm
+          FROM embeddings)
+        SELECT label, count(*) AS n_vecs,
+               round(avg(norm), 4) AS mean_norm,
+               round(min(norm), 4) AS min_norm,
+               round(max(norm), 4) AS max_norm
+        FROM n GROUP BY label
+        """,
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Capstone joint text+vector query: semantic near-dup candidate pairs
 # enriched with document metadata (vec_id ↔ doc_id is 1:1 in the

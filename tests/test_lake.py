@@ -584,3 +584,26 @@ def test_generated_columns_computed_on_append(spark, tmp_path):
         app_id="gen", batch_id=0,
     )
     assert (3, 2026) in {(r.id, r.year) for r in t.read().collect()}
+
+
+def test_concurrent_commit_conflict_raises(spark, tmp_path):
+    # Two writers racing to the same version: the second commit must
+    # fail loudly (single-writer log contract), not silently clobber.
+    from data_pipeline_with_spark_spark.lake.versioned import Commit, VersionedTable
+    import json as _json
+    import time as _time
+
+    t = VersionedTable(spark, str(tmp_path / "race"))
+    df = spark.createDataFrame([(1,)], "id INT")
+    t.create(df)
+    stale = Commit(
+        version=1,
+        timestamp=_time.time(),
+        operation="APPEND",
+        params={},
+        data_dirs=t._latest().data_dirs,
+        schema_json=t._latest().schema_json,
+    )
+    t._write_commit(stale)  # writer A wins version 1
+    with pytest.raises(RuntimeError, match="concurrent commit conflict"):
+        t._write_commit(stale)  # writer B loses
