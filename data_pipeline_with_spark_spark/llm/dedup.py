@@ -20,7 +20,7 @@ pipeline stays pure SQL/DataFrame and cross-engine verifiable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_spark.llm.text import tokens
@@ -42,11 +42,27 @@ def exact_dedup_groups(
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep exactly one row (the min-id one) per distinct text."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    """Keep exactly one row (the min-id one) per distinct text.
+
+    Requires ``id_col`` to be unique per row (true for ``doc_id``).
+
+    Scale shape: keeper ids come from a digest-only aggregation — the
+    aggregation exchange carries (16-byte md5, id) pairs, never the
+    document bodies — then the kept rows are selected with a LEFT SEMI
+    join back on the id. At test scale AQE broadcasts the keeper set so
+    the corpus never shuffles; at 100 TB, store the corpus bucketed by
+    the id column (sources/bucketing.py) and the join-back is
+    shuffle-free on the corpus side. Either way no exchange ever
+    carries ``text``, unlike a window over md5(text) which would
+    shuffle the full corpus including bodies.
+    """
+    keepers = (
+        df.select(F.md5(F.col(text_col)).alias("__text_hash"), F.col(id_col))
+        .groupBy("__text_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
+    return df.join(keepers, on=id_col, how="left_semi")
 
 
 # --------------------------------------------------------------------------
@@ -284,16 +300,27 @@ def decontamination_overlap(
     broadcasts; the corpus side streams through exploded shingles with
     no shuffle until the per-doc count, which aggregates only the
     matched (id, gram) pairs.
+
+    Gram keys are 60-bit integers (the first 15 hex chars of the gram's
+    md5, radix-converted): an 8-byte join/broadcast key instead of the
+    raw multi-word gram string or its 32-char hex digest, halving
+    broadcast and explode width. Collision risk at 2^60 key space is
+    negligible (birthday bound ~n^2/2^61; even 10^7 distinct grams give
+    ~5e-5) and any collision only flags an extra shared gram, it never
+    drops one.
     """
-    probe_grams = (
-        probe.select(F.explode(word_shingles(tokens(text_col), k_shingle)).alias("gram"))
-        .distinct()
+
+    gram_keys = F.explode(
+        F.transform(
+            word_shingles(tokens(text_col), k_shingle),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+        )
     )
-    corpus_grams = corpus.select(
-        F.col(id_col), F.explode(word_shingles(tokens(text_col), k_shingle)).alias("gram")
-    )
+
+    probe_grams = probe.select(gram_keys.alias("gram_key")).distinct()
+    corpus_grams = corpus.select(F.col(id_col), gram_keys.alias("gram_key"))
     return (
-        corpus_grams.join(F.broadcast(probe_grams), on="gram")
+        corpus_grams.join(F.broadcast(probe_grams), on="gram_key")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
     )
@@ -320,12 +347,20 @@ def connected_components(
     (diameter ≤ a few hops), so 3-4 rounds settle real corpora; each
     round is one shuffle join + one min-aggregation, labels only —
     document bodies never move.
+
+    Lineage control: an iterative persist() alone grows the logical
+    plan by two joins per round — at tens of iterations, planning time
+    balloons and a cache eviction replays the whole chain. Every
+    _CHECKPOINT_EVERY rounds the labels frame is localCheckpoint-ed
+    (eager), truncating lineage to the materialized blocks, so plan
+    size and recovery cost stay O(1) in the iteration count.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
+    edges.persist()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -333,7 +368,8 @@ def connected_components(
     )
     labels.persist()
     labels.count()
-    for _ in range(max_iter):
+    _CHECKPOINT_EVERY = 3
+    for it in range(1, max_iter + 1):
         neighbor_min = (
             edges.join(labels, on=edges.dst == labels.node)
             .groupBy("src")
@@ -348,7 +384,10 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        new_labels.persist()
+        if it % _CHECKPOINT_EVERY == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="node")
@@ -360,6 +399,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 

@@ -231,6 +231,21 @@ def test_connected_components_transitive(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
 
 
+def test_connected_components_long_chain_stress(spark):
+    # A 24-node path graph needs 23 label-propagation rounds to
+    # converge (min label moves one hop per round) — exercises the
+    # periodic localCheckpoint that bounds lineage growth (without it,
+    # 20+ iterations of 2-joins-per-round lineage make planning time
+    # balloon).
+    n = 24
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
+    )
+    labels = dedup.connected_components(pairs, max_iter=50)
+    got = {(r.node, r.component) for r in labels.collect()}
+    assert got == {(i, 1) for i in range(1, n + 1)}
+
+
 def test_phash_image_near_dups(spark):
     # Identical payloads share a pHash (hamming 0); an unrelated payload
     # must not pair with them within the hamming budget.

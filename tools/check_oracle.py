@@ -54,9 +54,11 @@ def main() -> int:
 
     specs = all_queries()
     failures = []
+    n_run = 0
     for name, spec in specs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = spec.build(spark, SF_DIR)
@@ -99,7 +101,8 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(specs) - len(failures)}/{len(specs)} queries match")
+    print(f"\n{n_run - len(failures)}/{n_run} queries run match"
+          + (f" (of {len(specs)} registered)" if n_run < len(specs) else ""))
     return 1 if failures else 0
 
 
