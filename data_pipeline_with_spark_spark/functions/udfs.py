@@ -14,6 +14,8 @@ UDF forces a JVM↔Python round trip per batch and blinds Catalyst — at
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import Column
@@ -28,7 +30,9 @@ def decade_native(year: Column | str) -> Column:
 
 
 def _decade_py(year: int | None) -> str | None:
-    return None if year is None else f"{int(year / 10) * 10}s"
+    # math.floor semantics so negative years agree with the native
+    # floor(y/10)*10 form (-5 → '-10s', not '0s').
+    return None if year is None else f"{math.floor(year / 10) * 10}s"
 
 
 # U1: row-at-a-time Python UDF (slow path, kept for the benchmark).
@@ -38,4 +42,8 @@ decade_python_udf = F.udf(_decade_py, T.StringType())
 # U2: Arrow-vectorized pandas UDF.
 @F.pandas_udf(T.StringType())
 def decade_pandas_udf(year: pd.Series) -> pd.Series:
-    return ((year // 10) * 10).astype("Int64").astype(str) + "s"
+    # Mask nulls BEFORE astype(str) — Int64 NA stringifies to '<NA>',
+    # which would return the literal string '<NA>s' instead of NULL.
+    dec = ((year // 10) * 10).astype("Int64")
+    out = dec.astype(str) + "s"
+    return out.where(dec.notna(), None)

@@ -42,11 +42,26 @@ import shutil
 import tempfile
 import time
 from dataclasses import dataclass
+from functools import reduce
+from operator import and_
 from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_SKIP_OPS = frozenset({"=", ">", ">=", "<", "<="})
+
+
+def _predicate_column(col: str, op: str, val: object) -> Column:
+    c = F.col(col)
+    return {
+        "=": c == F.lit(val),
+        ">": c > F.lit(val),
+        ">=": c >= F.lit(val),
+        "<": c < F.lit(val),
+        "<=": c <= F.lit(val),
+    }[op]
 
 
 def try_delta(spark: SparkSession) -> bool:
@@ -171,12 +186,22 @@ class VersionedTable:
     def _write_commit(self, commit: Commit) -> None:
         self.log_dir.mkdir(parents=True, exist_ok=True)
         target = self.log_dir / f"{commit.version:020d}.json"
-        if target.exists():
-            raise RuntimeError(f"concurrent commit conflict at v{commit.version}")
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump(commit.__dict__, fh)
-        os.rename(tmp, target)  # atomic on POSIX
+        # Publish via link(2), not rename(2): rename silently overwrites,
+        # so two writers racing to the same version could clobber a
+        # commit (TOCTOU); link fails atomically with EEXIST, making the
+        # publish step itself the conflict check — the same
+        # put-if-absent contract Delta requires of its log store.
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent commit conflict at v{commit.version}"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     def _latest(self) -> Commit:
         commits = self._commits()
@@ -932,14 +957,27 @@ class VersionedTable:
         files, schema = self._snapshot_files(version)
         ftypes = {f.name: f.dataType.simpleString() for f in schema.fields}
 
+        for _col, op, _val in preds:
+            if op not in _SKIP_OPS:
+                raise ValueError(
+                    f"unsupported data-skipping op {op!r}; supported: "
+                    + " ".join(sorted(_SKIP_OPS))
+                )
+
         def may_match(op: str, val, lo, hi) -> bool:
-            return {
-                "=": lo <= val <= hi,
-                ">": hi > val,
-                ">=": hi >= val,
-                "<": lo < val,
-                "<=": lo <= val,
-            }[op]
+            try:
+                return {
+                    "=": lo <= val <= hi,
+                    ">": hi > val,
+                    ">=": hi >= val,
+                    "<": lo < val,
+                    "<=": lo <= val,
+                }[op]
+            except TypeError:
+                # Predicate value doesn't order against the stats type
+                # (e.g. str vs int stats): conservative keep — skipping
+                # is an I/O optimization, never a correctness gate.
+                return True
 
         kept = []
         for f in files:
@@ -999,14 +1037,12 @@ class VersionedTable:
         preds = [predicate] if isinstance(predicate, tuple) else list(predicate)
         kept, _ = self.plan_files(preds, version)
         _, schema = self._snapshot_files(version)
-
-        def term(col: str, op: str, val: object) -> str:
-            lit = f"'{val}'" if isinstance(val, str) else repr(val)
-            return f"`{col}` {('==' if op == '=' else op)} {lit}"
-
-        cond = " AND ".join(term(*p) for p in preds)
         if not kept:
             return self.spark.createDataFrame([], schema)
+        # Column expressions, not interpolated SQL text: values with
+        # quotes, dates, Decimals, etc. are bound as literals, never
+        # spliced into a parseable string.
+        cond = reduce(and_, (_predicate_column(*p) for p in preds))
         return self._df_for_paths(kept, schema).where(cond)
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:

@@ -45,6 +45,14 @@ def asof_join(
     the latest right row at-or-before each left row's timestamp."""
     if value_columns is None:
         value_columns = [c for c in right.columns if c not in (key, right_ts)]
+    clash = sorted(set(value_columns) & set(left.columns))
+    if clash:
+        # Silently nulling-then-overwriting a left column would lose
+        # data; fail loudly like pandas/DuckDB merge_asof suffix rules.
+        raise ValueError(
+            f"asof_join: left columns {clash} collide with right value "
+            "columns; rename or pass explicit value_columns"
+        )
 
     l_tagged = left.withColumn("__is_left", F.lit(1)).withColumn(
         "__ts", F.col(left_ts)

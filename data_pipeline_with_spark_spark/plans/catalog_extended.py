@@ -112,15 +112,32 @@ register(
     )
 )
 
+# The raw HLL estimate can't hash-match across engines (sketch constants
+# differ), so the query exports what IS checkable: the exact count plus
+# a within-error-bound flag. approx_count_distinct's default rsd is
+# 0.05; a 3-sigma 0.15 bound makes the flag deterministic-in-practice,
+# turning the approx aggregate from "runs" into "checked".
 register(
     QuerySpec(
         name="a7_approx_count_distinct",
-        build=lambda spark, sf: read_testdata(spark, sf, "lineitem").agg(
+        build=lambda spark, sf: read_testdata(spark, sf, "lineitem")
+        .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.15
+            ).alias("within_bound"),
         ),
-        doc="HLL approx distinct (sketch constants differ per engine → rows-only; exact column sanity-checked in pytest)",
-        oracle=None,
+        doc="HLL approx distinct, verified against the exact count via an error-bound flag",
+        oracle="""
+        SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_bound
+        FROM lineitem
+        """,
     )
 )
 
