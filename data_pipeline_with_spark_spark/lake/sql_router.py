@@ -1,0 +1,432 @@
+"""SQL entry shape for the lakehouse: route Delta-style DML text to
+``VersionedTable``.
+
+The reference's lakehouse notebooks speak SQL, not a Python API —
+``DESCRIBE HISTORY`` (``update_versioning.py:17-19``), ``UPDATE … SET …
+WHERE`` (``update_versioning.py:40-44``), time travel ``table@v4``
+(``update_versioning.py:58-67``), ``RESTORE TABLE … TO VERSION AS OF``
+(``update_versioning.py:76-79``), ``CONVERT TO DELTA``
+(``delta_lake.py:17-30``) and ``OPTIMIZE … ZORDER BY``
+(``delta_lake.py:54-67``). Vanilla Spark SQL has no parser rules for
+these statements (they live in the delta-spark extension, which is not
+installable here), so this module provides the thin router that makes
+those notebooks port verbatim: recognize the handful of lakehouse
+statement shapes with anchored regexes, dispatch to the corresponding
+``VersionedTable`` method, and fall everything else through to
+``spark.sql`` with registered tables (and ``@vN`` time-travel refs)
+bound as temp views.
+
+Deliberately a ROUTER, not a SQL dialect: expressions inside the
+statements — SET right-hand sides, WHERE predicates, MERGE conditions —
+are never interpreted here; they pass through to Spark's own parser via
+``F.expr``. Only the statement skeleton is matched, so anything Spark
+can evaluate is legal in the expression positions.
+
+Scale note: routing is pure metadata work on the driver; every data
+plan produced is the same one the Python API builds (file-granular
+UPDATE/DELETE, by-reference RESTORE, partial OPTIMIZE), so the 100 TB
+story is unchanged by the SQL surface.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_pipeline_with_spark_spark.lake.versioned import (
+    VersionedTable,
+    WhenMatched,
+    WhenNotMatched,
+)
+
+_I = re.IGNORECASE | re.DOTALL
+
+_HISTORY_RE = re.compile(r"^\s*DESCRIBE\s+HISTORY\s+(?P<tbl>[\w.`]+)\s*;?\s*$", _I)
+_DETAIL_RE = re.compile(r"^\s*DESCRIBE\s+DETAIL\s+(?P<tbl>[\w.`]+)\s*;?\s*$", _I)
+_DESCRIBE_RE = re.compile(r"^\s*DESCRIBE\s+(?:TABLE\s+)?(?P<tbl>[\w.`]+)\s*;?\s*$", _I)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<tbl>[\w.`]+)\s+SET\s+(?P<set>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    _I,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<tbl>[\w.`]+)(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$", _I
+)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<tbl>[\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"\s*;?\s*$",
+    _I,
+)
+_CONVERT_RE = re.compile(
+    r"^\s*CONVERT\s+TO\s+DELTA\s+(?P<tbl>[\w.`]+)"
+    r"(?:\s+PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\))?\s*;?\s*$",
+    _I,
+)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<tbl>[\w.`]+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+ZORDER\s+BY\s*\(?(?P<zorder>[^();]+?)\)?)?\s*;?\s*$",
+    _I,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<tbl>[\w.`]+)(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?\s*;?\s*$", _I
+)
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<tbl>[\w.`]+)(?:\s+AS)?(?:\s+(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<src>[\w.`]+)(?:\s+AS)?(?:\s+(?P<salias>\w+))?"
+    r"\s+ON\s+(?P<on>.+?)(?P<clauses>\s+WHEN\s+.+?)\s*;?\s*$",
+    _I,
+)
+_WHEN_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?)"
+    r"(?=\s+WHEN\s+|$)",
+    _I,
+)
+_TIME_TRAVEL_RE = re.compile(r"(?P<tbl>[A-Za-z_][\w.]*)@v(?P<v>\d+)")
+
+
+def _norm(name: str) -> str:
+    return name.replace("`", "").strip()
+
+
+def _view_name(name: str, version: int | None = None) -> str:
+    base = name.replace(".", "__")
+    return base if version is None else f"__{base}_at_v{version}"
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parens and single-quoted strings, so
+    ``SET a = f(x, y), b = 'p,q'`` yields two assignments."""
+    parts, depth, in_str, cur = [], 0, False, []
+    for ch in text:
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_assignments(text: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for item in _split_top_level(text):
+        col, eq, expr = item.partition("=")
+        if not eq or not col.strip() or not expr.strip():
+            raise ValueError(f"cannot parse SET assignment {item!r}")
+        out[_norm(col)] = expr.strip()
+    return out
+
+
+_SKIP_PRED_RE = re.compile(
+    r"^\s*`?(?P<col>\w+)`?\s*(?P<op>=|>=|<=|>|<)\s*(?P<val>'[^']*'|[-\w.]+)\s*$"
+)
+
+
+def _parse_skip_predicates(text: str) -> list[tuple[str, str, object]] | None:
+    """Best-effort lift of an AND-conjunction of simple comparisons into
+    ``plan_files`` tuples (for OPTIMIZE … WHERE file targeting). Returns
+    None when the predicate is richer than col-op-literal terms."""
+    preds: list[tuple[str, str, object]] = []
+    for term in re.split(r"\s+AND\s+", text, flags=re.IGNORECASE):
+        m = _SKIP_PRED_RE.match(term)
+        if not m:
+            return None
+        raw = m.group("val")
+        val: object
+        if raw.startswith("'"):
+            val = raw[1:-1]
+        else:
+            try:
+                val = int(raw)
+            except ValueError:
+                try:
+                    val = float(raw)
+                except ValueError:
+                    val = raw
+        preds.append((m.group("col"), m.group("op"), val))
+    return preds or None
+
+
+class LakehouseSQL:
+    """Name → ``VersionedTable`` catalog plus the ``sql()`` router.
+
+    ``workspace`` is where CONVERT TO DELTA materializes new table
+    roots (one directory per dotted table name). Unconverted parquet
+    locations register via ``register_parquet`` and are only queryable
+    after CONVERT — mirroring the reference flow, where the curated
+    parquet table exists first and gains Delta features on conversion.
+    """
+
+    def __init__(self, spark: SparkSession, workspace: str):
+        self.spark = spark
+        self.workspace = Path(workspace)
+        self._tables: dict[str, VersionedTable] = {}
+        self._parquet: dict[str, str] = {}
+
+    # ------------------------------------------------------------ catalog
+    def register_parquet(self, name: str, path: str) -> None:
+        self._parquet[_norm(name)] = path
+
+    def register_table(self, name: str, table: VersionedTable) -> None:
+        self._tables[_norm(name)] = table
+
+    def table(self, name: str) -> VersionedTable:
+        try:
+            return self._tables[_norm(name)]
+        except KeyError:
+            raise KeyError(
+                f"no versioned table {name!r}; registered: "
+                f"{sorted(self._tables)} (parquet-only: {sorted(self._parquet)})"
+            ) from None
+
+    # ------------------------------------------------------------- router
+    def sql(self, statement: str) -> DataFrame:
+        for matcher, handler in (
+            (_HISTORY_RE, self._history),
+            (_DETAIL_RE, self._detail),
+            (_UPDATE_RE, self._update),
+            (_DELETE_RE, self._delete),
+            (_RESTORE_RE, self._restore),
+            (_CONVERT_RE, self._convert),
+            (_OPTIMIZE_RE, self._optimize),
+            (_VACUUM_RE, self._vacuum),
+            (_MERGE_RE, self._merge),
+            (_DESCRIBE_RE, self._describe),  # after HISTORY/DETAIL
+        ):
+            m = matcher.match(statement)
+            if m:
+                return handler(m)
+        return self._passthrough(statement)
+
+    # ----------------------------------------------------------- handlers
+    def _history(self, m: re.Match) -> DataFrame:
+        rows = self.table(m.group("tbl")).history()
+        return self.spark.createDataFrame(
+            [
+                (r["version"], float(r["timestamp"]), r["operation"], repr(r["params"]))
+                for r in rows
+            ],
+            "version bigint, timestamp double, operation string, operationParameters string",
+        )
+
+    def _detail(self, m: re.Match) -> DataFrame:
+        d = self.table(m.group("tbl")).detail()
+        return self.spark.createDataFrame(
+            [
+                (
+                    d["location"],
+                    d["format"],
+                    d["version"],
+                    d["num_files"],
+                    d["size_bytes"],
+                    list(d["partition_columns"]),
+                )
+            ],
+            "location string, format string, version bigint, num_files bigint,"
+            " size_bytes bigint, partition_columns array<string>",
+        )
+
+    def _describe(self, m: re.Match) -> DataFrame:
+        pairs = self.table(m.group("tbl")).describe()
+        return self.spark.createDataFrame(pairs, "col_name string, data_type string")
+
+    def _update(self, m: re.Match) -> DataFrame:
+        vt = self.table(m.group("tbl"))
+        where = (m.group("where") or "true").strip()
+        n = vt.read().where(where).count()
+        vt.update(where, _parse_assignments(m.group("set")))
+        return self._dml_result("UPDATE", n, vt)
+
+    def _delete(self, m: re.Match) -> DataFrame:
+        vt = self.table(m.group("tbl"))
+        where = (m.group("where") or "true").strip()
+        n = vt.read().where(where).count()
+        vt.delete(where)
+        return self._dml_result("DELETE", n, vt)
+
+    def _restore(self, m: re.Match) -> DataFrame:
+        vt = self.table(m.group("tbl"))
+        vt.restore(int(m.group("v")))
+        return self.spark.createDataFrame(
+            [(int(m.group("v")), vt._latest().version)],
+            "restored_to_version bigint, new_version bigint",
+        )
+
+    def _convert(self, m: re.Match) -> DataFrame:
+        name = _norm(m.group("tbl"))
+        if name in self._tables:
+            raise ValueError(f"{name} is already a versioned table")
+        try:
+            src = self._parquet.pop(name)
+        except KeyError:
+            raise KeyError(
+                f"no registered parquet location for {name!r}; call "
+                "register_parquet first"
+            ) from None
+        root = self.workspace / _view_name(name)
+        vt = VersionedTable.convert_from_parquet(self.spark, src, str(root))
+        self._tables[name] = vt
+        return self.spark.createDataFrame(
+            [(name, src, str(root))], "table string, source string, location string"
+        )
+
+    def _optimize(self, m: re.Match) -> DataFrame:
+        vt = self.table(m.group("tbl"))
+        zorder = (
+            [c.strip(" `") for c in m.group("zorder").split(",")]
+            if m.group("zorder")
+            else None
+        )
+        if m.group("where"):
+            preds = _parse_skip_predicates(m.group("where"))
+            if preds is None:
+                raise ValueError(
+                    "OPTIMIZE WHERE supports AND-ed col-op-literal terms only, "
+                    f"got {m.group('where')!r}"
+                )
+            vt.optimize_where(preds, zorder_by=zorder)
+        else:
+            vt.optimize(zorder_by=zorder)
+        params = vt._latest().params
+        return self.spark.createDataFrame(
+            [
+                (
+                    vt._latest().version,
+                    int(params.get("rewritten_files", -1)),
+                    int(params.get("carried_files", 0)),
+                )
+            ],
+            "new_version bigint, rewritten_files bigint, carried_files bigint",
+        )
+
+    def _vacuum(self, m: re.Match) -> DataFrame:
+        removed = self.table(m.group("tbl")).vacuum(
+            keep_versions=int(m.group("n") or 1)
+        )
+        return self.spark.createDataFrame(
+            [(p,) for p in removed] or [], "removed_path string"
+        )
+
+    def _merge(self, m: re.Match) -> DataFrame:
+        vt = self.table(m.group("tbl"))
+        talias = m.group("talias") or "t"
+        salias = m.group("salias") or "s"
+
+        def rescope(expr: str) -> str:
+            expr = re.sub(rf"\b{re.escape(talias)}\.", "t.", expr)
+            return re.sub(rf"\b{re.escape(salias)}\.", "s.", expr)
+
+        keys = []
+        for term in re.split(r"\s+AND\s+", m.group("on"), flags=re.IGNORECASE):
+            km = re.match(
+                r"^\s*(\w+)\.`?(\w+)`?\s*=\s*(\w+)\.`?(\w+)`?\s*$", term.strip()
+            )
+            if not km or {km.group(1), km.group(3)} != {talias, salias} or (
+                km.group(2) != km.group(4)
+            ):
+                raise ValueError(
+                    f"MERGE ON must be AND-ed {talias}.k = {salias}.k equalities, "
+                    f"got {term.strip()!r}"
+                )
+            keys.append(km.group(2))
+
+        matched: list[WhenMatched] = []
+        not_matched: list[WhenNotMatched] = []
+        clause_text = m.group("clauses")
+        for cm in _WHEN_RE.finditer(clause_text):
+            cond = rescope(cm.group("cond").strip()) if cm.group("cond") else None
+            action = cm.group("action").strip()
+            if cm.group("not"):
+                im = re.match(
+                    r"INSERT\s+(?:\*|\((?P<cols>[^)]+)\)\s+VALUES\s*\((?P<vals>.+)\))$",
+                    action,
+                    _I,
+                )
+                if not im:
+                    raise ValueError(f"cannot parse MERGE clause {action!r}")
+                ins = None
+                if im.group("cols"):
+                    cols = [c.strip(" `") for c in im.group("cols").split(",")]
+                    vals = [rescope(v) for v in _split_top_level(im.group("vals"))]
+                    if len(cols) != len(vals):
+                        raise ValueError("INSERT column/value count mismatch")
+                    ins = dict(zip(cols, vals))
+                not_matched.append(WhenNotMatched(insert=ins, condition=cond))
+            elif re.match(r"DELETE$", action, _I):
+                matched.append(WhenMatched(delete=True, condition=cond))
+            else:
+                um = re.match(r"UPDATE\s+SET\s+(?P<set>\*|.+)$", action, _I)
+                if not um:
+                    raise ValueError(f"cannot parse MERGE clause {action!r}")
+                upd = (
+                    None
+                    if um.group("set").strip() == "*"
+                    else {
+                        c: rescope(e)
+                        for c, e in _parse_assignments(um.group("set")).items()
+                    }
+                )
+                matched.append(WhenMatched(update=upd, condition=cond))
+
+        source = self._resolve_frame(m.group("src"))
+        before = vt.read().count()
+        vt.merge(source, keys, matched=matched or None, not_matched=not_matched or None)
+        # Delta-style metric: rows the merge touched is not cheaply
+        # observable post-hoc; report the snapshot delta instead.
+        return self._dml_result("MERGE", vt.read().count() - before, vt)
+
+    # ------------------------------------------------- SELECT passthrough
+    def _resolve_frame(self, name: str) -> DataFrame:
+        name = _norm(name)
+        if name in self._tables:
+            return self._tables[name].read()
+        return self.spark.table(name)
+
+    def _passthrough(self, statement: str) -> DataFrame:
+        """Bind ``table@vN`` time-travel refs and registered table names
+        as temp views, then hand the statement to Spark's parser."""
+        sql = statement
+
+        def tt_sub(m: re.Match) -> str:
+            name = _norm(m.group("tbl"))
+            if name not in self._tables:
+                return m.group(0)
+            view = _view_name(name, int(m.group("v")))
+            self._tables[name].read(version=int(m.group("v"))).createOrReplaceTempView(
+                view
+            )
+            return view
+
+        sql = _TIME_TRAVEL_RE.sub(tt_sub, sql)
+        for name, vt in self._tables.items():
+            pattern = re.compile(rf"\b{re.escape(name)}\b(?!@)")
+            if pattern.search(sql):
+                view = _view_name(name)
+                vt.read().createOrReplaceTempView(view)
+                sql = pattern.sub(view, sql)
+        return self.spark.sql(sql)
+
+    def _dml_result(self, op: str, n: int, vt: VersionedTable) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(op, n, vt._latest().version)],
+            "operation string, num_affected_rows bigint, new_version bigint",
+        )

@@ -46,6 +46,75 @@ register(
 )
 
 
+def _sql_router_e3(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's E3 entry shape verbatim: SQL text routed to the
+    lakehouse (delta_lake.py:17-30 CONVERT, update_versioning.py:17-79
+    UPDATE → @vN time travel → RESTORE → DESCRIBE HISTORY), driven
+    through LakehouseSQL instead of the Python API. The returned frame
+    is deterministic from the input table, so — uniquely for a DML
+    sequence — it IS oracle-checkable: v0/v2 sums equal the raw table,
+    v1 reflects the UPDATE arithmetic, and the history op-list is fixed.
+    """
+    from data_pipeline_with_spark_spark.lake.sql_router import LakehouseSQL
+
+    lake = LakehouseSQL(spark, tempfile.mkdtemp(prefix="lakesql_"))
+    lake.register_parquet("tpch.supplier", f"{sf}/supplier.parquet")
+    lake.sql("CONVERT TO DELTA tpch.supplier")
+    lake.sql(
+        "UPDATE tpch.supplier SET s_acctbal = s_acctbal + 100 "
+        "WHERE s_nationkey = 0;"
+    )
+    v1 = lake.sql(
+        "SELECT 'v1_after_update' AS snapshot, "
+        "round(sum(s_acctbal), 2) AS total FROM tpch.supplier"
+    )
+    v0 = lake.sql(
+        "SELECT 'v0_time_travel' AS snapshot, "
+        "round(sum(s_acctbal), 2) AS total FROM tpch.supplier@v0"
+    )
+    lake.sql("RESTORE TABLE tpch.supplier TO VERSION AS OF 0")
+    v2 = lake.sql(
+        "SELECT 'v2_after_restore' AS snapshot, "
+        "round(sum(s_acctbal), 2) AS total FROM tpch.supplier"
+    )
+    # version-ordered op list (collect_list alone has no order guarantee)
+    ops = lake.sql("DESCRIBE HISTORY tpch.supplier").select(
+        F.concat(
+            F.lit("history:"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("version", "operation"))),
+                    lambda s: s.operation,
+                ),
+                ",",
+            ),
+        ).alias("snapshot"),
+        F.lit(0.0).alias("total"),
+    )
+    return v0.unionByName(v1).unionByName(v2).unionByName(ops)
+
+
+register(
+    QuerySpec(
+        name="lakehouse_sql_dml_router",
+        build=_sql_router_e3,
+        doc="E3 SQL statements (CONVERT/UPDATE/@vN/RESTORE/DESCRIBE HISTORY) routed to the lakehouse",
+        oracle="""
+        SELECT 'v0_time_travel' AS snapshot, round(sum(s_acctbal), 2) AS total
+        FROM supplier
+        UNION ALL
+        SELECT 'v1_after_update',
+               round(sum(s_acctbal + CASE WHEN s_nationkey = 0 THEN 100 ELSE 0 END), 2)
+        FROM supplier
+        UNION ALL
+        SELECT 'v2_after_restore', round(sum(s_acctbal), 2) FROM supplier
+        UNION ALL
+        SELECT 'history:CONVERT,UPDATE,RESTORE', 0.0
+        """,
+    )
+)
+
+
 def _schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     """D7: enforcement rejects a widened batch, mergeSchema accepts it;
     returns per-column null counts proving old rows are null-filled."""
