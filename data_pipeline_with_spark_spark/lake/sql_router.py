@@ -39,6 +39,7 @@ from data_pipeline_with_spark_spark.lake.versioned import (
     VersionedTable,
     WhenMatched,
     WhenNotMatched,
+    lift_skip_predicates,
 )
 
 _I = re.IGNORECASE | re.DOTALL
@@ -134,36 +135,6 @@ def _parse_assignments(text: str) -> dict[str, str]:
             raise ValueError(f"cannot parse SET assignment {item!r}")
         out[_norm(col)] = expr.strip()
     return out
-
-
-_SKIP_PRED_RE = re.compile(
-    r"^\s*`?(?P<col>\w+)`?\s*(?P<op>=|>=|<=|>|<)\s*(?P<val>'[^']*'|[-\w.]+)\s*$"
-)
-
-
-def _parse_skip_predicates(text: str) -> list[tuple[str, str, object]] | None:
-    """Best-effort lift of an AND-conjunction of simple comparisons into
-    ``plan_files`` tuples (for OPTIMIZE … WHERE file targeting). Returns
-    None when the predicate is richer than col-op-literal terms."""
-    preds: list[tuple[str, str, object]] = []
-    for term in re.split(r"\s+AND\s+", text, flags=re.IGNORECASE):
-        m = _SKIP_PRED_RE.match(term)
-        if not m:
-            return None
-        raw = m.group("val")
-        val: object
-        if raw.startswith("'"):
-            val = raw[1:-1]
-        else:
-            try:
-                val = int(raw)
-            except ValueError:
-                try:
-                    val = float(raw)
-                except ValueError:
-                    val = raw
-        preds.append((m.group("col"), m.group("op"), val))
-    return preds or None
 
 
 class LakehouseSQL:
@@ -297,7 +268,7 @@ class LakehouseSQL:
             else None
         )
         if m.group("where"):
-            preds = _parse_skip_predicates(m.group("where"))
+            preds = lift_skip_predicates(m.group("where"))
             if preds is None:
                 raise ValueError(
                     "OPTIMIZE WHERE supports AND-ed col-op-literal terms only, "

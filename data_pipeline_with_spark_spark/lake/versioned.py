@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -51,6 +52,40 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _SKIP_OPS = frozenset({"=", ">", ">=", "<", "<="})
+
+_SKIP_TERM_RE = re.compile(
+    r"^\s*`?(?P<col>\w+)`?\s*(?P<op>=|>=|<=|>|<)\s*(?P<val>'[^']*'|[-\w.]+)\s*$"
+)
+
+
+def lift_skip_predicates(where: str) -> list[tuple[str, str, object]] | None:
+    """Best-effort lift of a SQL predicate into ``plan_files``
+    ``(col, op, value)`` tuples: an AND-conjunction of simple
+    col-op-literal comparisons maps term by term; anything richer
+    (OR, functions, column-to-column) returns None, meaning "can't
+    prune, touch every file". Used by UPDATE/DELETE for file-granular
+    rewrites and by the SQL router's OPTIMIZE … WHERE."""
+    preds: list[tuple[str, str, object]] = []
+    for term in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
+        m = _SKIP_TERM_RE.match(term)
+        if not m:
+            return None
+        raw = m.group("val")
+        val: object
+        if raw.startswith("'"):
+            val = raw[1:-1]
+        else:
+            try:
+                val = int(raw)
+            except ValueError:
+                try:
+                    val = float(raw)
+                except ValueError:
+                    return None  # bare identifier (column ref / keyword)
+            if isinstance(val, float) and raw.lower() in ("nan", "inf", "-inf"):
+                return None
+        preds.append((m.group("col"), m.group("op"), val))
+    return preds or None
 
 
 def _predicate_column(col: str, op: str, val: object) -> Column:
@@ -479,27 +514,90 @@ class VersionedTable:
         )
         return True
 
+    def _dml_target_files(self, where: str) -> tuple[list[str], list[str], T.StructType]:
+        """File-granular DML planning: intersect the predicate with hive
+        path values + parquet footer min/max stats (``plan_files``) and
+        split the snapshot into (rewrite, carry-by-reference) file sets.
+        Predicates too rich to lift into (col, op, value) tuples keep
+        every file — correct, just coarser. This is Delta's matched-file
+        rewrite: an UPDATE touching one partition of a 100 TB table
+        rewrites that partition, not the table."""
+        files, schema = self._snapshot_files()
+        preds = lift_skip_predicates(where)
+        if preds is None:
+            return files, [], schema
+        try:
+            selected, _total = self.plan_files(preds)
+        except ValueError:  # op outside the skip set
+            return files, [], schema
+        sel = set(selected)
+        return selected, [f for f in files if f not in sel], schema
+
     def update(self, where: str, set_exprs: dict[str, str]) -> "VersionedTable":
-        """D4 UPDATE ... SET col = expr WHERE predicate (SQL strings)."""
-        cur = self.read()
-        updated = cur.withColumns(
-            {
-                c: F.when(F.expr(where), F.expr(e)).otherwise(F.col(f"`{c}`"))
-                for c, e in set_exprs.items()
-            }
-        )
+        """D4 UPDATE ... SET col = expr WHERE predicate (SQL strings).
+        Rewrites only files whose stats range intersects the predicate;
+        the rest of the snapshot carries into the new commit by
+        reference (see ``_dml_target_files``)."""
+        selected, untouched, schema = self._dml_target_files(where)
+
+        def apply_set(df: DataFrame) -> DataFrame:
+            return df.withColumns(
+                {
+                    c: F.when(F.expr(where), F.expr(e)).otherwise(F.col(f"`{c}`"))
+                    for c, e in set_exprs.items()
+                }
+            )
+
+        def shape(sch: T.StructType) -> list[tuple[str, T.DataType]]:
+            return [(f.name, f.dataType) for f in sch.fields]  # nullability-blind
+
+        if selected and shape(
+            apply_set(self._df_for_paths(selected, schema)).schema
+        ) != shape(schema):
+            # SET expression widened a column type (e.g. int + 0.5):
+            # partial rewrite would fork the schema between old and new
+            # files — fall back to a full-snapshot rewrite.
+            selected, untouched = selected + untouched, []
+        params = {
+            "where": where,
+            "set": set_exprs,
+            "rewritten_files": len(selected),
+            "carried_files": len(untouched),
+        }
+        if not selected:  # predicate can't match any file: metadata-only
+            return self._commit_write(
+                self.spark.createDataFrame([], schema),
+                "UPDATE",
+                params,
+                self._latest().data_dirs,  # snapshot unchanged, dirs verbatim
+            )
+        updated = apply_set(self._df_for_paths(selected, schema))
         self._check_constraints(updated)
-        version = self._next_version()
-        d = self._write_data(updated, version, self.partition_columns())
-        return self._commit_write(
-            updated, "UPDATE", {"where": where, "set": set_exprs}, [d]
-        )
+        d = self._write_data(updated, self._next_version(), self.partition_columns())
+        return self._commit_write(updated, "UPDATE", params, untouched + [d])
 
     def delete(self, where: str) -> "VersionedTable":
-        remaining = self.read().where(f"NOT ({where})")
-        version = self._next_version()
-        d = self._write_data(remaining, version, self.partition_columns())
-        return self._commit_write(remaining, "DELETE", {"where": where}, [d])
+        """DELETE WHERE predicate. Delta semantics: rows where the
+        predicate is TRUE go; FALSE or NULL stay. File-granular like
+        ``update``: only stats-intersecting files rewrite."""
+        selected, untouched, schema = self._dml_target_files(where)
+        params = {
+            "where": where,
+            "rewritten_files": len(selected),
+            "carried_files": len(untouched),
+        }
+        if not selected:
+            return self._commit_write(
+                self.spark.createDataFrame([], schema),
+                "DELETE",
+                params,
+                self._latest().data_dirs,
+            )
+        remaining = self._df_for_paths(selected, schema).where(
+            ~F.coalesce(F.expr(where), F.lit(False))
+        )
+        d = self._write_data(remaining, self._next_version(), self.partition_columns())
+        return self._commit_write(remaining, "DELETE", params, untouched + [d])
 
     def merge_upsert(self, source: DataFrame, keys: list[str]) -> "VersionedTable":
         """MERGE INTO (Delta's upsert DML): WHEN MATCHED UPDATE SET * /
@@ -878,6 +976,8 @@ class VersionedTable:
         Loose files inside hive trees are grouped per basePath so their
         partition columns re-materialize; output column order follows the
         table schema in every branch so the union is positional-safe."""
+        if not paths:
+            return self.spark.createDataFrame([], schema)
         cols = [F.col(f"`{f.name}`") for f in schema.fields]
         parts: list[DataFrame] = []
         plain: list[str] = []  # flat dirs + hive-free files: one multi-path scan

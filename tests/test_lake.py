@@ -88,8 +88,12 @@ def test_delete_and_vacuum(spark, cars, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "del")).create(cars)
     t.delete(where="MS = 'IT'")
     assert t.read().count() == 2
+    # file-granular DELETE carries non-matching files by reference, so
+    # parts of v0 stay live; OPTIMIZE rewrites the snapshot, after which
+    # vacuum can drop every older directory.
+    t.optimize()
     removed = t.vacuum(keep_versions=1)
-    assert removed  # v0's data dir no longer referenced
+    assert removed  # pre-optimize dirs no longer referenced
     assert t.read().count() == 2  # live snapshot intact
 
 
@@ -607,3 +611,101 @@ def test_concurrent_commit_conflict_raises(spark, tmp_path):
     t._write_commit(stale)  # writer A wins version 1
     with pytest.raises(RuntimeError, match="concurrent commit conflict"):
         t._write_commit(stale)  # writer B loses
+
+
+def _file_state(paths):
+    from pathlib import Path
+
+    return {p: (Path(p).stat().st_size, Path(p).stat().st_mtime_ns) for p in paths}
+
+
+def test_update_rewrites_only_matching_files(spark, tmp_path):
+    # Two appends with disjoint id ranges -> two data dirs with disjoint
+    # footer stats. An UPDATE hitting only the second range must carry
+    # the first range's files by reference, byte-identical.
+    t = VersionedTable(spark, str(tmp_path / "fg"))
+    t.create(spark.range(0, 100).withColumn("v", F.lit(1.0)).coalesce(1))
+    t.append(spark.range(100, 200).withColumn("v", F.lit(1.0)).coalesce(1))
+    files_before, _ = t._snapshot_files()
+    low_files = [f for f in files_before if "/v0/" in f]
+    before = _file_state(low_files)
+
+    t.update(where="id >= 150", set_exprs={"v": "v + 1.0"})
+
+    files_after, _ = t._snapshot_files()
+    # v0's files are still the live snapshot's files for the low range —
+    # same paths, same bytes (carried by reference, not copied).
+    assert set(low_files) <= set(files_after)
+    assert _file_state(low_files) == before
+    # history records the partial rewrite
+    h = t.history()[0]
+    assert h["operation"] == "UPDATE"
+    assert h["params"]["carried_files"] >= 1
+    assert 1 <= h["params"]["rewritten_files"] < len(files_before)
+    # and the data is right
+    assert t.read().where("v = 2.0").count() == 50
+    assert t.read().where("v = 1.0").count() == 150
+
+
+def test_update_partitioned_touches_one_partition(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "fgp"))
+    df = spark.createDataFrame(
+        [(2018, "a", 1.0), (2018, "b", 2.0), (2019, "c", 3.0), (2019, "d", 4.0)],
+        ["year", "k", "v"],
+    )
+    t.create(df, partition_by=["year"])
+    files_before, _ = t._snapshot_files()
+    other = [f for f in files_before if "year=2019" in f]
+    before = _file_state(other)
+
+    t.update(where="year = 2018", set_exprs={"v": "v * 10"})
+
+    files_after, _ = t._snapshot_files()
+    assert set(other) <= set(files_after)  # 2019 partition untouched
+    assert _file_state(other) == before
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {"a": 10.0, "b": 20.0, "c": 3.0, "d": 4.0}
+
+
+def test_update_no_matching_files_is_metadata_only(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "fgn"))
+    t.create(spark.range(0, 10).withColumn("v", F.lit(1.0)))
+    dirs_before = set(t._latest().data_dirs)
+    t.update(where="id > 10000", set_exprs={"v": "0.0"})
+    assert t._latest().operation == "UPDATE"
+    assert t._latest().params["rewritten_files"] == 0
+    assert set(t._latest().data_dirs) == dirs_before  # no new data written
+    assert t.read().where("v = 1.0").count() == 10
+
+
+def test_update_type_widening_falls_back_to_full_rewrite(spark, tmp_path):
+    # SET that changes a column's type can't fork the schema between
+    # rewritten and carried files — it must rewrite the whole snapshot.
+    t = VersionedTable(spark, str(tmp_path / "fgw"))
+    t.create(spark.range(0, 10).withColumn("n", F.lit(1)))
+    t.append(spark.range(10, 20).withColumn("n", F.lit(2)))
+    t.update(where="id >= 15", set_exprs={"n": "CAST(n AS DOUBLE) + 0.5"})
+    h = t.history()[0]
+    assert h["params"]["carried_files"] == 0
+    assert dict(t.read().dtypes)["n"] == "double"
+    assert t.read().where("n = 2.5").count() == 5
+
+
+def test_delete_file_granular_and_null_semantics(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "fgd"))
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], ["id", "score"]
+    ).coalesce(1)
+    t.create(df)
+    t.append(
+        spark.createDataFrame([(100, 99.0)], ["id", "score"]).coalesce(1)
+    )
+    keep = [f for f in t._snapshot_files()[0] if "/v1/" in f]
+    before = _file_state(keep)
+
+    # Delta DELETE semantics: predicate TRUE deletes; NULL keeps.
+    t.delete(where="id <= 50 AND score > 10")
+
+    assert {r.id for r in t.read().collect()} == {1, 2, 100}
+    assert _file_state(keep) == before  # id=100 file carried by reference
+    assert t.history()[0]["params"]["carried_files"] == 1
