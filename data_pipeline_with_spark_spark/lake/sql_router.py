@@ -86,6 +86,21 @@ _WHEN_RE = re.compile(
     r"(?=\s+WHEN\s+|$)",
     _I,
 )
+_RENAME_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.`]+)\s+RENAME\s+COLUMN\s+"
+    r"`?(?P<old>\w+)`?\s+TO\s+`?(?P<new>\w+)`?\s*;?\s*$",
+    _I,
+)
+_ADD_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.`]+)\s+ADD\s+CONSTRAINT\s+"
+    r"`?(?P<name>\w+)`?\s+CHECK\s*\((?P<expr>.+)\)\s*;?\s*$",
+    _I,
+)
+_DROP_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.`]+)\s+DROP\s+CONSTRAINT\s+"
+    r"`?(?P<name>\w+)`?\s*;?\s*$",
+    _I,
+)
 _TIME_TRAVEL_RE = re.compile(r"(?P<tbl>[A-Za-z_][\w.]*)@v(?P<v>\d+)")
 
 
@@ -181,6 +196,9 @@ class LakehouseSQL:
             (_OPTIMIZE_RE, self._optimize),
             (_VACUUM_RE, self._vacuum),
             (_MERGE_RE, self._merge),
+            (_RENAME_COL_RE, self._rename_column),
+            (_ADD_CONSTRAINT_RE, self._add_constraint),
+            (_DROP_CONSTRAINT_RE, self._drop_constraint),
             (_DESCRIBE_RE, self._describe),  # after HISTORY/DETAIL
         ):
             m = matcher.match(statement)
@@ -364,6 +382,32 @@ class LakehouseSQL:
         # Delta-style metric: rows the merge touched is not cheaply
         # observable post-hoc; report the snapshot delta instead.
         return self._dml_result("MERGE", vt.read().count() - before, vt)
+
+    def _rename_column(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE … RENAME COLUMN … TO … — metadata-only commit
+        via Delta-style column mapping (data files never rewritten)."""
+        vt = self.table(m.group("tbl"))
+        vt.rename_column(m.group("old"), m.group("new"))
+        return self.spark.createDataFrame(
+            [(m.group("old"), m.group("new"), vt._latest().version)],
+            "old_name string, new_name string, new_version bigint",
+        )
+
+    def _add_constraint(self, m: re.Match) -> DataFrame:
+        vt = self.table(m.group("tbl"))
+        vt.add_constraint(m.group("name"), m.group("expr").strip())
+        return self.spark.createDataFrame(
+            [(m.group("name"), vt._latest().version)],
+            "constraint string, new_version bigint",
+        )
+
+    def _drop_constraint(self, m: re.Match) -> DataFrame:
+        vt = self.table(m.group("tbl"))
+        vt.drop_constraint(m.group("name"))
+        return self.spark.createDataFrame(
+            [(m.group("name"), vt._latest().version)],
+            "constraint string, new_version bigint",
+        )
 
     # ------------------------------------------------- SELECT passthrough
     def _resolve_frame(self, name: str) -> DataFrame:

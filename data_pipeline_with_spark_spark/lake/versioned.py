@@ -197,6 +197,11 @@ class Commit:
     # Generated columns (Delta GENERATED ALWAYS AS): column -> SQL
     # expression, computed when an append omits the column.
     generated: dict | None = None
+    # Column mapping (Delta columnMapping feature): logical column name
+    # -> physical name in the parquet files. Lets RENAME COLUMN be a
+    # metadata-only commit — data files keep their original (physical)
+    # names forever; reads alias physical -> logical. None = identity.
+    column_mapping: dict | None = None
 
 
 class VersionedTable:
@@ -337,6 +342,8 @@ class VersionedTable:
                 schema_json=latest.schema_json,
                 partition_by=latest.partition_by,
                 constraints=cons,
+                generated=latest.generated,
+                column_mapping=latest.column_mapping,
             )
         )
         return self
@@ -355,13 +362,90 @@ class VersionedTable:
                 schema_json=latest.schema_json,
                 partition_by=latest.partition_by,
                 constraints=cons or None,
+                generated=latest.generated,
+                column_mapping=latest.column_mapping,
             )
         )
         return self
 
+    def rename_column(self, old: str, new: str) -> "VersionedTable":
+        """ALTER TABLE … RENAME COLUMN (Delta column mapping, 'name'
+        mode): a metadata-only commit — zero data files touched. Data
+        files keep the original *physical* column name forever; the
+        commit log records logical -> physical ``column_mapping`` and
+        every read aliases physical back to logical. Time travel to a
+        pre-rename version sees the old name because the mapping is
+        resolved per-commit. At 100 TB this is the whole point: a
+        rename is O(1) metadata, not a table rewrite."""
+        latest = self._latest()
+        schema = T.StructType.fromJson(json.loads(latest.schema_json))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"column {old!r} not in table schema {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists in table schema")
+        # Delta likewise blocks renaming a column referenced by a CHECK
+        # constraint or generated-column expression: the stored SQL text
+        # would dangle against the new schema.
+        ref = re.compile(rf"\b{re.escape(old)}\b")
+        for kind, exprs in (
+            ("CHECK constraint", self.constraints()),
+            ("generated column", self.generated_columns()),
+        ):
+            for cname, expr in exprs.items():
+                if cname == old or ref.search(expr):
+                    raise ValueError(
+                        f"cannot rename {old!r}: referenced by {kind} "
+                        f"{cname!r} ({expr})"
+                    )
+        mapping = dict(latest.column_mapping or {})
+        physical = mapping.pop(old, old)  # chained renames keep the v0 name
+        mapping[new] = physical
+        new_schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+                for f in schema.fields
+            ]
+        )
+        self._write_commit(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="RENAME COLUMN",
+                params={"old": old, "new": new, "physical": physical},
+                data_dirs=latest.data_dirs,
+                schema_json=json.dumps(new_schema.jsonValue()),
+                partition_by=[new if c == old else c for c in (latest.partition_by or [])]
+                or None,
+                constraints=latest.constraints,
+                generated=latest.generated,
+                column_mapping=mapping,
+            )
+        )
+        return self
+
+    def _mapping(self, version: int | None = None) -> dict[str, str]:
+        """Logical -> physical column names for a snapshot, identity-
+        filled for unmapped fields; {} before the first commit."""
+        try:
+            commit = self._resolve_commit(version)
+        except FileNotFoundError:
+            return {}
+        schema = T.StructType.fromJson(json.loads(commit.schema_json))
+        cm = commit.column_mapping or {}
+        return {f.name: cm.get(f.name, f.name) for f in schema.fields}
+
     def _write_data(
         self, df: DataFrame, version: int, partition_by: list[str] | None = None
     ) -> str:
+        # Data files always carry PHYSICAL column names (Delta column
+        # mapping): every file in every snapshot agrees regardless of
+        # how many renames happened in between.
+        mapping = self._mapping()
+        renames = {l: p for l, p in mapping.items() if p != l and l in df.columns}
+        if renames:
+            df = df.withColumnsRenamed(renames)
+            partition_by = [mapping.get(c, c) for c in (partition_by or [])] or None
         target = self.data_dir / f"v{version}"
         writer = df.write.mode("errorifexists")
         if partition_by:
@@ -383,6 +467,7 @@ class VersionedTable:
                 partition_by=self.partition_columns() or None,
                 constraints=self.constraints() or None,
                 generated=self.generated_columns() or None,
+                column_mapping=self._latest().column_mapping,
             )
         )
         return self
@@ -464,6 +549,7 @@ class VersionedTable:
                 partition_by=self.partition_columns() or None,
                 constraints=self.constraints() or None,
                 generated=self.generated_columns() or None,
+                column_mapping=self._latest().column_mapping,
             )
         )
         return self
@@ -510,6 +596,7 @@ class VersionedTable:
                 partition_by=self.partition_columns() or None,
                 constraints=self.constraints() or None,
                 generated=self.generated_columns() or None,
+                column_mapping=self._latest().column_mapping,
             )
         )
         return True
@@ -552,7 +639,7 @@ class VersionedTable:
             return [(f.name, f.dataType) for f in sch.fields]  # nullability-blind
 
         if selected and shape(
-            apply_set(self._df_for_paths(selected, schema)).schema
+            apply_set(self._df_for_paths(selected, schema, self._mapping())).schema
         ) != shape(schema):
             # SET expression widened a column type (e.g. int + 0.5):
             # partial rewrite would fork the schema between old and new
@@ -571,7 +658,7 @@ class VersionedTable:
                 params,
                 self._latest().data_dirs,  # snapshot unchanged, dirs verbatim
             )
-        updated = apply_set(self._df_for_paths(selected, schema))
+        updated = apply_set(self._df_for_paths(selected, schema, self._mapping()))
         self._check_constraints(updated)
         d = self._write_data(updated, self._next_version(), self.partition_columns())
         return self._commit_write(updated, "UPDATE", params, untouched + [d])
@@ -593,7 +680,7 @@ class VersionedTable:
                 params,
                 self._latest().data_dirs,
             )
-        remaining = self._df_for_paths(selected, schema).where(
+        remaining = self._df_for_paths(selected, schema, self._mapping()).where(
             ~F.coalesce(F.expr(where), F.lit(False))
         )
         d = self._write_data(remaining, self._next_version(), self.partition_columns())
@@ -776,6 +863,7 @@ class VersionedTable:
                 data_dirs=src_commit.data_dirs,
                 schema_json=src_commit.schema_json,
                 partition_by=src_commit.partition_by,
+                column_mapping=src_commit.column_mapping,
             )
         )
         return table
@@ -796,6 +884,7 @@ class VersionedTable:
                 data_dirs=old.data_dirs,
                 schema_json=old.schema_json,
                 partition_by=old.partition_by,
+                column_mapping=old.column_mapping,
             )
         )
         return self
@@ -866,7 +955,7 @@ class VersionedTable:
         files, schema = self._snapshot_files()
         sel = set(selected)
         untouched = [f for f in files if f not in sel]
-        df = self._df_for_paths(selected, schema)
+        df = self._df_for_paths(selected, schema, self._mapping())
         pcols = self.partition_columns()
         if pcols:
             order = pcols + [c for c in (zorder_by or []) if c not in pcols]
@@ -912,10 +1001,11 @@ class VersionedTable:
             raise ValueError("optimize_fragmented needs a partitioned table")
         files, schema = self._snapshot_files()
         ftypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+        phys = self._mapping()  # hive paths carry physical names
         counts: dict[tuple[str, ...], int] = {}
         for f in files:
             hv = _hive_values(f)
-            raws = tuple(hv.get(c) for c in pcols)
+            raws = tuple(hv.get(phys.get(c, c)) for c in pcols)
             if None in raws or "__HIVE_DEFAULT_PARTITION__" in raws:
                 continue
             counts[raws] = counts.get(raws, 0) + 1
@@ -971,14 +1061,35 @@ class VersionedTable:
             raise ValueError(f"version {version} not in history (0..{commits[-1].version})")
         return by_v[version]
 
-    def _df_for_paths(self, paths: list[str], schema: T.StructType) -> DataFrame:
+    def _df_for_paths(
+        self,
+        paths: list[str],
+        schema: T.StructType,
+        mapping: dict[str, str] | None = None,
+    ) -> DataFrame:
         """Read a mix of directories and loose files as one DataFrame.
         Loose files inside hive trees are grouped per basePath so their
         partition columns re-materialize; output column order follows the
-        table schema in every branch so the union is positional-safe."""
+        table schema in every branch so the union is positional-safe.
+        ``mapping`` (logical -> physical, column-mapping tables) makes
+        the scan read physical names and alias them back to logical."""
         if not paths:
             return self.spark.createDataFrame([], schema)
-        cols = [F.col(f"`{f.name}`") for f in schema.fields]
+        mapping = mapping or {}
+        if any(mapping.get(f.name, f.name) != f.name for f in schema.fields):
+            physical = T.StructType(
+                [
+                    T.StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+            )
+            cols = [
+                F.col(f"`{mapping.get(f.name, f.name)}`").alias(f.name)
+                for f in schema.fields
+            ]
+            schema = physical
+        else:
+            cols = [F.col(f"`{f.name}`") for f in schema.fields]
         parts: list[DataFrame] = []
         plain: list[str] = []  # flat dirs + hive-free files: one multi-path scan
         solo: list[str] = []  # hive trees: partition discovery needs its own root
@@ -1016,7 +1127,7 @@ class VersionedTable:
         """Current snapshot, or D5 time travel when ``version`` given."""
         commit = self._resolve_commit(version)
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
-        return self._df_for_paths(commit.data_dirs, schema)
+        return self._df_for_paths(commit.data_dirs, schema, self._mapping(version))
 
     def _snapshot_files(self, version: int | None = None) -> tuple[list[str], T.StructType]:
         commits = self._commits()
@@ -1056,6 +1167,9 @@ class VersionedTable:
         preds = [predicate] if isinstance(predicate, tuple) else list(predicate)
         files, schema = self._snapshot_files(version)
         ftypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+        # predicates arrive with logical names; paths and footers hold
+        # physical names (column-mapping tables)
+        phys = self._mapping(version)
 
         for _col, op, _val in preds:
             if op not in _SKIP_OPS:
@@ -1085,10 +1199,11 @@ class VersionedTable:
             md = names = None
             keep = True
             for col, op, val in preds:
+                pcol = phys.get(col, col)
                 # Hive partition pruning first: the column may be
                 # encoded in the path, not the file (partitioned tables).
-                if col in hv:
-                    raw = hv[col]
+                if pcol in hv:
+                    raw = hv[pcol]
                     if raw == "__HIVE_DEFAULT_PARTITION__":
                         keep = False  # NULL partition fails any comparison
                         break
@@ -1105,12 +1220,12 @@ class VersionedTable:
                     names = {
                         md.schema.column(i).name: i for i in range(md.num_columns)
                     }
-                if col not in names:
+                if pcol not in names:
                     continue  # unknown column: conservative keep
                 lo = hi = None
                 ok_stats = True
                 for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(names[col]).statistics
+                    st = md.row_group(rg).column(names[pcol]).statistics
                     if st is None or not st.has_min_max:
                         ok_stats = False
                         break
@@ -1143,7 +1258,7 @@ class VersionedTable:
         # quotes, dates, Decimals, etc. are bound as literals, never
         # spliced into a parseable string.
         cond = reduce(and_, (_predicate_column(*p) for p in preds))
-        return self._df_for_paths(kept, schema).where(cond)
+        return self._df_for_paths(kept, schema, self._mapping(version)).where(cond)
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed (Delta CDF / ``table_changes`` analogue):
@@ -1160,11 +1275,21 @@ class VersionedTable:
         newer = self.read(version=to_version)
         older = self.read(version=from_version)
         # align the older snapshot to the newer schema (evolution-safe:
-        # columns added since from_version read as NULL, like Delta CDF)
+        # columns added since from_version read as NULL, like Delta CDF).
+        # Column identity is the PHYSICAL name (column-mapping tables):
+        # a renamed column is the same column, not a drop+add, so a
+        # metadata-only rename produces an empty change feed.
+        new_phys = self._mapping(to_version)
+        old_logical = {p: l for l, p in self._mapping(from_version).items()}
+
+        def src(name: str) -> str | None:
+            cand = old_logical.get(new_phys.get(name, name), name)
+            return cand if cand in older.columns else None
+
         aligned = older.select(
             *[
-                F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
-                if f.name in older.columns
+                F.col(f"`{src(f.name)}`").cast(f.dataType).alias(f.name)
+                if src(f.name) is not None
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in newer.schema.fields
             ]

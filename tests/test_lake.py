@@ -709,3 +709,96 @@ def test_delete_file_granular_and_null_semantics(spark, tmp_path):
     assert {r.id for r in t.read().collect()} == {1, 2, 100}
     assert _file_state(keep) == before  # id=100 file carried by reference
     assert t.history()[0]["params"]["carried_files"] == 1
+
+
+def test_rename_column_metadata_only(spark, cars, tmp_path):
+    # Delta column mapping: RENAME COLUMN is a metadata-only commit —
+    # data files keep the physical name; reads alias back to logical.
+    import os
+
+    t = VersionedTable(spark, str(tmp_path / "ren")).create(cars)
+    before_files = {
+        str(p): os.path.getmtime(p)
+        for p in (tmp_path / "ren" / "data").rglob("*.parquet")
+    }
+    t.rename_column("ec_cm3", "engine_cc")
+    after_files = {
+        str(p): os.path.getmtime(p)
+        for p in (tmp_path / "ren" / "data").rglob("*.parquet")
+    }
+    assert before_files == after_files  # zero data files touched
+    df = t.read()
+    assert "engine_cc" in df.columns and "ec_cm3" not in df.columns
+    assert {r.Mh: r.engine_cc for r in df.collect()}["FERRARI"] == 4000.0
+    # time travel to the pre-rename version sees the old name
+    v0 = t.read(version=0)
+    assert "ec_cm3" in v0.columns and "engine_cc" not in v0.columns
+    assert t.history()[0]["operation"] == "RENAME COLUMN"
+
+
+def test_rename_column_append_and_dml_after(spark, cars, tmp_path):
+    # Appends use logical names; files mix pre- and post-rename writes
+    # yet read as one frame. DML and data skipping resolve the mapping.
+    t = VersionedTable(spark, str(tmp_path / "renapp")).create(cars)
+    t.rename_column("ec_cm3", "engine_cc")
+    t.append(
+        spark.createDataFrame(
+            [("ES", "SEAT", 1500.0, 2020)], ["MS", "Mh", "engine_cc", "year"]
+        )
+    )
+    assert t.read().count() == 4
+    assert {r.Mh: r.engine_cc for r in t.read().collect()}["SEAT"] == 1500.0
+    # UPDATE through the logical name touches both old and new files
+    t.update(where="engine_cc < 1600", set_exprs={"engine_cc": "engine_cc + 1"})
+    vals = {r.Mh: r.engine_cc for r in t.read().collect()}
+    assert vals["RENAULT"] == 1201.0 and vals["SEAT"] == 1501.0 and vals["FERRARI"] == 4000.0
+    # data skipping with the logical name (footers hold the physical)
+    kept, total = t.plan_files(("engine_cc", ">", 3000.0))
+    assert kept and len(kept) < total
+    got = {r.Mh for r in t.read_where(("engine_cc", ">", 3000.0)).collect()}
+    assert got == {"FERRARI"}
+
+
+def test_rename_column_chained_and_restore(spark, cars, tmp_path):
+    # a -> b -> c keeps the v0 physical name; restore resurrects the
+    # old logical schema.
+    t = VersionedTable(spark, str(tmp_path / "renchain")).create(cars)
+    t.rename_column("ec_cm3", "cc").rename_column("cc", "displacement")
+    assert t._latest().column_mapping == {"displacement": "ec_cm3"}
+    assert {r.Mh: r.displacement for r in t.read().collect()}["BMW"] == 2000.0
+    t.restore(0)
+    assert "ec_cm3" in t.read().columns
+    # CDF across a pure rename is empty: same physical column, no rows moved
+    assert t.changes(0, 2).count() == 0
+
+
+def test_rename_column_validation(spark, cars, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "renval")).create(cars)
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("ec_cm3", "year")
+    t.add_constraint("cc_pos", "ec_cm3 > 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t.rename_column("ec_cm3", "engine_cc")
+    t.drop_constraint("cc_pos")
+    t.rename_column("ec_cm3", "engine_cc")  # constraint gone: allowed
+    assert "engine_cc" in t.read().columns
+
+
+def test_rename_partition_column(spark, tmp_path):
+    rows = [(i, "A" if i % 2 else "B", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "grp", "val"])
+    t = VersionedTable(spark, str(tmp_path / "renpart")).create(df, partition_by=["grp"])
+    t.rename_column("grp", "category")
+    assert t.partition_columns() == ["category"]
+    assert t.read().where("category = 'A'").count() == 10
+    # hive-path pruning still works through the physical name
+    kept, total = t.plan_files(("category", "=", "A"))
+    assert kept and len(kept) < total
+    t.append(
+        spark.createDataFrame([(99, "A", 99.0)], ["id", "category", "val"])
+    )
+    assert t.read().where("category = 'A'").count() == 11
+    t.optimize_fragmented(max_partitions=1, min_files=2)
+    assert t.read().where("category = 'A'").count() == 11

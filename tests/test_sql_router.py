@@ -153,3 +153,52 @@ def test_errors_are_loud(lake):
     lake.sql("CONVERT TO DELTA eea_curated.co2_emissions")
     with pytest.raises(ValueError, match="cannot parse SET"):
         lake.sql("UPDATE eea_curated.co2_emissions SET nonsense")
+
+
+def test_alter_table_rename_column_sql(lake):
+    lake.sql("CONVERT TO DELTA eea_curated.co2_emissions")
+    res = lake.sql(
+        "ALTER TABLE eea_curated.co2_emissions RENAME COLUMN ec_cm3 TO engine_cc"
+    ).collect()[0]
+    assert (res.old_name, res.new_name, res.new_version) == ("ec_cm3", "engine_cc", 1)
+    rows = lake.sql(
+        "SELECT Mh, engine_cc FROM eea_curated.co2_emissions WHERE engine_cc > 3000"
+    ).collect()
+    assert [(r.Mh, r.engine_cc) for r in rows] == [("FERRARI", 4000.0)]
+    # time travel pre-rename sees the old name
+    old = lake.sql(
+        "SELECT ec_cm3 FROM eea_curated.co2_emissions@v0 WHERE Mh = 'BMW'"
+    ).collect()
+    assert old[0].ec_cm3 == 2000.0
+    # DESCRIBE reflects the logical schema
+    cols = {r.col_name for r in lake.sql("DESCRIBE eea_curated.co2_emissions").collect()}
+    assert "engine_cc" in cols and "ec_cm3" not in cols
+    # DML through the new name routes the same file-granular path
+    lake.sql(
+        "UPDATE eea_curated.co2_emissions SET engine_cc = engine_cc + 1 "
+        "WHERE Mh = 'RENAULT'"
+    )
+    vals = {
+        r.Mh: r.engine_cc
+        for r in lake.sql("SELECT * FROM eea_curated.co2_emissions").collect()
+    }
+    assert vals["RENAULT"] == 1201.0
+
+
+def test_alter_table_constraints_sql(lake):
+    lake.sql("CONVERT TO DELTA eea_curated.co2_emissions")
+    lake.sql(
+        "ALTER TABLE eea_curated.co2_emissions ADD CONSTRAINT cc_pos CHECK (ec_cm3 > 0)"
+    )
+    vt = lake.table("eea_curated.co2_emissions")
+    assert vt.constraints() == {"cc_pos": "ec_cm3 > 0"}
+    from data_pipeline_with_spark_spark.lake.versioned import ConstraintViolationError
+
+    with pytest.raises(ConstraintViolationError):
+        vt.append(
+            vt.spark.createDataFrame(
+                [("XX", "BAD", -1.0, 2021)], ["MS", "Mh", "ec_cm3", "year"]
+            )
+        )
+    lake.sql("ALTER TABLE eea_curated.co2_emissions DROP CONSTRAINT cc_pos")
+    assert vt.constraints() == {}
