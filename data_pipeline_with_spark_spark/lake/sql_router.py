@@ -86,6 +86,9 @@ _WHEN_RE = re.compile(
     r"(?=\s+WHEN\s+|$)",
     _I,
 )
+_REORG_RE = re.compile(
+    r"^\s*REORG\s+TABLE\s+(?P<tbl>[\w.`]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$", _I
+)
 _RENAME_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.`]+)\s+RENAME\s+COLUMN\s+"
     r"`?(?P<old>\w+)`?\s+TO\s+`?(?P<new>\w+)`?\s*;?\s*$",
@@ -196,6 +199,7 @@ class LakehouseSQL:
             (_OPTIMIZE_RE, self._optimize),
             (_VACUUM_RE, self._vacuum),
             (_MERGE_RE, self._merge),
+            (_REORG_RE, self._reorg),
             (_RENAME_COL_RE, self._rename_column),
             (_ADD_CONSTRAINT_RE, self._add_constraint),
             (_DROP_CONSTRAINT_RE, self._drop_constraint),
@@ -382,6 +386,23 @@ class LakehouseSQL:
         # Delta-style metric: rows the merge touched is not cheaply
         # observable post-hoc; report the snapshot delta instead.
         return self._dml_result("MERGE", vt.read().count() - before, vt)
+
+    def _reorg(self, m: re.Match) -> DataFrame:
+        """REORG TABLE … APPLY (PURGE): fold deletion vectors into a
+        physical rewrite of only the DV-affected files."""
+        vt = self.table(m.group("tbl"))
+        vt.purge_deletion_vectors()
+        params = vt._latest().params
+        return self.spark.createDataFrame(
+            [
+                (
+                    vt._latest().version,
+                    int(params.get("rewritten_files", 0)),
+                    int(params.get("carried_files", 0)),
+                )
+            ],
+            "new_version bigint, rewritten_files bigint, carried_files bigint",
+        )
 
     def _rename_column(self, m: re.Match) -> DataFrame:
         """ALTER TABLE … RENAME COLUMN … TO … — metadata-only commit

@@ -202,6 +202,12 @@ class Commit:
     # metadata-only commit — data files keep their original (physical)
     # names forever; reads alias physical -> logical. None = identity.
     column_mapping: dict | None = None
+    # Deletion vectors (Delta DV feature): parquet directories of
+    # (file_path, row_index) tombstones. A DV DELETE writes O(matched
+    # rows) of tombstones instead of rewriting files; reads anti-join
+    # them away. Rows referencing files no longer in the snapshot are
+    # dangling and harmless (file paths are never reused).
+    dv_paths: list | None = None
 
 
 class VersionedTable:
@@ -344,6 +350,7 @@ class VersionedTable:
                 constraints=cons,
                 generated=latest.generated,
                 column_mapping=latest.column_mapping,
+                dv_paths=latest.dv_paths,
             )
         )
         return self
@@ -364,6 +371,7 @@ class VersionedTable:
                 constraints=cons or None,
                 generated=latest.generated,
                 column_mapping=latest.column_mapping,
+                dv_paths=latest.dv_paths,
             )
         )
         return self
@@ -420,6 +428,7 @@ class VersionedTable:
                 constraints=latest.constraints,
                 generated=latest.generated,
                 column_mapping=mapping,
+                dv_paths=latest.dv_paths,
             )
         )
         return self
@@ -454,8 +463,18 @@ class VersionedTable:
         return str(target)
 
     def _commit_write(
-        self, df: DataFrame, operation: str, params: dict, data_dirs: list[str]
+        self,
+        df: DataFrame,
+        operation: str,
+        params: dict,
+        data_dirs: list[str],
+        dv_paths: object = "carry",
     ) -> "VersionedTable":
+        # "carry" keeps the previous commit's deletion vectors (partial
+        # rewrites: untouched files still need their tombstones); a
+        # full-snapshot rewrite passes None — every surviving row was
+        # re-materialized, so tombstones are obsolete.
+        dv = self._latest().dv_paths if dv_paths == "carry" else (dv_paths or None)
         self._write_commit(
             Commit(
                 version=self._next_version(),
@@ -468,6 +487,7 @@ class VersionedTable:
                 constraints=self.constraints() or None,
                 generated=self.generated_columns() or None,
                 column_mapping=self._latest().column_mapping,
+                dv_paths=dv,
             )
         )
         return self
@@ -550,6 +570,7 @@ class VersionedTable:
                 constraints=self.constraints() or None,
                 generated=self.generated_columns() or None,
                 column_mapping=self._latest().column_mapping,
+                dv_paths=self._latest().dv_paths,
             )
         )
         return self
@@ -597,6 +618,7 @@ class VersionedTable:
                 constraints=self.constraints() or None,
                 generated=self.generated_columns() or None,
                 column_mapping=self._latest().column_mapping,
+                dv_paths=self._latest().dv_paths,
             )
         )
         return True
@@ -640,7 +662,7 @@ class VersionedTable:
 
         if selected and shape(
             apply_set(self._df_for_paths(selected, schema, self._mapping())).schema
-        ) != shape(schema):
+        ) != shape(schema):  # schema probe only; DV application not needed
             # SET expression widened a column type (e.g. int + 0.5):
             # partial rewrite would fork the schema between old and new
             # files — fall back to a full-snapshot rewrite.
@@ -658,15 +680,32 @@ class VersionedTable:
                 params,
                 self._latest().data_dirs,  # snapshot unchanged, dirs verbatim
             )
-        updated = apply_set(self._df_for_paths(selected, schema, self._mapping()))
+        updated = apply_set(
+            self._df_for_paths(selected, schema, self._mapping(), self._dv())
+        )
         self._check_constraints(updated)
         d = self._write_data(updated, self._next_version(), self.partition_columns())
-        return self._commit_write(updated, "UPDATE", params, untouched + [d])
+        return self._commit_write(
+            updated,
+            "UPDATE",
+            params,
+            untouched + [d],
+            dv_paths="carry" if untouched else None,
+        )
 
-    def delete(self, where: str) -> "VersionedTable":
+    def delete(self, where: str, use_dv: bool = False) -> "VersionedTable":
         """DELETE WHERE predicate. Delta semantics: rows where the
         predicate is TRUE go; FALSE or NULL stay. File-granular like
-        ``update``: only stats-intersecting files rewrite."""
+        ``update``: only stats-intersecting files rewrite.
+
+        ``use_dv=True`` switches to deletion vectors (Delta's DV table
+        feature): instead of rewriting files, write O(matched rows) of
+        (file_path, row_index) tombstones and leave every data file
+        byte-identical. Reads anti-join the tombstones away. This is
+        the scale answer for frequent small deletes on a 100 TB table —
+        a delete matching 1k rows writes kilobytes, not terabytes.
+        ``purge_deletion_vectors`` (REORG … APPLY (PURGE)) later folds
+        tombstones into a physical rewrite of only the affected files."""
         selected, untouched, schema = self._dml_target_files(where)
         params = {
             "where": where,
@@ -680,11 +719,78 @@ class VersionedTable:
                 params,
                 self._latest().data_dirs,
             )
-        remaining = self._df_for_paths(selected, schema, self._mapping()).where(
-            ~F.coalesce(F.expr(where), F.lit(False))
-        )
+        if use_dv:
+            src = self._df_for_paths(
+                selected, schema, self._mapping(), self._dv(), with_meta=True
+            )
+            tombstones = src.where(F.coalesce(F.expr(where), F.lit(False))).select(
+                F.col("__dv_path").alias("file_path"),
+                F.col("__dv_idx").alias("row_index"),
+            )
+            dv_dir = self.data_dir / f"v{self._next_version()}_dv"
+            tombstones.coalesce(1).write.parquet(str(dv_dir))
+            n_dv = self.spark.read.parquet(str(dv_dir)).count()
+            params = {
+                "where": where,
+                "rewritten_files": 0,
+                "carried_files": len(selected) + len(untouched),
+                "dv_rows": n_dv,
+            }
+            return self._commit_write(
+                self.spark.createDataFrame([], schema),
+                "DELETE",
+                params,
+                self._latest().data_dirs,  # data files untouched
+                dv_paths=self._dv() + [str(dv_dir)],
+            )
+        remaining = self._df_for_paths(
+            selected, schema, self._mapping(), self._dv()
+        ).where(~F.coalesce(F.expr(where), F.lit(False)))
         d = self._write_data(remaining, self._next_version(), self.partition_columns())
-        return self._commit_write(remaining, "DELETE", params, untouched + [d])
+        return self._commit_write(
+            remaining,
+            "DELETE",
+            params,
+            untouched + [d],
+            dv_paths="carry" if untouched else None,
+        )
+
+    def purge_deletion_vectors(self) -> "VersionedTable":
+        """REORG TABLE … APPLY (PURGE): materialize deletion vectors by
+        rewriting ONLY the files that carry tombstones; untouched files
+        and the logical snapshot are unchanged. After this commit the
+        table has zero DVs and VACUUM can reclaim the tombstone files."""
+        dv_paths = self._dv()
+        if not dv_paths:
+            return self
+        files, schema = self._snapshot_files()
+        # _metadata.file_path is a file:// URI; snapshot files are plain
+        # paths — canonicalize before intersecting.
+        dv_files = {
+            re.sub(r"^file:/+", "/", r.file_path)
+            for r in self.spark.read.parquet(*dv_paths)
+            .select("file_path")
+            .distinct()
+            .collect()
+        }
+        affected = [f for f in files if f in dv_files]
+        d = None
+        untouched = [f for f in files if f not in set(affected)]
+        if affected:
+            clean = self._df_for_paths(affected, schema, self._mapping(), dv_paths)
+            d = self._write_data(clean, self._next_version(), self.partition_columns())
+        params = {
+            "purged_dv_files": len(dv_paths),
+            "rewritten_files": len(affected),
+            "carried_files": len(untouched),
+        }
+        return self._commit_write(
+            self.spark.createDataFrame([], schema),
+            "REORG",
+            params,
+            untouched + ([d] if d else []),
+            dv_paths=None,
+        )
 
     def merge_upsert(self, source: DataFrame, keys: list[str]) -> "VersionedTable":
         """MERGE INTO (Delta's upsert DML): WHEN MATCHED UPDATE SET * /
@@ -705,7 +811,7 @@ class VersionedTable:
         merged = source.select(*target.columns).unionByName(survivors)
         version = self._next_version()
         d = self._write_data(merged, version, self.partition_columns())
-        return self._commit_write(merged, "MERGE", {"keys": keys}, [d])
+        return self._commit_write(merged, "MERGE", {"keys": keys}, [d], dv_paths=None)
 
     def merge(
         self,
@@ -831,6 +937,7 @@ class VersionedTable:
                 "not_matched_clauses": len(not_matched),
             },
             [d],
+            dv_paths=None,
         )
 
     @classmethod
@@ -864,6 +971,7 @@ class VersionedTable:
                 schema_json=src_commit.schema_json,
                 partition_by=src_commit.partition_by,
                 column_mapping=src_commit.column_mapping,
+                dv_paths=src_commit.dv_paths,
             )
         )
         return table
@@ -885,6 +993,7 @@ class VersionedTable:
                 schema_json=old.schema_json,
                 partition_by=old.partition_by,
                 column_mapping=old.column_mapping,
+                dv_paths=old.dv_paths,
             )
         )
         return self
@@ -912,7 +1021,7 @@ class VersionedTable:
         version = self._next_version()
         d = self._write_data(cur, version, pcols)
         return self._commit_write(
-            cur, "OPTIMIZE", {"zorder_by": zorder_by or []}, [d]
+            cur, "OPTIMIZE", {"zorder_by": zorder_by or []}, [d], dv_paths=None
         )
 
     @staticmethod
@@ -955,7 +1064,10 @@ class VersionedTable:
         files, schema = self._snapshot_files()
         sel = set(selected)
         untouched = [f for f in files if f not in sel]
-        df = self._df_for_paths(selected, schema, self._mapping())
+        # Apply DVs while rewriting: tombstones key on the OLD file
+        # paths, so a rewritten file must be materialized clean or its
+        # deleted rows would resurrect under the new path.
+        df = self._df_for_paths(selected, schema, self._mapping(), self._dv())
         pcols = self.partition_columns()
         if pcols:
             order = pcols + [c for c in (zorder_by or []) if c not in pcols]
@@ -1031,6 +1143,8 @@ class VersionedTable:
         keep = commits[-keep_versions:]
         live: set[str] = set()
         for c in keep:
+            for d in c.dv_paths or []:  # tombstones are live metadata
+                live.add(d)
             for d in c.data_dirs:
                 live.add(d)
                 p = Path(d)
@@ -1061,20 +1175,45 @@ class VersionedTable:
             raise ValueError(f"version {version} not in history (0..{commits[-1].version})")
         return by_v[version]
 
+    def _dv(self, version: int | None = None) -> list[str]:
+        """Live deletion-vector directories for a snapshot ([] if none)."""
+        try:
+            return list(self._resolve_commit(version).dv_paths or [])
+        except FileNotFoundError:
+            return []
+
     def _df_for_paths(
         self,
         paths: list[str],
         schema: T.StructType,
         mapping: dict[str, str] | None = None,
+        dv_paths: list[str] | None = None,
+        with_meta: bool = False,
     ) -> DataFrame:
         """Read a mix of directories and loose files as one DataFrame.
         Loose files inside hive trees are grouped per basePath so their
         partition columns re-materialize; output column order follows the
         table schema in every branch so the union is positional-safe.
         ``mapping`` (logical -> physical, column-mapping tables) makes
-        the scan read physical names and alias them back to logical."""
+        the scan read physical names and alias them back to logical.
+        ``dv_paths`` anti-joins deletion-vector tombstones away on
+        (_metadata.file_path, _metadata.row_index) — Catalyst/AQE
+        broadcasts the DV side when it is small, which it is by
+        construction (O(deleted rows), never O(table)). ``with_meta``
+        keeps the ``__dv_path``/``__dv_idx`` row-identity columns in the
+        output (used by DV DELETE to mint new tombstones)."""
+        meta = with_meta or bool(dv_paths)
         if not paths:
-            return self.spark.createDataFrame([], schema)
+            out_schema = schema
+            if meta and with_meta:
+                out_schema = T.StructType(
+                    list(schema.fields)
+                    + [
+                        T.StructField("__dv_path", T.StringType(), False),
+                        T.StructField("__dv_idx", T.LongType(), False),
+                    ]
+                )
+            return self.spark.createDataFrame([], out_schema)
         mapping = mapping or {}
         if any(mapping.get(f.name, f.name) != f.name for f in schema.fields):
             physical = T.StructType(
@@ -1090,6 +1229,11 @@ class VersionedTable:
             schema = physical
         else:
             cols = [F.col(f"`{f.name}`") for f in schema.fields]
+        if meta:
+            cols = cols + [
+                F.col("_metadata.file_path").alias("__dv_path"),
+                F.col("_metadata.row_index").alias("__dv_idx"),
+            ]
         parts: list[DataFrame] = []
         plain: list[str] = []  # flat dirs + hive-free files: one multi-path scan
         solo: list[str] = []  # hive trees: partition discovery needs its own root
@@ -1121,13 +1265,25 @@ class VersionedTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if dv_paths:
+            dv = self.spark.read.parquet(*dv_paths)
+            out = out.join(
+                dv,
+                (out["__dv_path"] == dv["file_path"])
+                & (out["__dv_idx"] == dv["row_index"]),
+                "left_anti",
+            )
+        if meta and not with_meta:
+            out = out.drop("__dv_path", "__dv_idx")
         return out
 
     def read(self, version: int | None = None) -> DataFrame:
         """Current snapshot, or D5 time travel when ``version`` given."""
         commit = self._resolve_commit(version)
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
-        return self._df_for_paths(commit.data_dirs, schema, self._mapping(version))
+        return self._df_for_paths(
+            commit.data_dirs, schema, self._mapping(version), self._dv(version)
+        )
 
     def _snapshot_files(self, version: int | None = None) -> tuple[list[str], T.StructType]:
         commits = self._commits()
@@ -1258,7 +1414,9 @@ class VersionedTable:
         # quotes, dates, Decimals, etc. are bound as literals, never
         # spliced into a parseable string.
         cond = reduce(and_, (_predicate_column(*p) for p in preds))
-        return self._df_for_paths(kept, schema, self._mapping(version)).where(cond)
+        return self._df_for_paths(
+            kept, schema, self._mapping(version), self._dv(version)
+        ).where(cond)
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed (Delta CDF / ``table_changes`` analogue):
@@ -1341,6 +1499,7 @@ class VersionedTable:
             "size_bytes": sum(Path(f).stat().st_size for f in files),
             "partition_columns": list(commit.partition_by or []),
             "constraints": dict(commit.constraints or {}),
+            "num_deletion_vectors": len(commit.dv_paths or []),
             "num_columns": len(schema.fields),
             "created_version_timestamp": self._commits()[0].timestamp,
             "last_modified_timestamp": commit.timestamp,

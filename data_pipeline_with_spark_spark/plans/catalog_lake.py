@@ -164,6 +164,49 @@ register(
 )
 
 
+def _deletion_vectors(spark: SparkSession, sf: str) -> DataFrame:
+    """Deletion vectors end-to-end: a DV DELETE writes O(matched rows)
+    of (file_path, row_index) tombstones — zero data files rewritten
+    (asserted from the commit params) — reads anti-join them away, and
+    REORG … APPLY (PURGE) folds them into a rewrite of only the
+    affected files. Deterministic from the static supplier table."""
+    sup = read_testdata(spark, sf, "supplier")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_dv_")).create(
+        sup.repartitionByRange(4, "s_suppkey").sortWithinPartitions("s_suppkey")
+    )
+    t.delete("s_nationkey = 0", use_dv=True)
+    dv_commit = t.history()[0]["params"]
+    after = t.read().count()
+    t.purge_deletion_vectors()
+    rows = [
+        ("v0_rows", t.read(version=0).count()),
+        ("after_dv_delete_rows", after),
+        ("dv_files_rewritten", dv_commit["rewritten_files"]),
+        ("after_purge_rows", t.read().count()),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
+register(
+    QuerySpec(
+        name="lakehouse_deletion_vectors",
+        build=_deletion_vectors,
+        doc="Deletion vectors: O(matched) DELETE tombstones + REORG APPLY (PURGE)",
+        oracle="""
+        SELECT 'v0_rows' AS metric, CAST(count(*) AS BIGINT) AS value FROM supplier
+        UNION ALL
+        SELECT 'after_dv_delete_rows', CAST(count(*) AS BIGINT)
+        FROM supplier WHERE s_nationkey <> 0
+        UNION ALL
+        SELECT 'dv_files_rewritten', 0
+        UNION ALL
+        SELECT 'after_purge_rows', CAST(count(*) AS BIGINT)
+        FROM supplier WHERE s_nationkey <> 0
+        """,
+    )
+)
+
+
 def _schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     """D7: enforcement rejects a widened batch, mergeSchema accepts it;
     returns per-column null counts proving old rows are null-filled."""

@@ -802,3 +802,88 @@ def test_rename_partition_column(spark, tmp_path):
     assert t.read().where("category = 'A'").count() == 11
     t.optimize_fragmented(max_partitions=1, min_files=2)
     assert t.read().where("category = 'A'").count() == 11
+
+
+def _mtimes(root):
+    import os
+
+    return {
+        str(p): os.path.getmtime(p) for p in root.rglob("*.parquet") if "_dv" not in str(p)
+    }
+
+
+def test_deletion_vector_delete_is_metadata_plus_tombstones(spark, tmp_path):
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ["id", "val"])
+    t = VersionedTable(spark, str(tmp_path / "dv")).create(
+        df.repartitionByRange(4, "id").sortWithinPartitions("id")
+    )
+    before = _mtimes(tmp_path / "dv" / "data")
+    t.delete("id % 10 = 3", use_dv=True)
+    assert _mtimes(tmp_path / "dv" / "data") == before  # zero data files rewritten
+    assert t.read().count() == 90
+    assert t.read().where("id % 10 = 3").count() == 0
+    assert t.read(version=0).count() == 100  # time travel pre-delete
+    h = t.history()[0]
+    assert h["operation"] == "DELETE"
+    assert h["params"]["rewritten_files"] == 0 and h["params"]["dv_rows"] == 10
+    # CDF surfaces the tombstoned rows as deletes
+    ch = t.changes(0, 1)
+    assert ch.count() == 10
+    assert {r._change_type for r in ch.collect()} == {"delete"}
+    # second DV delete accumulates on top of the first
+    t.delete("id = 0", use_dv=True)
+    assert t.read().count() == 89
+    # read_where applies DVs after file pruning
+    assert t.read_where(("id", "<", 10)).count() == 8  # 0 and 3 gone
+
+
+def test_deletion_vectors_survive_partial_rewrites(spark, tmp_path):
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ["id", "val"])
+    t = VersionedTable(spark, str(tmp_path / "dvu")).create(
+        df.repartitionByRange(4, "id").sortWithinPartitions("id")
+    )
+    t.delete("id % 10 = 3", use_dv=True)
+    # file-granular UPDATE reads with DVs applied: rewritten files are
+    # materialized clean, untouched files keep their tombstones
+    t.update("id < 50", {"val": "val + 0.5"})
+    assert t.read().count() == 90
+    assert t.read().where("id % 10 = 3").count() == 0
+    vals = {r.id: r.val for r in t.read().where("id IN (1, 99)").collect()}
+    assert vals[1] == 1.5 and vals[99] == 99.0
+    # OPTIMIZE (full rewrite) materializes everything and drops the DVs
+    t.optimize()
+    assert t._latest().dv_paths is None
+    assert t.read().count() == 90 and t.read().where("id % 10 = 3").count() == 0
+
+
+def test_reorg_purge_rewrites_only_affected_files(spark, tmp_path):
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ["id", "val"])
+    t = VersionedTable(spark, str(tmp_path / "dvp")).create(
+        df.repartitionByRange(4, "id").sortWithinPartitions("id")
+    )
+    t.delete("id = 7", use_dv=True)  # stats-prunable: tombstones hit 1 file
+    t.purge_deletion_vectors()
+    h = t.history()[0]
+    assert h["operation"] == "REORG"
+    assert h["params"]["rewritten_files"] == 1 and h["params"]["carried_files"] == 3
+    assert t._latest().dv_paths is None
+    assert t.read().count() == 99 and t.read().where("id = 7").count() == 0
+    # idempotent when no DVs remain
+    assert t.purge_deletion_vectors() is t
+    # vacuum after purge reclaims the tombstone directory
+    removed = t.vacuum(keep_versions=1)
+    assert any("_dv" in p for p in removed)
+    assert t.read().count() == 99
+
+
+def test_deletion_vectors_with_vacuum_and_rename(spark, tmp_path):
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)], ["id", "val"])
+    t = VersionedTable(spark, str(tmp_path / "dvr")).create(df.coalesce(2))
+    t.rename_column("val", "score")
+    t.delete("score >= 30", use_dv=True)  # logical name through the mapping
+    assert t.read().count() == 30
+    # vacuum keeps the live DV files: reads must still apply tombstones
+    t.vacuum(keep_versions=1)
+    assert t.read().count() == 30 and "score" in t.read().columns
+    d = t.detail()
+    assert d["num_deletion_vectors"] == 1

@@ -202,3 +202,17 @@ def test_alter_table_constraints_sql(lake):
         )
     lake.sql("ALTER TABLE eea_curated.co2_emissions DROP CONSTRAINT cc_pos")
     assert vt.constraints() == {}
+
+
+def test_reorg_purge_sql(lake):
+    lake.sql("CONVERT TO DELTA eea_curated.co2_emissions")
+    vt = lake.table("eea_curated.co2_emissions")
+    vt.delete("Mh = 'BMW'", use_dv=True)
+    assert vt.read().count() == 2 and vt._latest().dv_paths
+    res = lake.sql("REORG TABLE eea_curated.co2_emissions APPLY (PURGE)").collect()[0]
+    assert res.rewritten_files >= 1
+    assert vt._latest().dv_paths is None
+    assert {r.Mh for r in lake.sql("SELECT * FROM eea_curated.co2_emissions").collect()} == {
+        "FERRARI",
+        "RENAULT",
+    }
