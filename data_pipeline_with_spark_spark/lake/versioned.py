@@ -220,14 +220,19 @@ class VersionedTable:
         self.data_dir = self.root / "data"
 
     # ---------------------------------------------------------------- log
-    def _commits(self) -> list[Commit]:
+    # Every commit record is SELF-CONTAINED (full snapshot state, not a
+    # delta), so the hot metadata paths — latest snapshot, next version,
+    # one time-travel target — parse exactly ONE log file. Full-history
+    # replay (_commits) is reserved for history()/vacuum()/txn scans.
+    # This is the log-scaling answer a long-lived table needs: commit
+    # #10,000 costs the same driver-side work as commit #1.
+    def _log_files(self) -> list[Path]:
         if not self.log_dir.exists():
             return []
-        out = []
-        for f in sorted(self.log_dir.glob("*.json")):
-            entry = json.loads(f.read_text())
-            out.append(Commit(**entry))
-        return out
+        return sorted(self.log_dir.glob("*.json"))
+
+    def _commits(self) -> list[Commit]:
+        return [Commit(**json.loads(f.read_text())) for f in self._log_files()]
 
     def _write_commit(self, commit: Commit) -> None:
         self.log_dir.mkdir(parents=True, exist_ok=True)
@@ -250,14 +255,14 @@ class VersionedTable:
             os.unlink(tmp)
 
     def _latest(self) -> Commit:
-        commits = self._commits()
-        if not commits:
+        files = self._log_files()
+        if not files:
             raise FileNotFoundError(f"no versioned table at {self.root}")
-        return commits[-1]
+        return Commit(**json.loads(files[-1].read_text()))
 
     def _next_version(self) -> int:
-        commits = self._commits()
-        return commits[-1].version + 1 if commits else 0
+        files = self._log_files()
+        return int(files[-1].stem) + 1 if files else 0
 
     # ------------------------------------------------------------ schema
     @staticmethod
@@ -288,18 +293,24 @@ class VersionedTable:
     # ------------------------------------------------------------ writes
     def partition_columns(self) -> list[str]:
         """The table's hive partition columns (empty when unpartitioned)."""
-        commits = self._commits()
-        return list(commits[-1].partition_by or []) if commits else []
+        try:
+            return list(self._latest().partition_by or [])
+        except FileNotFoundError:
+            return []
 
     def constraints(self) -> dict[str, str]:
         """The table's CHECK constraints (empty when none)."""
-        commits = self._commits()
-        return dict(commits[-1].constraints or {}) if commits else {}
+        try:
+            return dict(self._latest().constraints or {})
+        except FileNotFoundError:
+            return {}
 
     def generated_columns(self) -> dict[str, str]:
         """Generated-column expressions (empty when none)."""
-        commits = self._commits()
-        return dict(commits[-1].generated or {}) if commits else {}
+        try:
+            return dict(self._latest().generated or {})
+        except FileNotFoundError:
+            return {}
 
     def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         """Project ``df`` onto the table schema: present columns cast,
@@ -979,10 +990,7 @@ class VersionedTable:
     def restore(self, version: int) -> "VersionedTable":
         """D6 RESTORE TABLE ... TO VERSION AS OF: new commit pointing at
         the old snapshot's files (no data copy, history preserved)."""
-        commits = {c.version: c for c in self._commits()}
-        if version not in commits:
-            raise ValueError(f"version {version} not in history")
-        old = commits[version]
+        old = self._resolve_commit(version)
         self._write_commit(
             Commit(
                 version=self._next_version(),
@@ -1165,15 +1173,18 @@ class VersionedTable:
 
     # ------------------------------------------------------------- reads
     def _resolve_commit(self, version: int | None) -> Commit:
-        commits = self._commits()
-        if not commits:
-            raise FileNotFoundError(f"no versioned table at {self.root}")
         if version is None:
-            return commits[-1]
-        by_v = {c.version: c for c in commits}
-        if version not in by_v:
-            raise ValueError(f"version {version} not in history (0..{commits[-1].version})")
-        return by_v[version]
+            return self._latest()
+        # direct by-filename lookup: time travel parses one log file
+        target = self.log_dir / f"{version:020d}.json"
+        if target.exists():
+            return Commit(**json.loads(target.read_text()))
+        files = self._log_files()
+        if not files:
+            raise FileNotFoundError(f"no versioned table at {self.root}")
+        raise ValueError(
+            f"version {version} not in history (0..{int(files[-1].stem)})"
+        )
 
     def _dv(self, version: int | None = None) -> list[str]:
         """Live deletion-vector directories for a snapshot ([] if none)."""
@@ -1279,17 +1290,16 @@ class VersionedTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """Current snapshot, or D5 time travel when ``version`` given."""
-        commit = self._resolve_commit(version)
+        commit = self._resolve_commit(version)  # one log-file parse
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
+        cm = commit.column_mapping or {}
+        mapping = {f.name: cm.get(f.name, f.name) for f in schema.fields}
         return self._df_for_paths(
-            commit.data_dirs, schema, self._mapping(version), self._dv(version)
+            commit.data_dirs, schema, mapping, list(commit.dv_paths or [])
         )
 
     def _snapshot_files(self, version: int | None = None) -> tuple[list[str], T.StructType]:
-        commits = self._commits()
-        if not commits:
-            raise FileNotFoundError(f"no versioned table at {self.root}")
-        commit = commits[-1] if version is None else {c.version: c for c in commits}[version]
+        commit = self._resolve_commit(version)
         schema = T.StructType.fromJson(json.loads(commit.schema_json))
         files: list[str] = []
         for d in commit.data_dirs:
@@ -1501,7 +1511,9 @@ class VersionedTable:
             "constraints": dict(commit.constraints or {}),
             "num_deletion_vectors": len(commit.dv_paths or []),
             "num_columns": len(schema.fields),
-            "created_version_timestamp": self._commits()[0].timestamp,
+            "created_version_timestamp": json.loads(
+                self._log_files()[0].read_text()
+            )["timestamp"],
             "last_modified_timestamp": commit.timestamp,
         }
 

@@ -887,3 +887,36 @@ def test_deletion_vectors_with_vacuum_and_rename(spark, tmp_path):
     assert t.read().count() == 30 and "score" in t.read().columns
     d = t.detail()
     assert d["num_deletion_vectors"] == 1
+
+
+def test_log_access_is_o1_in_history_length(spark, tmp_path):
+    # Hot metadata paths parse ONE log file regardless of history depth:
+    # commit #N must not replay N JSON files (the long-lived-table
+    # scaling property). Counted by monkey-patching Path.read_text.
+    from pathlib import Path as _P
+
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    t = VersionedTable(spark, str(tmp_path / "o1")).create(df)
+    for _ in range(15):
+        t.append(df)
+
+    reads = {"n": 0}
+    orig = _P.read_text
+
+    def counting(self, *a, **k):
+        if self.suffix == ".json" and "_log" in str(self):
+            reads["n"] += 1
+        return orig(self, *a, **k)
+
+    _P.read_text = counting
+    try:
+        t._latest()
+        latest_reads = reads["n"]
+        reads["n"] = 0
+        t.read(version=3).count()
+        travel_reads = reads["n"]
+    finally:
+        _P.read_text = orig
+    assert latest_reads == 1
+    assert travel_reads == 1  # the v3 commit only, nothing proportional to 16
+    assert t.read().count() == 16
