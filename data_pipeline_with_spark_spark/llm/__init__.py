@@ -7,6 +7,12 @@ row-at-a-time Python in any hot path); the only Python workers are the
 Arrow-batched multimodal decode stubs, which are I/O-shaped by nature.
 """
 
-from data_pipeline_with_spark_spark.llm import dedup, multimodal, similarity, text
+from data_pipeline_with_spark_spark.llm import (
+    dedup,
+    multimodal,
+    packing,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "packing", "similarity", "text"]

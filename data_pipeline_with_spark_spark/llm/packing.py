@@ -1,0 +1,104 @@
+"""Training-batch curation operators: sequence packing and per-source
+quota capping.
+
+Packing is the concat-and-chunk scheme training pipelines use (concat
+documents in a deterministic order, slice into fixed ``seq_len`` token
+windows): each document maps to the span of chunk indices its tokens
+land in. Expressed as one windowed cumulative sum per shard — pure
+Catalyst, no UDFs, DuckDB-oracle-checkable.
+
+Scale design: the running sum is partitioned by ``shard_col`` (default
+``source``), never global — a global ORDER BY would serialize 100 TB
+through one task. Real pipelines pack per shard/file anyway; chunk ids
+are only meaningful within a shard. A skewed mega-source can be split
+finer by pre-deriving a composite shard key (e.g. source + hash-bucket
+of doc_id) before calling; the operator is agnostic to what the shard
+column contains.
+
+Per-source capping is the dataset-balancing step (cap any one domain's
+share of the corpus): deterministic hash-ordered row_number per source,
+keep ``k``. No ``rand()`` — md5-of-id ordering reproduces bit-identically
+across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_spark.llm.text import with_token_estimate
+
+
+def with_pack_spans(
+    df: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk packing: within each shard, documents are laid
+    end-to-end in ``order_col`` order and sliced into ``seq_len``-token
+    chunks. Adds ``n_tokens_est`` (BPE-ish estimate), ``first_chunk`` /
+    ``last_chunk`` (chunk-index span this document occupies in its
+    shard) and ``n_chunks`` (how many chunks it touches; 0 for empty
+    documents). One shuffle on the shard key; the cumsum window uses an
+    explicit ROWS frame so ties can never widen it."""
+    df = with_token_estimate(df, text_col)
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = F.col("n_tokens_est")
+    cum = F.sum("n_tokens_est").over(w)
+    start = cum - tok
+    first = F.floor(start / seq_len)
+    last = F.when(tok > 0, F.floor((cum - 1) / seq_len)).otherwise(first)
+    return (
+        df.withColumn("first_chunk", first.cast("bigint"))
+        .withColumn("last_chunk", last.cast("bigint"))
+        .withColumn(
+            "n_chunks",
+            F.when(tok > 0, last - first + 1).otherwise(F.lit(0)).cast("bigint"),
+        )
+    )
+
+
+def pack_efficiency(
+    df: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Per-shard packing report: total tokens, number of ``seq_len``
+    chunks the shard fills (ceil), and the padding waste in the final
+    partial chunk. Plain aggregation — no window needed."""
+    df = with_token_estimate(df, text_col)
+    total = F.sum("n_tokens_est")
+    chunks = F.ceil(total / seq_len)
+    return df.groupBy(shard_col).agg(
+        total.cast("bigint").alias("total_tokens"),
+        chunks.cast("bigint").alias("n_chunks"),
+        (chunks * seq_len - total).cast("bigint").alias("pad_tokens"),
+    )
+
+
+def source_cap(
+    df: DataFrame,
+    k: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap any one source's contribution at ``k`` documents, chosen by
+    deterministic hash order (md5 of the id, id tiebreak) — an unbiased,
+    reproducible subsample with no ``rand()``. One shuffle on the source
+    key; `WindowGroupLimit` pushes the rank filter map-side, so only
+    ~k rows per source survive each partial before the exchange."""
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .withColumn("sample_rank", F.col("sample_rank").cast("bigint"))
+    )

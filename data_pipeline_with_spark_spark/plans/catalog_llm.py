@@ -1265,3 +1265,109 @@ register(
         doc="pure-DataFrame Lloyd's k-means (deterministic init, 5 iters): cluster sizes",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Training-batch curation: sequence packing + per-source quota capping
+# (llm/packing.py). Both are single-shuffle window/aggregate plans.
+_TOK_SQL = r"""COALESCE(len(pieces) + list_sum(list_transform(pieces, s ->
+                 CASE WHEN length(s) > 4
+                      THEN CAST(floor((length(s) - 1) / 4) AS INT)
+                      ELSE 0 END)), 0)"""
+
+
+def _pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    from data_pipeline_with_spark_spark.llm import packing
+
+    docs = read_testdata(spark, sf, "documents")
+    return packing.with_pack_spans(docs, seq_len=2048).select(
+        "doc_id", "source", "n_tokens_est", "first_chunk", "last_chunk", "n_chunks"
+    )
+
+
+register(
+    QuerySpec(
+        name="curation_pack_sequences",
+        build=_pack_sequences,
+        doc="concat-and-chunk sequence packing: per-doc chunk spans via one sharded cumsum window",
+        oracle=rf"""
+        WITH p AS (
+          SELECT doc_id, source,
+                 regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS pieces
+          FROM documents
+        ),
+        t AS (SELECT doc_id, source, {_TOK_SQL} AS tok FROM p),
+        c AS (
+          SELECT doc_id, source, tok,
+                 sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t
+        )
+        SELECT doc_id, source,
+               CAST(tok AS BIGINT) AS n_tokens_est,
+               CAST(floor((cum - tok) / 2048) AS BIGINT) AS first_chunk,
+               CAST(CASE WHEN tok > 0 THEN floor((cum - 1) / 2048)
+                         ELSE floor((cum - tok) / 2048) END AS BIGINT) AS last_chunk,
+               CAST(CASE WHEN tok > 0
+                         THEN floor((cum - 1) / 2048) - floor((cum - tok) / 2048) + 1
+                         ELSE 0 END AS BIGINT) AS n_chunks
+        FROM c
+        """,
+    )
+)
+
+
+def _pack_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    from data_pipeline_with_spark_spark.llm import packing
+
+    docs = read_testdata(spark, sf, "documents")
+    return packing.pack_efficiency(docs, seq_len=2048)
+
+
+register(
+    QuerySpec(
+        name="curation_pack_efficiency",
+        build=_pack_efficiency,
+        doc="per-source packing report: total tokens, ceil-chunks, padding waste",
+        oracle=rf"""
+        WITH p AS (
+          SELECT source,
+                 regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS pieces
+          FROM documents
+        ),
+        t AS (SELECT source, {_TOK_SQL} AS tok FROM p)
+        SELECT source,
+               CAST(sum(tok) AS BIGINT) AS total_tokens,
+               CAST(ceil(sum(tok) / 2048) AS BIGINT) AS n_chunks,
+               CAST(ceil(sum(tok) / 2048) * 2048 - sum(tok) AS BIGINT) AS pad_tokens
+        FROM t GROUP BY source
+        """,
+    )
+)
+
+
+def _source_cap(spark: SparkSession, sf: str) -> DataFrame:
+    from data_pipeline_with_spark_spark.llm import packing
+
+    docs = read_testdata(spark, sf, "documents")
+    return packing.source_cap(docs, k=15).select("doc_id", "source", "sample_rank")
+
+
+register(
+    QuerySpec(
+        name="curation_source_cap",
+        build=_source_cap,
+        doc="per-source quota cap (binds: ~25 docs/source at sf0.01): md5-ordered row_number <= 15",
+        oracle="""
+        WITH r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS sample_rank
+          FROM documents
+        )
+        SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+        FROM r WHERE sample_rank <= 15
+        """,
+    )
+)

@@ -267,3 +267,55 @@ def test_phash_image_near_dups(spark):
     }
     assert (1, 2, 0) in pairs
     assert not any(3 in (p[0], p[1]) for p in pairs)
+
+
+def test_pack_spans_invariants(spark, sf_dir):
+    from data_pipeline_with_spark_spark.llm import packing
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    packed = packing.with_pack_spans(docs, seq_len=512).cache()
+    rows = packed.select(
+        "source", "doc_id", "n_tokens_est", "first_chunk", "last_chunk", "n_chunks"
+    ).collect()
+    assert rows and all(r.first_chunk <= r.last_chunk for r in rows)
+    # spans tile each shard contiguously: replaying the cumsum per
+    # shard reproduces exactly the reported chunk spans
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.source, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in shard_rows:
+            assert r.first_chunk == cum // 512
+            cum += r.n_tokens_est
+            if r.n_tokens_est > 0:
+                assert r.last_chunk == (cum - 1) // 512
+                assert r.n_chunks == r.last_chunk - r.first_chunk + 1
+            else:
+                assert r.n_chunks == 0
+    # efficiency report agrees with the spans
+    eff = {
+        r.source: r
+        for r in packing.pack_efficiency(docs, seq_len=512).collect()
+    }
+    for src, shard_rows in by_shard.items():
+        total = sum(r.n_tokens_est for r in shard_rows)
+        assert eff[src].total_tokens == total
+        assert eff[src].n_chunks == -(-total // 512)
+        assert eff[src].pad_tokens == eff[src].n_chunks * 512 - total
+    packed.unpersist()
+
+
+def test_source_cap_binds_and_is_deterministic(spark, sf_dir):
+    from data_pipeline_with_spark_spark.llm import packing
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    capped = packing.source_cap(docs, k=5)
+    per_src = capped.groupBy("source").count().collect()
+    assert per_src and all(r["count"] <= 5 for r in per_src)
+    a = {r.doc_id for r in capped.select("doc_id").collect()}
+    b = {r.doc_id for r in packing.source_cap(docs, k=5).select("doc_id").collect()}
+    assert a == b  # no rand(): bit-identical across runs
