@@ -83,6 +83,55 @@ def pack_efficiency(
     )
 
 
+def with_overlapping_chunks(
+    df: DataFrame,
+    chunk_size: int = 128,
+    stride: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / context-window
+    counterpart of packing): each document yields chunks of
+    ``chunk_size`` whitespace tokens starting every ``stride`` tokens —
+    ``stride < chunk_size`` gives overlap. Chunk count is
+    ``1`` when the document fits one window, else
+    ``ceil((n_tok - chunk_size) / stride) + 1`` (no trailing chunk that
+    adds nothing new). Empty documents yield no rows.
+
+    Pure Catalyst: tokenize → per-row index ``sequence`` → ``explode``
+    → ``slice``; embarrassingly parallel, zero shuffles — the plan is a
+    single projection pipeline over the scan, so it runs at full scan
+    speed on a 100 TB corpus."""
+    from data_pipeline_with_spark_spark.llm.text import tokens
+    from data_pipeline_with_spark_spark.util import ensure_min_partitions
+
+    n_tok = F.col("__n_tok")
+    n_chunks = F.when(n_tok <= chunk_size, F.lit(1)).otherwise(
+        F.ceil((n_tok - chunk_size) / stride) + 1
+    )
+    out = (
+        ensure_min_partitions(df)
+        .withColumn("__toks", tokens(text_col))
+        .withColumn("__n_tok", F.size("__toks"))
+        .withColumn(
+            "chunk_idx",
+            F.explode(
+                F.when(n_tok > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+                .otherwise(F.array().cast("array<int>"))
+            ),
+        )
+    )
+    sliced = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_size
+    )
+    return (
+        out.withColumn("chunk_idx", F.col("chunk_idx").cast("bigint"))
+        .withColumn("chunk_text", F.array_join(sliced, " "))
+        .withColumn("n_chunk_tokens", F.size(sliced).cast("bigint"))
+        .drop("__toks", "__n_tok")
+    )
+
+
 def source_cap(
     df: DataFrame,
     k: int,

@@ -207,6 +207,49 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means-cluster the
+    embedding space, then inside each cluster drop every vector whose
+    cosine similarity to a lower-id cluster-mate exceeds ``threshold``
+    (deterministic min-id keeper). Returns the surviving rows.
+
+    Scale shape: the pairwise comparison is CONFINED to k-means cells —
+    one shuffle on the cluster id, never a global all-pairs join; cell
+    populations are ~n/k so the quadratic term is bounded by the
+    clustering granularity (raise ``k`` as the corpus grows, exactly
+    the SemDeDup recipe). The centroids themselves live on the driver
+    (k rows), everything row-scale stays distributed."""
+    labels, _ = kmeans_lloyd(emb, k=k, iters=iters, id_col=id_col, emb_col=emb_col)
+    # labels carry only (id, cluster); rejoin for the vectors — one
+    # id-keyed shuffle, no vector duplication beyond the cell join.
+    assigned = emb.join(labels.select(id_col, "cluster"), on=id_col)
+    a = assigned.select(
+        F.col(id_col).alias("__id_a"),
+        F.col("cluster"),
+        F.col(emb_col).alias("__emb_a"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__id_b"),
+        F.col("cluster"),
+        F.col(emb_col).alias("__emb_b"),
+    )
+    dropped = (
+        a.join(b, on="cluster")
+        .where(F.col("__id_a") < F.col("__id_b"))
+        .where(cosine(F.col("__emb_a"), F.col("__emb_b")) >= threshold)
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+    )
+    return emb.join(dropped, on=id_col, how="left_anti")
+
+
 def kmeans_lloyd(
     df: DataFrame,
     k: int = 8,

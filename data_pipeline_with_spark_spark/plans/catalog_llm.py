@@ -1371,3 +1371,61 @@ register(
         """,
     )
 )
+
+
+def _chunking(spark: SparkSession, sf: str) -> DataFrame:
+    from data_pipeline_with_spark_spark.llm import packing
+
+    docs = read_testdata(spark, sf, "documents")
+    return packing.with_overlapping_chunks(docs, chunk_size=32, stride=16).select(
+        "doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens"
+    )
+
+
+register(
+    QuerySpec(
+        name="curation_overlapping_chunks",
+        build=_chunking,
+        doc="overlapping token-window chunking (size 32, stride 16; docs are 10-99 tokens): shuffle-free explode+slice",
+        oracle=r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'), s -> s <> '') AS toks
+          FROM documents
+        ),
+        n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t WHERE len(toks) > 0),
+        c AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, CASE WHEN n_tok <= 32 THEN 1
+                                      ELSE CAST(ceil((n_tok - 32) / 16.0) AS BIGINT) + 1
+                                 END)) AS chunk_idx
+          FROM n
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               array_to_string(toks[chunk_idx*16 + 1 : chunk_idx*16 + 32], ' ')
+                 AS chunk_text,
+               CAST(len(toks[chunk_idx*16 + 1 : chunk_idx*16 + 32]) AS BIGINT)
+                 AS n_chunk_tokens
+        FROM c
+        """,
+    )
+)
+
+
+def _semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_testdata(spark, sf, "embeddings")
+    kept = similarity.semantic_dedup(emb, k=8, iters=3, threshold=0.95)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.count_distinct("label").alias("n_labels_surviving"),
+    )
+
+
+register(
+    QuerySpec(
+        name="sim_semantic_dedup",
+        build=_semantic_dedup,
+        doc="SemDeDup: k-means cells + within-cell cosine>=0.95 min-id keeper (iterative -> rows-only; pytest pins semantics)",
+    )
+)

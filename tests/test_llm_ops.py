@@ -319,3 +319,55 @@ def test_source_cap_binds_and_is_deterministic(spark, sf_dir):
     a = {r.doc_id for r in capped.select("doc_id").collect()}
     b = {r.doc_id for r in packing.source_cap(docs, k=5).select("doc_id").collect()}
     assert a == b  # no rand(): bit-identical across runs
+
+
+def test_overlapping_chunks_cover_and_overlap(spark, sf_dir):
+    from data_pipeline_with_spark_spark.llm import packing
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents").limit(50)
+    chunks = packing.with_overlapping_chunks(
+        docs, chunk_size=32, stride=16
+    ).collect()
+    toks = {
+        r.doc_id: [t for t in r.text.lower().split() if t]
+        for r in docs.collect()
+    }
+    by_doc = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    for doc_id, cs in by_doc.items():
+        cs.sort(key=lambda c: c.chunk_idx)
+        full = toks[doc_id]
+        assert cs[0].chunk_idx == 0
+        rebuilt = set()
+        for c in cs:
+            start = c.chunk_idx * 16
+            want = full[start : start + 32]
+            assert c.chunk_text.split() == want
+            assert c.n_chunk_tokens == len(want)
+            rebuilt.update(range(start, start + len(want)))
+        assert rebuilt == set(range(len(full)))  # every token covered
+        if len(full) > 32:
+            assert len(cs) > 1  # overlap path actually exercised
+
+
+def test_semantic_dedup_drops_planted_near_identical(spark):
+    # row order matters: kmeans_lloyd seeds from the first k rows, so
+    # lead with the two far-apart anchors — their near-twins then land
+    # in the anchors' cells, which is the regime SemDeDup dedups.
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-identical to 1 -> dropped (min-id keeper)
+        (4, [0.0, 0.98, 0.17]),    # cos ~0.972 vs 3 -> dropped at 0.95
+        (5, [-1.0, 0.0, 0.0]),     # opposite direction survives
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = sorted(
+        r.vec_id
+        for r in similarity.semantic_dedup(
+            emb, k=2, iters=3, threshold=0.95
+        ).collect()
+    )
+    assert kept == [1, 3, 5]
