@@ -1006,12 +1006,31 @@ class VersionedTable:
         )
         return self
 
-    def optimize(self, zorder_by: list[str] | None = None, target_partitions: int = 1) -> "VersionedTable":
+    def optimize(
+        self,
+        zorder_by: list[str] | None = None,
+        target_partitions: int | None = None,
+        target_file_size_bytes: int | None = None,
+    ) -> "VersionedTable":
         """D2 OPTIMIZE [ZORDER BY]: compact the snapshot; with
         ``zorder_by``, cluster so parquet min/max stats enable data
         skipping. Multi-column numeric keys use a true Morton-curve
         interleave (every listed column prunes); otherwise lexicographic
-        range-sort (leading column prunes)."""
+        range-sort (leading column prunes).
+
+        ``target_file_size_bytes`` sizes the output like Delta's
+        binSize: partitions = ceil(snapshot bytes / target), measured
+        from file footers (no data read). This is the knob that matters
+        at 100 TB — compacting to ONE file is as wrong as a thousand
+        shards; ~1 GiB files keep scans parallel and metadata small.
+        Explicit ``target_partitions`` wins when both are given."""
+        if target_partitions is None:
+            if target_file_size_bytes:
+                files, _ = self._snapshot_files()
+                total = sum(Path(f).stat().st_size for f in files)
+                target_partitions = max(1, -(-total // target_file_size_bytes))
+            else:
+                target_partitions = 1
         cur = self.read()
         pcols = self.partition_columns()
         if pcols:

@@ -920,3 +920,24 @@ def test_log_access_is_o1_in_history_length(spark, tmp_path):
     assert latest_reads == 1
     assert travel_reads == 1  # the v3 commit only, nothing proportional to 16
     assert t.read().count() == 16
+
+
+def test_optimize_targets_file_size(spark, tmp_path):
+    # Delta binSize analogue: output partition count derives from the
+    # snapshot's byte size, not a blind coalesce(1).
+    df = spark.createDataFrame(
+        [(i, "x" * 200) for i in range(5000)], ["id", "pad"]
+    )
+    t = VersionedTable(spark, str(tmp_path / "binsz")).create(df.repartition(16))
+    files, _ = t._snapshot_files()
+    import os
+
+    total = sum(os.path.getsize(f) for f in files)
+    target = total // 4  # aim for ~4 output files
+    t.optimize(target_file_size_bytes=target)
+    out_files, _ = t._snapshot_files()
+    assert 3 <= len(out_files) <= 5, out_files
+    assert t.read().count() == 5000
+    # explicit target_partitions still wins
+    t.optimize(target_partitions=2, target_file_size_bytes=1)
+    assert len(t._snapshot_files()[0]) == 2
