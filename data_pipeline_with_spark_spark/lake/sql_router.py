@@ -86,6 +86,11 @@ _WHEN_RE = re.compile(
     r"(?=\s+WHEN\s+|$)",
     _I,
 )
+_SET_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.`]+)\s+SET\s+TBLPROPERTIES\s*"
+    r"\((?P<props>.+)\)\s*;?\s*$",
+    _I,
+)
 _REORG_RE = re.compile(
     r"^\s*REORG\s+TABLE\s+(?P<tbl>[\w.`]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$", _I
 )
@@ -200,6 +205,7 @@ class LakehouseSQL:
             (_VACUUM_RE, self._vacuum),
             (_MERGE_RE, self._merge),
             (_REORG_RE, self._reorg),
+            (_SET_PROPS_RE, self._set_properties),
             (_RENAME_COL_RE, self._rename_column),
             (_ADD_CONSTRAINT_RE, self._add_constraint),
             (_DROP_CONSTRAINT_RE, self._drop_constraint),
@@ -386,6 +392,23 @@ class LakehouseSQL:
         # Delta-style metric: rows the merge touched is not cheaply
         # observable post-hoc; report the snapshot delta instead.
         return self._dml_result("MERGE", vt.read().count() - before, vt)
+
+    def _set_properties(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE … SET TBLPROPERTIES ('k' = 'v', …): the Delta
+        entry shape for table features (e.g. enabling deletion
+        vectors); values pass through as strings."""
+        vt = self.table(m.group("tbl"))
+        props: dict[str, str] = {}
+        for item in _split_top_level(m.group("props")):
+            key, eq, val = item.partition("=")
+            if not eq:
+                raise ValueError(f"cannot parse TBLPROPERTIES item {item!r}")
+            props[_norm(key).strip("'\"")] = _norm(val).strip("'\"")
+        vt.set_properties(props)
+        return self.spark.createDataFrame(
+            [(repr(props), vt._latest().version)],
+            "properties string, new_version bigint",
+        )
 
     def _reorg(self, m: re.Match) -> DataFrame:
         """REORG TABLE … APPLY (PURGE): fold deletion vectors into a

@@ -208,6 +208,10 @@ class Commit:
     # them away. Rows referencing files no longer in the snapshot are
     # dangling and harmless (file paths are never reused).
     dv_paths: list | None = None
+    # Table properties (Delta TBLPROPERTIES): free-form string map,
+    # carried commit to commit. 'delta.enableDeletionVectors' = 'true'
+    # switches DELETE to tombstone mode, matching Delta's opt-in shape.
+    properties: dict | None = None
 
 
 class VersionedTable:
@@ -312,6 +316,45 @@ class VersionedTable:
         except FileNotFoundError:
             return {}
 
+    def table_properties(self) -> dict[str, str]:
+        """Delta-style TBLPROPERTIES (empty when none)."""
+        try:
+            return dict(self._latest().properties or {})
+        except FileNotFoundError:
+            return {}
+
+    def set_properties(self, props: dict[str, str]) -> "VersionedTable":
+        """ALTER TABLE … SET TBLPROPERTIES: metadata-only commit merging
+        ``props`` into the table's property map. The property Delta uses
+        to opt a table into deletion vectors
+        ('delta.enableDeletionVectors' = 'true') is honored by
+        ``delete``."""
+        latest = self._latest()
+        merged = {**(latest.properties or {}), **{str(k): str(v) for k, v in props.items()}}
+        self._write_commit(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="SET TBLPROPERTIES",
+                params={"properties": dict(props)},
+                data_dirs=latest.data_dirs,
+                schema_json=latest.schema_json,
+                partition_by=latest.partition_by,
+                constraints=latest.constraints,
+                generated=latest.generated,
+                column_mapping=latest.column_mapping,
+                dv_paths=latest.dv_paths,
+                properties=merged,
+            )
+        )
+        return self
+
+    def _dv_enabled(self) -> bool:
+        return (
+            self.table_properties().get("delta.enableDeletionVectors", "").lower()
+            == "true"
+        )
+
     def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         """Project ``df`` onto the table schema: present columns cast,
         missing generated columns computed from their expression (Delta
@@ -362,6 +405,7 @@ class VersionedTable:
                 generated=latest.generated,
                 column_mapping=latest.column_mapping,
                 dv_paths=latest.dv_paths,
+                properties=latest.properties,
             )
         )
         return self
@@ -383,6 +427,7 @@ class VersionedTable:
                 generated=latest.generated,
                 column_mapping=latest.column_mapping,
                 dv_paths=latest.dv_paths,
+                properties=latest.properties,
             )
         )
         return self
@@ -440,6 +485,7 @@ class VersionedTable:
                 generated=latest.generated,
                 column_mapping=mapping,
                 dv_paths=latest.dv_paths,
+                properties=latest.properties,
             )
         )
         return self
@@ -499,6 +545,7 @@ class VersionedTable:
                 generated=self.generated_columns() or None,
                 column_mapping=self._latest().column_mapping,
                 dv_paths=dv,
+                properties=self._latest().properties,
             )
         )
         return self
@@ -582,6 +629,7 @@ class VersionedTable:
                 generated=self.generated_columns() or None,
                 column_mapping=self._latest().column_mapping,
                 dv_paths=self._latest().dv_paths,
+                properties=self._latest().properties,
             )
         )
         return self
@@ -602,10 +650,16 @@ class VersionedTable:
         The check is monotonic per app_id — batch ids must not decrease
         — which is exactly Structured Streaming's foreachBatch contract.
         """
+        # Newest-first scan, stop at the first commit carrying this
+        # app_id: batch ids are monotonic per app, so the most recent
+        # marker decides — O(commits since that app's last txn), not
+        # O(history).
         last = -1
-        for c in self._commits():
+        for f in reversed(self._log_files()):
+            c = Commit(**json.loads(f.read_text()))
             if c.params.get("txn_app") == app_id:
-                last = max(last, int(c.params.get("txn_batch", -1)))
+                last = int(c.params.get("txn_batch", -1))
+                break
         if batch_id <= last:
             return False
         merged = self._enforce(df.schema, merge_schema)
@@ -630,6 +684,7 @@ class VersionedTable:
                 generated=self.generated_columns() or None,
                 column_mapping=self._latest().column_mapping,
                 dv_paths=self._latest().dv_paths,
+                properties=self._latest().properties,
             )
         )
         return True
@@ -704,7 +759,7 @@ class VersionedTable:
             dv_paths="carry" if untouched else None,
         )
 
-    def delete(self, where: str, use_dv: bool = False) -> "VersionedTable":
+    def delete(self, where: str, use_dv: bool | None = None) -> "VersionedTable":
         """DELETE WHERE predicate. Delta semantics: rows where the
         predicate is TRUE go; FALSE or NULL stay. File-granular like
         ``update``: only stats-intersecting files rewrite.
@@ -716,7 +771,11 @@ class VersionedTable:
         the scale answer for frequent small deletes on a 100 TB table —
         a delete matching 1k rows writes kilobytes, not terabytes.
         ``purge_deletion_vectors`` (REORG … APPLY (PURGE)) later folds
-        tombstones into a physical rewrite of only the affected files."""
+        tombstones into a physical rewrite of only the affected files.
+        Default (``use_dv=None``) follows the table property
+        'delta.enableDeletionVectors' — Delta's own opt-in shape."""
+        if use_dv is None:
+            use_dv = self._dv_enabled()
         selected, untouched, schema = self._dml_target_files(where)
         params = {
             "where": where,
@@ -983,6 +1042,7 @@ class VersionedTable:
                 partition_by=src_commit.partition_by,
                 column_mapping=src_commit.column_mapping,
                 dv_paths=src_commit.dv_paths,
+                properties=src_commit.properties,
             )
         )
         return table
@@ -1002,6 +1062,7 @@ class VersionedTable:
                 partition_by=old.partition_by,
                 column_mapping=old.column_mapping,
                 dv_paths=old.dv_paths,
+                properties=old.properties,
             )
         )
         return self
@@ -1166,8 +1227,10 @@ class VersionedTable:
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Remove data directories referenced only by pruned history
         (Delta VACUUM analogue). Returns removed paths."""
-        commits = self._commits()
-        keep = commits[-keep_versions:]
+        keep = [
+            Commit(**json.loads(f.read_text()))
+            for f in self._log_files()[-keep_versions:]
+        ]
         live: set[str] = set()
         for c in keep:
             for d in c.dv_paths or []:  # tombstones are live metadata
@@ -1529,6 +1592,7 @@ class VersionedTable:
             "partition_columns": list(commit.partition_by or []),
             "constraints": dict(commit.constraints or {}),
             "num_deletion_vectors": len(commit.dv_paths or []),
+            "properties": dict(commit.properties or {}),
             "num_columns": len(schema.fields),
             "created_version_timestamp": json.loads(
                 self._log_files()[0].read_text()

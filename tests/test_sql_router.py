@@ -216,3 +216,24 @@ def test_reorg_purge_sql(lake):
         "FERRARI",
         "RENAULT",
     }
+
+
+def test_tblproperties_enable_deletion_vectors(lake):
+    # The Delta opt-in shape: SET TBLPROPERTIES flips DELETE to
+    # tombstone mode with no API change.
+    lake.sql("CONVERT TO DELTA eea_curated.co2_emissions")
+    lake.sql(
+        "ALTER TABLE eea_curated.co2_emissions "
+        "SET TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')"
+    )
+    vt = lake.table("eea_curated.co2_emissions")
+    assert vt.table_properties() == {"delta.enableDeletionVectors": "true"}
+    res = lake.sql(
+        "DELETE FROM eea_curated.co2_emissions WHERE Mh = 'BMW'"
+    ).collect()[0]
+    assert res.num_affected_rows == 1
+    h = vt.history()[0]
+    assert h["operation"] == "DELETE" and h["params"]["rewritten_files"] == 0
+    assert h["params"]["dv_rows"] == 1 and vt._latest().dv_paths
+    assert vt.read().count() == 2
+    assert vt.detail()["properties"]["delta.enableDeletionVectors"] == "true"
