@@ -23,28 +23,38 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_READ_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources.readers)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a stream: file source + nanos→timestamp cast +
-    event-time column, ready for watermarking."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events.parquet as a stream: file source with an event-time ``ts``
+    timestamp column, ready for watermarking.
+
+    ``readStream`` needs an explicit schema, so we resolve it from a
+    batch read of the same file — whatever unit the fixture stores, the
+    stream sees the identical Spark schema. The nanos→micros shim is
+    applied only when ``ts`` actually resolves as bigint (a
+    TIMESTAMP(NANOS) file read under ``nanosAsLong``), mirroring the
+    batch guard in ``sources.readers.read_testdata``; a fixture that
+    stores ``timestamp[us]`` passes through untouched.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw = (
-        spark.readStream.schema(EVENTS_READ_SCHEMA)
+        spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_dtype = dict(batch.dtypes).get("ts")
+    if ts_dtype == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_dtype == "timestamp_ntz":
+        # Watermarking requires TIMESTAMP (with local tz). The cast reads
+        # the NTZ wall time in the session timezone — the same
+        # interpretation unix_timestamp() gives the batch NTZ column — so
+        # stream results stay equal to the batch face in any session tz.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_tumbling_stream(
