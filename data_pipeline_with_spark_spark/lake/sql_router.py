@@ -111,6 +111,33 @@ _DROP_CONSTRAINT_RE = re.compile(
 )
 _TIME_TRAVEL_RE = re.compile(r"(?P<tbl>[A-Za-z_][\w.]*)@v(?P<v>\d+)")
 
+# Segments of a SQL statement that table-name rewriting must never touch:
+# single-quoted string literals (with '' escapes), backtick-quoted
+# identifiers, and comments.
+_SQL_OPAQUE_RE = re.compile(r"'(?:[^']|'')*'|`[^`]*`|--[^\n]*|/\*.*?\*/", re.DOTALL)
+
+
+def _sub_outside_literals(sql: str, pattern: re.Pattern, repl) -> str:
+    """Apply ``pattern.sub(repl, …)`` only to the parts of ``sql`` that
+    are not string literals / quoted identifiers / comments, so a table
+    named ``orders`` is never rewritten inside '…orders…' text."""
+    out, pos = [], 0
+    for m in _SQL_OPAQUE_RE.finditer(sql):
+        out.append(pattern.sub(repl, sql[pos : m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(pattern.sub(repl, sql[pos:]))
+    return "".join(out)
+
+
+def _search_outside_literals(sql: str, pattern: re.Pattern) -> bool:
+    pos = 0
+    for m in _SQL_OPAQUE_RE.finditer(sql):
+        if pattern.search(sql, pos, m.start()):
+            return True
+        pos = m.end()
+    return bool(pattern.search(sql, pos))
+
 
 def _norm(name: str) -> str:
     return name.replace("`", "").strip()
@@ -251,16 +278,16 @@ class LakehouseSQL:
     def _update(self, m: re.Match) -> DataFrame:
         vt = self.table(m.group("tbl"))
         where = (m.group("where") or "true").strip()
-        n = vt.read().where(where).count()
         vt.update(where, _parse_assignments(m.group("set")))
-        return self._dml_result("UPDATE", n, vt)
+        # num_affected_rows is observed during the DML's own write pass
+        # (VersionedTable records it in the commit) — no pre-scan here.
+        return self._dml_result("UPDATE", vt)
 
     def _delete(self, m: re.Match) -> DataFrame:
         vt = self.table(m.group("tbl"))
         where = (m.group("where") or "true").strip()
-        n = vt.read().where(where).count()
         vt.delete(where)
-        return self._dml_result("DELETE", n, vt)
+        return self._dml_result("DELETE", vt)
 
     def _restore(self, m: re.Match) -> DataFrame:
         vt = self.table(m.group("tbl"))
@@ -329,10 +356,20 @@ class LakehouseSQL:
         vt = self.table(m.group("tbl"))
         talias = m.group("talias") or "t"
         salias = m.group("salias") or "s"
+        if talias == salias:
+            raise ValueError(f"MERGE target and source share the alias {talias!r}")
+        # Single-pass rewrite: both aliases map simultaneously, so
+        # swapped aliases (MERGE INTO tgt AS s USING src AS t) cannot
+        # cross — a sequential talias→t then salias→s substitution
+        # would fold `s.v + t.v` into `s.v + s.v`.
+        scope = {talias: "t.", salias: "s."}
 
         def rescope(expr: str) -> str:
-            expr = re.sub(rf"\b{re.escape(talias)}\.", "t.", expr)
-            return re.sub(rf"\b{re.escape(salias)}\.", "s.", expr)
+            return re.sub(
+                rf"\b(?:{re.escape(talias)}|{re.escape(salias)})\.",
+                lambda am: scope[am.group(0)[:-1]],
+                expr,
+            )
 
         keys = []
         for term in re.split(r"\s+AND\s+", m.group("on"), flags=re.IGNORECASE):
@@ -387,11 +424,11 @@ class LakehouseSQL:
                 matched.append(WhenMatched(update=upd, condition=cond))
 
         source = self._resolve_frame(m.group("src"))
-        before = vt.read().count()
         vt.merge(source, keys, matched=matched or None, not_matched=not_matched or None)
-        # Delta-style metric: rows the merge touched is not cheaply
-        # observable post-hoc; report the snapshot delta instead.
-        return self._dml_result("MERGE", vt.read().count() - before, vt)
+        # Rows updated + deleted + inserted, observed during the merge's
+        # own write pass — Delta's metric, not a snapshot delta (which
+        # can be negative and costs two extra counts).
+        return self._dml_result("MERGE", vt)
 
     def _set_properties(self, m: re.Match) -> DataFrame:
         """ALTER TABLE … SET TBLPROPERTIES ('k' = 'v', …): the Delta
@@ -475,17 +512,21 @@ class LakehouseSQL:
             )
             return view
 
-        sql = _TIME_TRAVEL_RE.sub(tt_sub, sql)
+        sql = _sub_outside_literals(sql, _TIME_TRAVEL_RE, tt_sub)
         for name, vt in self._tables.items():
-            pattern = re.compile(rf"\b{re.escape(name)}\b(?!@)")
-            if pattern.search(sql):
+            # (?<![.\w]) keeps qualified refs (x.name) and larger
+            # identifiers intact; _sub_outside_literals keeps string
+            # literals, backticked identifiers and comments intact.
+            pattern = re.compile(rf"(?<![.\w]){re.escape(name)}\b(?!@)")
+            if _search_outside_literals(sql, pattern):
                 view = _view_name(name)
                 vt.read().createOrReplaceTempView(view)
-                sql = pattern.sub(view, sql)
+                sql = _sub_outside_literals(sql, pattern, view)
         return self.spark.sql(sql)
 
-    def _dml_result(self, op: str, n: int, vt: VersionedTable) -> DataFrame:
+    def _dml_result(self, op: str, vt: VersionedTable) -> DataFrame:
+        latest = vt._latest()
         return self.spark.createDataFrame(
-            [(op, n, vt._latest().version)],
+            [(op, int(latest.params.get("num_affected_rows", -1)), latest.version)],
             "operation string, num_affected_rows bigint, new_version bigint",
         )

@@ -47,7 +47,7 @@ from functools import reduce
 from operator import and_
 from pathlib import Path
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -242,8 +242,20 @@ class VersionedTable:
         self.log_dir.mkdir(parents=True, exist_ok=True)
         target = self.log_dir / f"{commit.version:020d}.json"
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
-        with os.fdopen(fd, "w") as fh:
-            json.dump(commit.__dict__, fh)
+        try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(commit.__dict__, fh)
+            self._publish_commit(tmp, target, commit.version)
+        finally:
+            # tmp is removed on every exit path — serialization failure,
+            # publish conflict, or success (link leaves tmp behind).
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    @staticmethod
+    def _publish_commit(tmp: str, target: Path, version: int) -> None:
         # Publish via link(2), not rename(2): rename silently overwrites,
         # so two writers racing to the same version could clobber a
         # commit (TOCTOU); link fails atomically with EEXIST, making the
@@ -251,12 +263,23 @@ class VersionedTable:
         # put-if-absent contract Delta requires of its log store.
         try:
             os.link(tmp, target)
+            return
         except FileExistsError:
-            raise RuntimeError(
-                f"concurrent commit conflict at v{commit.version}"
-            ) from None
-        finally:
-            os.unlink(tmp)
+            raise RuntimeError(f"concurrent commit conflict at v{version}") from None
+        except OSError:
+            # Filesystem without hardlinks (some FUSE/network mounts).
+            # Degrade to exclusive-create: O_EXCL claims the version slot
+            # atomically (same put-if-absent contract); the content copy
+            # happens after the claim, so a crash mid-copy can leave a
+            # truncated file for a claimed version — the same exposure
+            # Delta accepts from log stores without atomic rename.
+            pass
+        try:
+            out_fd = os.open(str(target), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(f"concurrent commit conflict at v{version}") from None
+        with os.fdopen(out_fd, "wb") as out, open(tmp, "rb") as src:
+            shutil.copyfileobj(src, out)
 
     def _latest(self) -> Commit:
         files = self._log_files()
@@ -738,6 +761,7 @@ class VersionedTable:
             "set": set_exprs,
             "rewritten_files": len(selected),
             "carried_files": len(untouched),
+            "num_affected_rows": 0,
         }
         if not selected:  # predicate can't match any file: metadata-only
             return self._commit_write(
@@ -746,11 +770,22 @@ class VersionedTable:
                 params,
                 self._latest().data_dirs,  # snapshot unchanged, dirs verbatim
             )
-        updated = apply_set(
-            self._df_for_paths(selected, schema, self._mapping(), self._dv())
-        )
+        src = self._df_for_paths(selected, schema, self._mapping(), self._dv())
+        updated = apply_set(src)
         self._check_constraints(updated)
-        d = self._write_data(updated, self._next_version(), self.partition_columns())
+        # Matched-row metric observed during the write pass itself (no
+        # separate pre-scan): CollectMetrics rides the rewrite scan. The
+        # observed twin is built AFTER the constraint check so the
+        # check's limit(1) probe can't consume the observation with a
+        # partial count.
+        obs = Observation()
+        updated_obs = apply_set(
+            src.observe(
+                obs, F.count(F.when(F.expr(where), True)).alias("num_affected_rows")
+            )
+        )
+        d = self._write_data(updated_obs, self._next_version(), self.partition_columns())
+        params["num_affected_rows"] = int(obs.get["num_affected_rows"])
         return self._commit_write(
             updated,
             "UPDATE",
@@ -781,6 +816,7 @@ class VersionedTable:
             "where": where,
             "rewritten_files": len(selected),
             "carried_files": len(untouched),
+            "num_affected_rows": 0,
         }
         if not selected:
             return self._commit_write(
@@ -797,15 +833,33 @@ class VersionedTable:
                 F.col("__dv_path").alias("file_path"),
                 F.col("__dv_idx").alias("row_index"),
             )
+            # Tombstone count observed during the tombstone write itself
+            # (no read-back scan of the DV file).
+            obs = Observation()
+            tombstones = tombstones.observe(obs, F.count(F.lit(1)).alias("n"))
             dv_dir = self.data_dir / f"v{self._next_version()}_dv"
             tombstones.coalesce(1).write.parquet(str(dv_dir))
-            n_dv = self.spark.read.parquet(str(dv_dir)).count()
+            n_dv = int(obs.get["n"])
             params = {
                 "where": where,
                 "rewritten_files": 0,
                 "carried_files": len(selected) + len(untouched),
                 "dv_rows": n_dv,
+                "num_affected_rows": n_dv,
             }
+            if n_dv == 0:
+                # Zero matches: registering an empty tombstone dir would
+                # grow dv_paths monotonically and tax every later read
+                # with one more anti-join input until REORG. Drop it —
+                # the commit is metadata-only.
+                shutil.rmtree(dv_dir, ignore_errors=True)
+                return self._commit_write(
+                    self.spark.createDataFrame([], schema),
+                    "DELETE",
+                    params,
+                    self._latest().data_dirs,
+                    dv_paths="carry",
+                )
             return self._commit_write(
                 self.spark.createDataFrame([], schema),
                 "DELETE",
@@ -813,10 +867,19 @@ class VersionedTable:
                 self._latest().data_dirs,  # data files untouched
                 dv_paths=self._dv() + [str(dv_dir)],
             )
-        remaining = self._df_for_paths(
-            selected, schema, self._mapping(), self._dv()
-        ).where(~F.coalesce(F.expr(where), F.lit(False)))
+        src = self._df_for_paths(selected, schema, self._mapping(), self._dv())
+        # Deleted-row metric observed on the pre-filter scan of the same
+        # write pass (CollectMetrics sees every row the filter drops).
+        obs = Observation()
+        src = src.observe(
+            obs,
+            F.count(F.when(F.coalesce(F.expr(where), F.lit(False)), True)).alias(
+                "num_affected_rows"
+            ),
+        )
+        remaining = src.where(~F.coalesce(F.expr(where), F.lit(False)))
         d = self._write_data(remaining, self._next_version(), self.partition_columns())
+        params["num_affected_rows"] = int(obs.get["num_affected_rows"])
         return self._commit_write(
             remaining,
             "DELETE",
@@ -993,11 +1056,29 @@ class VersionedTable:
             .when(t_present, F.lit(True))
             .otherwise(nidx != -1)
         )
-        merged = joined.where(keep).select(
-            *[out_col(f) for f in target.schema.fields]
-        )
+        out_cols = [out_col(f) for f in target.schema.fields]
+        merged = joined.where(keep).select(*out_cols)
         self._check_constraints(merged)
-        d = self._write_data(merged, self._next_version(), self.partition_columns())
+        # Delta-style merge metrics observed on the join output during
+        # the write pass itself (pre-filter, so deleted rows are seen;
+        # no before/after snapshot counts). Built after the constraint
+        # check so its limit(1) probe can't consume the observation.
+        upd_idx = [i for i, cl in enumerate(matched) if not cl.delete]
+        n_upd = F.count(
+            F.when(is_matched & (midx.isin(upd_idx) if upd_idx else F.lit(False)), True)
+        ).alias("num_updated_rows")
+        n_del = F.count(
+            F.when(is_matched & (midx.isin(del_idx) if del_idx else F.lit(False)), True)
+        ).alias("num_deleted_rows")
+        n_ins = F.count(F.when(~t_present & (nidx != -1), True)).alias(
+            "num_inserted_rows"
+        )
+        obs = Observation()
+        merged_obs = joined.observe(obs, n_upd, n_del, n_ins).where(keep).select(
+            *out_cols
+        )
+        d = self._write_data(merged_obs, self._next_version(), self.partition_columns())
+        metrics = {k: int(v) for k, v in obs.get.items()}
         return self._commit_write(
             merged,
             "MERGE",
@@ -1005,6 +1086,8 @@ class VersionedTable:
                 "keys": keys,
                 "matched_clauses": len(matched),
                 "not_matched_clauses": len(not_matched),
+                "num_affected_rows": sum(metrics.values()),
+                **metrics,
             },
             [d],
             dv_paths=None,

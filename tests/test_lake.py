@@ -941,3 +941,46 @@ def test_optimize_targets_file_size(spark, tmp_path):
     # explicit target_partitions still wins
     t.optimize(target_partitions=2, target_file_size_bytes=1)
     assert len(t._snapshot_files()[0]) == 2
+
+
+def test_dv_delete_zero_match_registers_no_tombstones(spark, tmp_path):
+    # A DV DELETE whose predicate matches nothing must not append an
+    # empty tombstone dir: dv_paths would grow monotonically and every
+    # read would anti-join one more (empty) input until REORG.
+    df = spark.createDataFrame([(i, i % 5) for i in range(100)], ["id", "k"])
+    t = VersionedTable(spark, str(tmp_path / "dv0")).create(df)
+    t.delete("id = 7", use_dv=True)
+    assert len(t._latest().dv_paths or []) == 1
+    for _ in range(3):
+        t.delete("id < 0", use_dv=True)  # matches nothing
+    # still exactly the one real DV; the no-op deletes carried it
+    assert len(t._latest().dv_paths or []) == 1
+    assert t._latest().params["num_affected_rows"] == 0
+    assert t.read().count() == 99
+
+
+def test_commit_publish_without_hardlinks(spark, tmp_path, monkeypatch):
+    # Filesystems without hardlink support (some FUSE/network mounts)
+    # must still commit atomically via the O_EXCL fallback, and the
+    # conflict check must still fire.
+    import errno
+    import os as _os
+
+    real_link = _os.link
+
+    def no_link(*a, **kw):
+        raise OSError(errno.EPERM, "hardlinks unsupported")
+
+    monkeypatch.setattr("os.link", no_link)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    t = VersionedTable(spark, str(tmp_path / "nolink")).create(df)
+    t.append(spark.createDataFrame([(3, "c")], ["id", "v"]))
+    assert t.read().count() == 3
+    assert [c.operation for c in t._commits()] == ["CREATE", "APPEND"]
+    # no .tmp litter in the log dir
+    assert not list(t.log_dir.glob("*.tmp"))
+    # conflict: republishing an already-taken version must still raise
+    with pytest.raises(RuntimeError, match="concurrent commit conflict"):
+        t._write_commit(t._latest())
+    assert not list(t.log_dir.glob("*.tmp"))
+    monkeypatch.setattr("os.link", real_link)

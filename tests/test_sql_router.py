@@ -237,3 +237,92 @@ def test_tblproperties_enable_deletion_vectors(lake):
     assert h["params"]["dv_rows"] == 1 and vt._latest().dv_paths
     assert vt.read().count() == 2
     assert vt.detail()["properties"]["delta.enableDeletionVectors"] == "true"
+
+
+def test_merge_swapped_aliases_do_not_cross(lake, spark):
+    # MERGE INTO tgt AS s USING src AS t: a sequential talias→t then
+    # salias→s substitution would fold `s.ec_cm3 + t.ec_cm3` into
+    # `s.ec_cm3 + s.ec_cm3`; the single-pass rescope must keep both
+    # sides distinct.
+    lake.sql("CONVERT TO DELTA eea_curated.co2_emissions")
+    spark.createDataFrame(
+        [("IT", "FERRARI", 100.0, 2018)], ["MS", "Mh", "ec_cm3", "year"]
+    ).createOrReplaceTempView("updates_swapped")
+    lake.sql(
+        """
+        MERGE INTO eea_curated.co2_emissions AS s
+        USING updates_swapped AS t
+        ON s.Mh = t.Mh
+        WHEN MATCHED THEN UPDATE SET ec_cm3 = s.ec_cm3 + t.ec_cm3
+        """
+    )
+    rows = {
+        r.Mh: r.ec_cm3
+        for r in lake.table("eea_curated.co2_emissions").read().collect()
+    }
+    # target 4000 + source 100, not 100 + 100 or 4000 + 4000
+    assert rows["FERRARI"] == 4100.0 and rows["BMW"] == 2000.0
+
+
+def test_merge_same_alias_rejected(lake):
+    lake.sql("CONVERT TO DELTA eea_curated.co2_emissions")
+    with pytest.raises(ValueError, match="share the alias"):
+        lake.sql(
+            """
+            MERGE INTO eea_curated.co2_emissions AS x
+            USING updates AS x
+            ON x.Mh = x.Mh
+            WHEN MATCHED THEN DELETE
+            """
+        )
+
+
+def test_passthrough_keeps_table_name_in_literals(lake):
+    # A registered (dotted) table name inside a string literal must not
+    # be rewritten to the temp-view name.
+    lake.sql("CONVERT TO DELTA eea_curated.co2_emissions")
+    row = lake.sql(
+        "SELECT 'eea_curated.co2_emissions' AS src_name, count(*) AS n "
+        "FROM eea_curated.co2_emissions"
+    ).collect()[0]
+    assert row.src_name == "eea_curated.co2_emissions"
+    assert row.n == 3
+
+
+def test_dml_metrics_observed_not_rescanned(lake, spark):
+    # num_affected_rows comes from the DML commit itself (observed
+    # during the write pass) for UPDATE, DELETE and MERGE.
+    lake.sql("CONVERT TO DELTA eea_curated.co2_emissions")
+    res = lake.sql(
+        "UPDATE eea_curated.co2_emissions SET ec_cm3 = ec_cm3 + 1 WHERE year = 2018"
+    ).collect()[0]
+    assert res.num_affected_rows == 2
+    vt = lake.table("eea_curated.co2_emissions")
+    assert vt._latest().params["num_affected_rows"] == 2
+
+    spark.createDataFrame(
+        [("IT", "FERRARI", 1.0, 2018), ("SE", "VOLVO", 2.0, 2021)],
+        ["MS", "Mh", "ec_cm3", "year"],
+    ).createOrReplaceTempView("metrics_src")
+    res = lake.sql(
+        """
+        MERGE INTO eea_curated.co2_emissions AS t
+        USING metrics_src AS s
+        ON t.Mh = s.Mh
+        WHEN MATCHED THEN UPDATE SET ec_cm3 = s.ec_cm3
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    ).collect()[0]
+    # 1 matched update (FERRARI) + 1 insert (VOLVO); never negative.
+    assert res.num_affected_rows == 2
+    p = vt._latest().params
+    assert (p["num_updated_rows"], p["num_deleted_rows"], p["num_inserted_rows"]) == (
+        1,
+        0,
+        1,
+    )
+
+    res = lake.sql(
+        "DELETE FROM eea_curated.co2_emissions WHERE Mh = 'VOLVO'"
+    ).collect()[0]
+    assert res.num_affected_rows == 1
