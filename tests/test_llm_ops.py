@@ -371,3 +371,69 @@ def test_semantic_dedup_drops_planted_near_identical(spark):
         ).collect()
     )
     assert kept == [1, 3, 5]
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    # Degenerate IVF: probing every cell (n_probe = n_cells) must
+    # reproduce the exact brute-force top-k — same neighbors, same
+    # scores, same ranks. This is the deterministic anchor for the
+    # approximate path: correctness of partitioning + scoring is
+    # checked exactly; recall-vs-probe behavior is checked separately.
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where("vec_id < 8")
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    full = similarity.ivf_topk(emb, queries, k=5, n_cells=4, n_probe=4)
+    e = {(r.q_id, r.neighbor_id, r.cos_sim, r.rnk) for r in exact.collect()}
+    f = {(r.q_id, r.neighbor_id, r.cos_sim, r.rnk) for r in full.collect()}
+    assert e == f
+
+
+def test_semantic_dedup_matches_numpy_replay(spark):
+    # Independent replay of the full SemDeDup pipeline in numpy:
+    # deterministic k-means (seeds = k lowest-id vectors, same iters),
+    # then within-cluster pairwise cosine with the min-id keeper. The
+    # survivor sets must agree exactly on real fixture data.
+    import numpy as np
+
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    # 0.43 sits in a gap of the fixture's within-cluster cosine
+    # distribution (nearest values 0.4292 / 0.4306), so float-precision
+    # differences between engines cannot flip a threshold comparison,
+    # and several pairs exceed it so the drop path actually fires.
+    k, iters, threshold = 8, 3, 0.43
+    kept_spark = sorted(
+        r.vec_id
+        for r in similarity.semantic_dedup(
+            emb, k=k, iters=iters, threshold=threshold
+        ).collect()
+    )
+
+    rows = sorted(
+        (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([i for i, _ in rows])
+    X = np.stack([v for _, v in rows])
+    C = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            if (a == j).any():
+                C[j] = X[a == j].mean(axis=0)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dropped: set[int] = set()
+    for j in range(k):
+        members = np.where(a == j)[0]
+        for bi in members:
+            for ai in members:
+                if ids[ai] < ids[bi] and float(Xn[ai] @ Xn[bi]) >= threshold:
+                    dropped.add(int(ids[bi]))
+                    break
+    kept_np = sorted(int(i) for i in ids if int(i) not in dropped)
+    assert len(kept_np) < len(ids)  # threshold actually drops something
+    assert kept_spark == kept_np
