@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -44,11 +45,19 @@ def main() -> None:
     # session is in.
     for spec in specs.values():
         write_noop(spec.build(spark, "/root/testdata/sf0.001"))
+    # Median of 3 measured runs per query: host CPU steal can inflate a
+    # single run several-fold, which made cross-round comparisons noise.
+    # The median is robust to one bad run; per-query medians are what
+    # lands in the report, and the headline total is their sum.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, spec in specs.items():
-        t0 = time.perf_counter()
-        write_noop(spec.build(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            write_noop(spec.build(spark, SF_DIR))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -58,6 +67,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": parse_sf(SF_DIR),
+                "runs_per_query": runs,
+                "aggregation": "median",
             }
         )
     )
