@@ -35,6 +35,11 @@ def _builder(
     if master:
         builder = builder.master(master)
     conf: dict[str, str] = {
+        # local[N] runs executors inside the driver JVM, whose 1g
+        # default heap starves 32 executor threads long before the
+        # host's RAM does. Only honored at JVM launch — on a real
+        # cluster the submitter's --driver-memory/--executor-memory win.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
