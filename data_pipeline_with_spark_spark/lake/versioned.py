@@ -238,6 +238,15 @@ class VersionedTable:
     def _commits(self) -> list[Commit]:
         return [Commit(**json.loads(f.read_text())) for f in self._log_files()]
 
+    # History checkpoints: every N commits the (version, timestamp,
+    # operation, params) summaries of all versions so far are rolled
+    # into one file under _log/_checkpoints/ (outside the *.json commit
+    # glob). history() then parses one checkpoint + at most N commit
+    # files instead of the whole log — Delta's checkpoint-compaction
+    # answer, applied to the history walk, so DESCRIBE HISTORY on
+    # commit #10,000 costs the same as on commit #20.
+    CHECKPOINT_INTERVAL = 10
+
     def _write_commit(self, commit: Commit) -> None:
         self.log_dir.mkdir(parents=True, exist_ok=True)
         target = self.log_dir / f"{commit.version:020d}.json"
@@ -249,6 +258,58 @@ class VersionedTable:
         finally:
             # tmp is removed on every exit path — serialization failure,
             # publish conflict, or success (link leaves tmp behind).
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+        if commit.version and commit.version % self.CHECKPOINT_INTERVAL == 0:
+            try:
+                self._write_history_checkpoint(commit.version)
+            except OSError:
+                pass  # checkpoints are an optimization, never fail a commit
+
+    @staticmethod
+    def _history_entry(c: Commit) -> dict:
+        return {
+            "version": c.version,
+            "timestamp": c.timestamp,
+            "operation": c.operation,
+            "params": c.params,
+        }
+
+    def _checkpoint_dir(self) -> Path:
+        return self.log_dir / "_checkpoints"
+
+    def _latest_checkpoint(self) -> tuple[list[dict], int]:
+        """(history entries ascending, highest version covered); (-1)
+        when no checkpoint exists yet."""
+        cpd = self._checkpoint_dir()
+        files = sorted(cpd.glob("*.json")) if cpd.exists() else []
+        if not files:
+            return [], -1
+        data = json.loads(files[-1].read_text())
+        return data["entries"], data["version"]
+
+    def _write_history_checkpoint(self, version: int) -> None:
+        # Incremental roll-up: previous checkpoint + the ≤N commits
+        # since it — building a checkpoint never replays the full log.
+        entries, base = self._latest_checkpoint()
+        for f in self._log_files():
+            v = int(f.stem)
+            if base < v <= version:
+                entries.append(
+                    self._history_entry(Commit(**json.loads(f.read_text())))
+                )
+        cpd = self._checkpoint_dir()
+        cpd.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=cpd, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump({"version": version, "entries": entries}, fh)
+            # checkpoints are derived data: last-writer-wins replace is
+            # fine (unlike commit publish, which must be put-if-absent)
+            os.replace(tmp, cpd / f"{version:020d}.json")
+        finally:
             try:
                 os.unlink(tmp)
             except FileNotFoundError:
@@ -888,41 +949,69 @@ class VersionedTable:
             dv_paths="carry" if untouched else None,
         )
 
-    def purge_deletion_vectors(self) -> "VersionedTable":
+    def _dv_counts_by_file(self, dv_paths: list[str]) -> dict[str, int]:
+        """Live tombstone count per snapshot file. One small Spark agg
+        over the DV parquets (output is O(distinct files), collected)."""
+        return {
+            re.sub(r"^file:/+", "/", r.file_path): r.n
+            for r in self.spark.read.parquet(*dv_paths)
+            .groupBy("file_path")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    def purge_deletion_vectors(
+        self, max_dv_fraction: float | None = None
+    ) -> "VersionedTable":
         """REORG TABLE … APPLY (PURGE): materialize deletion vectors by
         rewriting ONLY the files that carry tombstones; untouched files
         and the logical snapshot are unchanged. After this commit the
-        table has zero DVs and VACUUM can reclaim the tombstone files."""
+        table has zero DVs and VACUUM can reclaim the tombstone files.
+
+        ``max_dv_fraction`` switches to Delta's maintenance heuristic:
+        only files whose tombstoned-row fraction exceeds the threshold
+        are rewritten (the reads that pay the anti-join tax hardest),
+        the rest keep their DVs. Tombstones referencing the rewritten
+        files become dangling — harmless by the DV contract (file paths
+        are never reused) — so the DV set carries unchanged and a later
+        full REORG or VACUUM retires it."""
         dv_paths = self._dv()
         if not dv_paths:
             return self
         files, schema = self._snapshot_files()
         # _metadata.file_path is a file:// URI; snapshot files are plain
         # paths — canonicalize before intersecting.
-        dv_files = {
-            re.sub(r"^file:/+", "/", r.file_path)
-            for r in self.spark.read.parquet(*dv_paths)
-            .select("file_path")
-            .distinct()
-            .collect()
-        }
-        affected = [f for f in files if f in dv_files]
+        dv_counts = self._dv_counts_by_file(dv_paths)
+        affected = [f for f in files if f in dv_counts]
+        if max_dv_fraction is not None:
+            import pyarrow.parquet as pq
+
+            affected = [
+                f
+                for f in affected
+                if dv_counts[f] / max(pq.ParquetFile(f).metadata.num_rows, 1)
+                > max_dv_fraction
+            ]
+            if not affected:
+                return self  # nothing over threshold: no-op, no commit
         d = None
         untouched = [f for f in files if f not in set(affected)]
         if affected:
             clean = self._df_for_paths(affected, schema, self._mapping(), dv_paths)
             d = self._write_data(clean, self._next_version(), self.partition_columns())
+        partial = max_dv_fraction is not None
         params = {
-            "purged_dv_files": len(dv_paths),
+            "purged_dv_files": 0 if partial else len(dv_paths),
             "rewritten_files": len(affected),
             "carried_files": len(untouched),
+            **({"max_dv_fraction": max_dv_fraction} if partial else {}),
         }
         return self._commit_write(
             self.spark.createDataFrame([], schema),
             "REORG",
             params,
             untouched + ([d] if d else []),
-            dv_paths=None,
+            dv_paths="carry" if partial else None,
         )
 
     def merge_upsert(self, source: DataFrame, keys: list[str]) -> "VersionedTable":
@@ -1641,23 +1730,24 @@ class VersionedTable:
         Consumers checkpoint the last version they processed and resume
         from there — each yielded frame is one commit's row-level delta.
         """
-        versions = sorted(c.version for c in self._commits())
+        # versions come from the log filenames — no JSON parse needed
+        versions = sorted(int(f.stem) for f in self._log_files())
         for v in versions:
             if v <= start_version:
                 continue
             yield v, self.changes(v - 1, v)
 
     def history(self) -> list[dict]:
-        """D3 DESCRIBE HISTORY."""
-        return [
-            {
-                "version": c.version,
-                "timestamp": c.timestamp,
-                "operation": c.operation,
-                "params": c.params,
-            }
-            for c in reversed(self._commits())
+        """D3 DESCRIBE HISTORY. Cost is flat in table age: one
+        checkpoint file + the ≤CHECKPOINT_INTERVAL commits after it
+        (see ``_write_history_checkpoint``), not an O(versions) walk."""
+        entries, base = self._latest_checkpoint()
+        tail = [
+            self._history_entry(Commit(**json.loads(f.read_text())))
+            for f in self._log_files()
+            if int(f.stem) > base
         ]
+        return list(reversed(entries + tail))
 
     def detail(self) -> dict:
         """DESCRIBE DETAIL (Delta): table-level metadata snapshot —
@@ -1666,6 +1756,15 @@ class VersionedTable:
         footers only; no data read."""
         commit = self._latest()
         files, schema = self._snapshot_files()
+        # tombstone rows from DV parquet footers only (driver-side, no
+        # scan); counts dangling tombstones too, so it is an upper bound
+        # on logically-deleted rows — exact after any REORG.
+        num_tombstones = 0
+        for dv_dir in commit.dv_paths or []:
+            import pyarrow.parquet as pq
+
+            for part in Path(dv_dir).glob("*.parquet"):
+                num_tombstones += pq.ParquetFile(part).metadata.num_rows
         return {
             "location": str(self.root),
             "format": "parquet+jsonlog",
@@ -1675,6 +1774,7 @@ class VersionedTable:
             "partition_columns": list(commit.partition_by or []),
             "constraints": dict(commit.constraints or {}),
             "num_deletion_vectors": len(commit.dv_paths or []),
+            "num_tombstone_rows": num_tombstones,
             "properties": dict(commit.properties or {}),
             "num_columns": len(schema.fields),
             "created_version_timestamp": json.loads(

@@ -984,3 +984,85 @@ def test_commit_publish_without_hardlinks(spark, tmp_path, monkeypatch):
         t._write_commit(t._latest())
     assert not list(t.log_dir.glob("*.tmp"))
     monkeypatch.setattr("os.link", real_link)
+
+
+def test_history_cost_flat_via_checkpoints(spark, tmp_path):
+    # DESCRIBE HISTORY must not replay the whole log: with checkpoints
+    # every CHECKPOINT_INTERVAL commits, a history() call parses one
+    # checkpoint file + at most the commits since it, regardless of how
+    # old the table is. Counted by monkey-patching Path.read_text.
+    from pathlib import Path as _P
+
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    t = VersionedTable(spark, str(tmp_path / "ckpt")).create(df)
+    n_versions = 25  # create + 24 metadata-only commits -> ckpts at 10, 20
+    for i in range(n_versions - 1):
+        t.set_properties({"probe": str(i)})
+    assert (t._checkpoint_dir() / f"{20:020d}.json").exists()
+
+    reads = {"n": 0}
+    orig = _P.read_text
+
+    def counting(self, *a, **kw):
+        reads["n"] += 1
+        return orig(self, *a, **kw)
+
+    _P.read_text = counting
+    try:
+        hist = t.history()
+    finally:
+        _P.read_text = orig
+    assert [h["version"] for h in hist] == list(range(n_versions - 1, -1, -1))
+    assert hist[-1]["operation"] == "CREATE"
+    # 1 checkpoint + the 4 commits after v20 — flat in total versions
+    assert reads["n"] <= t.CHECKPOINT_INTERVAL + 1, reads["n"]
+
+
+def test_history_checkpoint_contents_match_full_replay(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    t = VersionedTable(spark, str(tmp_path / "ckpt2")).create(df)
+    for i in range(12):
+        t.set_properties({"i": str(i)})
+    via_checkpoint = t.history()
+    full = [
+        {
+            "version": c.version,
+            "timestamp": c.timestamp,
+            "operation": c.operation,
+            "params": c.params,
+        }
+        for c in reversed(t._commits())
+    ]
+    assert via_checkpoint == full
+
+
+def test_partial_dv_purge_threshold_and_detail_counts(spark, tmp_path):
+    # Delta-style DV maintenance: REORG with a max_dv_fraction rewrites
+    # only the files whose tombstoned fraction exceeds the threshold;
+    # lighter files keep their DVs. detail() exposes tombstone rows.
+    df1 = spark.createDataFrame([(i, "a") for i in range(10)], ["id", "k"]).coalesce(1)
+    df2 = spark.createDataFrame([(i, "b") for i in range(10, 20)], ["id", "k"]).coalesce(1)
+    t = VersionedTable(spark, str(tmp_path / "dvp")).create(df1)
+    t.append(df2)
+    t.delete("id < 6", use_dv=True)   # 6/10 of file 1 tombstoned
+    t.delete("id = 10", use_dv=True)  # 1/10 of file 2 tombstoned
+    assert t.detail()["num_tombstone_rows"] == 7
+    v_before = t._latest().version
+
+    # below-threshold call is a no-op (no new commit)
+    t.purge_deletion_vectors(max_dv_fraction=0.9)
+    assert t._latest().version == v_before
+
+    t.purge_deletion_vectors(max_dv_fraction=0.5)
+    latest = t._latest()
+    assert latest.operation == "REORG"
+    assert latest.params["rewritten_files"] == 1  # only the 60% file
+    assert latest.dv_paths  # DVs carried (file-2 tombstone still live)
+    assert t.read().count() == 13
+    assert sorted(r.id for r in t.read().where("k = 'a'").collect()) == [6, 7, 8, 9]
+
+    # full REORG retires every DV; dangling tombstones disappear
+    t.purge_deletion_vectors()
+    assert t._latest().dv_paths is None
+    assert t.read().count() == 13
+    assert t.detail()["num_tombstone_rows"] == 0
