@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_pipeline_with_spark_spark.llm.text import with_token_estimate
 
@@ -130,6 +131,76 @@ def with_overlapping_chunks(
         .withColumn("n_chunk_tokens", F.size(sliced).cast("bigint"))
         .drop("__toks", "__n_tok")
     )
+
+
+def ffd_pack(
+    df: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Packing v2: first-fit-decreasing bin packing per shard.
+
+    Concat-and-chunk (``with_pack_spans``) splits documents across
+    chunk boundaries; FFD instead assigns each document WHOLE to a bin
+    of capacity ``seq_len`` — the scheme used when documents must not
+    be cut (instruction tuning, contrastive pairs). FFD is the
+    classic 11/9·OPT + 6/9 approximation, so the bin count lands
+    within ~22% of optimal while staying deterministic: items sort by
+    (tokens desc, id asc) and bins are probed first-fit in creation
+    order. Documents longer than ``seq_len`` get a bin of their own,
+    flagged ``oversize`` (the caller chooses truncation policy).
+
+    Bin packing is inherently sequential per shard, so this is the
+    documented ``applyInPandas`` escape hatch (SURVEY §2.13 pattern):
+    one shuffle on the shard key, then each shard packs independently
+    in a single Arrow batch. Shards are the parallelism unit — at
+    100 TB you sub-shard (source + hash bucket) to keep each group in
+    executor memory, exactly as ``with_pack_spans`` documents; chunk
+    ids are shard-local either way.
+
+    Output: input columns + ``n_tokens_est`` + ``bin_idx`` (0-based
+    within shard) + ``oversize``.
+    """
+    import pandas as pd
+
+    df = with_token_estimate(df, text_col)
+    fields = df.schema.fields
+    out_schema = T.StructType(
+        list(fields)
+        + [
+            T.StructField("bin_idx", T.LongType(), False),
+            T.StructField("oversize", T.BooleanType(), False),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = sorted(
+            range(len(pdf)),
+            key=lambda i: (-int(pdf["n_tokens_est"].iat[i]), pdf[id_col].iat[i]),
+        )
+        remaining: list[int] = []  # capacity left per bin, creation order
+        bin_idx = [0] * len(pdf)
+        oversize = [False] * len(pdf)
+        for i in order:
+            tok = int(pdf["n_tokens_est"].iat[i])
+            if tok > seq_len:
+                bin_idx[i] = len(remaining)
+                remaining.append(0)  # full: nothing else joins this bin
+                oversize[i] = True
+                continue
+            for b, cap in enumerate(remaining):
+                if tok <= cap:
+                    bin_idx[i] = b
+                    remaining[b] = cap - tok
+                    break
+            else:
+                bin_idx[i] = len(remaining)
+                remaining.append(seq_len - tok)
+        return pdf.assign(bin_idx=bin_idx, oversize=oversize)
+
+    return df.groupBy(shard_col).applyInPandas(pack, schema=out_schema)
 
 
 def source_cap(

@@ -1429,3 +1429,31 @@ register(
         doc="SemDeDup: k-means cells + within-cell cosine>=0.95 min-id keeper (iterative -> rows-only; pytest pins semantics)",
     )
 )
+
+
+def _ffd_pack(spark: SparkSession, sf: str) -> DataFrame:
+    from data_pipeline_with_spark_spark.llm import packing
+
+    docs = read_testdata(spark, sf, "documents")
+    # per-bin summary: deterministic, oracle-free (FFD is sequential
+    # per shard — not SQL-expressible; pytest carries the invariants)
+    return (
+        packing.ffd_pack(docs, seq_len=256)
+        .groupBy("source", "bin_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens_est").cast("bigint").alias("fill_tokens"),
+            F.max(F.col("oversize").cast("int")).cast("boolean").alias("oversize"),
+        )
+        .orderBy("source", "bin_idx")
+    )
+
+
+register(
+    QuerySpec(
+        name="curation_ffd_bin_pack",
+        build=_ffd_pack,
+        doc="first-fit-decreasing whole-document bin packing per source (seq_len 256); applyInPandas per shard",
+        oracle=None,
+    )
+)

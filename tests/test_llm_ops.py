@@ -437,3 +437,52 @@ def test_semantic_dedup_matches_numpy_replay(spark):
     kept_np = sorted(int(i) for i in ids if int(i) not in dropped)
     assert len(kept_np) < len(ids)  # threshold actually drops something
     assert kept_spark == kept_np
+
+
+def test_ffd_pack_invariants(spark, sf_dir):
+    from data_pipeline_with_spark_spark.llm import packing
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    seq_len = 256
+    packed = packing.ffd_pack(docs, seq_len=seq_len).select(
+        "doc_id", "source", "n_tokens_est", "bin_idx", "oversize"
+    )
+    rows = packed.collect()
+    assert len(rows) == docs.count()  # every document assigned exactly once
+
+    fills: dict[tuple, int] = {}
+    oversize_bins: dict[tuple, list] = {}
+    for r in rows:
+        key = (r.source, r.bin_idx)
+        fills[key] = fills.get(key, 0) + r.n_tokens_est
+        if r.oversize:
+            oversize_bins.setdefault(key, []).append(r.doc_id)
+    for key, fill in fills.items():
+        if key in oversize_bins:
+            # an oversize document owns its bin alone
+            assert len(oversize_bins[key]) == 1
+        else:
+            assert fill <= seq_len, (key, fill)
+
+    # FFD quality: within the 11/9·OPT + 1 bound of the lower bound
+    # per shard (OPT >= ceil(total/cap) when no oversize docs).
+    import math
+
+    per_source: dict[str, list] = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r)
+    assert len(per_source) > 1
+    for source, rs in per_source.items():
+        n_bins = len({r.bin_idx for r in rs})
+        n_over = sum(1 for r in rs if r.oversize)
+        regular_tokens = sum(r.n_tokens_est for r in rs if not r.oversize)
+        lower = math.ceil(regular_tokens / seq_len) + n_over
+        assert n_bins <= math.ceil(lower * 11 / 9) + 1, (source, n_bins, lower)
+
+    # deterministic: a second run produces the identical assignment
+    again = {
+        (r.doc_id): r.bin_idx
+        for r in packing.ffd_pack(docs, seq_len=seq_len).collect()
+    }
+    assert again == {r.doc_id: r.bin_idx for r in rows}
