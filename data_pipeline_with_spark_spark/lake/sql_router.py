@@ -94,6 +94,11 @@ _SET_PROPS_RE = re.compile(
 _REORG_RE = re.compile(
     r"^\s*REORG\s+TABLE\s+(?P<tbl>[\w.`]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$", _I
 )
+_CLUSTER_BY_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.`]+)\s+CLUSTER\s+BY\s*"
+    r"\((?P<cols>[^)]+)\)\s*;?\s*$",
+    _I,
+)
 _RENAME_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.`]+)\s+RENAME\s+COLUMN\s+"
     r"`?(?P<old>\w+)`?\s+TO\s+`?(?P<new>\w+)`?\s*;?\s*$",
@@ -233,6 +238,7 @@ class LakehouseSQL:
             (_MERGE_RE, self._merge),
             (_REORG_RE, self._reorg),
             (_SET_PROPS_RE, self._set_properties),
+            (_CLUSTER_BY_RE, self._cluster_by),
             (_RENAME_COL_RE, self._rename_column),
             (_ADD_CONSTRAINT_RE, self._add_constraint),
             (_DROP_CONSTRAINT_RE, self._drop_constraint),
@@ -315,6 +321,18 @@ class LakehouseSQL:
             [(name, src, str(root))], "table string, source string, location string"
         )
 
+    def _cluster_by(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE … CLUSTER BY (cols): declare liquid-style
+        clustering columns; later plain OPTIMIZE calls re-cluster
+        incrementally (new/overlapping files only)."""
+        vt = self.table(m.group("tbl"))
+        cols = [c.strip(" `") for c in m.group("cols").split(",")]
+        vt.cluster_by(cols)
+        return self.spark.createDataFrame(
+            [(",".join(cols), vt._latest().version)],
+            "cluster_by string, new_version bigint",
+        )
+
     def _optimize(self, m: re.Match) -> DataFrame:
         vt = self.table(m.group("tbl"))
         zorder = (
@@ -322,6 +340,23 @@ class LakehouseSQL:
             if m.group("zorder")
             else None
         )
+        if not m.group("where") and not zorder and vt.clustering_columns():
+            # Delta liquid semantics: OPTIMIZE on a clustered table is
+            # an incremental re-cluster, not a full rewrite.
+            before = vt._latest().version
+            vt.optimize_incremental()
+            latest = vt._latest()
+            params = latest.params if latest.version != before else {}
+            return self.spark.createDataFrame(
+                [
+                    (
+                        latest.version,
+                        int(params.get("rewritten_files", 0)),
+                        int(params.get("carried_files", 0)),
+                    )
+                ],
+                "new_version bigint, rewritten_files bigint, carried_files bigint",
+            )
         if m.group("where"):
             preds = lift_skip_predicates(m.group("where"))
             if preds is None:

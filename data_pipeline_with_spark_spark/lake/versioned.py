@@ -1351,6 +1351,142 @@ class VersionedTable:
             untouched + [d],
         )
 
+    # ------------------------------------------- liquid-style clustering
+    def cluster_by(self, cols: list[str]) -> "VersionedTable":
+        """Declare clustering columns (Delta liquid clustering's
+        ``CLUSTER BY``): recorded as a table property; writes stay
+        cheap and unclustered, ``optimize_incremental`` (or a plain
+        routed ``OPTIMIZE``) restores locality incrementally."""
+        schema = T.StructType.fromJson(json.loads(self._latest().schema_json))
+        missing = set(cols) - {f.name for f in schema.fields}
+        if missing:
+            raise ValueError(f"clustering columns {sorted(missing)} not in schema")
+        return self.set_properties({"spark_graft.clusterBy": ",".join(cols)})
+
+    def clustering_columns(self) -> list[str]:
+        raw = self.table_properties().get("spark_graft.clusterBy", "")
+        return [c for c in raw.split(",") if c]
+
+    def _file_key_ranges(
+        self, files: list[str], col: str
+    ) -> dict[str, tuple | None]:
+        """(min, max) of ``col`` per file from parquet footers; None when
+        stats are missing (treated as overlapping everything)."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, tuple | None] = {}
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if col not in names or md.num_rows == 0:
+                out[f] = None
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[col]).statistics
+                if st is None or not st.has_min_max:
+                    lo = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            out[f] = None if lo is None else (lo, hi)
+        return out
+
+    def optimize_incremental(
+        self,
+        max_overlap: int = 2,
+        min_files: int = 1,
+        target_file_size_bytes: int | None = None,
+    ) -> "VersionedTable":
+        """Liquid-clustering-style maintenance: re-cluster ONLY the
+        files that hurt data skipping, leaving settled files untouched.
+
+        Clustering health is measured statelessly from footer stats on
+        the leading clustering column: a file whose key range overlaps
+        more than ``max_overlap`` other files (or has no stats) is
+        poorly clustered. Fresh appends overlap everything and are
+        picked up; files from earlier clustering passes have disjoint
+        ranges and are carried by reference. The default tolerance of 2
+        accepts the boundary fuzz successive passes leave (a rewrite's
+        range pieces need not align exactly with settled ranges), so
+        the pass converges instead of re-chasing ±1-neighbor overlap. Overlap degrees come from
+        one O(F log F) endpoint sweep over the file list — metadata
+        only, no data read — so the nightly maintenance pass on a
+        100 TB table costs I/O proportional to the NEW data, which is
+        the entire point of liquid clustering over static Z-order.
+        """
+        cols = self.clustering_columns()
+        if not cols:
+            raise ValueError("no clustering columns; call cluster_by first")
+        files, schema = self._snapshot_files()
+        key = self._mapping().get(cols[0], cols[0])
+        ranges = self._file_key_ranges(files, key)
+        degree = {f: 0 for f in files}
+        statless = [f for f in files if ranges[f] is None]
+        ranged = sorted(
+            (f for f in files if ranges[f] is not None),
+            key=lambda f: ranges[f][0],
+        )
+        # endpoint sweep: files still "active" when the next one starts
+        # overlap it (pairwise, both sides count)
+        import heapq
+
+        active: list[tuple[object, str]] = []  # (hi, file)
+        for f in ranged:
+            lo, hi = ranges[f]
+            while active and active[0][0] < lo:
+                heapq.heappop(active)
+            degree[f] += len(active)
+            for _, g in active:
+                degree[g] += 1
+            heapq.heappush(active, (hi, f))
+        # missing-stats files overlap everything by assumption
+        for f in statless:
+            degree[f] += len(files) - 1
+        selected = [f for f in files if degree[f] > max_overlap]
+        if len(selected) < min_files:
+            return self  # already clustered enough: no commit, no I/O
+        untouched = [f for f in files if f not in set(selected)]
+        df = self._df_for_paths(selected, schema, self._mapping(), self._dv())
+        # Output granularity must let the pass CONVERGE: a fresh append
+        # spans the whole key range, so rewriting it as one file would
+        # re-overlap everything and be selected again next pass. Split
+        # into at least as many range pieces as there are settled files
+        # the selection overlaps — each piece then lands within ~one
+        # settled range and drops below the overlap threshold.
+        sel_ranges = [r for f in selected if (r := ranges.get(f)) is not None]
+        n_overlapped = 1
+        if sel_ranges and untouched:
+            lo = min(r[0] for r in sel_ranges)
+            hi = max(r[1] for r in sel_ranges)
+            n_overlapped = sum(
+                1
+                for f in untouched
+                if ranges.get(f) is not None
+                and ranges[f][1] >= lo
+                and ranges[f][0] <= hi
+            )
+        elif not untouched:
+            n_overlapped = 0
+        if target_file_size_bytes:
+            total = sum(Path(f).stat().st_size for f in selected)
+            parts = max(1, n_overlapped, -(-total // target_file_size_bytes))
+        else:
+            parts = max(1, n_overlapped)
+        df = self._cluster(df, cols, parts)
+        d = self._write_data(df, self._next_version(), self.partition_columns())
+        return self._commit_write(
+            df,
+            "CLUSTER",
+            {
+                "cluster_by": cols,
+                "rewritten_files": len(selected),
+                "carried_files": len(untouched),
+                "max_overlap": max_overlap,
+            },
+            untouched + [d],
+        )
+
     def optimize_fragmented(
         self,
         max_partitions: int = 1,

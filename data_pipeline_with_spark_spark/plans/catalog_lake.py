@@ -237,3 +237,40 @@ register(
         oracle=None,
     )
 )
+
+
+def _liquid_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """Liquid-clustering lifecycle as one driver-visible query: create
+    an orders-sample table, declare CLUSTER BY, run the incremental
+    optimize (full first pass), append a fresh overlapping batch, run
+    it again (must rewrite only the new data), and return per-pass
+    rewrite/carry counts plus a data-skipping probe. Deterministic from
+    the fixture; the convergence/carry assertions live in
+    tests/test_lake.py."""
+    orders = read_testdata(spark, sf, "orders").where("o_orderkey < 2000")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="liquid_")).create(
+        orders.repartition(4)
+    )
+    t.cluster_by(["o_orderkey"])
+    t.optimize_incremental()
+    p1 = t._latest().params
+    t.append(read_testdata(spark, sf, "orders").where("o_orderkey >= 2000 and o_orderkey < 2500").coalesce(1))
+    t.optimize_incremental()
+    p2 = t._latest().params
+    kept, total = t.plan_files(("o_orderkey", "<", 100))
+    rows = [
+        ("initial_cluster", int(p1.get("rewritten_files", 0)), int(p1.get("carried_files", 0))),
+        ("incremental", int(p2.get("rewritten_files", 0)), int(p2.get("carried_files", 0))),
+        ("skip_probe", len(kept), total),
+    ]
+    return spark.createDataFrame(rows, "phase string, a bigint, b bigint")
+
+
+register(
+    QuerySpec(
+        name="lakehouse_liquid_clustering",
+        build=_liquid_clustering,
+        doc="CLUSTER BY + incremental optimize lifecycle: full pass, append, new-data-only recluster, skip probe",
+        oracle=None,
+    )
+)

@@ -1066,3 +1066,42 @@ def test_partial_dv_purge_threshold_and_detail_counts(spark, tmp_path):
     assert t._latest().dv_paths is None
     assert t.read().count() == 13
     assert t.detail()["num_tombstone_rows"] == 0
+
+
+def test_incremental_clustering_recluster_new_files_only(spark, tmp_path):
+    # Liquid-clustering shape: after an initial cluster pass, appends
+    # land unclustered; optimize_incremental rewrites ONLY the new
+    # overlapping files and carries the settled, range-disjoint ones.
+    df = spark.createDataFrame([(i, i % 7) for i in range(4000)], ["id", "k"])
+    t = VersionedTable(spark, str(tmp_path / "liquid")).create(df.repartition(4))
+    t.cluster_by(["id"])
+    t.optimize_incremental(target_file_size_bytes=None)
+    assert t._latest().operation == "CLUSTER"
+    # re-cluster to 4 range-disjoint files so carry-by-reference shows
+    t.optimize(zorder_by=["id"], target_partitions=4)
+    clustered_files, _ = t._snapshot_files()
+    assert len(clustered_files) == 4
+
+    # settled table: another incremental pass is a metadata no-op
+    v = t._latest().version
+    t.optimize_incremental()
+    assert t._latest().version == v
+
+    # fresh append overlaps every range
+    t.append(
+        spark.createDataFrame([(i, i % 7) for i in range(0, 4000, 13)], ["id", "k"])
+        .coalesce(1)
+    )
+    t.optimize_incremental(target_file_size_bytes=None)
+    latest = t._latest()
+    assert latest.operation == "CLUSTER"
+    # the 4 settled files never rewrite; only the fresh append does
+    assert latest.params["rewritten_files"] == 1
+    assert latest.params["carried_files"] == 4
+    assert t.read().count() == 4000 + len(range(0, 4000, 13))
+
+    # convergence: the rewrite split the new data into range pieces
+    # that sit inside the settled ranges, so the next pass is a no-op
+    v2 = t._latest().version
+    t.optimize_incremental()
+    assert t._latest().version == v2

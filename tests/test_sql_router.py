@@ -326,3 +326,21 @@ def test_dml_metrics_observed_not_rescanned(lake, spark):
         "DELETE FROM eea_curated.co2_emissions WHERE Mh = 'VOLVO'"
     ).collect()[0]
     assert res.num_affected_rows == 1
+
+
+def test_cluster_by_sql_routes_incremental_optimize(lake):
+    lake.sql("CONVERT TO DELTA eea_curated.co2_emissions")
+    res = lake.sql(
+        "ALTER TABLE eea_curated.co2_emissions CLUSTER BY (ec_cm3)"
+    ).collect()[0]
+    assert res.cluster_by == "ec_cm3"
+    vt = lake.table("eea_curated.co2_emissions")
+    assert vt.clustering_columns() == ["ec_cm3"]
+    # plain OPTIMIZE on a clustered table takes the incremental path
+    lake.sql("OPTIMIZE eea_curated.co2_emissions")
+    hist = vt.history()
+    assert hist[0]["operation"] in ("CLUSTER", "SET TBLPROPERTIES")
+    assert vt.read().count() == 3
+    # explicit ZORDER still runs the classic full optimize
+    lake.sql("OPTIMIZE eea_curated.co2_emissions ZORDER BY (MS)")
+    assert vt.history()[0]["operation"] == "OPTIMIZE"
