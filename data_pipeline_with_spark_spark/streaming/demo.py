@@ -302,6 +302,77 @@ def run_stream_stream_join(
     return spark.table(sink_table)
 
 
+def _click_purchase_streams(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.where("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return clicks, purchases
+
+
+def run_stream_stream_left_join(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_table: str = "ss_left_join_sink",
+    max_lag: str = "1 HOUR",
+) -> DataFrame:
+    """Stream–stream LEFT OUTER join — the state-eviction variant.
+
+    Inner joins emit on match; an OUTER join must additionally emit the
+    null-padded row for a click that never matched, and it can only do
+    so once the watermark proves no future purchase can still arrive
+    (watermark > click_ts + max_lag). That deferred emission IS the
+    bounded-state contract: a click's state entry lives exactly until
+    its join window is provably closed, then is evicted — emitted with
+    nulls if unmatched. Clicks near the end of the stream whose window
+    the final watermark never passes stay in state and emit nothing;
+    the batch-face test reproduces that exact cutoff, which is the
+    semantics a replayed deployment observes (Spark runs a final
+    no-data micro-batch to flush evictable state; see
+    ``noDataMicroBatches``)."""
+    clicks, purchases = _click_purchase_streams(spark, sf_dir)
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user)
+        & (purchases.p_ts > clicks.click_ts)
+        & (purchases.p_ts <= clicks.click_ts + F.expr(f"INTERVAL {max_lag}")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "user_id",
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        F.unix_timestamp("p_ts").alias("purchase_epoch"),
+        "p_value",
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_table)
+
+
 try:
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 except ImportError:  # pre-4.0 Spark: transformWithState unavailable

@@ -111,3 +111,57 @@ def test_transform_with_state_equals_batch(spark, sf_dir):
         )
     )
     assert _rows(stream, "user_id") == _rows(batch, "user_id")
+
+
+def test_stream_stream_left_join_eviction_semantics(spark, sf_dir):
+    # LEFT OUTER stream-stream join: matched rows equal the batch face;
+    # null-padded rows appear exactly for unmatched clicks whose join
+    # window the final watermark passed (state eviction) — later clicks
+    # are still in state at termination and emit nothing.
+    stream = demo.run_stream_stream_left_join(spark, sf_dir)
+
+    ev = read_testdata(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    batch = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user)
+        & (purchases.p_ts > clicks.click_ts)
+        & (purchases.p_ts <= clicks.click_ts + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "user_id",
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        F.unix_timestamp("p_ts").alias("purchase_epoch"),
+        "p_value",
+    )
+    # global watermark at termination: min of both inputs' (max ts - 1h)
+    max_click = clicks.agg(F.max(F.unix_timestamp("click_ts"))).collect()[0][0]
+    max_p = purchases.agg(F.max(F.unix_timestamp("p_ts"))).collect()[0][0]
+    final_wm = min(max_click, max_p) - 3600
+
+    s_matched = {tuple(r) for r in stream.where("purchase_epoch IS NOT NULL").collect()}
+    b_matched = {tuple(r) for r in batch.where("purchase_epoch IS NOT NULL").collect()}
+    assert s_matched == b_matched and s_matched
+
+    s_nulls = {tuple(r) for r in stream.where("purchase_epoch IS NULL").collect()}
+    b_evictable = {
+        tuple(r)
+        for r in batch.where(
+            f"purchase_epoch IS NULL AND click_epoch + 3600 < {final_wm}"
+        ).collect()
+    }
+    b_all_nulls = {tuple(r) for r in batch.where("purchase_epoch IS NULL").collect()}
+    assert b_evictable and s_nulls
+    # every provably-evictable unmatched click emitted a null row, and
+    # nothing outside the batch null set ever appears
+    assert b_evictable <= s_nulls <= b_all_nulls
