@@ -1401,15 +1401,23 @@ class VersionedTable:
         """Liquid-clustering-style maintenance: re-cluster ONLY the
         files that hurt data skipping, leaving settled files untouched.
 
-        Clustering health is measured statelessly from footer stats on
-        the leading clustering column: a file whose key range overlaps
-        more than ``max_overlap`` other files (or has no stats) is
-        poorly clustered. Fresh appends overlap everything and are
-        picked up; files from earlier clustering passes have disjoint
-        ranges and are carried by reference. The default tolerance of 2
-        accepts the boundary fuzz successive passes leave (a rewrite's
-        range pieces need not align exactly with settled ranges), so
-        the pass converges instead of re-chasing ±1-neighbor overlap. Overlap degrees come from
+        Two signals pick the rewrite set, both metadata-only:
+
+        - **Provenance** (Delta's ZCube rule): files written by an
+          earlier CLUSTER/OPTIMIZE commit are *settled* and never
+          re-selected — their dirs fall out of the (checkpointed)
+          history walk. This is what guarantees convergence: a pass's
+          output is settled, so the next pass is a no-op no matter how
+          its range pieces landed relative to older ones.
+        - **Overlap health** for the unsettled rest: two files overlap
+          when their bounding boxes intersect on EVERY clustering
+          column (endpoint sweep on the leading column, box checks on
+          the rest — so CLUSTER BY (a, b) appends that are disjoint in
+          b alone are correctly left in place). An unsettled file
+          overlapping more than ``max_overlap`` others, or lacking
+          stats, is selected. Well-placed appends thus stay put
+          cost-free; a full-range append overlaps everything and is
+          picked up. Overlap degrees come from
         one O(F log F) endpoint sweep over the file list — metadata
         only, no data read — so the nightly maintenance pass on a
         100 TB table costs I/O proportional to the NEW data, which is
@@ -1419,31 +1427,61 @@ class VersionedTable:
         if not cols:
             raise ValueError("no clustering columns; call cluster_by first")
         files, schema = self._snapshot_files()
-        key = self._mapping().get(cols[0], cols[0])
-        ranges = self._file_key_ranges(files, key)
+        mapping = self._mapping()
+        keys = [mapping.get(c, c) for c in cols]
+        per_col = {k: self._file_key_ranges(files, k) for k in keys}
+        # bounding box per file across ALL clustering columns; any
+        # missing stat voids the box (treated as overlap-everything)
+        boxes: dict[str, list[tuple] | None] = {}
+        for f in files:
+            rs = [per_col[k][f] for k in keys]
+            boxes[f] = None if any(r is None for r in rs) else rs
+        ranges = {f: (b[0] if b else None) for f, b in boxes.items()}
         degree = {f: 0 for f in files}
-        statless = [f for f in files if ranges[f] is None]
+        statless = [f for f in files if boxes[f] is None]
         ranged = sorted(
-            (f for f in files if ranges[f] is not None),
-            key=lambda f: ranges[f][0],
+            (f for f in files if boxes[f] is not None),
+            key=lambda f: boxes[f][0][0],
         )
-        # endpoint sweep: files still "active" when the next one starts
-        # overlap it (pairwise, both sides count)
+
+        def box_intersects(a: str, b: str) -> bool:
+            # leading column already intersects via the sweep; check the
+            # remaining dimensions of the bounding boxes
+            return all(
+                ra[0] <= rb[1] and rb[0] <= ra[1]
+                for ra, rb in zip(boxes[a][1:], boxes[b][1:])
+            )
+
+        # endpoint sweep on the leading column: files still "active"
+        # when the next one starts MAY overlap it; the remaining
+        # columns' box check decides (pairwise, both sides count)
         import heapq
 
         active: list[tuple[object, str]] = []  # (hi, file)
         for f in ranged:
-            lo, hi = ranges[f]
+            lo, hi = boxes[f][0]
             while active and active[0][0] < lo:
                 heapq.heappop(active)
-            degree[f] += len(active)
             for _, g in active:
-                degree[g] += 1
+                if box_intersects(f, g):
+                    degree[f] += 1
+                    degree[g] += 1
             heapq.heappush(active, (hi, f))
         # missing-stats files overlap everything by assumption
         for f in statless:
             degree[f] += len(files) - 1
-        selected = [f for f in files if degree[f] > max_overlap]
+        # settled-by-provenance: output dirs of past CLUSTER/OPTIMIZE
+        # commits (cheap via the history checkpoint walk)
+        settled_dirs = tuple(
+            str(self.data_dir / f"v{h['version']}") + os.sep
+            for h in self.history()
+            if h["operation"] in ("CLUSTER", "OPTIMIZE")
+        )
+        selected = [
+            f
+            for f in files
+            if degree[f] > max_overlap and not f.startswith(settled_dirs)
+        ]
         if len(selected) < min_files:
             return self  # already clustered enough: no commit, no I/O
         untouched = [f for f in files if f not in set(selected)]

@@ -1100,8 +1100,39 @@ def test_incremental_clustering_recluster_new_files_only(spark, tmp_path):
     assert latest.params["carried_files"] == 4
     assert t.read().count() == 4000 + len(range(0, 4000, 13))
 
-    # convergence: the rewrite split the new data into range pieces
-    # that sit inside the settled ranges, so the next pass is a no-op
+    # convergence: the pass's output is settled by provenance (ZCube
+    # rule), so the very next pass is a no-op regardless of how the
+    # sampled range-piece boundaries landed relative to older files
     v2 = t._latest().version
     t.optimize_incremental()
     assert t._latest().version == v2
+
+
+def test_incremental_clustering_multicolumn_box_health(spark, tmp_path):
+    # CLUSTER BY (a, b): files that overlap on a but are range-disjoint
+    # on b have disjoint bounding boxes — a correct multi-column health
+    # measure must leave them alone (a leading-column-only measure
+    # would rewrite them every pass).
+    mk = lambda blo, bhi: spark.createDataFrame(
+        [(i, b) for i in range(100) for b in (blo, bhi)], ["a", "b"]
+    ).coalesce(1)
+    t = VersionedTable(spark, str(tmp_path / "box")).create(mk(0, 10))
+    t.append(mk(20, 30))
+    t.append(mk(40, 50))
+    t.cluster_by(["a", "b"])
+    v = t._latest().version
+    t.optimize_incremental()
+    assert t._latest().version == v  # boxes disjoint in b: no-op
+
+    # an append spanning b = [0, 50] intersects every box -> rewritten
+    t.append(
+        spark.createDataFrame(
+            [(i, b) for i in range(100) for b in (5, 45)], ["a", "b"]
+        ).coalesce(1)
+    )
+    t.optimize_incremental()
+    latest = t._latest()
+    assert latest.operation == "CLUSTER"
+    assert latest.params["rewritten_files"] == 1
+    assert latest.params["carried_files"] == 3
+    assert t.read().count() == 800
