@@ -412,9 +412,19 @@ class VersionedTable:
         ``props`` into the table's property map. The property Delta uses
         to opt a table into deletion vectors
         ('delta.enableDeletionVectors' = 'true') is honored by
-        ``delete``."""
+        ``delete``; 'delta.enableRowTracking' = 'true' triggers the
+        row-id backfill exactly as Delta's property does."""
+        props = {str(k): str(v) for k, v in props.items()}
+        if (
+            props.get("delta.enableRowTracking", "").lower() == "true"
+            and not self._row_tracking_enabled()
+        ):
+            self.enable_row_tracking()
+            props.pop("delta.enableRowTracking")
+            if not props:
+                return self
         latest = self._latest()
-        merged = {**(latest.properties or {}), **{str(k): str(v) for k, v in props.items()}}
+        merged = {**(latest.properties or {}), **props}
         self._write_commit(
             Commit(
                 version=self._next_version(),
@@ -438,6 +448,96 @@ class VersionedTable:
             self.table_properties().get("delta.enableDeletionVectors", "").lower()
             == "true"
         )
+
+    # -------------------------------------------------------- row tracking
+    ROW_ID_COL = "_row_id"
+    _HWM_PROP = "spark_graft.rowIdHighWatermark"
+
+    def _row_tracking_enabled(self) -> bool:
+        return (
+            self.table_properties().get("delta.enableRowTracking", "").lower()
+            == "true"
+        )
+
+    def enable_row_tracking(self) -> "VersionedTable":
+        """Delta row-tracking analogue: every row gets a stable
+        ``_row_id`` that survives UPDATE/OPTIMIZE/CLUSTER rewrites —
+        the identity DML-heavy pipelines need for incremental MERGE
+        sources and CDF joins.
+
+        Enabling backfills the current snapshot once: ids are assigned
+        per file from footer row counts (base per file, driver-side
+        metadata only) plus the in-file row index, then materialized as
+        a REAL column — after which they flow through every rewrite for
+        free because rewrites read and write table columns. Appends
+        assign fresh ids above a high-watermark property; MERGE inserts
+        likewise. Delta materializes row ids into a hidden column on
+        exactly the same trigger; ours stays visible in ``read()``
+        (documented divergence — the engine has no hidden-column
+        projection layer)."""
+        if self._row_tracking_enabled():
+            return self
+        import pyarrow.parquet as pq
+
+        files, schema = self._snapshot_files()
+        if self.ROW_ID_COL in {f.name for f in schema.fields}:
+            raise ValueError(f"column {self.ROW_ID_COL} already exists")
+        bases, acc = [], 0
+        for f in files:
+            bases.append((f, acc))
+            acc += pq.ParquetFile(f).metadata.num_rows
+        src = self._df_for_paths(
+            files, schema, self._mapping(), self._dv(), with_meta=True
+        )
+        base_df = self.spark.createDataFrame(
+            bases or [("", 0)], "path string, __base long"
+        )
+        with_ids = (
+            src.withColumn(
+                "__path", F.regexp_replace(F.col("__dv_path"), "^file:/+", "/")
+            )
+            .join(F.broadcast(base_df), F.col("__path") == F.col("path"), "left")
+            .withColumn(
+                self.ROW_ID_COL, (F.col("__base") + F.col("__dv_idx")).cast("long")
+            )
+            .drop("__dv_path", "__dv_idx", "__path", "path", "__base")
+        )
+        d = self._write_data(with_ids, self._next_version(), self.partition_columns())
+        latest = self._latest()
+        self._write_commit(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="ROW TRACKING BACKFILL",
+                params={"rows_backfilled": acc},
+                data_dirs=[d],
+                schema_json=json.dumps(with_ids.schema.jsonValue()),
+                partition_by=latest.partition_by,
+                constraints=latest.constraints,
+                generated=latest.generated,
+                column_mapping=latest.column_mapping,
+                dv_paths=None,  # backfill materialized a clean snapshot
+                properties={
+                    **(latest.properties or {}),
+                    "delta.enableRowTracking": "true",
+                    self._HWM_PROP: str(acc),
+                },
+            )
+        )
+        return self
+
+    def _assign_fresh_row_ids(self, df: DataFrame) -> tuple[DataFrame, "Observation"]:
+        """``_row_id`` for new rows: high-watermark + a per-df unique
+        offset (monotonically_increasing_id — sparse but unique, like
+        Delta's non-contiguous fresh ids). The observed max advances
+        the watermark after the write."""
+        hwm = int(self.table_properties().get(self._HWM_PROP, "0"))
+        obs = Observation()
+        out = df.withColumn(
+            self.ROW_ID_COL,
+            (F.lit(hwm) + F.monotonically_increasing_id()).cast("long"),
+        ).observe(obs, F.max(self.ROW_ID_COL).alias("max_id"))
+        return out, obs
 
     def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         """Project ``df`` onto the table schema: present columns cast,
@@ -610,6 +710,7 @@ class VersionedTable:
         params: dict,
         data_dirs: list[str],
         dv_paths: object = "carry",
+        properties: dict | None = None,
     ) -> "VersionedTable":
         # "carry" keeps the previous commit's deletion vectors (partial
         # rewrites: untouched files still need their tombstones); a
@@ -629,7 +730,9 @@ class VersionedTable:
                 generated=self.generated_columns() or None,
                 column_mapping=self._latest().column_mapping,
                 dv_paths=dv,
-                properties=self._latest().properties,
+                properties=(
+                    properties if properties is not None else self._latest().properties
+                ),
             )
         )
         return self
@@ -694,11 +797,24 @@ class VersionedTable:
 
     def append(self, df: DataFrame, merge_schema: bool = False) -> "VersionedTable":
         """D6/D7 append with schema enforcement / opt-in evolution."""
+        rt = self._row_tracking_enabled()
+        if rt and self.ROW_ID_COL in df.columns:
+            raise ValueError(f"{self.ROW_ID_COL} is engine-managed; drop it")
         merged = self._enforce(df.schema, merge_schema)
         aligned = self._align(df, merged)
         self._check_constraints(aligned)
+        obs = None
+        if rt:
+            aligned, obs = self._assign_fresh_row_ids(
+                aligned.drop(self.ROW_ID_COL)
+            )
         version = self._next_version()
         d = self._write_data(aligned, version, self.partition_columns())
+        props = self._latest().properties
+        if obs is not None:
+            max_id = obs.get["max_id"]
+            if max_id is not None:
+                props = {**(props or {}), self._HWM_PROP: str(int(max_id) + 1)}
         dirs = self._latest().data_dirs + [d]
         self._write_commit(
             Commit(
@@ -713,7 +829,7 @@ class VersionedTable:
                 generated=self.generated_columns() or None,
                 column_mapping=self._latest().column_mapping,
                 dv_paths=self._latest().dv_paths,
-                properties=self._latest().properties,
+                properties=props,
             )
         )
         return self
@@ -746,11 +862,20 @@ class VersionedTable:
                 break
         if batch_id <= last:
             return False
+        rt = self._row_tracking_enabled()
         merged = self._enforce(df.schema, merge_schema)
         aligned = self._align(df, merged)
         self._check_constraints(aligned)
+        obs = None
+        if rt:
+            aligned, obs = self._assign_fresh_row_ids(aligned.drop(self.ROW_ID_COL))
         version = self._next_version()
         d = self._write_data(aligned, version, self.partition_columns())
+        props = self._latest().properties
+        if obs is not None:
+            max_id = obs.get["max_id"]
+            if max_id is not None:
+                props = {**(props or {}), self._HWM_PROP: str(int(max_id) + 1)}
         self._write_commit(
             Commit(
                 version=version,
@@ -768,7 +893,7 @@ class VersionedTable:
                 generated=self.generated_columns() or None,
                 column_mapping=self._latest().column_mapping,
                 dv_paths=self._latest().dv_paths,
-                properties=self._latest().properties,
+                properties=props,
             )
         )
         return True
@@ -1025,6 +1150,15 @@ class VersionedTable:
         source broadcasts when small) — the same physical shape Delta
         produces for a full-table merge without file-level pruning.
         """
+        if self._row_tracking_enabled():
+            # row identity must survive the upsert (replaced rows keep
+            # the target id); the clause-based merge handles that.
+            return self.merge(
+                source,
+                keys,
+                matched=[WhenMatched()],
+                not_matched=[WhenNotMatched()],
+            )
         self._enforce(source.schema, merge_schema=False)
         target = self.read()
         survivors = target.join(
@@ -1113,9 +1247,18 @@ class VersionedTable:
         is_matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
         t_present = F.col("t.__t").isNotNull()
 
+        rt = self._row_tracking_enabled()
+
         def out_col(fld: T.StructField) -> Column:
             c = fld.name
             t_c = F.col(f"t.`{c}`")
+            if rt and c == self.ROW_ID_COL:
+                # row identity is engine-managed: matched/kept rows keep
+                # the TARGET id even under UPDATE SET *; inserts start
+                # null and get fresh ids below.
+                return (
+                    F.when(t_present, t_c).otherwise(F.lit(None)).cast(fld.dataType).alias(c)
+                )
             s_c = F.col(f"s.`{c}`") if c in source.columns else F.lit(None)
             val_m: Column = t_c
             for i, cl in enumerate(matched):
@@ -1146,7 +1289,24 @@ class VersionedTable:
             .otherwise(nidx != -1)
         )
         out_cols = [out_col(f) for f in target.schema.fields]
-        merged = joined.where(keep).select(*out_cols)
+        hwm = int(self.table_properties().get(self._HWM_PROP, "0"))
+        obs_rt = Observation() if rt else None
+
+        def finish(df: DataFrame, observe_ids: bool) -> DataFrame:
+            if not rt:
+                return df
+            df = df.withColumn(
+                self.ROW_ID_COL,
+                F.coalesce(
+                    F.col(self.ROW_ID_COL),
+                    (F.lit(hwm) + F.monotonically_increasing_id()).cast("long"),
+                ),
+            )
+            if observe_ids:
+                df = df.observe(obs_rt, F.max(self.ROW_ID_COL).alias("max_id"))
+            return df
+
+        merged = finish(joined.where(keep).select(*out_cols), observe_ids=False)
         self._check_constraints(merged)
         # Delta-style merge metrics observed on the join output during
         # the write pass itself (pre-filter, so deleted rows are seen;
@@ -1163,11 +1323,17 @@ class VersionedTable:
             "num_inserted_rows"
         )
         obs = Observation()
-        merged_obs = joined.observe(obs, n_upd, n_del, n_ins).where(keep).select(
-            *out_cols
+        merged_obs = finish(
+            joined.observe(obs, n_upd, n_del, n_ins).where(keep).select(*out_cols),
+            observe_ids=True,
         )
         d = self._write_data(merged_obs, self._next_version(), self.partition_columns())
         metrics = {k: int(v) for k, v in obs.get.items()}
+        props = self._latest().properties
+        if rt:
+            max_id = obs_rt.get["max_id"]
+            if max_id is not None:
+                props = {**(props or {}), self._HWM_PROP: str(int(max_id) + 1)}
         return self._commit_write(
             merged,
             "MERGE",
@@ -1180,6 +1346,7 @@ class VersionedTable:
             },
             [d],
             dv_paths=None,
+            properties=props,
         )
 
     @classmethod

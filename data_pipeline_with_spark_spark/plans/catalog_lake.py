@@ -274,3 +274,38 @@ register(
         oracle=None,
     )
 )
+
+
+def _row_tracking(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-tracking lifecycle as one driver-visible query: enable on a
+    supplier sample (backfill), UPDATE one nation's rows, OPTIMIZE, and
+    return per-phase proof that identity survived: row counts, distinct
+    _row_id counts, and the id-checksum of the updated rows before vs
+    after the rewrites (equal iff ids are stable)."""
+    sup = read_testdata(spark, sf, "supplier")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rowtrack_")).create(sup)
+    t.enable_row_tracking()
+    pre = t.read().where("s_nationkey = 0")
+    pre_n, pre_sum = pre.count(), pre.agg(F.sum("_row_id")).collect()[0][0]
+    t.update(where="s_nationkey = 0", set_exprs={"s_acctbal": "s_acctbal + 1"})
+    t.optimize()
+    post = t.read().where("s_nationkey = 0")
+    post_n, post_sum = post.count(), post.agg(F.sum("_row_id")).collect()[0][0]
+    n_rows = t.read().count()
+    n_ids = t.read().select("_row_id").distinct().count()
+    rows = [
+        ("updated_rows_pre", pre_n, int(pre_sum)),
+        ("updated_rows_post_rewrites", post_n, int(post_sum)),
+        ("table", n_rows, n_ids),
+    ]
+    return spark.createDataFrame(rows, "phase string, n bigint, id_stat bigint")
+
+
+register(
+    QuerySpec(
+        name="lakehouse_row_tracking",
+        build=_row_tracking,
+        doc="row-tracking lifecycle: backfill, UPDATE + OPTIMIZE rewrites, id-stability checksum",
+        oracle=None,
+    )
+)

@@ -1136,3 +1136,78 @@ def test_incremental_clustering_multicolumn_box_health(spark, tmp_path):
     assert latest.params["rewritten_files"] == 1
     assert latest.params["carried_files"] == 3
     assert t.read().count() == 800
+
+
+def test_row_tracking_ids_survive_rewrites(spark, tmp_path):
+    # Delta row-tracking analogue: stable _row_id through backfill,
+    # append, UPDATE, OPTIMIZE and DELETE.
+    df = spark.createDataFrame([(i, i % 3, float(i)) for i in range(30)], ["id", "k", "v"])
+    t = VersionedTable(spark, str(tmp_path / "rt")).create(df.repartition(3))
+    t.set_properties({"delta.enableRowTracking": "true"})  # triggers backfill
+    assert t._row_tracking_enabled()
+    base = {r.id: r._row_id for r in t.read().collect()}
+    assert len(set(base.values())) == 30  # unique
+    assert set(base.values()) == set(range(30))  # dense backfill 0..n-1
+
+    # append: fresh unique ids above the watermark
+    t.append(spark.createDataFrame([(100 + i, 0, 0.0) for i in range(5)], ["id", "k", "v"]))
+    after_append = {r.id: r._row_id for r in t.read().collect()}
+    assert len(set(after_append.values())) == 35
+    assert all(after_append[i] == base[i] for i in base)  # old ids untouched
+    assert all(after_append[100 + i] >= 30 for i in range(5))
+
+    # UPDATE rewrites files but identity is preserved
+    t.update(where="k = 1", set_exprs={"v": "v + 1000"})
+    after_update = {r.id: r._row_id for r in t.read().collect()}
+    assert after_update == after_append
+    assert t.read().where("k = 1 and v < 1000").count() == 0
+
+    # OPTIMIZE compaction preserves identity
+    t.optimize()
+    assert {r.id: r._row_id for r in t.read().collect()} == after_append
+
+    # DELETE removes ids without disturbing the rest
+    t.delete("id >= 100")
+    after_delete = {r.id: r._row_id for r in t.read().collect()}
+    assert after_delete == base
+
+
+def test_row_tracking_merge_keeps_target_ids_and_mints_fresh(spark, tmp_path):
+    from data_pipeline_with_spark_spark.lake.versioned import (
+        WhenMatched,
+        WhenNotMatched,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id INT, tag STRING, v DOUBLE"
+    )
+    t = VersionedTable(spark, str(tmp_path / "rtm")).create(base)
+    t.enable_row_tracking()
+    ids0 = {r.id: r._row_id for r in t.read().collect()}
+
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "id INT, tag STRING, v DOUBLE"
+    )
+    t.merge(
+        source,
+        keys=["id"],
+        matched=[WhenMatched()],            # UPDATE SET *
+        not_matched=[WhenNotMatched()],     # INSERT *
+    )
+    rows = {r.id: r for r in t.read().collect()}
+    assert rows[2].tag == "B" and rows[2]._row_id == ids0[2]  # updated, same id
+    assert rows[1]._row_id == ids0[1] and rows[3]._row_id == ids0[3]
+    fresh = rows[4]._row_id
+    assert fresh not in set(ids0.values()) and fresh >= 3  # minted above HWM
+
+    # merge_upsert routes through the identity-preserving merge
+    t.merge_upsert(
+        spark.createDataFrame([(1, "A", 11.0), (5, "e", 50.0)], "id INT, tag STRING, v DOUBLE"),
+        keys=["id"],
+    )
+    rows2 = {r.id: r for r in t.read().collect()}
+    assert rows2[1].tag == "A" and rows2[1]._row_id == ids0[1]
+    assert rows2[5]._row_id not in {r._row_id for r in rows.values()}
+    # engine-managed column is rejected on append
+    with pytest.raises(ValueError, match="engine-managed"):
+        t.append(t.read())
