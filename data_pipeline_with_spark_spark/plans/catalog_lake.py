@@ -285,11 +285,13 @@ def _row_tracking(spark: SparkSession, sf: str) -> DataFrame:
     sup = read_testdata(spark, sf, "supplier")
     t = VersionedTable(spark, tempfile.mkdtemp(prefix="rowtrack_")).create(sup)
     t.enable_row_tracking()
-    pre = t.read().where("s_nationkey = 0")
+    # s_suppkey is dense from 0 at every sf, so the predicate is never
+    # empty and the pre/post id checksums are always meaningful
+    pre = t.read().where("s_suppkey < 5")
     pre_n, pre_sum = pre.count(), pre.agg(F.sum("_row_id")).collect()[0][0]
-    t.update(where="s_nationkey = 0", set_exprs={"s_acctbal": "s_acctbal + 1"})
+    t.update(where="s_suppkey < 5", set_exprs={"s_acctbal": "s_acctbal + 1"})
     t.optimize()
-    post = t.read().where("s_nationkey = 0")
+    post = t.read().where("s_suppkey < 5")
     post_n, post_sum = post.count(), post.agg(F.sum("_row_id")).collect()[0][0]
     n_rows = t.read().count()
     n_ids = t.read().select("_row_id").distinct().count()
