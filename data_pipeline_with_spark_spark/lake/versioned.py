@@ -2025,15 +2025,22 @@ class VersionedTable:
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed (Delta CDF / ``table_changes`` analogue):
-        row-level diff between two snapshots, tagged ``_change_type`` of
-        'insert' or 'delete' (an update surfaces as delete+insert, CDF's
-        representation without per-commit row tracking).
+        row-level diff between two snapshots, tagged ``_change_type``.
+
+        Without row tracking an update surfaces as delete+insert (CDF's
+        representation without row identity). When BOTH snapshots carry
+        ``_row_id`` (row tracking enabled at or before
+        ``from_version``), the feed upgrades to Delta's full vocabulary:
+        a row id present on both sides of the diff is an update, tagged
+        'update_preimage' (old values) / 'update_postimage' (new
+        values); only genuinely new/gone ids tag 'insert'/'delete'.
 
         Computed as two ``exceptAll`` set differences — each is one
         hash-partition shuffle of the narrower snapshot; no log replay
         or file diffing needed because snapshots are declarative here.
         Multiset semantics: duplicate rows count, so an append of an
-        already-present row still surfaces as one 'insert'.
+        already-present row still surfaces as one 'insert'. The update
+        refinement adds one id-keyed intersect + two id-keyed joins.
         """
         newer = self.read(version=to_version)
         older = self.read(version=from_version)
@@ -2059,6 +2066,30 @@ class VersionedTable:
         )
         inserted = newer.exceptAll(aligned)
         deleted = aligned.exceptAll(newer)
+        rid = self.ROW_ID_COL
+        if rid in newer.columns and src(rid) is not None:
+            upd_ids = (
+                inserted.select(rid)
+                .intersect(deleted.select(rid))
+                .withColumn("__upd", F.lit(True))
+            )
+            out_cols = [f"`{c}`" for c in newer.columns] + ["_change_type"]
+
+            def tag(df: DataFrame, as_update: str, plain: str) -> DataFrame:
+                return (
+                    df.join(upd_ids, on=rid, how="left")
+                    .withColumn(
+                        "_change_type",
+                        F.when(F.col("__upd"), F.lit(as_update)).otherwise(
+                            F.lit(plain)
+                        ),
+                    )
+                    .selectExpr(*out_cols)
+                )
+
+            return tag(inserted, "update_postimage", "insert").unionByName(
+                tag(deleted, "update_preimage", "delete")
+            )
         return inserted.withColumn("_change_type", F.lit("insert")).unionByName(
             deleted.withColumn("_change_type", F.lit("delete"))
         )

@@ -1211,3 +1211,36 @@ def test_row_tracking_merge_keeps_target_ids_and_mints_fresh(spark, tmp_path):
     # engine-managed column is rejected on append
     with pytest.raises(ValueError, match="engine-managed"):
         t.append(t.read())
+
+
+def test_cdf_with_row_tracking_emits_update_images(spark, tmp_path):
+    # With row identity, CDF upgrades delete+insert pairs to Delta's
+    # update_preimage/update_postimage vocabulary.
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], ["id", "v"]
+    )
+    t = VersionedTable(spark, str(tmp_path / "cdfrt")).create(df)
+    t.enable_row_tracking()
+    v_base = t._latest().version
+    t.update(where="id = 3", set_exprs={"v": "v + 100"})
+    t.append(spark.createDataFrame([(50, 0.5)], ["id", "v"]))
+    t.delete("id = 7")
+
+    feed = t.changes(v_base).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r._change_type, []).append(r)
+    assert [r.id for r in by_type["update_preimage"]] == [3]
+    assert [r.id for r in by_type["update_postimage"]] == [3]
+    assert by_type["update_preimage"][0].v == 3.0
+    assert by_type["update_postimage"][0].v == 103.0
+    assert (
+        by_type["update_preimage"][0]._row_id
+        == by_type["update_postimage"][0]._row_id
+    )
+    assert [r.id for r in by_type["insert"]] == [50]
+    assert [r.id for r in by_type["delete"]] == [7]
+
+    # pre-tracking span still uses the insert/delete vocabulary
+    legacy = {r._change_type for r in t.changes(0, v_base).collect()}
+    assert "update_postimage" not in legacy
