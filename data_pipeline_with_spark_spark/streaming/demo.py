@@ -373,6 +373,67 @@ def run_stream_stream_left_join(
     return spark.table(sink_table)
 
 
+def run_rate_limited_stream(
+    spark: SparkSession,
+    rows_per_second: int = 500,
+    min_batches: int = 3,
+    timeout_seconds: float = 90.0,
+    sink_table: str = "rate_sink",
+) -> DataFrame:
+    """Live micro-batch ingestion from the ``rate`` source — the one
+    truly unbounded demo (everything else replays a finite fixture).
+
+    ``rowsPerSecond`` is the source-side rate limit (the backpressure
+    knob a production ingest tunes instead of letting a burst flood
+    the state store); a 1-second processing-time trigger paces the
+    micro-batches. The aggregation counts rows per event-time second
+    with a short watermark, so state stays bounded while the query
+    runs forever. We wait until at least ``min_batches`` micro-batches
+    completed AND the sink has rows (condition-based, not wall-clock —
+    a slow session's first batch must not be cut off mid-commit), then
+    stop — pytest asserts multiple batches arrived and the observed
+    rate respects the limit. (Spark's continuous-trigger mode is left
+    out deliberately: it supports map-only pipelines, no aggregations —
+    micro-batch IS the production path for stateful queries.)
+    """
+    import time as _time
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .option("numPartitions", "2")
+        .load()
+    )
+    agg = (
+        src.withWatermark("timestamp", "2 seconds")
+        .groupBy(F.window("timestamp", "1 second"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.unix_timestamp("window.start").alias("sec"),
+            "n_rows",
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = _time.time() + timeout_seconds
+    n_batches = 0
+    while _time.time() < deadline:
+        lp = query.lastProgress
+        n_batches = (lp["batchId"] + 1) if lp else 0
+        if n_batches >= min_batches and spark.table(sink_table).count() > 0:
+            break
+        _time.sleep(0.25)
+    query.stop()
+    query.awaitTermination()
+    out = spark.table(sink_table)
+    return out.withColumn("n_trigger_batches", F.lit(int(n_batches)))
+
+
 try:
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 except ImportError:  # pre-4.0 Spark: transformWithState unavailable

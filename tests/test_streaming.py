@@ -165,3 +165,14 @@ def test_stream_stream_left_join_eviction_semantics(spark, sf_dir):
     # every provably-evictable unmatched click emitted a null row, and
     # nothing outside the batch null set ever appears
     assert b_evictable <= s_nulls <= b_all_nulls
+
+
+def test_rate_limited_stream_respects_rate(spark):
+    out = demo.run_rate_limited_stream(spark, rows_per_second=400, min_batches=2)
+    rows = out.collect()
+    assert rows, "no micro-batch output arrived"
+    assert rows[0].n_trigger_batches >= 2  # multiple paced triggers ran
+    # source-side rate limiting: no event-time second exceeds the cap
+    # (2x headroom for second-boundary jitter on the first/last bucket)
+    assert max(r.n_rows for r in rows) <= 400 * 2
+    assert sum(r.n_rows for r in rows) > 0
