@@ -118,16 +118,21 @@ _TIME_TRAVEL_RE = re.compile(r"(?P<tbl>[A-Za-z_][\w.]*)@v(?P<v>\d+)")
 
 # Segments of a SQL statement that table-name rewriting must never touch:
 # single-quoted string literals (with '' escapes), backtick-quoted
-# identifiers, and comments.
+# identifiers, and comments. _SQL_STRINGS_RE omits backticks — used when
+# rewriting a backtick-quoted reference itself, which must still skip
+# literals and comments.
 _SQL_OPAQUE_RE = re.compile(r"'(?:[^']|'')*'|`[^`]*`|--[^\n]*|/\*.*?\*/", re.DOTALL)
+_SQL_STRINGS_RE = re.compile(r"'(?:[^']|'')*'|--[^\n]*|/\*.*?\*/", re.DOTALL)
 
 
-def _sub_outside_literals(sql: str, pattern: re.Pattern, repl) -> str:
+def _sub_outside_literals(
+    sql: str, pattern: re.Pattern, repl, opaque: re.Pattern = _SQL_OPAQUE_RE
+) -> str:
     """Apply ``pattern.sub(repl, …)`` only to the parts of ``sql`` that
     are not string literals / quoted identifiers / comments, so a table
     named ``orders`` is never rewritten inside '…orders…' text."""
     out, pos = [], 0
-    for m in _SQL_OPAQUE_RE.finditer(sql):
+    for m in opaque.finditer(sql):
         out.append(pattern.sub(repl, sql[pos : m.start()]))
         out.append(m.group(0))
         pos = m.end()
@@ -135,9 +140,11 @@ def _sub_outside_literals(sql: str, pattern: re.Pattern, repl) -> str:
     return "".join(out)
 
 
-def _search_outside_literals(sql: str, pattern: re.Pattern) -> bool:
+def _search_outside_literals(
+    sql: str, pattern: re.Pattern, opaque: re.Pattern = _SQL_OPAQUE_RE
+) -> bool:
     pos = 0
-    for m in _SQL_OPAQUE_RE.finditer(sql):
+    for m in opaque.finditer(sql):
         if pattern.search(sql, pos, m.start()):
             return True
         pos = m.end()
@@ -553,9 +560,18 @@ class LakehouseSQL:
             # identifiers intact; _sub_outside_literals keeps string
             # literals, backticked identifiers and comments intact.
             pattern = re.compile(rf"(?<![.\w]){re.escape(name)}\b(?!@)")
-            if _search_outside_literals(sql, pattern):
+            # a backtick-quoted reference is one whole identifier — the
+            # opaque-segment rule protects string literals from rewriting
+            # but `name` must still resolve, so match it exactly
+            backticked = re.compile(re.escape(f"`{name}`"))
+            if _search_outside_literals(sql, pattern) or _search_outside_literals(
+                sql, backticked, opaque=_SQL_STRINGS_RE
+            ):
                 view = _view_name(name)
                 vt.read().createOrReplaceTempView(view)
+                sql = _sub_outside_literals(
+                    sql, backticked, f"`{view}`", opaque=_SQL_STRINGS_RE
+                )
                 sql = _sub_outside_literals(sql, pattern, view)
         return self.spark.sql(sql)
 

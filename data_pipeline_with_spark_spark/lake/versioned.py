@@ -863,6 +863,8 @@ class VersionedTable:
         if batch_id <= last:
             return False
         rt = self._row_tracking_enabled()
+        if rt and self.ROW_ID_COL in df.columns:
+            raise ValueError(f"{self.ROW_ID_COL} is engine-managed; drop it")
         merged = self._enforce(df.schema, merge_schema)
         aligned = self._align(df, merged)
         self._check_constraints(aligned)
@@ -1152,7 +1154,20 @@ class VersionedTable:
         """
         if self._row_tracking_enabled():
             # row identity must survive the upsert (replaced rows keep
-            # the target id); the clause-based merge handles that.
+            # the target id); the clause-based merge handles that. Keep
+            # the non-tracked path's loud failure on a short source —
+            # merge's INSERT * would silently NULL-fill missing columns.
+            target_cols = {
+                f.name
+                for f in T.StructType.fromJson(
+                    json.loads(self._latest().schema_json)
+                ).fields
+            } - {self.ROW_ID_COL}
+            missing = target_cols - set(source.columns)
+            if missing:
+                raise ValueError(
+                    f"merge_upsert source is missing table columns {sorted(missing)}"
+                )
             return self.merge(
                 source,
                 keys,
@@ -1333,7 +1348,13 @@ class VersionedTable:
         if rt:
             max_id = obs_rt.get["max_id"]
             if max_id is not None:
-                props = {**(props or {}), self._HWM_PROP: str(int(max_id) + 1)}
+                # never regress the watermark: an update-only merge's max
+                # surviving id can be below the stored HWM (earlier rows
+                # deleted), and reusing those ids would corrupt identity
+                props = {
+                    **(props or {}),
+                    self._HWM_PROP: str(max(hwm, int(max_id) + 1)),
+                }
         return self._commit_write(
             merged,
             "MERGE",

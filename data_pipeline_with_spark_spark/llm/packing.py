@@ -187,7 +187,9 @@ def ffd_pack(
             tok = int(pdf["n_tokens_est"].iat[i])
             if tok > seq_len:
                 bin_idx[i] = len(remaining)
-                remaining.append(0)  # full: nothing else joins this bin
+                # -1 sentinel: nothing else joins this bin — a plain 0
+                # would still admit zero-token documents (0 <= 0)
+                remaining.append(-1)
                 oversize[i] = True
                 continue
             for b, cap in enumerate(remaining):

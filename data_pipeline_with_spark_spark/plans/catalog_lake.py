@@ -254,7 +254,11 @@ def _liquid_clustering(spark: SparkSession, sf: str) -> DataFrame:
     t.cluster_by(["o_orderkey"])
     t.optimize_incremental()
     p1 = t._latest().params
-    t.append(read_testdata(spark, sf, "orders").where("o_orderkey >= 2000 and o_orderkey < 2500").coalesce(1))
+    # the appended batch re-covers [0, 500) so its key range genuinely
+    # overlaps the settled file and the incremental pass must fire
+    t.append(
+        read_testdata(spark, sf, "orders").where("o_orderkey < 500").coalesce(1)
+    )
     t.optimize_incremental()
     p2 = t._latest().params
     kept, total = t.plan_files(("o_orderkey", "<", 100))

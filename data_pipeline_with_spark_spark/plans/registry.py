@@ -72,6 +72,10 @@ def _order_key(item: tuple[str, QuerySpec]) -> tuple[int, int]:
     return (0 if spec.headline else 2, len(_ORDER_PREFIXES))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _driver_sampled_names() -> frozenset[str]:
     """Query names that have already appeared in any driver correctness
     round (``CORRECTNESS_r*.json`` at the repo root).
@@ -79,7 +83,10 @@ def _driver_sampled_names() -> frozenset[str]:
     The driver's gate samples a prefix window of ``queries()``, so a
     static order resamples the same names every round. Rotating
     never-yet-sampled queries to the front gives every query a turn in
-    the window while already-proven names drop to the tail.
+    the window while already-proven names drop to the tail. Cached per
+    process — the round files are append-only and every caller
+    (bench, gate, tests) would otherwise re-glob and re-parse them on
+    each query resolution.
     """
     import json
     from pathlib import Path

@@ -386,9 +386,10 @@ def run_rate_limited_stream(
     ``rowsPerSecond`` is the source-side rate limit (the backpressure
     knob a production ingest tunes instead of letting a burst flood
     the state store); a 1-second processing-time trigger paces the
-    micro-batches. The aggregation counts rows per event-time second
-    with a short watermark, so state stays bounded while the query
-    runs forever. We wait until at least ``min_batches`` micro-batches
+    micro-batches. The aggregation counts rows per event-time second in
+    UPDATE output mode with a short watermark — the combination where
+    Spark really evicts closed windows, keeping state bounded while the
+    query runs forever. We wait until at least ``min_batches`` micro-batches
     completed AND the sink has rows (condition-based, not wall-clock —
     a slow session's first batch must not be cut off mid-commit), then
     stop — pytest asserts multiple batches arrived and the observed
@@ -413,10 +414,16 @@ def run_rate_limited_stream(
             "n_rows",
         )
     )
+    # update mode, not complete: the watermark actually evicts closed
+    # windows from the state store (complete mode retains every window
+    # forever, which would contradict the bounded-state claim). The
+    # memory sink then holds one row per emitted update — a window
+    # growing across triggers appears several times, so the returned
+    # frame takes the last (max) count per second.
     query = (
         agg.writeStream.format("memory")
         .queryName(sink_table)
-        .outputMode("complete")
+        .outputMode("update")
         .trigger(processingTime="1 second")
         .start()
     )
@@ -430,7 +437,11 @@ def run_rate_limited_stream(
         _time.sleep(0.25)
     query.stop()
     query.awaitTermination()
-    out = spark.table(sink_table)
+    out = (
+        spark.table(sink_table)
+        .groupBy("sec")
+        .agg(F.max("n_rows").alias("n_rows"))
+    )
     return out.withColumn("n_trigger_batches", F.lit(int(n_batches)))
 
 

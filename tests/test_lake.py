@@ -1244,3 +1244,36 @@ def test_cdf_with_row_tracking_emits_update_images(spark, tmp_path):
     # pre-tracking span still uses the insert/delete vocabulary
     legacy = {r._change_type for r in t.changes(0, v_base).collect()}
     assert "update_postimage" not in legacy
+
+
+def test_merge_hwm_never_regresses(spark, tmp_path):
+    # An update-only merge's max surviving id can be below the stored
+    # high-watermark; the commit must keep the watermark monotone or
+    # later appends would re-mint deleted rows' ids.
+    from data_pipeline_with_spark_spark.lake.versioned import (
+        WhenMatched,
+    )
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], ["id", "v"])
+    t = VersionedTable(spark, str(tmp_path / "hwm")).create(df)
+    t.enable_row_tracking()
+    t.delete("id >= 5")  # ids 5..9 gone; HWM stays 10
+    src = spark.createDataFrame([(1, 100.0)], ["id", "v"])
+    t.merge(src, keys=["id"], matched=[WhenMatched(update={"v": "s.v"})])
+    assert int(t.table_properties()[t._HWM_PROP]) >= 10
+    t.append(spark.createDataFrame([(50, 0.5)], ["id", "v"]))
+    ids = [r._row_id for r in t.read().collect()]
+    assert len(ids) == len(set(ids))  # no reuse of deleted ids
+    assert max(ids) >= 10
+
+
+def test_merge_upsert_row_tracked_rejects_short_source(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0)], "id INT, tag STRING, v DOUBLE"
+    )
+    t = VersionedTable(spark, str(tmp_path / "short")).create(base)
+    t.enable_row_tracking()
+    with pytest.raises(ValueError, match="missing table columns"):
+        t.merge_upsert(
+            spark.createDataFrame([(1, "b")], "id INT, tag STRING"), keys=["id"]
+        )

@@ -344,3 +344,17 @@ def test_cluster_by_sql_routes_incremental_optimize(lake):
     # explicit ZORDER still runs the classic full optimize
     lake.sql("OPTIMIZE eea_curated.co2_emissions ZORDER BY (MS)")
     assert vt.history()[0]["operation"] == "OPTIMIZE"
+
+
+def test_passthrough_resolves_backticked_table_names(lake):
+    lake.sql("CONVERT TO DELTA eea_curated.co2_emissions")
+    row = lake.sql(
+        "SELECT count(*) AS n FROM `eea_curated.co2_emissions`"
+    ).collect()[0]
+    assert row.n == 3
+    # a backticked name inside a string literal still survives
+    row = lake.sql(
+        "SELECT '`eea_curated.co2_emissions`' AS s, count(*) AS n "
+        "FROM `eea_curated.co2_emissions`"
+    ).collect()[0]
+    assert row.s == "`eea_curated.co2_emissions`" and row.n == 3
