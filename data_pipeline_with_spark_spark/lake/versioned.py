@@ -212,6 +212,15 @@ class Commit:
     # carried commit to commit. 'delta.enableDeletionVectors' = 'true'
     # switches DELETE to tombstone mode, matching Delta's opt-in shape.
     properties: dict | None = None
+    # Log-resident file statistics (Delta's per-file stats in the
+    # transaction log): file path -> {"rows": n, "cols": {col: [lo, hi]}}
+    # with typed encoding for timestamps/dates. Collected once per NEW
+    # file at commit time (footers are page-cache-hot right after the
+    # write) and carried forward for untouched files, so planning
+    # (plan_files, clustering health) is metadata-only — no footer I/O
+    # per query. None on legacy commits -> planner falls back to
+    # footers, correctness unchanged.
+    file_stats: dict | None = None
 
 
 class VersionedTable:
@@ -439,6 +448,7 @@ class VersionedTable:
                 column_mapping=latest.column_mapping,
                 dv_paths=latest.dv_paths,
                 properties=merged,
+                file_stats=latest.file_stats,
             )
         )
         return self
@@ -522,6 +532,7 @@ class VersionedTable:
                     "delta.enableRowTracking": "true",
                     self._HWM_PROP: str(acc),
                 },
+                file_stats=self._stats_for_commit([d]),
             )
         )
         return self
@@ -538,6 +549,85 @@ class VersionedTable:
             (F.lit(hwm) + F.monotonically_increasing_id()).cast("long"),
         ).observe(obs, F.max(self.ROW_ID_COL).alias("max_id"))
         return out, obs
+
+    # ------------------------------------------------- log-resident stats
+    @staticmethod
+    def _enc_stat(v: object) -> object:
+        """JSON-safe encoding for a footer min/max value; None when the
+        type doesn't round-trip (stats for that column are dropped —
+        the planner conservatively keeps the file)."""
+        import datetime
+
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, (int, float, str)):
+            return v
+        if isinstance(v, datetime.datetime):
+            # normalize to naive UTC: the engine runs a UTC session and
+            # predicate values arrive naive; a tz-aware stat would make
+            # every comparison raise and disable skipping
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            return {"$ts": v.isoformat()}
+        if isinstance(v, datetime.date):
+            return {"$d": v.isoformat()}
+        return None
+
+    @staticmethod
+    def _dec_stat(v: object) -> object:
+        import datetime
+
+        if isinstance(v, dict):
+            if "$ts" in v:
+                return datetime.datetime.fromisoformat(v["$ts"])
+            if "$d" in v:
+                return datetime.date.fromisoformat(v["$d"])
+        return v
+
+    @staticmethod
+    def _read_footer_stats(path: str) -> dict:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        cols: dict[str, list] = {}
+        for name, idx in names.items():
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if not ok or lo is None:
+                continue
+            elo, ehi = VersionedTable._enc_stat(lo), VersionedTable._enc_stat(hi)
+            if elo is not None and ehi is not None:
+                cols[name] = [elo, ehi]
+        return {"rows": md.num_rows, "cols": cols}
+
+    def _stats_for_commit(self, data_dirs: list[str]) -> dict:
+        """Per-file stats map for a commit's snapshot: carried files
+        reuse the previous commit's entries (no I/O), new files read
+        their footer once."""
+        try:
+            prev = self._latest().file_stats or {}
+        except FileNotFoundError:
+            prev = {}
+        out: dict[str, dict] = {}
+        for d in data_dirs:
+            p = Path(d)
+            files = (
+                [str(p)]
+                if p.is_file()
+                else [str(x) for x in sorted(p.glob("**/*.parquet"))]
+            )
+            for f in files:
+                cached = prev.get(f)
+                out[f] = cached if cached is not None else self._read_footer_stats(f)
+        return out
 
     def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         """Project ``df`` onto the table schema: present columns cast,
@@ -590,6 +680,7 @@ class VersionedTable:
                 column_mapping=latest.column_mapping,
                 dv_paths=latest.dv_paths,
                 properties=latest.properties,
+                file_stats=latest.file_stats,
             )
         )
         return self
@@ -612,6 +703,7 @@ class VersionedTable:
                 column_mapping=latest.column_mapping,
                 dv_paths=latest.dv_paths,
                 properties=latest.properties,
+                file_stats=latest.file_stats,
             )
         )
         return self
@@ -670,6 +762,9 @@ class VersionedTable:
                 column_mapping=mapping,
                 dv_paths=latest.dv_paths,
                 properties=latest.properties,
+                # stats are keyed by PHYSICAL names, which a rename
+                # never changes — carry verbatim
+                file_stats=latest.file_stats,
             )
         )
         return self
@@ -733,6 +828,7 @@ class VersionedTable:
                 properties=(
                     properties if properties is not None else self._latest().properties
                 ),
+                file_stats=self._stats_for_commit(data_dirs),
             )
         )
         return self
@@ -769,6 +865,7 @@ class VersionedTable:
                 schema_json=json.dumps(df.schema.jsonValue()),
                 partition_by=list(partition_by) if partition_by else None,
                 generated=dict(generated) if generated else None,
+                file_stats=self._stats_for_commit([d]),
             )
         )
         return self
@@ -791,6 +888,7 @@ class VersionedTable:
                 params={"source": parquet_path},
                 data_dirs=[parquet_path],
                 schema_json=json.dumps(df.schema.jsonValue()),
+                file_stats=table._stats_for_commit([parquet_path]),
             )
         )
         return table
@@ -830,6 +928,7 @@ class VersionedTable:
                 column_mapping=self._latest().column_mapping,
                 dv_paths=self._latest().dv_paths,
                 properties=props,
+                file_stats=self._stats_for_commit(dirs),
             )
         )
         return self
@@ -896,6 +995,7 @@ class VersionedTable:
                 column_mapping=self._latest().column_mapping,
                 dv_paths=self._latest().dv_paths,
                 properties=props,
+                file_stats=self._stats_for_commit(self._latest().data_dirs + [d]),
             )
         )
         return True
@@ -1403,6 +1503,7 @@ class VersionedTable:
                 column_mapping=src_commit.column_mapping,
                 dv_paths=src_commit.dv_paths,
                 properties=src_commit.properties,
+                file_stats=src_commit.file_stats,
             )
         )
         return table
@@ -1423,6 +1524,7 @@ class VersionedTable:
                 column_mapping=old.column_mapping,
                 dv_paths=old.dv_paths,
                 properties=old.properties,
+                file_stats=old.file_stats,
             )
         )
         return self
@@ -1558,12 +1660,23 @@ class VersionedTable:
     def _file_key_ranges(
         self, files: list[str], col: str
     ) -> dict[str, tuple | None]:
-        """(min, max) of ``col`` per file from parquet footers; None when
-        stats are missing (treated as overlapping everything)."""
+        """(min, max) of ``col`` per file — log-resident stats when the
+        commit carries them, parquet footers otherwise; None when stats
+        are missing (treated as overlapping everything)."""
         import pyarrow.parquet as pq
 
+        log_stats = self._latest().file_stats or {}
         out: dict[str, tuple | None] = {}
         for f in files:
+            ls = log_stats.get(f)
+            if ls is not None:
+                cs = ls["cols"].get(col)
+                out[f] = (
+                    None
+                    if cs is None or ls["rows"] == 0
+                    else (self._dec_stat(cs[0]), self._dec_stat(cs[1]))
+                )
+                continue
             md = pq.ParquetFile(f).metadata
             names = {md.schema.column(i).name: i for i in range(md.num_columns)}
             if col not in names or md.num_rows == 0:
@@ -1952,6 +2065,9 @@ class VersionedTable:
         # predicates arrive with logical names; paths and footers hold
         # physical names (column-mapping tables)
         phys = self._mapping(version)
+        # log-resident stats first (metadata-only planning, the Delta
+        # shape); footer reads only for files absent from the log
+        log_stats = self._resolve_commit(version).file_stats or {}
 
         for _col, op, _val in preds:
             if op not in _SKIP_OPS:
@@ -1991,6 +2107,19 @@ class VersionedTable:
                         break
                     typed = _typed_partition_value(ftypes.get(col), raw)
                     if not may_match(op, val, typed, typed):
+                        keep = False
+                        break
+                    continue
+                ls = log_stats.get(f)
+                if ls is not None:
+                    if ls["rows"] == 0:
+                        keep = False
+                        break
+                    cs = ls["cols"].get(pcol)
+                    if cs is None:
+                        continue  # no stats for this column: keep
+                    lo, hi = self._dec_stat(cs[0]), self._dec_stat(cs[1])
+                    if not may_match(op, val, lo, hi):
                         keep = False
                         break
                     continue

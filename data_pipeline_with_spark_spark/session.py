@@ -51,6 +51,10 @@ def _builder(
         # so AQE coalescing handles them.
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.sql.parquet.compression.codec": "snappy",
+        # INT96 (the legacy default) writes NO min/max statistics, which
+        # kills timestamp data-skipping; TIMESTAMP_MICROS is the modern
+        # type every engine reads and it carries full footer stats.
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         # Keep the UI off for headless runs (bench/pytest).
         "spark.ui.showConsoleProgress": "false",
         "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),

@@ -1277,3 +1277,51 @@ def test_merge_upsert_row_tracked_rejects_short_source(spark, tmp_path):
         t.merge_upsert(
             spark.createDataFrame([(1, "b")], "id INT, tag STRING"), keys=["id"]
         )
+
+
+def test_plan_files_uses_log_stats_without_footer_io(spark, tmp_path, monkeypatch):
+    # Per-file stats live in the commit log (Delta shape): after the
+    # write, planning must not open a single parquet footer.
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame([(i, i % 5) for i in range(1000)], ["id", "k"])
+    t = VersionedTable(spark, str(tmp_path / "logstats")).create(df)
+    t.optimize(zorder_by=["id"], target_partitions=4)
+    assert t._latest().file_stats  # stats recorded at commit time
+
+    real = pq.ParquetFile
+
+    def boom(*a, **kw):
+        raise AssertionError("footer read during planning")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    try:
+        kept, total = t.plan_files(("id", "<", 100))
+    finally:
+        monkeypatch.setattr(pq, "ParquetFile", real)
+    assert total == 4 and 1 <= len(kept) < total
+
+    got = {tuple(r) for r in t.read_where(("id", "<", 100)).collect()}
+    want = {tuple(r) for r in t.read().where("id < 100").collect()}
+    assert got == want and len(got) == 100
+
+
+def test_log_stats_timestamp_roundtrip_and_carry(spark, tmp_path):
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    t = VersionedTable(spark, str(tmp_path / "tstats")).create(df)
+    t.optimize(zorder_by=["ts"], target_partitions=4)
+    # metadata-only commits carry stats verbatim
+    t.set_properties({"x": "1"})
+    stats = t._latest().file_stats
+    assert stats and all("ts" in s["cols"] for s in stats.values())
+    cutoff = datetime.datetime(2024, 1, 2)
+    kept, total = t.plan_files(("ts", "<", cutoff))
+    assert total == 4 and len(kept) < total
+    got = t.read_where(("ts", "<", cutoff)).count()
+    assert got == t.read().where(F.col("ts") < F.lit(cutoff)).count() == 24
