@@ -213,14 +213,17 @@ class Commit:
     # switches DELETE to tombstone mode, matching Delta's opt-in shape.
     properties: dict | None = None
     # Log-resident file statistics (Delta's per-file stats in the
-    # transaction log): file path -> {"rows": n, "cols": {col: [lo, hi]}}
-    # with typed encoding for timestamps/dates. Collected once per NEW
-    # file at commit time (footers are page-cache-hot right after the
-    # write) and carried forward for untouched files, so planning
-    # (plan_files, clustering health) is metadata-only — no footer I/O
-    # per query. None on legacy commits -> planner falls back to
-    # footers, correctness unchanged.
-    file_stats: dict | None = None
+    # transaction log): data_dir -> stats-file name under _log/_stats/.
+    # Each stats file holds {file: {"rows": n, "cols": {col: [lo, hi]}}}
+    # for ONE data directory, written once when the directory is first
+    # committed (footers are page-cache-hot right after the write) and
+    # immutable forever after — directories never change, so commits
+    # carry O(dirs) pointers instead of re-serializing O(files × cols)
+    # stats into every log entry. Planning (plan_files, clustering
+    # health) resolves the refs through a per-instance cache and is
+    # metadata-only; files absent from the refs fall back to footer
+    # reads, so correctness never depends on the stats existing.
+    stats_refs: dict | None = None
 
 
 class VersionedTable:
@@ -448,7 +451,7 @@ class VersionedTable:
                 column_mapping=latest.column_mapping,
                 dv_paths=latest.dv_paths,
                 properties=merged,
-                file_stats=latest.file_stats,
+                stats_refs=latest.stats_refs,
             )
         )
         return self
@@ -532,7 +535,7 @@ class VersionedTable:
                     "delta.enableRowTracking": "true",
                     self._HWM_PROP: str(acc),
                 },
-                file_stats=self._stats_for_commit([d]),
+                stats_refs=self._stats_for_commit([d]),
             )
         )
         return self
@@ -608,26 +611,67 @@ class VersionedTable:
                 cols[name] = [elo, ehi]
         return {"rows": md.num_rows, "cols": cols}
 
+    def _stats_dir(self) -> Path:
+        return self.log_dir / "_stats"
+
     def _stats_for_commit(self, data_dirs: list[str]) -> dict:
-        """Per-file stats map for a commit's snapshot: carried files
-        reuse the previous commit's entries (no I/O), new files read
-        their footer once."""
+        """Stats refs for a commit's snapshot: carried dirs reuse the
+        previous commit's pointer (no I/O), each NEW dir gets one
+        write-once stats file holding its files' footer stats."""
+        import hashlib
+
         try:
-            prev = self._latest().file_stats or {}
+            prev = self._latest().stats_refs or {}
         except FileNotFoundError:
             prev = {}
-        out: dict[str, dict] = {}
+        out: dict[str, str] = {}
         for d in data_dirs:
-            p = Path(d)
-            files = (
-                [str(p)]
-                if p.is_file()
-                else [str(x) for x in sorted(p.glob("**/*.parquet"))]
-            )
-            for f in files:
-                cached = prev.get(f)
-                out[f] = cached if cached is not None else self._read_footer_stats(f)
+            if d in prev:
+                out[d] = prev[d]
+                continue
+            name = hashlib.sha1(d.encode()).hexdigest()[:16] + ".json"
+            target = self._stats_dir() / name
+            if not target.exists():
+                p = Path(d)
+                files = (
+                    [str(p)]
+                    if p.is_file()
+                    else [str(x) for x in sorted(p.glob("**/*.parquet"))]
+                )
+                stats = {f: self._read_footer_stats(f) for f in files}
+                self._stats_dir().mkdir(parents=True, exist_ok=True)
+                fd, tmp = tempfile.mkstemp(dir=self._stats_dir(), suffix=".tmp")
+                try:
+                    with os.fdopen(fd, "w") as fh:
+                        json.dump(stats, fh)
+                    os.replace(tmp, target)  # idempotent: content-determined
+                finally:
+                    try:
+                        os.unlink(tmp)
+                    except FileNotFoundError:
+                        pass
+            out[d] = name
         return out
+
+    # per-instance cache of loaded stats files (immutable on disk)
+    _stats_cache: dict | None = None
+
+    def _log_stats(self, commit: "Commit") -> dict:
+        """file -> stats for a snapshot, resolved through the commit's
+        stats refs; {} when the commit predates the stats feature."""
+        if self._stats_cache is None:
+            self._stats_cache = {}
+        merged: dict[str, dict] = {}
+        for name in (commit.stats_refs or {}).values():
+            cached = self._stats_cache.get(name)
+            if cached is None:
+                try:
+                    cached = json.loads((self._stats_dir() / name).read_text())
+                except (OSError, ValueError):
+                    cached = {}
+                self._stats_cache[name] = cached
+            merged.update(cached)
+        return merged
 
     def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         """Project ``df`` onto the table schema: present columns cast,
@@ -680,7 +724,7 @@ class VersionedTable:
                 column_mapping=latest.column_mapping,
                 dv_paths=latest.dv_paths,
                 properties=latest.properties,
-                file_stats=latest.file_stats,
+                stats_refs=latest.stats_refs,
             )
         )
         return self
@@ -703,7 +747,7 @@ class VersionedTable:
                 column_mapping=latest.column_mapping,
                 dv_paths=latest.dv_paths,
                 properties=latest.properties,
-                file_stats=latest.file_stats,
+                stats_refs=latest.stats_refs,
             )
         )
         return self
@@ -764,7 +808,7 @@ class VersionedTable:
                 properties=latest.properties,
                 # stats are keyed by PHYSICAL names, which a rename
                 # never changes — carry verbatim
-                file_stats=latest.file_stats,
+                stats_refs=latest.stats_refs,
             )
         )
         return self
@@ -828,7 +872,7 @@ class VersionedTable:
                 properties=(
                     properties if properties is not None else self._latest().properties
                 ),
-                file_stats=self._stats_for_commit(data_dirs),
+                stats_refs=self._stats_for_commit(data_dirs),
             )
         )
         return self
@@ -865,7 +909,7 @@ class VersionedTable:
                 schema_json=json.dumps(df.schema.jsonValue()),
                 partition_by=list(partition_by) if partition_by else None,
                 generated=dict(generated) if generated else None,
-                file_stats=self._stats_for_commit([d]),
+                stats_refs=self._stats_for_commit([d]),
             )
         )
         return self
@@ -888,7 +932,7 @@ class VersionedTable:
                 params={"source": parquet_path},
                 data_dirs=[parquet_path],
                 schema_json=json.dumps(df.schema.jsonValue()),
-                file_stats=table._stats_for_commit([parquet_path]),
+                stats_refs=table._stats_for_commit([parquet_path]),
             )
         )
         return table
@@ -928,7 +972,7 @@ class VersionedTable:
                 column_mapping=self._latest().column_mapping,
                 dv_paths=self._latest().dv_paths,
                 properties=props,
-                file_stats=self._stats_for_commit(dirs),
+                stats_refs=self._stats_for_commit(dirs),
             )
         )
         return self
@@ -995,7 +1039,7 @@ class VersionedTable:
                 column_mapping=self._latest().column_mapping,
                 dv_paths=self._latest().dv_paths,
                 properties=props,
-                file_stats=self._stats_for_commit(self._latest().data_dirs + [d]),
+                stats_refs=self._stats_for_commit(self._latest().data_dirs + [d]),
             )
         )
         return True
@@ -1503,7 +1547,7 @@ class VersionedTable:
                 column_mapping=src_commit.column_mapping,
                 dv_paths=src_commit.dv_paths,
                 properties=src_commit.properties,
-                file_stats=src_commit.file_stats,
+                stats_refs=src_commit.stats_refs,
             )
         )
         return table
@@ -1524,7 +1568,7 @@ class VersionedTable:
                 column_mapping=old.column_mapping,
                 dv_paths=old.dv_paths,
                 properties=old.properties,
-                file_stats=old.file_stats,
+                stats_refs=old.stats_refs,
             )
         )
         return self
@@ -1665,7 +1709,7 @@ class VersionedTable:
         are missing (treated as overlapping everything)."""
         import pyarrow.parquet as pq
 
-        log_stats = self._latest().file_stats or {}
+        log_stats = self._log_stats(self._latest())
         out: dict[str, tuple | None] = {}
         for f in files:
             ls = log_stats.get(f)
@@ -1898,6 +1942,12 @@ class VersionedTable:
                 if str(d) not in live:
                     shutil.rmtree(d)
                     removed.append(str(d))
+        # stats files for vacuumed dirs are orphans — prune them too
+        live_refs = {n for c in keep for n in (c.stats_refs or {}).values()}
+        if self._stats_dir().exists():
+            for f in self._stats_dir().glob("*.json"):
+                if f.name not in live_refs:
+                    f.unlink()
         return removed
 
     # ------------------------------------------------------------- reads
@@ -2067,7 +2117,7 @@ class VersionedTable:
         phys = self._mapping(version)
         # log-resident stats first (metadata-only planning, the Delta
         # shape); footer reads only for files absent from the log
-        log_stats = self._resolve_commit(version).file_stats or {}
+        log_stats = self._log_stats(self._resolve_commit(version))
 
         for _col, op, _val in preds:
             if op not in _SKIP_OPS:

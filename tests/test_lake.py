@@ -1287,7 +1287,13 @@ def test_plan_files_uses_log_stats_without_footer_io(spark, tmp_path, monkeypatc
     df = spark.createDataFrame([(i, i % 5) for i in range(1000)], ["id", "k"])
     t = VersionedTable(spark, str(tmp_path / "logstats")).create(df)
     t.optimize(zorder_by=["id"], target_partitions=4)
-    assert t._latest().file_stats  # stats recorded at commit time
+    assert t._latest().stats_refs  # refs recorded at commit time
+    # write-once per dir: the stats files exist under _log/_stats
+    assert all(
+        (t._stats_dir() / n).exists() for n in t._latest().stats_refs.values()
+    )
+    # commits carry pointers, not stat blobs — log entries stay small
+    assert '"rows"' not in t._log_files()[-1].read_text()
 
     real = pq.ParquetFile
 
@@ -1318,7 +1324,7 @@ def test_log_stats_timestamp_roundtrip_and_carry(spark, tmp_path):
     t.optimize(zorder_by=["ts"], target_partitions=4)
     # metadata-only commits carry stats verbatim
     t.set_properties({"x": "1"})
-    stats = t._latest().file_stats
+    stats = t._log_stats(t._latest())
     assert stats and all("ts" in s["cols"] for s in stats.values())
     cutoff = datetime.datetime(2024, 1, 2)
     kept, total = t.plan_files(("ts", "<", cutoff))
