@@ -540,6 +540,58 @@ class VersionedTable:
         )
         return self
 
+    # ---------------------------------------------------- identity columns
+    _IDENTITY_PROP = "spark_graft.identity."
+
+    def identity_columns(self) -> dict[str, dict]:
+        """Declared GENERATED ALWAYS AS IDENTITY columns:
+        name -> {"start", "step", "next"}."""
+        out = {}
+        for k, v in self.table_properties().items():
+            if k.startswith(self._IDENTITY_PROP):
+                out[k[len(self._IDENTITY_PROP) :]] = json.loads(v)
+        return out
+
+    def _assign_identity(
+        self, df: DataFrame, specs: dict[str, dict]
+    ) -> tuple[DataFrame, dict[str, "Observation"]]:
+        """Fill each identity column with values ≥ its high-watermark.
+        Guarantees: unique, ≥ start, ≡ start (mod step), and strictly
+        above every previous commit's values. Contiguity is NOT
+        guaranteed — monotonically_increasing_id's per-partition
+        offsets leave large gaps (Delta's identity contract likewise
+        allows gaps; its per-transaction range reservation leaves
+        smaller ones)."""
+        obs: dict[str, Observation] = {}
+        for col, spec in specs.items():
+            o = Observation()
+            df = df.withColumn(
+                col,
+                (
+                    F.lit(spec["next"])
+                    + F.lit(spec["step"]) * F.monotonically_increasing_id()
+                ).cast("long"),
+            ).observe(o, F.max(col).alias("max_id"))
+            obs[col] = o
+        return df, obs
+
+    def _advance_identity(
+        self,
+        props: dict | None,
+        obs: dict[str, "Observation"],
+        specs: dict[str, dict],
+    ) -> dict | None:
+        for col, o in obs.items():
+            max_id = o.get["max_id"]
+            spec = specs[col]
+            if max_id is not None:
+                spec["next"] = max(spec["next"], int(max_id) + spec["step"])
+            props = {
+                **(props or {}),
+                self._IDENTITY_PROP + col: json.dumps(spec),
+            }
+        return props
+
     def _assign_fresh_row_ids(self, df: DataFrame) -> tuple[DataFrame, "Observation"]:
         """``_row_id`` for new rows: high-watermark + a per-df unique
         offset (monotonically_increasing_id — sparse but unique, like
@@ -882,6 +934,7 @@ class VersionedTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         generated: dict[str, str] | None = None,
+        identity: dict[str, dict] | None = None,
     ) -> "VersionedTable":
         """Create the table, optionally hive-partitioned (Delta's
         ``partitionColumns``; reference partitions every serious write,
@@ -889,7 +942,11 @@ class VersionedTable:
         later rewrite preserves it. ``generated`` declares Delta-style
         GENERATED ALWAYS AS columns (column -> SQL expr over the other
         columns); appends that omit such a column get it computed —
-        the idiom for derived partition keys (e.g. date from ts)."""
+        the idiom for derived partition keys (e.g. date from ts).
+        ``identity`` declares GENERATED ALWAYS AS IDENTITY columns
+        (name -> {"start", "step"}): the engine mints the values on
+        every write (callers must OMIT the column), unique and
+        increasing but not contiguous — Delta's identity contract."""
         if self.log_dir.exists() and any(self.log_dir.glob("*.json")):
             raise FileExistsError(f"table already exists at {self.root}")
         missing = set(partition_by or []) - set(df.columns)
@@ -898,7 +955,28 @@ class VersionedTable:
         gen_missing = set(generated or {}) - set(df.columns)
         if gen_missing:
             raise ValueError(f"generated columns {sorted(gen_missing)} not in schema")
+        props = None
+        id_obs: dict[str, Observation] = {}
+        specs: dict[str, dict] = {}
+        if identity:
+            clash = set(identity) & set(df.columns)
+            if clash:
+                raise ValueError(
+                    f"identity columns {sorted(clash)} are GENERATED ALWAYS; "
+                    "omit them from the data"
+                )
+            specs = {
+                c: {
+                    "start": int(sp.get("start", 1)),
+                    "step": int(sp.get("step", 1)),
+                    "next": int(sp.get("start", 1)),
+                }
+                for c, sp in identity.items()
+            }
+            df, id_obs = self._assign_identity(df, specs)
         d = self._write_data(df, 0, partition_by)
+        if specs:
+            props = self._advance_identity(props, id_obs, specs)
         self._write_commit(
             Commit(
                 version=0,
@@ -909,6 +987,7 @@ class VersionedTable:
                 schema_json=json.dumps(df.schema.jsonValue()),
                 partition_by=list(partition_by) if partition_by else None,
                 generated=dict(generated) if generated else None,
+                properties=props,
                 stats_refs=self._stats_for_commit([d]),
             )
         )
@@ -942,6 +1021,13 @@ class VersionedTable:
         rt = self._row_tracking_enabled()
         if rt and self.ROW_ID_COL in df.columns:
             raise ValueError(f"{self.ROW_ID_COL} is engine-managed; drop it")
+        specs = self.identity_columns()
+        clash = set(specs) & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"identity columns {sorted(clash)} are GENERATED ALWAYS; "
+                "omit them from the data"
+            )
         merged = self._enforce(df.schema, merge_schema)
         aligned = self._align(df, merged)
         self._check_constraints(aligned)
@@ -950,6 +1036,11 @@ class VersionedTable:
             aligned, obs = self._assign_fresh_row_ids(
                 aligned.drop(self.ROW_ID_COL)
             )
+        id_obs: dict[str, Observation] = {}
+        if specs:
+            aligned, id_obs = self._assign_identity(
+                aligned.drop(*specs), specs
+            )
         version = self._next_version()
         d = self._write_data(aligned, version, self.partition_columns())
         props = self._latest().properties
@@ -957,6 +1048,8 @@ class VersionedTable:
             max_id = obs.get["max_id"]
             if max_id is not None:
                 props = {**(props or {}), self._HWM_PROP: str(int(max_id) + 1)}
+        if id_obs:
+            props = self._advance_identity(dict(props or {}), id_obs, specs)
         dirs = self._latest().data_dirs + [d]
         self._write_commit(
             Commit(

@@ -1331,3 +1331,35 @@ def test_log_stats_timestamp_roundtrip_and_carry(spark, tmp_path):
     assert total == 4 and len(kept) < total
     got = t.read_where(("ts", "<", cutoff)).count()
     assert got == t.read().where(F.col("ts") < F.lit(cutoff)).count() == 24
+
+
+def test_identity_columns_generated_always(spark, tmp_path):
+    # GENERATED ALWAYS AS IDENTITY: engine mints unique increasing
+    # values on create and append; callers must omit the column.
+    df = spark.createDataFrame([(f"u{i}",) for i in range(20)], ["name"])
+    t = VersionedTable(spark, str(tmp_path / "ident")).create(
+        df, identity={"uid": {"start": 100, "step": 2}}
+    )
+    v0 = [r.uid for r in t.read().collect()]
+    assert len(set(v0)) == 20
+    # unique, >= start, in start's congruence class mod step — gaps
+    # allowed (Delta identity contract)
+    assert all(u >= 100 and (u - 100) % 2 == 0 for u in v0)
+
+    t.append(spark.createDataFrame([("x",), ("y",)], ["name"]))
+    after = [r.uid for r in t.read().collect()]
+    assert len(set(after)) == 22
+    new = sorted(set(after) - set(v0))
+    assert all(u > max(v0) for u in new)  # watermark advanced past v0
+
+    # rewrites carry identity values as plain data
+    t.optimize()
+    assert sorted(r.uid for r in t.read().collect()) == sorted(after)
+
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.append(spark.createDataFrame([(1, "z")], ["uid", "name"]))
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        VersionedTable(spark, str(tmp_path / "ident2")).create(
+            spark.createDataFrame([(1, "a")], ["uid", "name"]),
+            identity={"uid": {"start": 1}},
+        )
