@@ -104,6 +104,16 @@ _RENAME_COL_RE = re.compile(
     r"`?(?P<old>\w+)`?\s+TO\s+`?(?P<new>\w+)`?\s*;?\s*$",
     _I,
 )
+_ADD_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.`]+)\s+ADD\s+COLUMNS?\s*\(?\s*"
+    r"`?(?P<col>\w+)`?\s+(?P<type>[\w<>(),\s]+?)\s*\)?\s*;?\s*$",
+    _I,
+)
+_DROP_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.`]+)\s+DROP\s+COLUMN\s+"
+    r"`?(?P<col>\w+)`?\s*;?\s*$",
+    _I,
+)
 _ADD_CONSTRAINT_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.`]+)\s+ADD\s+CONSTRAINT\s+"
     r"`?(?P<name>\w+)`?\s+CHECK\s*\((?P<expr>.+)\)\s*;?\s*$",
@@ -247,6 +257,8 @@ class LakehouseSQL:
             (_SET_PROPS_RE, self._set_properties),
             (_CLUSTER_BY_RE, self._cluster_by),
             (_RENAME_COL_RE, self._rename_column),
+            (_ADD_COL_RE, self._add_column),
+            (_DROP_COL_RE, self._drop_column),
             (_ADD_CONSTRAINT_RE, self._add_constraint),
             (_DROP_CONSTRAINT_RE, self._drop_constraint),
             (_DESCRIBE_RE, self._describe),  # after HISTORY/DETAIL
@@ -514,6 +526,22 @@ class LakehouseSQL:
         return self.spark.createDataFrame(
             [(m.group("old"), m.group("new"), vt._latest().version)],
             "old_name string, new_name string, new_version bigint",
+        )
+
+    def _add_column(self, m: re.Match) -> DataFrame:
+        vt = self.table(m.group("tbl"))
+        vt.add_column(m.group("col"), m.group("type").strip())
+        return self.spark.createDataFrame(
+            [(m.group("col"), m.group("type").strip(), vt._latest().version)],
+            "column string, type string, new_version bigint",
+        )
+
+    def _drop_column(self, m: re.Match) -> DataFrame:
+        vt = self.table(m.group("tbl"))
+        vt.drop_column(m.group("col"))
+        return self.spark.createDataFrame(
+            [(m.group("col"), vt._latest().version)],
+            "column string, new_version bigint",
         )
 
     def _add_constraint(self, m: re.Match) -> DataFrame:

@@ -865,6 +865,106 @@ class VersionedTable:
         )
         return self
 
+    def _historical_physical_names(self) -> set[str]:
+        """Every physical column name any data file may carry — past
+        schemas plus mapping targets. Used so a re-added column after a
+        DROP gets a FRESH physical name instead of resurrecting the
+        dropped column's stored values. O(versions) log walk, but only
+        DDL pays it."""
+        out: set[str] = set()
+        for c in self._commits():
+            schema = T.StructType.fromJson(json.loads(c.schema_json))
+            cm = c.column_mapping or {}
+            for f in schema.fields:
+                out.add(cm.get(f.name, f.name))
+        return out
+
+    def add_column(self, name: str, dtype: str) -> "VersionedTable":
+        """ALTER TABLE … ADD COLUMN (metadata-only): existing rows read
+        NULL — the explicit-schema scan null-fills columns absent from
+        a file, so zero data files are touched. If any historical file
+        physically carries ``name`` (a previous column of that name was
+        dropped), the new column maps to a fresh physical name via
+        column mapping so the dead values cannot resurrect."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        latest = self._latest()
+        schema = T.StructType.fromJson(json.loads(latest.schema_json))
+        if name in {f.name for f in schema.fields}:
+            raise ValueError(f"column {name!r} already exists")
+        mapping = dict(latest.column_mapping or {})
+        physical = name
+        if name in self._historical_physical_names():
+            physical = f"{name}__v{self._next_version()}"
+            mapping[name] = physical
+        new_schema = T.StructType(
+            list(schema.fields) + [T.StructField(name, _parse_datatype_string(dtype))]
+        )
+        self._write_commit(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="ADD COLUMN",
+                params={"name": name, "type": dtype, "physical": physical},
+                data_dirs=latest.data_dirs,
+                schema_json=json.dumps(new_schema.jsonValue()),
+                partition_by=latest.partition_by,
+                constraints=latest.constraints,
+                generated=latest.generated,
+                column_mapping=mapping or None,
+                dv_paths=latest.dv_paths,
+                properties=latest.properties,
+                stats_refs=latest.stats_refs,
+            )
+        )
+        return self
+
+    def drop_column(self, name: str) -> "VersionedTable":
+        """ALTER TABLE … DROP COLUMN (metadata-only, Delta column
+        mapping): the schema loses the field, data files keep the bytes
+        (unreadable without the schema entry), time travel to an
+        earlier version still sees the column. Dropping a partition
+        column or one referenced by a CHECK constraint / generated
+        column is rejected, as in Delta."""
+        latest = self._latest()
+        schema = T.StructType.fromJson(json.loads(latest.schema_json))
+        if name not in {f.name for f in schema.fields}:
+            raise ValueError(f"column {name!r} not in table schema")
+        if name in (latest.partition_by or []):
+            raise ValueError(f"cannot drop partition column {name!r}")
+        ref = re.compile(rf"\b{re.escape(name)}\b")
+        for kind, exprs in (
+            ("CHECK constraint", self.constraints()),
+            ("generated column", self.generated_columns()),
+        ):
+            for cname, expr in exprs.items():
+                if cname == name or ref.search(expr):
+                    raise ValueError(
+                        f"cannot drop {name!r}: referenced by {kind} "
+                        f"{cname!r} ({expr})"
+                    )
+        mapping = dict(latest.column_mapping or {})
+        mapping.pop(name, None)
+        new_schema = T.StructType([f for f in schema.fields if f.name != name])
+        self._write_commit(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="DROP COLUMN",
+                params={"name": name},
+                data_dirs=latest.data_dirs,
+                schema_json=json.dumps(new_schema.jsonValue()),
+                partition_by=latest.partition_by,
+                constraints=latest.constraints,
+                generated=latest.generated,
+                column_mapping=mapping or None,
+                dv_paths=latest.dv_paths,
+                properties=latest.properties,
+                stats_refs=latest.stats_refs,
+            )
+        )
+        return self
+
     def _mapping(self, version: int | None = None) -> dict[str, str]:
         """Logical -> physical column names for a snapshot, identity-
         filled for unmapped fields; {} before the first commit."""

@@ -358,3 +358,42 @@ def test_passthrough_resolves_backticked_table_names(lake):
         "FROM `eea_curated.co2_emissions`"
     ).collect()[0]
     assert row.s == "`eea_curated.co2_emissions`" and row.n == 3
+
+
+def test_add_and_drop_column_metadata_only(lake):
+    lake.sql("CONVERT TO DELTA eea_curated.co2_emissions")
+    vt = lake.table("eea_curated.co2_emissions")
+    files_before = set(vt._snapshot_files()[0])
+
+    res = lake.sql(
+        "ALTER TABLE eea_curated.co2_emissions ADD COLUMN fuel string"
+    ).collect()[0]
+    assert res.new_version == 1
+    rows = lake.sql("SELECT Mh, fuel FROM eea_curated.co2_emissions").collect()
+    assert len(rows) == 3 and all(r.fuel is None for r in rows)  # null-filled
+    assert set(vt._snapshot_files()[0]) == files_before  # zero files touched
+
+    # appends can now fill the evolved column
+    vt.append(
+        vt.spark.createDataFrame(
+            [("SE", "VOLVO", 1900.0, 2021, "petrol")],
+            ["MS", "Mh", "ec_cm3", "year", "fuel"],
+        )
+    )
+    got = {r.Mh: r.fuel for r in vt.read().collect()}
+    assert got["VOLVO"] == "petrol" and got["BMW"] is None
+
+    lake.sql("ALTER TABLE eea_curated.co2_emissions DROP COLUMN fuel")
+    assert "fuel" not in vt.read().columns
+    # time travel still sees the column pre-drop
+    assert "fuel" in vt.read(version=2).columns
+
+    # re-adding the same name must NOT resurrect the stored values
+    lake.sql("ALTER TABLE eea_curated.co2_emissions ADD COLUMN fuel string")
+    vals = {r.Mh: r.fuel for r in vt.read().collect()}
+    assert all(v is None for v in vals.values())
+
+    with pytest.raises(ValueError, match="already exists"):
+        vt.add_column("fuel", "string")
+    with pytest.raises(ValueError, match="not in table schema"):
+        vt.drop_column("nope")
