@@ -105,8 +105,13 @@ _RENAME_COL_RE = re.compile(
     _I,
 )
 _ADD_COL_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.`]+)\s+ADD\s+COLUMNS?\s*\(?\s*"
-    r"`?(?P<col>\w+)`?\s+(?P<type>[\w<>(),\s]+?)\s*\)?\s*;?\s*$",
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.`]+)\s+ADD\s+COLUMN\s+"
+    r"`?(?P<col>\w+)`?\s+(?P<type>.+?)\s*;?\s*$",
+    _I,
+)
+_ADD_COLS_LIST_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.`]+)\s+ADD\s+COLUMNS\s*"
+    r"\((?P<cols>.+)\)\s*;?\s*$",
     _I,
 )
 _DROP_COL_RE = re.compile(
@@ -258,6 +263,7 @@ class LakehouseSQL:
             (_CLUSTER_BY_RE, self._cluster_by),
             (_RENAME_COL_RE, self._rename_column),
             (_ADD_COL_RE, self._add_column),
+            (_ADD_COLS_LIST_RE, self._add_columns_list),
             (_DROP_COL_RE, self._drop_column),
             (_ADD_CONSTRAINT_RE, self._add_constraint),
             (_DROP_CONSTRAINT_RE, self._drop_constraint),
@@ -534,6 +540,22 @@ class LakehouseSQL:
         return self.spark.createDataFrame(
             [(m.group("col"), m.group("type").strip(), vt._latest().version)],
             "column string, type string, new_version bigint",
+        )
+
+    def _add_columns_list(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE … ADD COLUMNS (a int, b string, …): each entry
+        is one metadata-only add; the split respects parens so
+        decimal(10,2) and nested types survive."""
+        vt = self.table(m.group("tbl"))
+        added = []
+        for item in _split_top_level(m.group("cols")):
+            col, _, dtype = item.strip().partition(" ")
+            if not dtype.strip():
+                raise ValueError(f"cannot parse ADD COLUMNS item {item!r}")
+            vt.add_column(col.strip(" `"), dtype.strip())
+            added.append((col.strip(" `"), dtype.strip(), vt._latest().version))
+        return self.spark.createDataFrame(
+            added, "column string, type string, new_version bigint"
         )
 
     def _drop_column(self, m: re.Match) -> DataFrame:

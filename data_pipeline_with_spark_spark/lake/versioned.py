@@ -681,6 +681,19 @@ class VersionedTable:
             if d in prev:
                 out[d] = prev[d]
                 continue
+            # partial-rewrite DML carries untouched files as LOOSE paths
+            # under a previously-committed dir — reuse that dir's stats
+            # file (extra entries for files no longer in the snapshot
+            # are harmless; lookups are per-file) instead of re-reading
+            # O(carried files) footers on every small DML commit.
+            anc_ref = None
+            for anc in Path(d).parents:
+                if str(anc) in prev:
+                    anc_ref = prev[str(anc)]
+                    break
+            if anc_ref is not None:
+                out[d] = anc_ref
+                continue
             name = hashlib.sha1(d.encode()).hexdigest()[:16] + ".json"
             target = self._stats_dir() / name
             if not target.exists():
@@ -690,7 +703,15 @@ class VersionedTable:
                     if p.is_file()
                     else [str(x) for x in sorted(p.glob("**/*.parquet"))]
                 )
-                stats = {f: self._read_footer_stats(f) for f in files}
+                stats = {}
+                for f in files:
+                    try:
+                        stats[f] = self._read_footer_stats(f)
+                    except Exception:
+                        # a stat-less file only costs planning precision
+                        # (conservative keep); it must never fail the
+                        # commit after data was written
+                        continue
                 self._stats_dir().mkdir(parents=True, exist_ok=True)
                 fd, tmp = tempfile.mkstemp(dir=self._stats_dir(), suffix=".tmp")
                 try:
@@ -823,20 +844,21 @@ class VersionedTable:
         # Delta likewise blocks renaming a column referenced by a CHECK
         # constraint or generated-column expression: the stored SQL text
         # would dangle against the new schema.
-        ref = re.compile(rf"\b{re.escape(old)}\b")
-        for kind, exprs in (
-            ("CHECK constraint", self.constraints()),
-            ("generated column", self.generated_columns()),
-        ):
-            for cname, expr in exprs.items():
-                if cname == old or ref.search(expr):
-                    raise ValueError(
-                        f"cannot rename {old!r}: referenced by {kind} "
-                        f"{cname!r} ({expr})"
-                    )
+        self._guard_column_refs(old, "rename")
         mapping = dict(latest.column_mapping or {})
         physical = mapping.pop(old, old)  # chained renames keep the v0 name
         mapping[new] = physical
+        # engine-managed properties follow the rename: clusterBy lists
+        # and identity specs are keyed by LOGICAL name
+        props = dict(latest.properties or {})
+        if props.get("spark_graft.clusterBy"):
+            props["spark_graft.clusterBy"] = ",".join(
+                new if c == old else c
+                for c in props["spark_graft.clusterBy"].split(",")
+            )
+        id_key = self._IDENTITY_PROP + old
+        if id_key in props:
+            props[self._IDENTITY_PROP + new] = props.pop(id_key)
         new_schema = T.StructType(
             [
                 T.StructField(new, f.dataType, f.nullable) if f.name == old else f
@@ -857,13 +879,28 @@ class VersionedTable:
                 generated=latest.generated,
                 column_mapping=mapping,
                 dv_paths=latest.dv_paths,
-                properties=latest.properties,
+                properties=props or None,
                 # stats are keyed by PHYSICAL names, which a rename
                 # never changes — carry verbatim
                 stats_refs=latest.stats_refs,
             )
         )
         return self
+
+    def _guard_column_refs(self, col: str, action: str) -> None:
+        """Reject DDL on a column referenced by stored SQL text (CHECK
+        constraints, generated columns) — the expression would dangle."""
+        ref = re.compile(rf"\b{re.escape(col)}\b")
+        for kind, exprs in (
+            ("CHECK constraint", self.constraints()),
+            ("generated column", self.generated_columns()),
+        ):
+            for cname, expr in exprs.items():
+                if cname == col or ref.search(expr):
+                    raise ValueError(
+                        f"cannot {action} {col!r}: referenced by {kind} "
+                        f"{cname!r} ({expr})"
+                    )
 
     def _historical_physical_names(self) -> set[str]:
         """Every physical column name any data file may carry — past
@@ -932,19 +969,18 @@ class VersionedTable:
             raise ValueError(f"column {name!r} not in table schema")
         if name in (latest.partition_by or []):
             raise ValueError(f"cannot drop partition column {name!r}")
-        ref = re.compile(rf"\b{re.escape(name)}\b")
-        for kind, exprs in (
-            ("CHECK constraint", self.constraints()),
-            ("generated column", self.generated_columns()),
-        ):
-            for cname, expr in exprs.items():
-                if cname == name or ref.search(expr):
-                    raise ValueError(
-                        f"cannot drop {name!r}: referenced by {kind} "
-                        f"{cname!r} ({expr})"
-                    )
+        if name in self.clustering_columns():
+            raise ValueError(
+                f"cannot drop clustering column {name!r}; re-declare "
+                "CLUSTER BY without it first"
+            )
+        self._guard_column_refs(name, "drop")
         mapping = dict(latest.column_mapping or {})
         mapping.pop(name, None)
+        # an identity column's spec dies with the column — appends must
+        # not keep minting values into a phantom physical column
+        props = dict(latest.properties or {})
+        props.pop(self._IDENTITY_PROP + name, None)
         new_schema = T.StructType([f for f in schema.fields if f.name != name])
         self._write_commit(
             Commit(
@@ -959,7 +995,7 @@ class VersionedTable:
                 generated=latest.generated,
                 column_mapping=mapping or None,
                 dv_paths=latest.dv_paths,
-                properties=latest.properties,
+                properties=props or None,
                 stats_refs=latest.stats_refs,
             )
         )
@@ -1065,14 +1101,16 @@ class VersionedTable:
                     f"identity columns {sorted(clash)} are GENERATED ALWAYS; "
                     "omit them from the data"
                 )
-            specs = {
-                c: {
-                    "start": int(sp.get("start", 1)),
-                    "step": int(sp.get("step", 1)),
-                    "next": int(sp.get("start", 1)),
-                }
-                for c, sp in identity.items()
-            }
+            specs = {}
+            for c, sp in identity.items():
+                step = int(sp.get("step", 1))
+                if step < 1:
+                    raise ValueError(
+                        f"identity column {c!r}: step must be >= 1 (got {step}); "
+                        "descending identity is not supported"
+                    )
+                start = int(sp.get("start", 1))
+                specs[c] = {"start": start, "step": step, "next": start}
             df, id_obs = self._assign_identity(df, specs)
         d = self._write_data(df, 0, partition_by)
         if specs:
@@ -1262,6 +1300,13 @@ class VersionedTable:
         the rest of the snapshot carries into the new commit by
         reference (see ``_dml_target_files``)."""
         selected, untouched, schema = self._dml_target_files(where)
+
+        locked = set(self.identity_columns()) & set(set_exprs)
+        if locked:
+            raise ValueError(
+                f"identity columns {sorted(locked)} are GENERATED ALWAYS; "
+                "UPDATE cannot SET them"
+            )
 
         def apply_set(df: DataFrame) -> DataFrame:
             return df.withColumns(
@@ -1489,17 +1534,22 @@ class VersionedTable:
         source broadcasts when small) — the same physical shape Delta
         produces for a full-table merge without file-level pruning.
         """
-        if self._row_tracking_enabled():
-            # row identity must survive the upsert (replaced rows keep
-            # the target id); the clause-based merge handles that. Keep
-            # the non-tracked path's loud failure on a short source —
-            # merge's INSERT * would silently NULL-fill missing columns.
-            target_cols = {
-                f.name
-                for f in T.StructType.fromJson(
-                    json.loads(self._latest().schema_json)
-                ).fields
-            } - {self.ROW_ID_COL}
+        if self._row_tracking_enabled() or self.identity_columns():
+            # engine-managed identity (row ids / identity columns) must
+            # survive the upsert; the clause-based merge handles that.
+            # Keep the non-tracked path's loud failure on a short source
+            # — merge's INSERT * would silently NULL-fill missing
+            # columns.
+            target_cols = (
+                {
+                    f.name
+                    for f in T.StructType.fromJson(
+                        json.loads(self._latest().schema_json)
+                    ).fields
+                }
+                - {self.ROW_ID_COL}
+                - set(self.identity_columns())
+            )
             missing = target_cols - set(source.columns)
             if missing:
                 raise ValueError(
@@ -1600,14 +1650,26 @@ class VersionedTable:
         t_present = F.col("t.__t").isNotNull()
 
         rt = self._row_tracking_enabled()
+        id_specs = self.identity_columns()
+        if set(id_specs) & set(source.columns):
+            raise ValueError(
+                f"identity columns {sorted(set(id_specs) & set(source.columns))} "
+                "are GENERATED ALWAYS; remove them from the merge source"
+            )
+        for cl in matched:
+            if cl.update and set(cl.update) & set(id_specs):
+                raise ValueError("MERGE cannot UPDATE SET an identity column")
+        for cl in not_matched:
+            if cl.insert and set(cl.insert) & set(id_specs):
+                raise ValueError("MERGE cannot INSERT an identity column")
 
         def out_col(fld: T.StructField) -> Column:
             c = fld.name
             t_c = F.col(f"t.`{c}`")
-            if rt and c == self.ROW_ID_COL:
-                # row identity is engine-managed: matched/kept rows keep
-                # the TARGET id even under UPDATE SET *; inserts start
-                # null and get fresh ids below.
+            if (rt and c == self.ROW_ID_COL) or c in id_specs:
+                # engine-managed identity: matched/kept rows keep the
+                # TARGET value even under UPDATE SET *; inserts start
+                # null and get fresh values below.
                 return (
                     F.when(t_present, t_c).otherwise(F.lit(None)).cast(fld.dataType).alias(c)
                 )
@@ -1643,19 +1705,34 @@ class VersionedTable:
         out_cols = [out_col(f) for f in target.schema.fields]
         hwm = int(self.table_properties().get(self._HWM_PROP, "0"))
         obs_rt = Observation() if rt else None
+        id_obs: dict[str, Observation] = {}
 
         def finish(df: DataFrame, observe_ids: bool) -> DataFrame:
-            if not rt:
-                return df
-            df = df.withColumn(
-                self.ROW_ID_COL,
-                F.coalesce(
-                    F.col(self.ROW_ID_COL),
-                    (F.lit(hwm) + F.monotonically_increasing_id()).cast("long"),
-                ),
-            )
-            if observe_ids:
-                df = df.observe(obs_rt, F.max(self.ROW_ID_COL).alias("max_id"))
+            if rt:
+                df = df.withColumn(
+                    self.ROW_ID_COL,
+                    F.coalesce(
+                        F.col(self.ROW_ID_COL),
+                        (F.lit(hwm) + F.monotonically_increasing_id()).cast("long"),
+                    ),
+                )
+                if observe_ids:
+                    df = df.observe(obs_rt, F.max(self.ROW_ID_COL).alias("max_id"))
+            for col, spec in id_specs.items():
+                df = df.withColumn(
+                    col,
+                    F.coalesce(
+                        F.col(col),
+                        (
+                            F.lit(spec["next"])
+                            + F.lit(spec["step"]) * F.monotonically_increasing_id()
+                        ).cast("long"),
+                    ),
+                )
+                if observe_ids:
+                    o = Observation()
+                    df = df.observe(o, F.max(col).alias("max_id"))
+                    id_obs[col] = o
             return df
 
         merged = finish(joined.where(keep).select(*out_cols), observe_ids=False)
@@ -1692,6 +1769,8 @@ class VersionedTable:
                     **(props or {}),
                     self._HWM_PROP: str(max(hwm, int(max_id) + 1)),
                 }
+        if id_obs:
+            props = self._advance_identity(dict(props or {}), id_obs, id_specs)
         return self._commit_write(
             merged,
             "MERGE",
@@ -1728,6 +1807,13 @@ class VersionedTable:
         table = cls(source.spark, target_path)
         if table.log_dir.exists() and any(table.log_dir.glob("*.json")):
             raise FileExistsError(f"table already exists at {target_path}")
+        # stats files resolve against the CLONE's _log/_stats — copy the
+        # referenced ones over (tiny JSON; the data files stay shared)
+        for name in (src_commit.stats_refs or {}).values():
+            src_f = source._stats_dir() / name
+            if src_f.exists():
+                table._stats_dir().mkdir(parents=True, exist_ok=True)
+                shutil.copyfile(src_f, table._stats_dir() / name)
         table._write_commit(
             Commit(
                 version=0,
@@ -1927,7 +2013,20 @@ class VersionedTable:
                     break
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
-            out[f] = None if lo is None else (lo, hi)
+            # decode(encode(..)) normalizes tz-aware footer timestamps to
+            # naive UTC so ranges from footers and from log stats sort
+            # together instead of raising on naive-vs-aware comparison;
+            # unencodable stat types (bytes, decimal) degrade to None =
+            # overlap-everything, same as missing stats
+            if lo is None:
+                out[f] = None
+            else:
+                elo, ehi = self._enc_stat(lo), self._enc_stat(hi)
+                out[f] = (
+                    None
+                    if elo is None or ehi is None
+                    else (self._dec_stat(elo), self._dec_stat(ehi))
+                )
         return out
 
     def optimize_incremental(

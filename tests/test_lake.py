@@ -1363,3 +1363,74 @@ def test_identity_columns_generated_always(spark, tmp_path):
             spark.createDataFrame([(1, "a")], ["uid", "name"]),
             identity={"uid": {"start": 1}},
         )
+
+
+def test_identity_survives_ddl_and_merge(spark, tmp_path):
+    from data_pipeline_with_spark_spark.lake.versioned import WhenMatched
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(5)], ["name"])
+    t = VersionedTable(spark, str(tmp_path / "idddl")).create(
+        df, identity={"uid": {"start": 1, "step": 1}}
+    )
+    # step validation
+    with pytest.raises(ValueError, match="step must be >= 1"):
+        VersionedTable(spark, str(tmp_path / "idbad")).create(
+            df, identity={"uid": {"start": 1, "step": 0}}
+        )
+    # UPDATE cannot SET an identity column
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.update("name = 'u0'", {"uid": "0"})
+
+    # merge: matched rows keep their identity, inserts mint fresh
+    ids0 = {r.name: r.uid for r in t.read().collect()}
+    t.merge_upsert(
+        spark.createDataFrame([("u0",), ("zz",)], ["name"]), keys=["name"]
+    )
+    after = {r.name: r.uid for r in t.read().collect()}
+    assert after["u0"] == ids0["u0"]
+    assert after["zz"] not in set(ids0.values())
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.merge(
+            spark.createDataFrame([(1, "x")], ["uid", "name"]),
+            keys=["name"],
+            matched=[WhenMatched()],
+        )
+
+    # rename carries the identity spec; appends keep minting under the
+    # new name and never into a phantom column
+    t.rename_column("uid", "row_uid")
+    t.append(spark.createDataFrame([("new1",)], ["name"]))
+    vals = [r.row_uid for r in t.read().collect()]
+    assert len(vals) == len(set(vals)) == 7
+    assert t.identity_columns().keys() == {"row_uid"}
+
+    # drop removes the spec; later appends mint nothing, and re-adding
+    # the name yields a plain nullable column
+    t.drop_column("row_uid")
+    assert t.identity_columns() == {}
+    t.append(spark.createDataFrame([("new2",)], ["name"]))
+    t.add_column("row_uid", "string")
+    rows = t.read().collect()
+    assert all(r.row_uid is None for r in rows) and len(rows) == 8
+
+
+def test_drop_clustering_column_rejected(spark, tmp_path):
+    df = spark.createDataFrame([(i, i) for i in range(10)], ["a", "b"])
+    t = VersionedTable(spark, str(tmp_path / "dropclu")).create(df)
+    t.cluster_by(["b"])
+    with pytest.raises(ValueError, match="clustering column"):
+        t.drop_column("b")
+
+
+def test_clone_carries_usable_stats(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(500)], ["id", "k"])
+    src = VersionedTable(spark, str(tmp_path / "csrc")).create(df)
+    src.optimize(zorder_by=["id"], target_partitions=4)
+    clone = VersionedTable.clone_from(src, str(tmp_path / "cdst"))
+    # planning on the clone stays metadata-only
+    stats = clone._log_stats(clone._latest())
+    assert stats and all("id" in s["cols"] for s in stats.values())
+    kept, total = clone.plan_files(("id", "<", 50))
+    assert total == 4 and len(kept) < total

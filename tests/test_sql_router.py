@@ -397,3 +397,16 @@ def test_add_and_drop_column_metadata_only(lake):
         vt.add_column("fuel", "string")
     with pytest.raises(ValueError, match="not in table schema"):
         vt.drop_column("nope")
+
+
+def test_add_column_parenthesized_types_and_lists(lake):
+    lake.sql("CONVERT TO DELTA eea_curated.co2_emissions")
+    lake.sql("ALTER TABLE eea_curated.co2_emissions ADD COLUMN price decimal(10,2)")
+    vt = lake.table("eea_curated.co2_emissions")
+    assert dict(vt.describe())["price"] == "decimal(10,2)"
+    rows = lake.sql(
+        "ALTER TABLE eea_curated.co2_emissions ADD COLUMNS (axles int, notes string)"
+    ).collect()
+    assert [(r.column, r.type) for r in rows] == [("axles", "int"), ("notes", "string")]
+    cols = dict(vt.describe())
+    assert cols["axles"] == "int" and cols["notes"] == "string"
