@@ -72,7 +72,9 @@ _OPTIMIZE_RE = re.compile(
     _I,
 )
 _VACUUM_RE = re.compile(
-    r"^\s*VACUUM\s+(?P<tbl>[\w.`]+)(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?\s*;?\s*$", _I
+    r"^\s*VACUUM\s+(?P<tbl>[\w.`]+)(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
+    _I,
 )
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<tbl>[\w.`]+)(?:\s+AS)?(?:\s+(?P<talias>\w+))?"
@@ -406,7 +408,8 @@ class LakehouseSQL:
 
     def _vacuum(self, m: re.Match) -> DataFrame:
         removed = self.table(m.group("tbl")).vacuum(
-            keep_versions=int(m.group("n") or 1)
+            keep_versions=int(m.group("n") or 1),
+            dry_run=bool(m.group("dry")),
         )
         return self.spark.createDataFrame(
             [(p,) for p in removed] or [], "removed_path string"

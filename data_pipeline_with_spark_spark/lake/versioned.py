@@ -2207,9 +2207,11 @@ class VersionedTable:
             compacted.append(vals[0] if len(vals) == 1 else vals)
         return compacted
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(self, keep_versions: int = 1, dry_run: bool = False) -> list[str]:
         """Remove data directories referenced only by pruned history
-        (Delta VACUUM analogue). Returns removed paths."""
+        (Delta VACUUM analogue). Returns removed paths. ``dry_run``
+        lists what WOULD be removed without touching anything —
+        Delta's ``VACUUM … DRY RUN`` safety valve."""
         keep = [
             Commit(**json.loads(f.read_text()))
             for f in self._log_files()[-keep_versions:]
@@ -2232,8 +2234,11 @@ class VersionedTable:
         if self.data_dir.exists():
             for d in self.data_dir.iterdir():
                 if str(d) not in live:
-                    shutil.rmtree(d)
+                    if not dry_run:
+                        shutil.rmtree(d)
                     removed.append(str(d))
+        if dry_run:
+            return removed
         # stats files for vacuumed dirs are orphans — prune them too
         live_refs = {n for c in keep for n in (c.stats_refs or {}).values()}
         if self._stats_dir().exists():
@@ -2639,6 +2644,8 @@ class VersionedTable:
             "constraints": dict(commit.constraints or {}),
             "num_deletion_vectors": len(commit.dv_paths or []),
             "num_tombstone_rows": num_tombstones,
+            "clustering_columns": self.clustering_columns(),
+            "identity_columns": sorted(self.identity_columns()),
             "properties": dict(commit.properties or {}),
             "num_columns": len(schema.fields),
             "created_version_timestamp": json.loads(

@@ -410,3 +410,27 @@ def test_add_column_parenthesized_types_and_lists(lake):
     assert [(r.column, r.type) for r in rows] == [("axles", "int"), ("notes", "string")]
     cols = dict(vt.describe())
     assert cols["axles"] == "int" and cols["notes"] == "string"
+
+
+def test_vacuum_dry_run_removes_nothing(lake):
+    lake.sql("CONVERT TO DELTA eea_curated.co2_emissions")
+    vt = lake.table("eea_curated.co2_emissions")
+    vt.optimize()  # prior CONVERT source dir becomes unreferenced
+    would = [
+        r.removed_path
+        for r in lake.sql(
+            "VACUUM eea_curated.co2_emissions RETAIN 1 VERSIONS DRY RUN"
+        ).collect()
+    ]
+    # dry run reports but removes nothing — table fully readable
+    assert vt.read().count() == 3
+    removed = [
+        r.removed_path
+        for r in lake.sql(
+            "VACUUM eea_curated.co2_emissions RETAIN 1 VERSIONS"
+        ).collect()
+    ]
+    assert sorted(removed) == sorted(would)
+    assert vt.read().count() == 3
+    det = vt.detail()
+    assert det["clustering_columns"] == [] and det["identity_columns"] == []
