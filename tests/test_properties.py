@@ -120,3 +120,63 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
 def test_union_of_zero_frames_raises(n):
     with pytest.raises(ValueError):
         union_by_name([])
+
+
+# --------------------------------------------------------------------------
+# Model-based lakehouse check: a random DML sequence applied to both the
+# VersionedTable and an in-memory pandas model must agree on every read,
+# and time travel must replay any model snapshot exactly.
+
+_ops = st.sampled_from(["append", "update", "delete", "optimize"])
+_thresholds = st.integers(min_value=0, max_value=9)
+
+
+@given(
+    seq=st.lists(st.tuples(_ops, _thresholds), min_size=3, max_size=7),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_versioned_table_matches_model_under_random_dml(spark, tmp_path_factory, seq):
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    root = tmp_path_factory.mktemp("model")
+    base = [(i, i % 10, float(i)) for i in range(40)]
+    t = VersionedTable(spark, str(root / "t")).create(
+        spark.createDataFrame(base, ["id", "k", "v"])
+    )
+    model = {i: (i, k, v) for i, k, v in base}
+    snapshots = {0: dict(model)}
+    next_id = 1000
+
+    def check():
+        got = {(r.id, r.k, r.v) for r in t.read().collect()}
+        assert got == set(model.values())
+
+    for op, th in seq:
+        if op == "append":
+            rows = [(next_id + j, th, float(th)) for j in range(3)]
+            t.append(spark.createDataFrame(rows, ["id", "k", "v"]))
+            for r in rows:
+                model[r[0]] = r
+            next_id += 3
+        elif op == "update":
+            t.update(where=f"k = {th}", set_exprs={"v": "v + 0.5"})
+            model = {
+                i: (r[0], r[1], r[2] + 0.5 if r[1] == th else r[2])
+                for i, r in model.items()
+            }
+        elif op == "delete":
+            t.delete(f"k = {th}")
+            model = {i: r for i, r in model.items() if r[1] != th}
+        else:
+            t.optimize()
+        snapshots[t._latest().version] = dict(model)
+        check()
+
+    # time travel replays every recorded model snapshot exactly
+    for v, snap in list(snapshots.items())[:: max(1, len(snapshots) // 3)]:
+        got = {(r.id, r.k, r.v) for r in t.read(version=v).collect()}
+        assert got == set(snap.values()), f"version {v} mismatch"
