@@ -508,7 +508,10 @@ def _mm_stats(spark: SparkSession, sf: str) -> DataFrame:
     return assets.groupBy(F.col("meta.mime").alias("mime")).agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
-        F.max(F.col("meta.n_bytes")).alias("max_bytes"),
+        # bigint on BOTH sides: DuckDB max(INTEGER) is int32 here but the
+        # oracle casts to BIGINT (sum is HUGEINT — the r4 hash-fail), so
+        # the Spark column must be width-stable too.
+        F.max(F.col("meta.n_bytes")).cast("bigint").alias("max_bytes"),
     )
 
 
@@ -519,8 +522,8 @@ register(
         doc="binary payload + typed metadata struct carried through relational ops",
         oracle="""
         SELECT 'text/plain' AS mime, count(*) AS n_assets,
-               sum(octet_length(encode(text))) AS total_bytes,
-               max(octet_length(encode(text))) AS max_bytes
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
         FROM documents
         """,
     )
@@ -1079,12 +1082,15 @@ register(
 )
 
 
-def _embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+def embedding_quantize_frame(spark: SparkSession, sf: str) -> DataFrame:
     """Per-vector int8-style quantization of the embedding column — the
     standard 4× memory shrink before ANN indexing at corpus scale. Pure
     projection (array_min/max + transform), zero shuffle; integer output
     makes cross-engine parity exact. Half-up via floor(x+0.5): round()
-    half-boundary behavior differs across engines."""
+    half-boundary behavior differs across engines. Returns the raw
+    ``q_vec array<int>`` — the production shape (pytest-checked);
+    the registered query emits a canonical digest instead because the
+    driver's pandas canonicalizer cannot sort list cells."""
     emb = read_testdata(spark, sf, "embeddings")
     lo = F.array_min("embedding").cast("double")
     hi = F.array_max("embedding").cast("double")
@@ -1102,21 +1108,39 @@ def _embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    # Digest the array to a scalar for the driver compare (pandas
+    # sort_values can't factorize list cells); the array itself is
+    # asserted element-wise in tests/test_llm_similarity.py.
+    full = embedding_quantize_frame(spark, sf)
+    return full.select(
+        "vec_id",
+        "q_min",
+        "q_max",
+        F.md5(F.concat_ws(",", F.col("q_vec").cast("array<string>"))).alias("q_digest"),
+    )
+
+
 register(
     QuerySpec(
         name="embedding_quantize_int8",
         build=_embedding_quantize,
-        doc="per-vector int8 quantization of embeddings (zero-shuffle projection)",
+        doc="per-vector int8 quantization of embeddings (zero-shuffle projection; array digested to a scalar for the cross-engine compare)",
         oracle="""
-        SELECT vec_id,
-               round(CAST(list_min(embedding) AS DOUBLE), 6) AS q_min,
-               round(CAST(list_max(embedding) AS DOUBLE), 6) AS q_max,
-               list_transform(embedding, x -> CASE
-                 WHEN CAST(list_max(embedding) AS DOUBLE) = CAST(list_min(embedding) AS DOUBLE) THEN 0
-                 ELSE CAST(floor((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255.0
-                      / (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) + 0.5) AS INT)
-               END) AS q_vec
-        FROM embeddings
+        WITH q AS (
+          SELECT vec_id,
+                 round(CAST(list_min(embedding) AS DOUBLE), 6) AS q_min,
+                 round(CAST(list_max(embedding) AS DOUBLE), 6) AS q_max,
+                 list_transform(embedding, x -> CASE
+                   WHEN CAST(list_max(embedding) AS DOUBLE) = CAST(list_min(embedding) AS DOUBLE) THEN 0
+                   ELSE CAST(floor((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255.0
+                        / (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) + 0.5) AS INT)
+                 END) AS q_vec
+          FROM embeddings
+        )
+        SELECT vec_id, q_min, q_max,
+               md5(array_to_string(q_vec, ',')) AS q_digest
+        FROM q
         """,
     )
 )

@@ -486,3 +486,87 @@ def test_ffd_pack_invariants(spark, sf_dir):
         for r in packing.ffd_pack(docs, seq_len=seq_len).collect()
     }
     assert again == {r.doc_id: r.bin_idx for r in rows}
+
+
+def test_ffd_pack_matches_python_replay(spark, sf_dir):
+    # Independent pure-Python replay of the FFD algorithm (same pattern
+    # as the SemDeDup numpy replay): sort by (tokens desc, id asc) per
+    # shard, probe bins first-fit in creation order, oversize docs own
+    # a bin alone. Bin assignments must match the applyInPandas output
+    # exactly — not just the invariants.
+    from data_pipeline_with_spark_spark.llm import packing
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    seq_len = 256
+    rows = packing.ffd_pack(docs, seq_len=seq_len).select(
+        "doc_id", "source", "n_tokens_est", "bin_idx", "oversize"
+    ).collect()
+
+    per_shard: dict[str, list] = {}
+    for r in rows:
+        per_shard.setdefault(r.source, []).append(r)
+
+    for source, rs in per_shard.items():
+        expected: dict[int, tuple[int, bool]] = {}
+        remaining: list[int] = []
+        order = sorted(rs, key=lambda r: (-r.n_tokens_est, r.doc_id))
+        for r in order:
+            tok = int(r.n_tokens_est)
+            if tok > seq_len:
+                expected[r.doc_id] = (len(remaining), True)
+                remaining.append(-1)
+                continue
+            for b, cap in enumerate(remaining):
+                if tok <= cap:
+                    expected[r.doc_id] = (b, False)
+                    remaining[b] = cap - tok
+                    break
+            else:
+                expected[r.doc_id] = (len(remaining), False)
+                remaining.append(seq_len - tok)
+        got = {r.doc_id: (r.bin_idx, r.oversize) for r in rs}
+        assert got == expected, source
+
+
+def test_embedding_quantize_matches_numpy(spark):
+    # Element-wise check of the full q_vec array (the registered query
+    # digests it to a scalar for the driver's pandas canonicalizer, so
+    # the raw array is asserted here instead). Also pins that the
+    # digest column is md5 of the comma-joined ints — the exact string
+    # the DuckDB oracle builds with array_to_string.
+    import hashlib
+
+    import numpy as np
+
+    from data_pipeline_with_spark_spark.plans.catalog_llm import (
+        _embedding_quantize,
+        embedding_quantize_frame,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = {
+        r.vec_id: r
+        for r in embedding_quantize_frame(spark, sf).collect()
+    }
+    digests = {r.vec_id: r for r in _embedding_quantize(spark, sf).collect()}
+    assert set(full) == set(digests) and len(full) > 0
+
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    raw = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in read_testdata(spark, sf, "embeddings").collect()
+    }
+    for vec_id, r in full.items():
+        v = raw[vec_id]
+        lo, hi = float(v.min()), float(v.max())
+        if hi == lo:
+            expect = np.zeros(len(v), dtype=np.int64)
+        else:
+            expect = np.floor((v - lo) * 255.0 / (hi - lo) + 0.5).astype(np.int64)
+        assert list(expect) == list(r.q_vec), vec_id
+        assert r.q_min == round(lo, 6) and r.q_max == round(hi, 6)
+        joined = ",".join(str(int(x)) for x in r.q_vec)
+        assert digests[vec_id].q_digest == hashlib.md5(joined.encode()).hexdigest()
+        assert min(r.q_vec) >= 0 and max(r.q_vec) <= 255
