@@ -31,14 +31,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.build for name, spec in all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    ``rotate=True``: this is the driver-gate entry point, so dict order
+    uses the least-recently-sampled rotation (red-in-last-sample first,
+    then never-sampled, then stalest greens) — the driver samples a
+    prefix window, and rotation walks that window across the whole
+    catalog over rounds.
+    """
+    return {name: spec.build for name, spec in all_queries(rotate=True).items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for every SQL-expressible query."""
     return {
         name: spec.oracle
-        for name, spec in all_queries().items()
+        for name, spec in all_queries(rotate=True).items()
         if spec.oracle is not None
     }

@@ -20,8 +20,12 @@ Hash-parity rules (SURVEY §5/§7) applied throughout the catalog:
 
 from __future__ import annotations
 
+import functools
+import json
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -72,28 +76,24 @@ def _order_key(item: tuple[str, QuerySpec]) -> tuple[int, int]:
     return (0 if spec.headline else 2, len(_ORDER_PREFIXES))
 
 
-import functools
-
-
 @functools.lru_cache(maxsize=1)
-def _driver_sampled_names() -> frozenset[str]:
-    """Query names that have already appeared in any driver correctness
-    round (``CORRECTNESS_r*.json`` at the repo root).
+def _driver_sample_history() -> dict[str, tuple[int, bool]]:
+    """Per-query driver sample history from ``CORRECTNESS_r*.json`` at
+    the repo root: name → (last round sampled, red in that sample).
 
     The driver's gate samples a prefix window of ``queries()``, so a
-    static order resamples the same names every round. Rotating
-    never-yet-sampled queries to the front gives every query a turn in
-    the window while already-proven names drop to the tail. Cached per
-    process — the round files are append-only and every caller
-    (bench, gate, tests) would otherwise re-glob and re-parse them on
-    each query resolution.
+    static order resamples the same names every round. The rotation
+    (see ``all_queries(rotate=True)``) uses this history to give every
+    query a turn in the window. Cached per process — the gate runs one
+    process per round, and round files only change between rounds.
     """
-    import json
-    from pathlib import Path
-
+    history: dict[str, tuple[int, bool]] = {}
     root = Path(__file__).resolve().parents[2]
-    seen: set[str] = set()
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(f.stem.split("_r")[-1])
+        except ValueError:
+            rnd = 0
         try:
             data = json.loads(f.read_text())
         except (OSError, ValueError):
@@ -101,11 +101,50 @@ def _driver_sampled_names() -> frozenset[str]:
         if not isinstance(data, dict):
             continue
         queries = data.get("queries") if isinstance(data.get("queries"), dict) else data
-        seen.update(k for k, v in queries.items() if isinstance(v, dict))
-    return frozenset(seen)
+        for name, v in queries.items():
+            if not isinstance(v, dict):
+                continue
+            err = v.get("err")
+            red = (
+                v.get("hash_match") is False
+                or v.get("rows_match") is False
+                or v.get("schema_match") is False
+                or (err is not None and err != "no_oracle")
+            )
+            prev = history.get(name)
+            if prev is None or rnd >= prev[0]:
+                history[name] = (rnd, red)
+    return history
 
 
-def all_queries() -> dict[str, QuerySpec]:
+def _rotation_key(item: tuple[str, QuerySpec]) -> tuple:
+    """Least-recently-sampled rotation with red-first escalation:
+
+    tier 0 — red in its most recent driver sample (a fix must be
+             re-proven before anything else);
+    tier 1 — never driver-sampled;
+    tier 2 — green, ordered by last-sampled round ascending, so
+             r1-era greens re-enter the window before last round's
+             (stale evidence refreshes instead of aging forever).
+    """
+    name, _ = item
+    hist = _driver_sample_history().get(name)
+    if hist is None:
+        return (1, 0, *_order_key(item))
+    last_round, red = hist
+    return (0 if red else 2, last_round, *_order_key(item))
+
+
+def all_queries(rotate: bool | None = None) -> dict[str, QuerySpec]:
+    """The full query catalog.
+
+    ``rotate`` controls dict order only (the driver samples a prefix
+    window). Default is the stable risk-family order so the public
+    registry order never depends on untracked ``CORRECTNESS_r*.json``
+    side files; the driver-gate entry point (``__spark_entry__``)
+    passes ``rotate=True`` (or set ``SPARK_GRAFT_ROTATE=1``) to get
+    the least-recently-sampled rotation.
+    """
     # Import side-effect modules that populate the registry.
     from data_pipeline_with_spark_spark.plans import (  # noqa: F401
         catalog_core,
@@ -117,11 +156,10 @@ def all_queries() -> dict[str, QuerySpec]:
         catalog_tpch,
     )
 
-    sampled = _driver_sampled_names()
+    if rotate is None:
+        rotate = os.environ.get("SPARK_GRAFT_ROTATE", "") == "1"
     items = list(_REGISTRY.items())
-    # Never-driver-sampled queries first (rotation), then the risk-family
-    # order; stable sort keeps registration order within each tier.
-    items.sort(key=lambda it: (it[0] in sampled, *_order_key(it)))
+    items.sort(key=_rotation_key if rotate else _order_key)
     return dict(items)
 
 

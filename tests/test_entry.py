@@ -29,3 +29,45 @@ def test_oracle_keys_subset_of_queries():
     qs, oracles = se.queries(), se.oracle_sql()
     assert set(oracles) <= set(qs)
     assert all(isinstance(v, str) and v.strip() for v in oracles.values())
+
+
+def test_oracle_canonicalizer_hazards(spark, sf_dir):
+    # Every oracle pair must survive the driver's pandas canonicalizer:
+    # no list/struct output columns, no HUGEINT/DECIMAL on the DuckDB
+    # side, no int-vs-float value-class splits. Schema-only — no jobs.
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from lint_oracles import lint_specs
+
+    assert lint_specs(spark, sf_dir) == []
+
+
+def test_registry_rotation_policy():
+    # Default order is stable (no dependence on CORRECTNESS_r*.json);
+    # rotate=True escalates red-in-last-sample first, then
+    # never-sampled, then least-recently-sampled greens.
+    from data_pipeline_with_spark_spark.plans import all_queries
+    from data_pipeline_with_spark_spark.plans.registry import (
+        _driver_sample_history,
+        _rotation_key,
+    )
+
+    base = list(all_queries())
+    assert base[0].startswith("tpch_")  # risk-family order, history-free
+
+    hist = _driver_sample_history()
+    rotated = list(all_queries(rotate=True))
+    assert set(rotated) == set(base)
+    if hist:  # in a checkout with round files, verify the tier ordering
+        specs = all_queries()
+        tiers = [_rotation_key((n, specs[n]))[0] for n in rotated]
+        assert tiers == sorted(tiers)
+        # a red query (if any) must lead every green one
+        reds = [n for n, (_, red) in hist.items() if red and n in specs]
+        greens = [n for n, (_, red) in hist.items() if not red and n in specs]
+        if reds and greens:
+            assert max(rotated.index(n) for n in reds) < min(
+                rotated.index(n) for n in greens
+            )
+        # least-recently-sampled: round numbers non-decreasing in tier 2
+        rounds = [hist[n][0] for n in rotated if n in hist and not hist[n][1]]
+        assert rounds == sorted(rounds)
