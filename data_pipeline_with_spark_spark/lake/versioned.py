@@ -36,6 +36,7 @@ O(files) JSON per commit — the known Delta-log scaling answer
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import re
@@ -247,8 +248,32 @@ class VersionedTable:
             return []
         return sorted(self.log_dir.glob("*.json"))
 
+    def _read_commit_file(self, f: Path, newest: bool) -> Commit | None:
+        """Parse one commit file. A truncated/corrupt NEWEST entry (the
+        exposure of the no-hardlink O_EXCL publish path: crash between
+        slot claim and fsync) is quarantined to ``*.corrupt`` — outside
+        the ``*.json`` glob, so the table stays readable at the prior
+        version and the version slot frees for the next commit.
+        Corruption anywhere else in the log is real damage and raises."""
+        try:
+            return Commit(**json.loads(f.read_text()))
+        except (ValueError, TypeError) as e:
+            if not newest:
+                raise RuntimeError(f"corrupt commit log entry {f}: {e}") from e
+            try:
+                os.replace(f, f.with_suffix(".corrupt"))
+            except OSError:
+                pass  # quarantine is best-effort; skipping still works
+            return None
+
     def _commits(self) -> list[Commit]:
-        return [Commit(**json.loads(f.read_text())) for f in self._log_files()]
+        files = self._log_files()
+        out = []
+        for i, f in enumerate(files):
+            c = self._read_commit_file(f, newest=(i == len(files) - 1))
+            if c is not None:
+                out.append(c)
+        return out
 
     # History checkpoints: every N commits the (version, timestamp,
     # operation, params) summaries of all versions so far are rolled
@@ -327,8 +352,22 @@ class VersionedTable:
             except FileNotFoundError:
                 pass
 
-    @staticmethod
-    def _publish_commit(tmp: str, target: Path, version: int) -> None:
+    # errnos that actually mean "this filesystem cannot hardlink" —
+    # anything else (ENOSPC, EIO, EACCES…) is a real failure and must
+    # surface, not silently degrade the publish protocol.
+    _NO_HARDLINK_ERRNOS = frozenset(
+        e
+        for e in (
+            errno.EPERM,
+            errno.EXDEV,
+            getattr(errno, "EOPNOTSUPP", None),
+            getattr(errno, "ENOTSUP", None),
+        )
+        if e is not None
+    )
+
+    @classmethod
+    def _publish_commit(cls, tmp: str, target: Path, version: int) -> None:
         # Publish via link(2), not rename(2): rename silently overwrites,
         # so two writers racing to the same version could clobber a
         # commit (TOCTOU); link fails atomically with EEXIST, making the
@@ -339,26 +378,35 @@ class VersionedTable:
             return
         except FileExistsError:
             raise RuntimeError(f"concurrent commit conflict at v{version}") from None
-        except OSError:
+        except OSError as e:
+            if e.errno not in cls._NO_HARDLINK_ERRNOS:
+                raise
             # Filesystem without hardlinks (some FUSE/network mounts).
             # Degrade to exclusive-create: O_EXCL claims the version slot
             # atomically (same put-if-absent contract); the content copy
-            # happens after the claim, so a crash mid-copy can leave a
-            # truncated file for a claimed version — the same exposure
-            # Delta accepts from log stores without atomic rename.
-            pass
+            # happens after the claim and is fsynced before the publish
+            # is considered complete. A crash mid-copy can still leave a
+            # truncated file for a claimed version — _read_commit_file
+            # quarantines a truncated NEWEST entry so the table stays
+            # readable and the slot frees up.
         try:
             out_fd = os.open(str(target), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             raise RuntimeError(f"concurrent commit conflict at v{version}") from None
         with os.fdopen(out_fd, "wb") as out, open(tmp, "rb") as src:
             shutil.copyfileobj(src, out)
+            out.flush()
+            os.fsync(out.fileno())
 
     def _latest(self) -> Commit:
         files = self._log_files()
         if not files:
             raise FileNotFoundError(f"no versioned table at {self.root}")
-        return Commit(**json.loads(files[-1].read_text()))
+        c = self._read_commit_file(files[-1], newest=True)
+        if c is not None:
+            return c
+        # newest entry was truncated and quarantined — fall back once
+        return self._latest()
 
     def _next_version(self) -> int:
         files = self._log_files()
@@ -427,11 +475,18 @@ class VersionedTable:
         ``delete``; 'delta.enableRowTracking' = 'true' triggers the
         row-id backfill exactly as Delta's property does."""
         props = {str(k): str(v) for k, v in props.items()}
-        if (
-            props.get("delta.enableRowTracking", "").lower() == "true"
-            and not self._row_tracking_enabled()
-        ):
+        rt_req = props.get("delta.enableRowTracking", "").lower()
+        if rt_req == "true" and not self._row_tracking_enabled():
             self.enable_row_tracking()
+            props.pop("delta.enableRowTracking")
+            if not props:
+                return self
+        elif rt_req == "false" and self._row_tracking_enabled():
+            # a plain property write would be a one-way trapdoor: id
+            # minting stops, later appends NULL-fill _row_id, and
+            # re-enable fails on "column already exists" — route
+            # through the real disable path instead
+            self.disable_row_tracking()
             props.pop("delta.enableRowTracking")
             if not props:
                 return self
@@ -539,6 +594,40 @@ class VersionedTable:
             )
         )
         return self
+
+    def disable_row_tracking(self) -> "VersionedTable":
+        """Real disable path (so enable/disable round-trips): flip the
+        property off and clear the id high-watermark in one metadata
+        commit, then metadata-DROP the ``_row_id`` column. Data files
+        keep the id bytes (column mapping makes them unreachable), and
+        a later re-enable backfills a fresh snapshot — old ids cannot
+        resurrect because the backfill writes new files and a re-added
+        column of a dropped name maps to a fresh physical name."""
+        if not self._row_tracking_enabled():
+            return self
+        latest = self._latest()
+        props = dict(latest.properties or {})
+        props["delta.enableRowTracking"] = "false"
+        props.pop(self._HWM_PROP, None)
+        self._write_commit(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="DISABLE ROW TRACKING",
+                params={},
+                data_dirs=latest.data_dirs,
+                schema_json=latest.schema_json,
+                partition_by=latest.partition_by,
+                constraints=latest.constraints,
+                generated=latest.generated,
+                column_mapping=latest.column_mapping,
+                dv_paths=latest.dv_paths,
+                properties=props,
+                stats_refs=latest.stats_refs,
+            )
+        )
+        # tracking is now off, so the drop guard admits the column
+        return self.drop_column(self.ROW_ID_COL)
 
     # ---------------------------------------------------- identity columns
     _IDENTITY_PROP = "spark_graft.identity."
@@ -841,6 +930,11 @@ class VersionedTable:
             raise ValueError(f"column {old!r} not in table schema {names}")
         if new in names:
             raise ValueError(f"column {new!r} already exists in table schema")
+        if old == self.ROW_ID_COL and self._row_tracking_enabled():
+            raise ValueError(
+                f"cannot rename {self.ROW_ID_COL} while "
+                "'delta.enableRowTracking' is true"
+            )
         # Delta likewise blocks renaming a column referenced by a CHECK
         # constraint or generated-column expression: the stored SQL text
         # would dangle against the new schema.
@@ -973,6 +1067,12 @@ class VersionedTable:
             raise ValueError(
                 f"cannot drop clustering column {name!r}; re-declare "
                 "CLUSTER BY without it first"
+            )
+        if name == self.ROW_ID_COL and self._row_tracking_enabled():
+            raise ValueError(
+                f"cannot drop {self.ROW_ID_COL} while "
+                "'delta.enableRowTracking' is true; use "
+                "SET TBLPROPERTIES ('delta.enableRowTracking'='false')"
             )
         self._guard_column_refs(name, "drop")
         mapping = dict(latest.column_mapping or {})
@@ -1306,6 +1406,14 @@ class VersionedTable:
             raise ValueError(
                 f"identity columns {sorted(locked)} are GENERATED ALWAYS; "
                 "UPDATE cannot SET them"
+            )
+        if self._row_tracking_enabled() and self.ROW_ID_COL in set_exprs:
+            # mirrors the identity guard: clobbered ids in rewritten
+            # files (while carried files keep originals) would produce
+            # duplicate row ids and break CDF pre/postimage pairing
+            raise ValueError(
+                f"{self.ROW_ID_COL} is engine-managed while row tracking "
+                "is enabled; UPDATE cannot SET it"
             )
 
         def apply_set(df: DataFrame) -> DataFrame:
@@ -1659,9 +1767,19 @@ class VersionedTable:
         for cl in matched:
             if cl.update and set(cl.update) & set(id_specs):
                 raise ValueError("MERGE cannot UPDATE SET an identity column")
+            if rt and cl.update and self.ROW_ID_COL in cl.update:
+                raise ValueError(
+                    f"{self.ROW_ID_COL} is engine-managed while row tracking "
+                    "is enabled; MERGE cannot UPDATE SET it"
+                )
         for cl in not_matched:
             if cl.insert and set(cl.insert) & set(id_specs):
                 raise ValueError("MERGE cannot INSERT an identity column")
+            if rt and cl.insert and self.ROW_ID_COL in cl.insert:
+                raise ValueError(
+                    f"{self.ROW_ID_COL} is engine-managed while row tracking "
+                    "is enabled; MERGE cannot INSERT it"
+                )
 
         def out_col(fld: T.StructField) -> Column:
             c = fld.name
@@ -2254,7 +2372,12 @@ class VersionedTable:
         # direct by-filename lookup: time travel parses one log file
         target = self.log_dir / f"{version:020d}.json"
         if target.exists():
-            return Commit(**json.loads(target.read_text()))
+            files = self._log_files()
+            c = self._read_commit_file(
+                target, newest=bool(files) and files[-1] == target
+            )
+            if c is not None:
+                return c
         files = self._log_files()
         if not files:
             raise FileNotFoundError(f"no versioned table at {self.root}")

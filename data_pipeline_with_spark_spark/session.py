@@ -25,6 +25,39 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """Driver-heap default derived from what the host can actually give
+    (min of MemAvailable and any cgroup limit), capped at 32g and
+    floored at 1g. A flat 32g default OOM-kills the JVM on smaller
+    hosts/containers; SPARK_GRAFT_DRIVER_MEM always overrides."""
+    limit_bytes = None
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    limit_bytes = int(line.split()[1]) * 1024
+                    break
+    except OSError:
+        pass
+    for cg in (
+        "/sys/fs/cgroup/memory.max",  # cgroup v2
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # cgroup v1
+    ):
+        try:
+            raw = open(cg).read().strip()
+            if raw != "max":
+                v = int(raw)
+                if v < (1 << 50):  # v1 reports ~2^63 for "unlimited"
+                    limit_bytes = v if limit_bytes is None else min(limit_bytes, v)
+        except (OSError, ValueError):
+            continue
+    if limit_bytes is None:
+        return "4g"  # unknown host: conservative
+    # leave ~25% headroom for Python workers / page cache
+    gb = max(1, min(32, int(limit_bytes * 0.75 / (1 << 30))))
+    return f"{gb}g"
+
+
 def _builder(
     app_name: str,
     master: str | None,
@@ -37,9 +70,13 @@ def _builder(
     conf: dict[str, str] = {
         # local[N] runs executors inside the driver JVM, whose 1g
         # default heap starves 32 executor threads long before the
-        # host's RAM does. Only honored at JVM launch — on a real
-        # cluster the submitter's --driver-memory/--executor-memory win.
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        # host's RAM does. Sized from available RAM (capped 32g) so a
+        # smaller host/container isn't OOM-killed. Only honored at JVM
+        # launch — on a real cluster the submitter's
+        # --driver-memory/--executor-memory win.
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()
+        ),
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -986,6 +986,50 @@ def test_commit_publish_without_hardlinks(spark, tmp_path, monkeypatch):
     monkeypatch.setattr("os.link", real_link)
 
 
+def test_publish_fallback_only_for_no_hardlink_errnos(spark, tmp_path, monkeypatch):
+    # A link(2) failure that does NOT mean "no hardlinks here" (ENOSPC,
+    # EIO, EACCES) must surface as an error, not silently degrade to
+    # the O_EXCL+copy path — a disk-full copy could truncate the log.
+    import errno
+    import os as _os
+
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    t = VersionedTable(spark, str(tmp_path / "errno")).create(df)
+
+    def no_space(*a, **kw):
+        raise OSError(errno.ENOSPC, "no space left on device")
+
+    monkeypatch.setattr("os.link", no_space)
+    with pytest.raises(OSError, match="no space"):
+        t._write_commit(t._latest().__class__(**{**t._latest().__dict__, "version": 99}))
+    monkeypatch.undo()
+    assert t._latest().version == 0  # nothing half-published
+    t.append(spark.createDataFrame([(2, "b")], ["id", "v"]))
+    assert t.read().count() == 2
+
+
+def test_truncated_newest_commit_is_quarantined(spark, tmp_path):
+    # The O_EXCL fallback's documented exposure: a crash between slot
+    # claim and fsync leaves a truncated newest entry. The table must
+    # stay readable at the prior version, the bad entry is quarantined
+    # to *.corrupt, and the version slot frees for the next commit.
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["id", "v"])
+    t = VersionedTable(spark, str(tmp_path / "trunc")).create(df)
+    v = t._latest().version
+    bad = t.log_dir / f"{v + 1:020d}.json"
+    bad.write_text('{"version": 1, "time')  # truncated mid-write
+    assert t._latest().version == v  # reads fall back to the good entry
+    assert t.read().count() == 2
+    assert not bad.exists() and bad.with_suffix(".corrupt").exists()
+    t.append(spark.createDataFrame([(3, 3.0)], ["id", "v"]))
+    assert t._latest().version == v + 1  # slot was reusable
+    assert t.read().count() == 3
+    # corruption that is NOT the newest entry is real damage: raise
+    (t.log_dir / f"{v:020d}.json").write_text("{broken")
+    with pytest.raises(RuntimeError, match="corrupt commit log entry"):
+        t._commits()
+
+
 def test_history_cost_flat_via_checkpoints(spark, tmp_path):
     # DESCRIBE HISTORY must not replay the whole log: with checkpoints
     # every CHECKPOINT_INTERVAL commits, a history() call parses one
@@ -1277,6 +1321,65 @@ def test_merge_upsert_row_tracked_rejects_short_source(spark, tmp_path):
         t.merge_upsert(
             spark.createDataFrame([(1, "b")], "id INT, tag STRING"), keys=["id"]
         )
+
+
+def test_row_id_guarded_against_dml_and_ddl(spark, tmp_path):
+    # _row_id is engine-managed like an identity column: explicit SET /
+    # INSERT of it (and rename/drop) must be rejected while tracking is
+    # on — clobbered ids in rewritten files would duplicate ids and
+    # break CDF pre/postimage pairing.
+    from data_pipeline_with_spark_spark.lake.versioned import (
+        WhenMatched,
+        WhenNotMatched,
+    )
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["id", "v"])
+    t = VersionedTable(spark, str(tmp_path / "ridguard")).create(df)
+    t.enable_row_tracking()
+    with pytest.raises(ValueError, match="engine-managed"):
+        t.update(where="id = 1", set_exprs={"_row_id": "999"})
+    src = spark.createDataFrame([(1, 10.0), (3, 30.0)], ["id", "v"])
+    with pytest.raises(ValueError, match="engine-managed"):
+        t.merge(src, keys=["id"], matched=[WhenMatched(update={"_row_id": "0"})])
+    with pytest.raises(ValueError, match="engine-managed"):
+        t.merge(
+            src,
+            keys=["id"],
+            matched=[WhenMatched()],
+            not_matched=[
+                WhenNotMatched(insert={"id": "s.id", "v": "s.v", "_row_id": "0"})
+            ],
+        )
+    with pytest.raises(ValueError, match="enableRowTracking"):
+        t.rename_column("_row_id", "rid")
+    with pytest.raises(ValueError, match="enableRowTracking"):
+        t.drop_column("_row_id")
+    assert sorted(r._row_id for r in t.read().collect()) == [0, 1]  # intact
+
+
+def test_row_tracking_disable_enable_roundtrip(spark, tmp_path):
+    # 'delta.enableRowTracking'='false' must be a real disable (drop
+    # the id column, clear the watermark), not a property-only trapdoor
+    # that NULL-fills ids on later appends and blocks re-enable.
+    df = spark.createDataFrame([(i, float(i)) for i in range(6)], ["id", "v"])
+    t = VersionedTable(spark, str(tmp_path / "ridoff")).create(df)
+    t.set_properties({"delta.enableRowTracking": "true"})
+    v_enabled = t._latest().version
+    t.set_properties({"delta.enableRowTracking": "false"})
+    assert not t._row_tracking_enabled()
+    assert "_row_id" not in t.read().columns
+    assert t._HWM_PROP not in t.table_properties()
+    # time travel still sees the old ids (metadata drop, no rewrite)
+    assert "_row_id" in t.read(version=v_enabled).columns
+    # appends work and carry no phantom ids
+    t.append(spark.createDataFrame([(100, 1.0)], ["id", "v"]))
+    assert t.read().count() == 7
+    # re-enable round-trips: fresh dense backfill over all 7 rows
+    t.set_properties({"delta.enableRowTracking": "true"})
+    ids = [r._row_id for r in t.read().collect()]
+    assert len(ids) == 7 and len(set(ids)) == 7
+    assert all(i is not None for i in ids)
+    assert set(ids) == set(range(7))
 
 
 def test_plan_files_uses_log_stats_without_footer_io(spark, tmp_path, monkeypatch):
