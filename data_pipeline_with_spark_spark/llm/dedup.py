@@ -79,8 +79,18 @@ def _shingle_expr(toks: Column, k: int) -> Column:
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    # Materialize the token array in its OWN projection before
+    # shingling: higher-order lambdas are interpreted per element, so
+    # an inline tokens() inside the slice lambda would re-tokenize the
+    # document once per shingle — O(tokens × shingles) character work.
+    # A non-cheap column referenced more than once blocks Catalyst's
+    # CollapseProject from re-inlining it (verified: 8× on the sf1
+    # decontam run). Same pattern as duplicated_spans below.
     df = ensure_min_partitions(df)
-    return df.withColumn("shingles", F.array_distinct(_shingle_expr(tokens(text_col), k)))
+    df = df.withColumn("__toks", tokens(text_col))
+    return df.withColumn(
+        "shingles", F.array_distinct(_shingle_expr(F.col("__toks"), k))
+    ).drop("__toks")
 
 
 CHUNKS_PER_DIGEST = 4  # four 8-hex (32-bit) chunks per md5
@@ -117,8 +127,29 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
 def with_minhash(
     df: DataFrame, text_col: str = "text", k_shingle: int = 3, num_hashes: int = 16
 ) -> DataFrame:
+    # Each salted digest array is materialized as a column once, then
+    # the CHUNKS_PER_DIGEST chunk-min extractions read the bound column
+    # — inlining minhash_signature() here would re-run each md5 pass
+    # once per chunk (4× the md5 work; see with_shingles note on
+    # interpreted lambdas and CollapseProject).
     out = with_shingles(df, text_col, k_shingle)
-    return out.withColumn("minhash", minhash_signature(F.col("shingles"), num_hashes))
+    n_digests = (num_hashes + CHUNKS_PER_DIGEST - 1) // CHUNKS_PER_DIGEST
+    dig_cols = [f"__dig{salt}" for salt in range(n_digests)]
+    for salt, c in enumerate(dig_cols):
+        out = out.withColumn(c, _digest_array(F.col("shingles"), salt))
+
+    def chunk_min(col_name: str, off: int) -> Column:
+        # NB: bind off via closure, not a lambda default — a 2-param
+        # lambda makes PySpark pass (element, index) positionally.
+        return F.array_min(
+            F.transform(F.col(col_name), lambda d: F.substring(d, off, 8))
+        )
+
+    sig = []
+    for j in range(num_hashes):
+        salt, chunk = divmod(j, CHUNKS_PER_DIGEST)
+        sig.append(chunk_min(dig_cols[salt], chunk * 8 + 1))
+    return out.withColumn("minhash", F.array(*sig)).drop(*dig_cols)
 
 
 # --------------------------------------------------------------------------
@@ -217,8 +248,13 @@ def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataF
     int conversion needed, so the identical formula runs in DuckDB.
     Final value = Σ 2^b over bits with positive token-vote sum."""
     df = ensure_min_partitions(df)
-    toks = F.array_distinct(tokens(text_col))
-    hashes = F.transform(toks, F.md5)
+    # one materialized md5-per-token array; the per-bit vote aggregates
+    # below each reference it, and an inline expression would re-hash
+    # every token once per bit (16× — see with_shingles note)
+    df = df.withColumn(
+        "__tok_hashes", F.transform(F.array_distinct(tokens(text_col)), F.md5)
+    )
+    hashes = F.col("__tok_hashes")
 
     def bit_vote(b: int) -> Column:
         return F.aggregate(
@@ -232,7 +268,7 @@ def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataF
     for b, vote in enumerate(bit_votes):
         term = F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("bigint")
         value = term if value is None else value + term
-    return df.withColumn("simhash", value)
+    return df.withColumn("simhash", value).drop("__tok_hashes")
 
 
 def simhash_near_dup_pairs(
@@ -301,24 +337,38 @@ def decontamination_overlap(
     no shuffle until the per-doc count, which aggregates only the
     matched (id, gram) pairs.
 
-    Gram keys are 60-bit integers (the first 15 hex chars of the gram's
-    md5, radix-converted): an 8-byte join/broadcast key instead of the
-    raw multi-word gram string or its 32-char hex digest, halving
-    broadcast and explode width. Collision risk at 2^60 key space is
-    negligible (birthday bound ~n^2/2^61; even 10^7 distinct grams give
-    ~5e-5) and any collision only flags an extra shared gram, it never
-    drops one.
+    Gram keys are 64-bit ``xxhash64`` values computed directly on the
+    k-token slice array — no intermediate gram string, no md5: the
+    per-gram cost is one native hash over the already-materialized
+    token array instead of array_join + md5-hex + radix conversion
+    (the old md5 path was the corpus-side hot loop — this is a pure
+    constant-factor cut on the TB side of the join). Tokens contain no
+    whitespace, so slice-array identity ≡ joined-gram identity, and
+    ``array_distinct`` over 8-byte hashes is cheaper than over gram
+    strings. Collision risk at 2^64 key space is negligible (birthday
+    bound ~n^2/2^65) and any collision only flags an extra shared
+    gram, it never drops one.
     """
 
+    # __toks materialized first — an inline tokens() in the slice
+    # lambda re-tokenizes per gram (interpreted lambdas; measured 8× on
+    # the sf1 run of this very query — see with_shingles note)
+    toks = F.col("__toks")
+    seq = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k_shingle - 1), F.lit(1)))
     gram_keys = F.explode(
-        F.transform(
-            word_shingles(tokens(text_col), k_shingle),
-            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+        F.array_distinct(
+            F.transform(seq, lambda i: F.xxhash64(F.slice(toks, i, k_shingle)))
         )
     )
 
-    probe_grams = probe.select(gram_keys.alias("gram_key")).distinct()
-    corpus_grams = corpus.select(F.col(id_col), gram_keys.alias("gram_key"))
+    probe_grams = (
+        probe.withColumn("__toks", tokens(text_col))
+        .select(gram_keys.alias("gram_key"))
+        .distinct()
+    )
+    corpus_grams = corpus.withColumn("__toks", tokens(text_col)).select(
+        F.col(id_col), gram_keys.alias("gram_key")
+    )
     return (
         corpus_grams.join(F.broadcast(probe_grams), on="gram_key")
         .groupBy(id_col)

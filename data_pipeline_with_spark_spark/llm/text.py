@@ -133,7 +133,13 @@ def with_token_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
     words — the standard cheap proxy for LLM tokenizer counts when the
     real tokenizer can't run JVM-side."""
     df = ensure_min_partitions(df)
-    pieces = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), 0)
+    # materialized once — three references below would otherwise each
+    # re-run the regex scan over the document
+    df = df.withColumn(
+        "__pieces",
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), 0),
+    )
+    pieces = F.col("__pieces")
     # explicit floor(): Spark truncates double→int, DuckDB rounds — only
     # floor is portable.
     long_word_extra = F.aggregate(
@@ -142,8 +148,10 @@ def with_token_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, p: acc
         + F.when(F.length(p) > 4, F.floor((F.length(p) - 1) / 4)).otherwise(0).cast("int"),
     )
-    return df.withColumn("n_pieces", F.size(pieces).cast("bigint")).withColumn(
-        "n_tokens_est", (F.size(pieces) + long_word_extra).cast("bigint")
+    return (
+        df.withColumn("n_pieces", F.size(pieces).cast("bigint"))
+        .withColumn("n_tokens_est", (F.size(pieces) + long_word_extra).cast("bigint"))
+        .drop("__pieces")
     )
 
 
@@ -157,13 +165,20 @@ def with_winnow_fingerprint(
     (Schleimer et al. '03 winnowing, simplified to global minima so the
     identical formula runs in DuckDB)."""
     df = ensure_min_partitions(df)
+    # normalized text materialized ONCE: inlining it in the lambda body
+    # would re-run regexp_replace over the whole document per char
+    # k-gram — O(len²) per doc (interpreted lambdas; see
+    # dedup.with_shingles note on CollapseProject)
+    df = df.withColumn(
+        "__norm", F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
     # substring(str, pos, len) with a column pos needs the SQL-expr form
     grams = F.expr(
-        f"transform(sequence(1, greatest(length(regexp_replace(lower({text_col}), '\\\\s+', ' ')) - {k - 1}, 1)),"
-        f" i -> md5(substring(regexp_replace(lower({text_col}), '\\\\s+', ' '), i, {k})))"
+        f"transform(sequence(1, greatest(length(__norm) - {k - 1}, 1)),"
+        f" i -> md5(substring(__norm, i, {k})))"
     )
     mins = F.slice(F.array_sort(F.array_distinct(grams)), 1, n_mins)
-    return df.withColumn("winnow_fp", F.md5(F.concat_ws("", mins)))
+    return df.withColumn("winnow_fp", F.md5(F.concat_ws("", mins))).drop("__norm")
 
 
 def with_repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
