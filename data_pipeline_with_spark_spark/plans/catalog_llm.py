@@ -486,6 +486,7 @@ register(
     QuerySpec(
         name="sim_embedding_near_dups",
         build=_emb_near_dups,
+        headline=True,
         doc="embedding-cosine similar-pair mining via bucketed self-join",
         oracle=f"""
         WITH b AS (SELECT vec_id, embedding,
@@ -1061,6 +1062,7 @@ register(
     QuerySpec(
         name="text_tfidf_top_terms",
         build=_tfidf_top_terms,
+        headline=True,
         doc="top-3 TF-IDF terms per doc (broadcast DF table + ranked window)",
         oracle=f"""
         WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
@@ -1410,6 +1412,7 @@ register(
     QuerySpec(
         name="curation_overlapping_chunks",
         build=_chunking,
+        headline=True,
         doc="overlapping token-window chunking (size 32, stride 16; docs are 10-99 tokens): shuffle-free explode+slice",
         oracle=r"""
         WITH t AS (
