@@ -1022,24 +1022,40 @@ register(
 
 
 def _tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document. Scale shape: the shuffles carry
-    (doc_id, term, count) partials and the vocabulary-sized DF table;
-    corpus size N joins in as a broadcast scalar; the final per-doc
-    top-k is a WindowGroupLimit-able ranked window."""
+    """Top-3 TF-IDF terms per document.
+
+    Scale shape: the corpus is tokenized+exploded ONCE into the
+    (doc_id, term) count — everything else derives from that frame.
+    ``df`` re-aggregates tf by term (map-side partials, so hot terms
+    can't skew a partition the way a term-partitioned window would)
+    and joins back as a vocabulary-sized broadcast; ``dt`` is a
+    doc-partitioned window sum that shares its exchange with the
+    ranked top-k window. 3 data shuffles total — down from 6 with the
+    naive three-branch formulation, which also re-ran the tokenizer
+    over the corpus three times."""
     from pyspark.sql import Window
 
     docs = read_testdata(spark, sf, "documents")
     toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dt"))
+    # tf rows are already distinct per (doc, term): counting them by term
+    # IS document frequency, no separate distinct pass needed. The
+    # always-true tf >= 1 filter is load-bearing: it forces this branch to
+    # consume the count, otherwise Catalyst prunes it, the partial
+    # aggregate under the shuffle stops matching the main branch's, and
+    # ReuseExchange can't fold the two tf subtrees — which would tokenize
+    # and shuffle the whole corpus twice.
     df_tbl = (
-        toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        tf.where(F.col("tf") >= 1)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_doc = Window.partitionBy("doc_id")
     scored = (
-        tf.join(doc_len, "doc_id")
-        .join(F.broadcast(df_tbl), "term")
+        tf.join(F.broadcast(df_tbl), "term")
         .crossJoin(F.broadcast(n))
+        .withColumn("dt", F.sum("tf").over(w_doc))
         .withColumn(
             "tfidf",
             F.round(

@@ -107,8 +107,13 @@ def test_new_query_plan_contracts(spark):
     p = _plan(specs["decontam_benchmark_overlap"].build(spark, sf))
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
 
-    p = _plan(specs["text_tfidf_top_terms"].build(spark, sf))
+    df = specs["text_tfidf_top_terms"].build(spark, sf)
+    p = _plan(df)
     assert "SortMergeJoin" not in p  # DF table + corpus-size scalar broadcast
+    # The tf and df branches share one tokenize+shuffle of the corpus;
+    # AQE applies the reuse at runtime, so pin it on the FINAL plan.
+    df.collect()
+    assert "ReusedExchange" in _plan(df)
 
     p = _plan(specs["w2_analytic_windows"].build(spark, sf))
     assert p.count("Exchange") <= 1  # one consolidated window ordering
