@@ -181,6 +181,56 @@ def with_winnow_fingerprint(
     return df.withColumn("winnow_fp", F.md5(F.concat_ws("", mins))).drop("__norm")
 
 
+def with_gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 10_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+) -> DataFrame:
+    """Gopher-style document filter rules (Rae et al. '21 §A1.1), each
+    as a named boolean column plus the conjunction ``gopher_pass``:
+
+    - ``rule_word_count``: token count in [min_words, max_words]
+    - ``rule_mean_word_len``: mean token length in [3, 10]
+    - ``rule_alpha_ratio``: ≥80% of tokens contain a letter
+    - ``rule_stopwords``: ≥2 distinct stopwords present
+    - ``rule_symbol_ratio``: ≤10% of tokens are pure symbols
+
+    Every threshold compares scaled INTEGERS (5·n_alpha ≥ 4·n_tokens,
+    not n_alpha/n ≥ 0.8) so no float rounding can flip a rule between
+    engines. One projection, zero shuffles — the standard first-pass
+    corpus filter at 100 TB because it runs at scan speed."""
+    out = ensure_min_partitions(df).withColumn("toks", tokens(text_col))
+    n = F.size("toks")
+    sum_len = F.expr("aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x)")
+    n_alpha = F.expr("size(filter(toks, t -> t rlike '[a-z]'))")
+    n_symbol = F.expr("size(filter(toks, t -> NOT t rlike '[a-z0-9]'))")
+    n_stop = F.size(F.array_intersect(F.col("toks"), F.array(*[F.lit(s) for s in STOPWORDS])))
+    return (
+        out.withColumn("n_tokens", n.cast("bigint"))
+        .withColumn("n_stopwords_distinct", n_stop.cast("bigint"))
+        .withColumn("rule_word_count", (n >= min_words) & (n <= max_words))
+        .withColumn(
+            "rule_mean_word_len",
+            (sum_len >= min_mean_word_len * n) & (sum_len <= max_mean_word_len * n),
+        )
+        .withColumn("rule_alpha_ratio", n_alpha * 5 >= n * 4)
+        .withColumn("rule_stopwords", n_stop >= 2)
+        .withColumn("rule_symbol_ratio", n_symbol * 10 <= n)
+        .withColumn(
+            "gopher_pass",
+            F.col("rule_word_count")
+            & F.col("rule_mean_word_len")
+            & F.col("rule_alpha_ratio")
+            & F.col("rule_stopwords")
+            & F.col("rule_symbol_ratio"),
+        )
+        .drop("toks")
+    )
+
+
 def with_repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition quality signal (Rae et al. '21 §A1.1):
     the fraction of a document's bigrams claimed by its single most

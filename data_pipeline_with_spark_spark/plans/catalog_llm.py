@@ -137,6 +137,170 @@ register(
 )
 
 
+def _pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub over the documents table. The fixture corpus contains
+    no digits at all, so the redaction path could never fire on raw
+    fixture text; deterministic PII spans (email/ssn/ipv4/phone) are
+    derived from fixture columns first — same construction in the
+    oracle — so the counts and the redacted digest exercise every
+    pattern. Scale shape: one chained-regexp projection, zero
+    shuffles; bodies leave the executor only as an md5 digest."""
+    docs = read_testdata(spark, sf, "documents")
+    d = F.col("doc_id")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@"), F.col("source"), F.lit(".org ip 10.20."),
+        (d % 256).cast("string"), F.lit(".9"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" ssn 123-45-"),
+                     F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit(" call 555-867-"),
+                     F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    out = text.redact_pii(docs.withColumn("pii_text", pii), text_col="pii_text")
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone",
+        F.md5(F.col("text_redacted")).alias("redact_digest"),
+        F.length("text_redacted").cast("bigint").alias("n_chars_redacted"),
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?\d[\d\s().-]{7,}\d"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+register(
+    QuerySpec(
+        name="text_pii_redaction",
+        build=_pii_redaction,
+        doc="regex PII scrub: per-kind counts + redacted-text digest (chained regexp_replace, zero shuffles)",
+        oracle=f"""
+        WITH p AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR) || '@'
+                      || source || '.org ip 10.20.'
+                      || CAST(doc_id % 256 AS VARCHAR) || '.9'
+                      || CASE WHEN doc_id % 3 = 0
+                              THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                              ELSE '' END
+                      || CASE WHEN doc_id % 2 = 0
+                              THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                              ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(t, '{_PII_SSN}')) AS INT) AS n_ssn,
+               CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS INT) AS n_ipv4,
+               CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phone,
+               md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                        '{_PII_SSN}', '[SSN]', 'g'),
+                        '{_PII_IPV4}', '[IPV4]', 'g'),
+                        '{_PII_PHONE}', '[PHONE]', 'g')) AS redact_digest,
+               CAST(length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                        '{_PII_SSN}', '[SSN]', 'g'),
+                        '{_PII_IPV4}', '[IPV4]', 'g'),
+                        '{_PII_PHONE}', '[PHONE]', 'g')) AS BIGINT) AS n_chars_redacted
+        FROM p
+        """,
+    )
+)
+
+
+def _gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    return text.with_gopher_rules(docs).select(
+        "doc_id", "source", "n_tokens", "n_stopwords_distinct",
+        "rule_word_count", "rule_mean_word_len", "rule_alpha_ratio",
+        "rule_stopwords", "rule_symbol_ratio", "gopher_pass",
+    )
+
+
+# Shared CTE for the Gopher-rule oracles: integer-scaled thresholds,
+# mirroring with_gopher_rules exactly (no float comparisons anywhere).
+_GOPHER_RULES_SQL = f"""
+        WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+        s AS (SELECT doc_id, source,
+                     len(toks) AS n,
+                     list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+                     len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                     len(list_filter(toks, x -> NOT regexp_matches(x, '[a-z0-9]'))) AS n_symbol,
+                     len(list_filter({_STOP_SQL}, w -> list_contains(toks, w))) AS n_stop
+              FROM t),
+        r AS (SELECT doc_id, source,
+                     CAST(n AS BIGINT) AS n_tokens,
+                     CAST(n_stop AS BIGINT) AS n_stopwords_distinct,
+                     (n >= 30 AND n <= 10000) AS rule_word_count,
+                     (sum_len >= 3 * n AND sum_len <= 10 * n) AS rule_mean_word_len,
+                     (n_alpha * 5 >= n * 4) AS rule_alpha_ratio,
+                     (n_stop >= 2) AS rule_stopwords,
+                     (n_symbol * 10 <= n) AS rule_symbol_ratio
+              FROM s)
+        SELECT *, (rule_word_count AND rule_mean_word_len AND rule_alpha_ratio
+                   AND rule_stopwords AND rule_symbol_ratio) AS gopher_pass
+        FROM r
+"""
+
+register(
+    QuerySpec(
+        name="quality_gopher_rules",
+        build=_gopher_rules,
+        doc="Gopher-style filter rule battery: named boolean rules + conjunction, integer-scaled thresholds",
+        oracle=_GOPHER_RULES_SQL,
+    )
+)
+
+
+def _gopher_pass_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source funnel view of the rule battery: docs in, docs
+    surviving each rule, overall pass count. The per-doc booleans
+    aggregate with map-side partials — the report costs one shuffle of
+    O(sources) rows regardless of corpus size."""
+    rules = text.with_gopher_rules(read_testdata(spark, sf, "documents"))
+    cnt = lambda c: F.sum(F.col(c).cast("long")).alias(f"n_{c}")  # noqa: E731
+    return (
+        rules.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt("rule_word_count"),
+            cnt("rule_mean_word_len"),
+            cnt("rule_alpha_ratio"),
+            cnt("rule_stopwords"),
+            cnt("rule_symbol_ratio"),
+            cnt("gopher_pass"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="quality_gopher_pass_rate",
+        build=_gopher_pass_rate,
+        doc="per-source Gopher-rule funnel: survivors per rule + overall (one O(sources) shuffle)",
+        oracle=f"""
+        WITH rules AS ({_GOPHER_RULES_SQL})
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN rule_word_count THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_word_count,
+               CAST(sum(CASE WHEN rule_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_mean_word_len,
+               CAST(sum(CASE WHEN rule_alpha_ratio THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_alpha_ratio,
+               CAST(sum(CASE WHEN rule_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_stopwords,
+               CAST(sum(CASE WHEN rule_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_symbol_ratio,
+               CAST(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass
+        FROM rules GROUP BY source
+        """,
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 def _exact_groups(spark: SparkSession, sf: str) -> DataFrame:

@@ -200,6 +200,30 @@ def test_repetition_stats_flags_repeats(spark):
     assert rows[2].top_bigram_frac == pytest.approx(0.2)
 
 
+def test_gopher_rules_each_rule_fires(spark):
+    # One row per rule designed to fail exactly that rule (the fixture
+    # corpus never trips the alpha/symbol rules, so they're pinned here).
+    good = "the quick brown fox jumps over a lazy dog and then it " * 3
+    df = spark.createDataFrame(
+        [
+            (1, good),                                  # passes everything
+            (2, "the of short text"),                   # word count < 30
+            (3, "the of " + "x " * 40),                 # mean word len < 3
+            (4, "the of " + "1234 5678 9012 3456 " * 10),  # <80% alphabetic
+            (5, "word " * 40),                          # <2 distinct stopwords
+            (6, "the of word " + "$ % # ! " * 10),      # >10% symbol tokens
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in text.with_gopher_rules(df, min_words=10).collect()}
+    assert rows[1].gopher_pass
+    assert not rows[2].rule_word_count and not rows[2].gopher_pass
+    assert not rows[3].rule_mean_word_len and rows[3].rule_word_count
+    assert not rows[4].rule_alpha_ratio and rows[4].rule_mean_word_len
+    assert not rows[5].rule_stopwords and rows[5].rule_alpha_ratio
+    assert not rows[6].rule_symbol_ratio and rows[6].rule_stopwords
+
+
 def test_pii_redaction(spark):
     df = spark.createDataFrame(
         [
