@@ -454,6 +454,78 @@ def connected_components(
 
 
 # --------------------------------------------------------------------------
+# Paragraph-level exact dedup (RefinedWeb/CCNet-style line dedup,
+# generalized to any segmenter)
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n{2,}",
+    block_tokens: int | None = None,
+) -> DataFrame:
+    """Remove duplicated paragraphs CORPUS-WIDE, keeping the first
+    occurrence (min ``(doc_id, para_idx)``), and rebuild each document
+    from its surviving paragraphs in original order.
+
+    Segmentation: regex ``sep`` split (structured corpora: blank-line
+    paragraphs, or ``\\n`` for CCNet-style line dedup); pass
+    ``block_tokens`` for fixed token blocks when the corpus has no
+    structural separators. Documents whose every paragraph already
+    occurred earlier vanish from the output — paragraph dedup subsumes
+    exact-document dedup.
+
+    Scale shape (same discipline as exact_dedup): the grouping
+    exchanges carry only (16-byte md5, id, idx) triplets and then
+    per-doc index arrays — paragraph BODIES never shuffle; documents
+    are rebuilt by re-splitting the original row next to a per-doc
+    kept-index array (broadcast-joined at test scale by AQE; at 100 TB
+    bucket the corpus by ``id_col`` and the join-back is co-located).
+
+    Output: input columns + ``n_paras``, ``n_kept``, ``text_dedup``.
+    """
+    df = ensure_min_partitions(df)
+    if block_tokens is not None:
+        toks = tokens(F.col(text_col))
+        segs = F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.ceil(F.size(toks) / block_tokens) - 1, F.lit(0)).cast("int"),
+            ),
+            lambda g: F.array_join(
+                F.slice(toks, g * block_tokens + 1, block_tokens), " "
+            ),
+        )
+        join_sep = " "
+    else:
+        segs = F.split(F.col(text_col), sep)
+        join_sep = "\n\n"
+
+    with_segs = df.withColumn("__segs", segs)
+    paras = with_segs.select(
+        id_col, F.posexplode("__segs").alias("para_idx", "para")
+    )
+    keepers = (
+        paras.select(id_col, "para_idx", F.md5(F.col("para")).alias("__h"))
+        .groupBy("__h")
+        .agg(F.min(F.struct(id_col, "para_idx")).alias("k"))
+        .select(F.col(f"k.{id_col}").alias(id_col), F.col("k.para_idx").alias("para_idx"))
+    )
+    kept_idx = keepers.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("para_idx")).alias("__kept_idx")
+    )
+    kept_segs = F.filter(
+        F.col("__segs"), lambda p, i: F.array_contains(F.col("__kept_idx"), i)
+    )
+    return (
+        with_segs.join(kept_idx, on=id_col)
+        .withColumn("n_paras", F.size("__segs").cast("bigint"))
+        .withColumn("n_kept", F.size("__kept_idx").cast("bigint"))
+        .withColumn("text_dedup", F.array_join(kept_segs, join_sep))
+        .drop("__segs", "__kept_idx")
+    )
+
+
+# --------------------------------------------------------------------------
 # Cross-document duplicated spans (boilerplate detection)
 def duplicated_spans(
     df: DataFrame,

@@ -564,6 +564,47 @@ register(
 )
 
 
+def _paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph-level corpus dedup. The fixture has no structural
+    separators, so 8-token blocks stand in for paragraphs (the fixture
+    genuinely repeats ~5% of 8-token blocks via its duplicate docs, so
+    the drop path fires). Output digests the rebuilt text so the
+    driver's pandas canonicalizer sees only scalars."""
+    docs = read_testdata(spark, sf, "documents")
+    out = dedup.paragraph_dedup(docs, block_tokens=8)
+    return out.select(
+        "doc_id", "n_paras", "n_kept",
+        F.md5(F.col("text_dedup")).alias("dedup_digest"),
+    )
+
+
+register(
+    QuerySpec(
+        name="dedup_paragraphs",
+        build=_paragraph_dedup,
+        doc="corpus-wide paragraph dedup (keep first occurrence, rebuild docs; digest-only shuffles)",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        p AS (SELECT doc_id, CAST(g AS INT) AS para_idx,
+                     array_to_string(toks[(g*8+1):((g+1)*8)], ' ') AS para
+              FROM t, unnest(range(CAST(greatest(ceil(len(toks)/8.0), 1) AS BIGINT))) AS u(g)),
+        k AS (SELECT doc_id, para_idx, para,
+                     row_number() OVER (PARTITION BY md5(para)
+                                        ORDER BY doc_id, para_idx) AS rn
+              FROM p),
+        np AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id),
+        kept AS (SELECT doc_id, count(*) AS n_kept,
+                        string_agg(para, ' ' ORDER BY para_idx) AS text_dedup
+                 FROM k WHERE rn = 1 GROUP BY doc_id)
+        SELECT doc_id, CAST(np.n_paras AS BIGINT) AS n_paras,
+               CAST(kept.n_kept AS BIGINT) AS n_kept,
+               md5(text_dedup) AS dedup_digest
+        FROM np JOIN kept USING (doc_id)
+        """,
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 _COS_SQL = (

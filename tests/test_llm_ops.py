@@ -200,6 +200,29 @@ def test_repetition_stats_flags_repeats(spark):
     assert rows[2].top_bigram_frac == pytest.approx(0.2)
 
 
+def test_paragraph_dedup_sep_mode(spark):
+    # Blank-line paragraph mode: keep-first corpus-wide, original order
+    # preserved on rebuild, fully-subsumed docs vanish.
+    from data_pipeline_with_spark_spark.llm import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nshared para\n\ngamma"),
+            (2, "shared para\n\ndelta only"),      # loses its first para to doc 1
+            (3, "shared para"),                    # fully subsumed -> dropped
+            (4, "alpha beta\n\nepsilon"),          # first para lost to doc 1
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in dedup.paragraph_dedup(df).collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1].text_dedup == "alpha beta\n\nshared para\n\ngamma"
+    assert (rows[1].n_paras, rows[1].n_kept) == (3, 3)
+    assert rows[2].text_dedup == "delta only"
+    assert (rows[2].n_paras, rows[2].n_kept) == (2, 1)
+    assert rows[4].text_dedup == "epsilon"
+
+
 def test_gopher_rules_each_rule_fires(spark):
     # One row per rule designed to fail exactly that rule (the fixture
     # corpus never trips the alpha/symbol rules, so they're pinned here).
