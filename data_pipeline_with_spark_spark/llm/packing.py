@@ -205,6 +205,53 @@ def ffd_pack(
     return df.groupBy(shard_col).applyInPandas(pack, schema=out_schema)
 
 
+def source_mixture_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_tokens: int = 1_000_000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights per source: w_s ∝ tokens_s^α
+    normalized over sources (α=1 → natural proportions, α→0 → uniform;
+    the multinomial up/down-sampling rule used by multilingual and
+    multi-corpus LLM training mixes), plus ``epochs`` — how many passes
+    over a source fill its share of ``target_tokens``.
+
+    Scale shape: one map-side-combined aggregation down to O(sources)
+    rows, then the normalizing sum joins back as a broadcast scalar —
+    the 100 TB corpus is scanned once and never shuffled."""
+    from data_pipeline_with_spark_spark.llm.text import tokens
+    from data_pipeline_with_spark_spark.util import ensure_min_partitions
+
+    stats = (
+        ensure_min_partitions(df)
+        .withColumn("__n_tok", F.size(tokens(text_col)))
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_tok").alias("n_tokens"),
+        )
+    )
+    powed = stats.withColumn(
+        "__pw", F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    )
+    total = powed.agg(F.sum("__pw").alias("__pw_total"))
+    return (
+        powed.crossJoin(F.broadcast(total))
+        .withColumn("weight", F.round(F.col("__pw") / F.col("__pw_total"), 6))
+        .withColumn(
+            "epochs",
+            F.round(
+                F.lit(float(target_tokens)) * (F.col("__pw") / F.col("__pw_total"))
+                / F.col("n_tokens").cast("double"),
+                4,
+            ),
+        )
+        .select(source_col, "n_docs", "n_tokens", "weight", "epochs")
+    )
+
+
 def source_cap(
     df: DataFrame,
     k: int,

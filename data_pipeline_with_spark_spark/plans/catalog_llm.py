@@ -1620,6 +1620,35 @@ register(
 )
 
 
+def _source_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    from data_pipeline_with_spark_spark.llm import packing
+
+    docs = read_testdata(spark, sf, "documents")
+    return packing.source_mixture_weights(docs, alpha=0.5, target_tokens=1_000_000)
+
+
+register(
+    QuerySpec(
+        name="curation_source_mixture",
+        build=_source_mixture,
+        doc="temperature-scaled source mixture weights (w ∝ tokens^0.5) + epochs-to-target; one scan, O(sources) shuffle",
+        oracle=f"""
+        WITH s AS (
+          SELECT source, count(*) AS n_docs,
+                 sum(len({_TOKS_SQL})) AS n_tokens
+          FROM documents GROUP BY source),
+        p AS (SELECT *, power(CAST(n_tokens AS DOUBLE), 0.5) AS pw FROM s),
+        t AS (SELECT sum(pw) AS pw_total FROM p)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(pw / pw_total, 6) AS weight,
+               round(1000000.0 * (pw / pw_total) / CAST(n_tokens AS DOUBLE), 4) AS epochs
+        FROM p CROSS JOIN t
+        """,
+    )
+)
+
+
 def _chunking(spark: SparkSession, sf: str) -> DataFrame:
     from data_pipeline_with_spark_spark.llm import packing
 

@@ -200,6 +200,26 @@ def test_repetition_stats_flags_repeats(spark):
     assert rows[2].top_bigram_frac == pytest.approx(0.2)
 
 
+def test_source_mixture_weights_temperature(spark):
+    from data_pipeline_with_spark_spark.llm import packing
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (200 if i % 10 else 20), "big" if i % 10 else "small")
+         for i in range(20)],
+        ["doc_id", "text", "source"],
+    )
+    nat = {r.source: r for r in packing.source_mixture_weights(df, alpha=1.0).collect()}
+    flat = {r.source: r for r in packing.source_mixture_weights(df, alpha=0.01).collect()}
+    # α=1 → natural token proportions; α→0 → near-uniform
+    assert abs(sum(r.weight for r in nat.values()) - 1.0) < 1e-5
+    assert nat["big"].weight == pytest.approx(
+        nat["big"].n_tokens / (nat["big"].n_tokens + nat["small"].n_tokens), abs=1e-5
+    )
+    assert abs(flat["big"].weight - 0.5) < 0.02
+    # epochs: small source must repeat more than large to fill its share
+    assert flat["small"].epochs > flat["big"].epochs
+
+
 def test_paragraph_dedup_sep_mode(spark):
     # Blank-line paragraph mode: keep-first corpus-wide, original order
     # preserved on rebuild, fully-subsumed docs vanish.
