@@ -131,6 +131,11 @@ _DROP_CONSTRAINT_RE = re.compile(
     r"`?(?P<name>\w+)`?\s*;?\s*$",
     _I,
 )
+_NOT_NULL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.`]+)\s+ALTER\s+COLUMN\s+"
+    r"`?(?P<col>\w+)`?\s+(?P<verb>SET|DROP)\s+NOT\s+NULL\s*;?\s*$",
+    _I,
+)
 _TIME_TRAVEL_RE = re.compile(r"(?P<tbl>[A-Za-z_][\w.]*)@v(?P<v>\d+)")
 
 # Segments of a SQL statement that table-name rewriting must never touch:
@@ -269,6 +274,7 @@ class LakehouseSQL:
             (_DROP_COL_RE, self._drop_column),
             (_ADD_CONSTRAINT_RE, self._add_constraint),
             (_DROP_CONSTRAINT_RE, self._drop_constraint),
+            (_NOT_NULL_RE, self._alter_not_null),
             (_DESCRIBE_RE, self._describe),  # after HISTORY/DETAIL
         ):
             m = matcher.match(statement)
@@ -583,6 +589,17 @@ class LakehouseSQL:
         return self.spark.createDataFrame(
             [(m.group("name"), vt._latest().version)],
             "constraint string, new_version bigint",
+        )
+
+    def _alter_not_null(self, m: re.Match) -> DataFrame:
+        vt = self.table(m.group("tbl"))
+        if m.group("verb").upper() == "SET":
+            vt.set_not_null(m.group("col"))
+        else:
+            vt.drop_not_null(m.group("col"))
+        return self.spark.createDataFrame(
+            [(m.group("col"), vt._latest().version)],
+            "column string, new_version bigint",
         )
 
     # ------------------------------------------------- SELECT passthrough

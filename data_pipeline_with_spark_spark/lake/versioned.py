@@ -853,7 +853,8 @@ class VersionedTable:
     def _check_constraints(
         self, df: DataFrame, constraints: dict[str, str] | None = None
     ) -> None:
-        cons = self.constraints() if constraints is None else constraints
+        write_path = constraints is None
+        cons = self.constraints() if write_path else constraints
         for name, expr in cons.items():
             # SQL CHECK semantics: only a FALSE evaluation violates.
             bad = df.where(f"NOT coalesce(({expr}), true)").limit(1).count()
@@ -861,6 +862,96 @@ class VersionedTable:
                 raise ConstraintViolationError(
                     f"CHECK constraint {name!r} ({expr}) violated by write"
                 )
+        if write_path:
+            # Engine-minted columns (identity, _row_id) are assigned
+            # AFTER this check and are never null by construction.
+            managed = set(self.identity_columns()) | {self.ROW_ID_COL}
+            for col in self.not_null_columns():
+                if col in managed:
+                    continue
+                if col not in df.columns or df.where(
+                    F.col(f"`{col}`").isNull()
+                ).limit(1).count():
+                    raise ConstraintViolationError(
+                        f"NOT NULL constraint on {col!r} violated by write"
+                    )
+
+    _NOT_NULL_PROP = "engine.notNullColumns"
+
+    def not_null_columns(self) -> list[str]:
+        """Columns under an explicit NOT NULL constraint (empty when
+        none). Tracked as an engine property rather than inferred from
+        incoming DataFrame nullability, which Spark does not preserve
+        reliably across IO boundaries."""
+        try:
+            return list(
+                json.loads(self.table_properties().get(self._NOT_NULL_PROP, "[]"))
+            )
+        except FileNotFoundError:
+            return []
+
+    def _set_nullability(self, col: str, nullable: bool, op: str) -> None:
+        latest = self._latest()
+        schema = T.StructType.fromJson(json.loads(latest.schema_json))
+        new_schema = T.StructType(
+            [
+                T.StructField(f.name, f.dataType, nullable, f.metadata)
+                if f.name == col
+                else f
+                for f in schema.fields
+            ]
+        )
+        cols = set(self.not_null_columns())
+        if nullable:
+            cols.discard(col)
+        else:
+            cols.add(col)
+        props = dict(latest.properties or {})
+        if cols:
+            props[self._NOT_NULL_PROP] = json.dumps(sorted(cols))
+        else:
+            props.pop(self._NOT_NULL_PROP, None)
+        self._write_commit(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation=op,
+                params={"column": col},
+                data_dirs=latest.data_dirs,
+                schema_json=json.dumps(new_schema.jsonValue()),
+                partition_by=latest.partition_by,
+                constraints=latest.constraints,
+                generated=latest.generated,
+                column_mapping=latest.column_mapping,
+                dv_paths=latest.dv_paths,
+                properties=props or None,
+                stats_refs=latest.stats_refs,
+            )
+        )
+
+    def set_not_null(self, col: str) -> "VersionedTable":
+        """ALTER TABLE … ALTER COLUMN … SET NOT NULL (Delta feature):
+        validates the CURRENT snapshot contains no nulls, then records
+        the constraint in a metadata-only commit (schema nullability
+        flag + engine property); every later write enforces it."""
+        schema = T.StructType.fromJson(json.loads(self._latest().schema_json))
+        if col not in {f.name for f in schema.fields}:
+            raise ValueError(f"column {col!r} not in table schema")
+        if col in self.not_null_columns():
+            raise ValueError(f"column {col!r} is already NOT NULL")
+        if self.read().where(F.col(f"`{col}`").isNull()).limit(1).count():
+            raise ConstraintViolationError(
+                f"cannot SET NOT NULL on {col!r}: existing rows contain nulls"
+            )
+        self._set_nullability(col, nullable=False, op="SET NOT NULL")
+        return self
+
+    def drop_not_null(self, col: str) -> "VersionedTable":
+        """ALTER TABLE … ALTER COLUMN … DROP NOT NULL."""
+        if col not in self.not_null_columns():
+            raise ValueError(f"column {col!r} has no NOT NULL constraint")
+        self._set_nullability(col, nullable=True, op="DROP NOT NULL")
+        return self
 
     def add_constraint(self, name: str, expr: str) -> "VersionedTable":
         """ALTER TABLE ... ADD CONSTRAINT ... CHECK (Delta feature):
@@ -953,6 +1044,13 @@ class VersionedTable:
         id_key = self._IDENTITY_PROP + old
         if id_key in props:
             props[self._IDENTITY_PROP + new] = props.pop(id_key)
+        if props.get(self._NOT_NULL_PROP):
+            props[self._NOT_NULL_PROP] = json.dumps(
+                sorted(
+                    new if c == old else c
+                    for c in json.loads(props[self._NOT_NULL_PROP])
+                )
+            )
         new_schema = T.StructType(
             [
                 T.StructField(new, f.dataType, f.nullable) if f.name == old else f
@@ -1081,6 +1179,15 @@ class VersionedTable:
         # not keep minting values into a phantom physical column
         props = dict(latest.properties or {})
         props.pop(self._IDENTITY_PROP + name, None)
+        # ... and so does its NOT NULL constraint
+        if props.get(self._NOT_NULL_PROP):
+            remaining = [
+                c for c in json.loads(props[self._NOT_NULL_PROP]) if c != name
+            ]
+            if remaining:
+                props[self._NOT_NULL_PROP] = json.dumps(remaining)
+            else:
+                props.pop(self._NOT_NULL_PROP)
         new_schema = T.StructType([f for f in schema.fields if f.name != name])
         self._write_commit(
             Commit(
@@ -2769,6 +2876,7 @@ class VersionedTable:
             "num_tombstone_rows": num_tombstones,
             "clustering_columns": self.clustering_columns(),
             "identity_columns": sorted(self.identity_columns()),
+            "not_null_columns": self.not_null_columns(),
             "properties": dict(commit.properties or {}),
             "num_columns": len(schema.fields),
             "created_version_timestamp": json.loads(

@@ -545,6 +545,74 @@ def test_check_constraints_enforced(spark, tmp_path):
     assert t.read().count() == 5
 
 
+def test_not_null_constraint_lifecycle(spark, tmp_path):
+    from data_pipeline_with_spark_spark.lake.versioned import (
+        ConstraintViolationError,
+        VersionedTable,
+        WhenMatched,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "nn"))
+    t.create(spark.createDataFrame([(1, 10.0), (2, None)], "id INT, v DOUBLE"))
+    # SET NOT NULL rejects when the snapshot already holds nulls
+    with pytest.raises(ConstraintViolationError):
+        t.set_not_null("v")
+    t.set_not_null("id")
+    with pytest.raises(ValueError):
+        t.set_not_null("id")  # already constrained
+    with pytest.raises(ValueError):
+        t.set_not_null("nope")  # unknown column
+    assert t.not_null_columns() == ["id"]
+    assert t.detail()["not_null_columns"] == ["id"]
+    # appends enforce: explicit null AND a missing constrained column
+    with pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(None, 1.0)], "id INT, v DOUBLE"))
+    with pytest.raises(ConstraintViolationError):
+        t.append(
+            spark.createDataFrame([(3.0,)], "v DOUBLE"), merge_schema=True
+        )
+    # UPDATE and MERGE enforce
+    with pytest.raises(ConstraintViolationError):
+        t.update(where="id = 1", set_exprs={"id": "NULL"})
+    with pytest.raises(ConstraintViolationError):
+        t.merge(
+            spark.createDataFrame([(1, 5.0)], "id INT, v DOUBLE"),
+            keys=["id"],
+            matched=[WhenMatched(update={"id": "NULL"})],
+        )
+    t.append(spark.createDataFrame([(3, 3.0)], "id INT, v DOUBLE"))
+    # rename carries the constraint; drop releases it
+    t.rename_column("id", "pk")
+    assert t.not_null_columns() == ["pk"]
+    with pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(None, 1.0)], "pk INT, v DOUBLE"))
+    t.drop_not_null("pk")
+    assert t.not_null_columns() == []
+    t.append(spark.createDataFrame([(None, 1.0)], "pk INT, v DOUBLE"))
+    assert t.read().where("pk IS NULL").count() == 1
+    with pytest.raises(ValueError):
+        t.drop_not_null("pk")  # nothing to drop
+
+
+def test_not_null_sql_route(spark, tmp_path):
+    from data_pipeline_with_spark_spark.lake.sql_router import LakehouseSQL
+    from data_pipeline_with_spark_spark.lake.versioned import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "nnsql"))
+    t.create(spark.createDataFrame([(1, "a")], "id INT, s STRING"))
+    router = LakehouseSQL(spark, str(tmp_path / "ws"))
+    router.register_table("nn_t", t)
+    router.sql("ALTER TABLE nn_t ALTER COLUMN id SET NOT NULL")
+    assert t.not_null_columns() == ["id"]
+    with pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(None, "b")], "id INT, s STRING"))
+    router.sql("ALTER TABLE nn_t ALTER COLUMN id DROP NOT NULL")
+    assert t.not_null_columns() == []
+
+
 def test_describe_detail(spark, tmp_path):
     from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
 
