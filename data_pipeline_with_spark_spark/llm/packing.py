@@ -252,6 +252,49 @@ def source_mixture_weights(
     )
 
 
+def epoch_expand(
+    df: DataFrame,
+    epochs_df: DataFrame | None = None,
+    alpha: float = 0.5,
+    target_tokens: int = 1_000_000,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize a temperature-sampled training mix: repeat each
+    document ``floor(epochs_s)`` times, plus one extra repeat for a
+    deterministic md5-fraction of documents so each source's EXPECTED
+    token count hits ``target_tokens · w_s`` exactly — the standard
+    fractional-epoch trick, made reproducible (no ``rand()``): a doc
+    earns its extra pass iff its 3-hex-digit md5 prefix sorts below
+    ``floor(frac·4096)`` rendered in hex (fixed-width lowercase hex
+    compares lexicographically == numerically). Sources with
+    ``epochs < 1`` are down-sampled by the same rule.
+
+    Scale shape: the O(sources) epochs table broadcasts; repeats come
+    from a shuffle-free ``explode(sequence)`` projection, so the output
+    streams at scan speed and lands ≈``target_tokens`` of data."""
+    if epochs_df is None:
+        epochs_df = source_mixture_weights(
+            df, alpha=alpha, target_tokens=target_tokens,
+            source_col=source_col, text_col=text_col,
+        )
+    joined = df.join(
+        F.broadcast(epochs_df.select(source_col, "epochs")), source_col
+    )
+    base = F.floor("epochs").cast("int")
+    frac = F.col("epochs") - F.floor("epochs")
+    thr = F.lpad(F.lower(F.hex(F.floor(frac * 4096).cast("int"))), 3, "0")
+    h3 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 3)
+    n_rep = (base + (h3 < thr).cast("int")).alias("n_repeats")
+    return (
+        joined.withColumn("n_repeats", n_rep)
+        .where(F.col("n_repeats") > 0)  # sequence(1,0) would descend
+        .withColumn("epoch_idx", F.explode(F.sequence(F.lit(1), F.col("n_repeats"))))
+        .drop("epochs")
+    )
+
+
 def source_cap(
     df: DataFrame,
     k: int,

@@ -1649,6 +1649,43 @@ register(
 )
 
 
+def _epoch_expand(spark: SparkSession, sf: str) -> DataFrame:
+    from data_pipeline_with_spark_spark.llm import packing
+
+    docs = read_testdata(spark, sf, "documents")
+    out = packing.epoch_expand(docs, alpha=0.5, target_tokens=200_000)
+    return out.select("doc_id", "source", "n_repeats", "epoch_idx")
+
+
+register(
+    QuerySpec(
+        name="curation_epoch_expand",
+        build=_epoch_expand,
+        doc="materialized training mix: fractional-epoch repeats via md5-prefix threshold (broadcast epochs, shuffle-free explode)",
+        oracle=f"""
+        WITH s AS (
+          SELECT source, sum(len({_TOKS_SQL})) AS n_tokens
+          FROM documents GROUP BY source),
+        p AS (SELECT *, power(CAST(n_tokens AS DOUBLE), 0.5) AS pw FROM s),
+        t AS (SELECT sum(pw) AS pw_total FROM p),
+        e AS (SELECT source,
+                     round(200000.0 * (pw / pw_total) / CAST(n_tokens AS DOUBLE), 4) AS epochs
+              FROM p CROSS JOIN t),
+        j AS (SELECT d.doc_id, d.source, e.epochs,
+                     CAST(floor(e.epochs) AS INT)
+                     + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 3)
+                              < lpad(lower(to_hex(CAST(floor((e.epochs - floor(e.epochs)) * 4096) AS INT))), 3, '0')
+                            THEN 1 ELSE 0 END AS n_repeats
+              FROM documents d JOIN e USING (source))
+        SELECT doc_id, source, CAST(n_repeats AS INT) AS n_repeats,
+               CAST(u.g AS INT) AS epoch_idx
+        FROM j, unnest(generate_series(1, n_repeats)) AS u(g)
+        WHERE n_repeats > 0
+        """,
+    )
+)
+
+
 def _chunking(spark: SparkSession, sf: str) -> DataFrame:
     from data_pipeline_with_spark_spark.llm import packing
 

@@ -220,6 +220,34 @@ def test_source_mixture_weights_temperature(spark):
     assert flat["small"].epochs > flat["big"].epochs
 
 
+def test_epoch_expand_hits_token_target(spark):
+    from data_pipeline_with_spark_spark.llm import packing
+
+    sizes = {0: 30, 1: 47, 2: 64, 3: 81}
+    df = spark.createDataFrame(
+        [(i, "tok " * sizes[i % 4], "s" + str(i % 4)) for i in range(80)],
+        ["doc_id", "text", "source"],
+    )
+    target = 100_000
+    out = packing.epoch_expand(df, alpha=0.7, target_tokens=target)
+    rows = out.collect()
+    # within a source, repeats are floor(epochs) or floor(epochs)+1, and
+    # the fractional extra fires both ways in at least one source
+    by_source: dict[str, set] = {}
+    for r in rows:
+        by_source.setdefault(r.source, set()).add(r.n_repeats)
+    assert all(len(v) <= 2 and max(v) - min(v) <= 1 for v in by_source.values())
+    assert any(len(v) == 2 for v in by_source.values())
+    # materialized token count lands on the target (±5%: the hash
+    # threshold is exact in expectation, 80 docs give a small sample)
+    total_tokens = sum(sizes[r.doc_id % 4] for r in rows)
+    assert abs(total_tokens - target) / target < 0.05
+    # deterministic: same input -> identical expansion
+    again = {(r.doc_id, r.epoch_idx) for r in packing.epoch_expand(
+        df, alpha=0.7, target_tokens=target).collect()}
+    assert {(r.doc_id, r.epoch_idx) for r in rows} == again
+
+
 def test_paragraph_dedup_sep_mode(spark):
     # Blank-line paragraph mode: keep-first corpus-wide, original order
     # preserved on rebuild, fully-subsumed docs vanish.
