@@ -137,6 +137,35 @@ register(
 )
 
 
+def _bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Train-and-apply BPE over the documents table. Train reduces the
+    corpus to a word histogram (one digest-only shuffle) and learns
+    merges driver-side on it; apply is the Arrow-batch escape hatch
+    with a per-batch memo. Iterative merge order is not
+    SQL-expressible, so this is rows-only for the driver; exact merge
+    and encoding semantics are pinned by a pure-Python replay test."""
+    from data_pipeline_with_spark_spark.llm import bpe
+
+    docs = read_testdata(spark, sf, "documents")
+    merges = bpe.bpe_train(docs, n_merges=30)
+    out = bpe.apply_bpe(docs, merges)
+    return out.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.md5(F.concat_ws(" ", F.col("bpe_tokens"))).alias("bpe_digest"),
+    )
+
+
+register(
+    QuerySpec(
+        name="text_bpe_tokenize",
+        build=_bpe_tokenize,
+        doc="BPE subword tokenization: histogram-train (driver learns on word counts) + memoized Arrow-batch apply",
+        oracle=None,  # iterative merge order not SQL-expressible; replay test covers values
+    )
+)
+
+
 def _pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
     """PII scrub over the documents table. The fixture corpus contains
     no digits at all, so the redaction path could never fire on raw

@@ -220,6 +220,42 @@ def test_source_mixture_weights_temperature(spark):
     assert flat["small"].epochs > flat["big"].epochs
 
 
+def test_bpe_train_apply_matches_python_replay(spark, sf_dir):
+    # Full independent replay: histogram in python over collected
+    # tokens, same merge learning, same greedy encode — the Spark
+    # train+apply must agree token-for-token on real fixture data.
+    from data_pipeline_with_spark_spark.llm import bpe
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, n_merges=25)
+    got = {
+        r.doc_id: (list(r.bpe_tokens), r.n_bpe_tokens)
+        for r in bpe.apply_bpe(docs, merges).select(
+            "doc_id", "bpe_tokens", "n_bpe_tokens"
+        ).collect()
+    }
+
+    rows = docs.select("doc_id", "text").collect()
+    hist: dict[str, int] = {}
+    for r in rows:
+        for w in r.text.lower().split():
+            hist[w] = hist.get(w, 0) + 1
+    replay_merges = bpe.train_merges_from_histogram(
+        sorted(hist.items(), key=lambda kv: (-kv[1], kv[0])), 25
+    )
+    assert merges == replay_merges
+    ranks = {p: i for i, p in enumerate(replay_merges)}
+    for r in rows:
+        toks: list[str] = []
+        for w in r.text.lower().split():
+            toks.extend(bpe.encode_word(w, ranks))
+        assert got[r.doc_id] == (toks, len(toks)), r.doc_id
+    # merges actually compress: fewer pieces than characters
+    any_doc = rows[0]
+    assert got[any_doc.doc_id][1] < len(any_doc.text)
+
+
 def test_epoch_expand_hits_token_target(spark):
     from data_pipeline_with_spark_spark.llm import packing
 
