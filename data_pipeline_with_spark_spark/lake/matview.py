@@ -1,0 +1,142 @@
+"""Incrementally-maintained aggregate views over a versioned table.
+
+Delta/Databricks expose this as materialized views refreshed from the
+change data feed; the same algebra works on the engine's
+``VersionedTable`` CDF (``changes()``): SUM and COUNT are
+self-maintainable aggregates, so a GROUP BY view can be refreshed from
+the row-level delta alone — never rescanning the base table.
+
+Scale doctrine (the whole point at 100 TB): a refresh costs
+O(changed rows) + a keyed merge into the view. The change feed folds
+to signed per-key deltas in one map-side-combined aggregation; the base
+table is not read at all. The watermark (last folded source version)
+rides the SAME commit as the merge via ``extra_properties``, so a crash
+can never double-apply or skip a delta — refresh is exactly-once.
+
+AVG is derived (sum/count) rather than stored; MIN/MAX are NOT
+self-maintainable under deletes (a removed maximum needs a rescan of
+its group) and are deliberately out of scope, matching the standard
+incremental-view-maintenance restriction.
+
+View semantics note: ``sum_<col>`` is the sum of non-null values with 0
+(not NULL) for all-null groups — signed folding cannot distinguish "no
+non-null values" from "values summing to 0" without per-column non-null
+counts, so the view defines the aggregate as COALESCE(sum(col), 0) and
+the full build applies the same definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_spark.lake.versioned import (
+    VersionedTable,
+    WhenMatched,
+    WhenNotMatched,
+)
+
+
+class IncrementalAggView:
+    """A GROUP BY ``keys`` view of ``source`` maintaining
+    ``sum_<col>`` for every column in ``sum_cols`` plus ``n_rows``,
+    refreshed incrementally from the source's change feed."""
+
+    SYNC_PROP = "matview.sourceVersion"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: VersionedTable,
+        path: str,
+        keys: list[str],
+        sum_cols: list[str],
+    ):
+        self.spark = spark
+        self.source = source
+        self.keys = list(keys)
+        self.sum_cols = list(sum_cols)
+        self.view = VersionedTable(spark, path)
+
+    # ------------------------------------------------------------ build
+    def _agg_exprs(self, sign: F.Column | None = None) -> list[F.Column]:
+        s = sign if sign is not None else F.lit(1)
+        exprs = [
+            F.coalesce(
+                F.sum(s * F.coalesce(F.col(f"`{c}`"), F.lit(0))), F.lit(0)
+            ).alias(f"sum_{c}")
+            for c in self.sum_cols
+        ]
+        exprs.append(F.sum(s).cast("long").alias("n_rows"))
+        return exprs
+
+    def build(self) -> "IncrementalAggView":
+        """Full build at the source's current version. The watermark is
+        set right after creation; a crash in between leaves a view with
+        no watermark, which refresh() rejects with instructions to
+        rebuild — it can never silently resync from the wrong version."""
+        v = self.source._latest().version
+        agg = self.source.read().groupBy(*self.keys).agg(*self._agg_exprs())
+        self.view.create(agg)
+        self.view.set_properties({self.SYNC_PROP: str(v)})
+        return self
+
+    def read(self) -> DataFrame:
+        return self.view.read()
+
+    def last_synced_version(self) -> int:
+        props = self.view.table_properties()
+        if self.SYNC_PROP not in props:
+            raise ValueError(
+                "view has no source watermark (interrupted build?); "
+                "rebuild it with build()"
+            )
+        return int(props[self.SYNC_PROP])
+
+    # ---------------------------------------------------------- refresh
+    def refresh(self) -> dict:
+        """Fold source changes since the last refresh into the view.
+
+        Exactly-once: the new watermark commits atomically with the
+        merge. Returns refresh stats."""
+        last = self.last_synced_version()
+        cur = self.source._latest().version
+        if cur <= last:
+            return {"from_version": last, "to_version": cur, "changed_keys": 0}
+        ch = self.source.changes(last, cur)
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = ch.groupBy(*self.keys).agg(
+            *[
+                F.coalesce(
+                    F.sum(sign * F.coalesce(F.col(f"`{c}`"), F.lit(0))), F.lit(0)
+                ).alias(f"d_sum_{c}")
+                for c in self.sum_cols
+            ],
+            F.sum(sign).cast("long").alias("d_n"),
+        )
+        n_keys = delta.count()
+        if n_keys == 0:
+            # metadata-only source commits: advance the watermark alone
+            self.view.set_properties({self.SYNC_PROP: str(cur)})
+            return {"from_version": last, "to_version": cur, "changed_keys": 0}
+        upd = {f"sum_{c}": f"t.sum_{c} + s.d_sum_{c}" for c in self.sum_cols}
+        upd["n_rows"] = "t.n_rows + s.d_n"
+        ins = {f"sum_{c}": f"s.d_sum_{c}" for c in self.sum_cols}
+        ins["n_rows"] = "s.d_n"
+        for k in self.keys:
+            ins[k] = f"s.{k}"
+        self.view.merge(
+            delta,
+            keys=self.keys,
+            matched=[
+                # a group whose rows all left the base table leaves the
+                # view (first-match-wins, so this precedes the update)
+                WhenMatched(condition="t.n_rows + s.d_n = 0", delete=True),
+                WhenMatched(update=upd),
+            ],
+            not_matched=[WhenNotMatched(insert=ins)],
+            extra_properties={self.SYNC_PROP: str(cur)},
+        )
+        return {"from_version": last, "to_version": cur, "changed_keys": n_keys}

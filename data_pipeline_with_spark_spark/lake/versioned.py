@@ -1793,6 +1793,7 @@ class VersionedTable:
         matched: list[WhenMatched] | None = None,
         not_matched: list[WhenNotMatched] | None = None,
         validate_unique_source: bool = True,
+        extra_properties: dict[str, str] | None = None,
     ) -> "VersionedTable":
         """Full MERGE INTO with conditional clauses (Delta DML family,
         the generalization of D4 UPDATE at ``update_versioning.py:40-44``):
@@ -1996,6 +1997,15 @@ class VersionedTable:
                 }
         if id_obs:
             props = self._advance_identity(dict(props or {}), id_obs, id_specs)
+        if extra_properties:
+            # properties ride the SAME commit as the data change, so a
+            # caller tracking state in them (e.g. an incremental view's
+            # source watermark) can never observe the merge without its
+            # watermark or vice versa
+            props = {
+                **(props if props is not None else (self._latest().properties or {})),
+                **extra_properties,
+            }
         return self._commit_write(
             merged,
             "MERGE",

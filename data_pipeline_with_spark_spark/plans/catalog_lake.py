@@ -315,3 +315,67 @@ register(
         oracle=None,
     )
 )
+
+
+def _incremental_matview(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregate-view maintenance as one driver-visible
+    query: build a per-nation (count, sum(acctbal-cents)) view over a
+    supplier table, run UPDATE / DELETE / append against the base, CDF-
+    refresh after each, and return the view rows tagged with a proof
+    column: 1 iff the incrementally-maintained row equals the full
+    recompute. Refresh cost is O(changed rows) — the base table is
+    never rescanned."""
+    from data_pipeline_with_spark_spark.lake.matview import IncrementalAggView
+
+    sup = read_testdata(spark, sf, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        # integer cents: exact under signed add/subtract folding
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="matview_base_")).create(sup)
+    view = IncrementalAggView(
+        spark,
+        t,
+        tempfile.mkdtemp(prefix="matview_view_") + "/v",
+        keys=["s_nationkey"],
+        sum_cols=["bal_cents"],
+    )
+    view.build()
+    t.update(where="s_suppkey % 3 = 0", set_exprs={"bal_cents": "bal_cents + 100"})
+    view.refresh()
+    t.delete(where="s_suppkey % 7 = 1")
+    view.refresh()
+    t.append(
+        t.read()
+        .where("s_suppkey < 5")
+        .withColumn("s_suppkey", F.col("s_suppkey") + 100000)
+    )
+    view.refresh()
+    full = t.read().groupBy("s_nationkey").agg(
+        F.coalesce(F.sum(F.coalesce("bal_cents", F.lit(0))), F.lit(0)).alias("f_sum"),
+        F.count(F.lit(1)).alias("f_n"),
+    )
+    return (
+        view.read()
+        .join(full, "s_nationkey")
+        .select(
+            "s_nationkey",
+            "sum_bal_cents",
+            "n_rows",
+            (
+                (F.col("sum_bal_cents") == F.col("f_sum"))
+                & (F.col("n_rows") == F.col("f_n"))
+            ).cast("int").alias("matches_recompute"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="lakehouse_incremental_matview",
+        build=_incremental_matview,
+        doc="CDF-driven incremental aggregate view: UPDATE/DELETE/append refreshes vs full recompute proof",
+        oracle=None,
+    )
+)

@@ -613,6 +613,90 @@ def test_not_null_sql_route(spark, tmp_path):
     assert t.not_null_columns() == []
 
 
+def test_incremental_agg_view_tracks_dml(spark, tmp_path):
+    # Build a sum/count view, then drive the base table through every
+    # DML shape; after each refresh the view must equal a full
+    # recompute, while only reading the change feed (cost ∝ delta).
+    from data_pipeline_with_spark_spark.lake.matview import IncrementalAggView
+    from data_pipeline_with_spark_spark.lake.versioned import (
+        VersionedTable,
+        WhenMatched,
+        WhenNotMatched,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "base"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 5)], "id INT, k STRING, v INT"
+        )
+    )
+    view = IncrementalAggView(
+        spark, t, str(tmp_path / "view"), keys=["k"], sum_cols=["v"]
+    )
+    view.build()
+
+    def recompute():
+        return {
+            (r.k): (r.sum_v, r.n_rows)
+            for r in t.read()
+            .groupBy("k")
+            .agg(
+                F.coalesce(F.sum(F.coalesce("v", F.lit(0))), F.lit(0)).alias("sum_v"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .collect()
+        }
+
+    def view_state():
+        return {(r.k): (r.sum_v, r.n_rows) for r in view.read().collect()}
+
+    assert view_state() == recompute() == {"a": (30, 2), "b": (5, 1)}
+
+    # append (new key + existing key)
+    t.append(spark.createDataFrame([(4, "c", 7), (5, "a", 1)], "id INT, k STRING, v INT"))
+    stats = view.refresh()
+    assert stats["changed_keys"] == 2
+    assert view_state() == recompute()
+
+    # update
+    t.update(where="id = 2", set_exprs={"v": "v + 100"})
+    view.refresh()
+    assert view_state() == recompute()
+
+    # delete wiping out a whole group -> group leaves the view
+    t.delete(where="k = 'b'")
+    view.refresh()
+    assert "b" not in view_state()
+    assert view_state() == recompute()
+
+    # merge: update + insert in one commit
+    t.merge(
+        spark.createDataFrame([(4, "c", 9), (6, "d", 2)], "id INT, k STRING, v INT"),
+        keys=["id"],
+        matched=[WhenMatched()],
+        not_matched=[WhenNotMatched()],
+    )
+    view.refresh()
+    assert view_state() == recompute()
+
+    # exactly-once bookkeeping: watermark rode the merge commit and a
+    # second refresh is a no-op
+    assert view.last_synced_version() == t._latest().version
+    assert view.refresh()["changed_keys"] == 0
+    assert view_state() == recompute()
+
+    # metadata-only source commit advances the watermark without a merge
+    t.set_properties({"foo": "bar"})
+    assert view.refresh()["changed_keys"] == 0
+    assert view.last_synced_version() == t._latest().version
+
+    # all-null sum group: folds as 0, matching the view's definition
+    t.append(spark.createDataFrame([(7, "e", None)], "id INT, k STRING, v INT"))
+    view.refresh()
+    assert view_state()["e"] == (0, 1)
+    assert view_state() == recompute()
+
+
 def test_describe_detail(spark, tmp_path):
     from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
 
