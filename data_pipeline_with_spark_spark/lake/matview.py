@@ -59,15 +59,20 @@ class IncrementalAggView:
         self.view = VersionedTable(spark, path)
 
     # ------------------------------------------------------------ build
-    def _agg_exprs(self, sign: F.Column | None = None) -> list[F.Column]:
+    def _agg_exprs(
+        self, sign: F.Column | None = None, prefix: str = ""
+    ) -> list[F.Column]:
+        """The ONE definition of the view aggregate, shared by the full
+        build (sign=1, plain names) and the incremental fold (signed,
+        d_-prefixed) so the two can never diverge."""
         s = sign if sign is not None else F.lit(1)
         exprs = [
             F.coalesce(
                 F.sum(s * F.coalesce(F.col(f"`{c}`"), F.lit(0))), F.lit(0)
-            ).alias(f"sum_{c}")
+            ).alias(f"{prefix}sum_{c}")
             for c in self.sum_cols
         ]
-        exprs.append(F.sum(s).cast("long").alias("n_rows"))
+        exprs.append(F.sum(s).cast("long").alias(f"{prefix}n_rows"))
         return exprs
 
     def build(self) -> "IncrementalAggView":
@@ -76,7 +81,11 @@ class IncrementalAggView:
         no watermark, which refresh() rejects with instructions to
         rebuild — it can never silently resync from the wrong version."""
         v = self.source._latest().version
-        agg = self.source.read().groupBy(*self.keys).agg(*self._agg_exprs())
+        # pin the snapshot to the recorded watermark version: read()
+        # without a version re-resolves latest, and a commit landing
+        # between the two calls would make every later refresh
+        # double-apply that delta
+        agg = self.source.read(version=v).groupBy(*self.keys).agg(*self._agg_exprs())
         self.view.create(agg)
         self.view.set_properties({self.SYNC_PROP: str(v)})
         return self
@@ -107,36 +116,38 @@ class IncrementalAggView:
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))
-        delta = ch.groupBy(*self.keys).agg(
-            *[
-                F.coalesce(
-                    F.sum(sign * F.coalesce(F.col(f"`{c}`"), F.lit(0))), F.lit(0)
-                ).alias(f"d_sum_{c}")
-                for c in self.sum_cols
-            ],
-            F.sum(sign).cast("long").alias("d_n"),
-        )
-        n_keys = delta.count()
-        if n_keys == 0:
-            # metadata-only source commits: advance the watermark alone
-            self.view.set_properties({self.SYNC_PROP: str(cur)})
-            return {"from_version": last, "to_version": cur, "changed_keys": 0}
-        upd = {f"sum_{c}": f"t.sum_{c} + s.d_sum_{c}" for c in self.sum_cols}
-        upd["n_rows"] = "t.n_rows + s.d_n"
-        ins = {f"sum_{c}": f"s.d_sum_{c}" for c in self.sum_cols}
-        ins["n_rows"] = "s.d_n"
-        for k in self.keys:
-            ins[k] = f"s.{k}"
-        self.view.merge(
-            delta,
-            keys=self.keys,
-            matched=[
-                # a group whose rows all left the base table leaves the
-                # view (first-match-wins, so this precedes the update)
-                WhenMatched(condition="t.n_rows + s.d_n = 0", delete=True),
-                WhenMatched(update=upd),
-            ],
-            not_matched=[WhenNotMatched(insert=ins)],
-            extra_properties={self.SYNC_PROP: str(cur)},
-        )
+        delta = ch.groupBy(*self.keys).agg(*self._agg_exprs(sign, prefix="d_"))
+        # The CDF fold (two exceptAll shuffles over the snapshots) is
+        # the expensive part — evaluate it ONCE: persist, count for the
+        # stats, feed the cached result to the merge join. The merge's
+        # source-cardinality check is skipped as provably redundant
+        # (delta is itself a groupBy on the merge keys).
+        delta = delta.persist()
+        try:
+            n_keys = delta.count()
+            if n_keys == 0:
+                # metadata-only source commits: advance the watermark alone
+                self.view.set_properties({self.SYNC_PROP: str(cur)})
+                return {"from_version": last, "to_version": cur, "changed_keys": 0}
+            upd = {f"sum_{c}": f"t.sum_{c} + s.d_sum_{c}" for c in self.sum_cols}
+            upd["n_rows"] = "t.n_rows + s.d_n_rows"
+            ins = {f"sum_{c}": f"s.d_sum_{c}" for c in self.sum_cols}
+            ins["n_rows"] = "s.d_n_rows"
+            for k in self.keys:
+                ins[k] = f"s.{k}"
+            self.view.merge(
+                delta,
+                keys=self.keys,
+                matched=[
+                    # a group whose rows all left the base table leaves the
+                    # view (first-match-wins, so this precedes the update)
+                    WhenMatched(condition="t.n_rows + s.d_n_rows = 0", delete=True),
+                    WhenMatched(update=upd),
+                ],
+                not_matched=[WhenNotMatched(insert=ins)],
+                validate_unique_source=False,
+                extra_properties={self.SYNC_PROP: str(cur)},
+            )
+        finally:
+            delta.unpersist()
         return {"from_version": last, "to_version": cur, "changed_keys": n_keys}

@@ -248,18 +248,42 @@ class VersionedTable:
             return []
         return sorted(self.log_dir.glob("*.json"))
 
+    # An unparsable newest commit younger than this is presumed to be a
+    # LIVE O_EXCL-fallback publish still copying — readers wait/skip
+    # instead of quarantining it out from under the writer's open fd.
+    QUARANTINE_AGE_S = 30.0
+
     def _read_commit_file(self, f: Path, newest: bool) -> Commit | None:
         """Parse one commit file. A truncated/corrupt NEWEST entry (the
         exposure of the no-hardlink O_EXCL publish path: crash between
         slot claim and fsync) is quarantined to ``*.corrupt`` — outside
         the ``*.json`` glob, so the table stays readable at the prior
         version and the version slot frees for the next commit.
-        Corruption anywhere else in the log is real damage and raises."""
+        Corruption anywhere else in the log is real damage and raises.
+
+        Liveness guard: the O_EXCL path claims the slot and THEN copies
+        content in, so a concurrent reader can see a healthy in-flight
+        commit as empty/partial. Quarantining it would rename the file
+        out from under the writer's still-open fd and silently lose an
+        acknowledged write — so an unparsable newest entry is only
+        quarantined once it is older than ``QUARANTINE_AGE_S`` (no live
+        publish takes that long to fsync a few KB of JSON); younger
+        ones are treated as not-yet-visible and merely skipped. If a
+        writer commits PAST a still-in-flight slot that then never
+        completes, the mid-log entry raises here like any other damage;
+        commits are self-contained snapshots, so deleting the truncated
+        file by hand fully recovers the table."""
         try:
             return Commit(**json.loads(f.read_text()))
         except (ValueError, TypeError) as e:
             if not newest:
                 raise RuntimeError(f"corrupt commit log entry {f}: {e}") from e
+            try:
+                age = time.time() - f.stat().st_mtime
+            except OSError:
+                return None  # vanished: publisher or another reader won
+            if age < self.QUARANTINE_AGE_S:
+                return None  # likely a live in-flight publish
             try:
                 os.replace(f, f.with_suffix(".corrupt"))
             except OSError:
@@ -399,14 +423,23 @@ class VersionedTable:
             os.fsync(out.fileno())
 
     def _latest(self) -> Commit:
+        # Bounded fallback, NOT recursion: if the newest entry is
+        # unreadable (quarantined, quarantine failed on a read-only
+        # mount, or a live in-flight publish), read the prior entry
+        # directly — never re-glob and loop on the same file.
         files = self._log_files()
         if not files:
             raise FileNotFoundError(f"no versioned table at {self.root}")
         c = self._read_commit_file(files[-1], newest=True)
         if c is not None:
             return c
-        # newest entry was truncated and quarantined — fall back once
-        return self._latest()
+        if len(files) >= 2:
+            # raises on corruption — damage past the newest slot is real
+            return self._read_commit_file(files[-2], newest=False)
+        raise RuntimeError(
+            f"only commit in {self.log_dir} is corrupt or still "
+            "publishing; retry, or rebuild the table if this persists"
+        )
 
     def _next_version(self) -> int:
         files = self._log_files()
@@ -866,14 +899,27 @@ class VersionedTable:
             # Engine-minted columns (identity, _row_id) are assigned
             # AFTER this check and are never null by construction.
             managed = set(self.identity_columns()) | {self.ROW_ID_COL}
-            for col in self.not_null_columns():
-                if col in managed:
-                    continue
-                if col not in df.columns or df.where(
-                    F.col(f"`{col}`").isNull()
-                ).limit(1).count():
+            nn = [c for c in self.not_null_columns() if c not in managed]
+            missing = [c for c in nn if c not in df.columns]
+            if missing:
+                raise ConstraintViolationError(
+                    f"NOT NULL column(s) {missing} missing from write"
+                )
+            if nn:
+                # ONE probe job for all constrained columns (write cost
+                # must not grow with the constraint count); the column
+                # is named on the failure path only
+                import functools
+                import operator
+
+                any_null = functools.reduce(
+                    operator.or_, (F.col(f"`{c}`").isNull() for c in nn)
+                )
+                hits = df.where(any_null).select(*nn).limit(1).collect()
+                if hits:
+                    culprits = [c for c in nn if hits[0][c] is None]
                     raise ConstraintViolationError(
-                        f"NOT NULL constraint on {col!r} violated by write"
+                        f"NOT NULL constraint on {culprits} violated by write"
                     )
 
     _NOT_NULL_PROP = "engine.notNullColumns"
@@ -882,13 +928,12 @@ class VersionedTable:
         """Columns under an explicit NOT NULL constraint (empty when
         none). Tracked as an engine property rather than inferred from
         incoming DataFrame nullability, which Spark does not preserve
-        reliably across IO boundaries."""
-        try:
-            return list(
-                json.loads(self.table_properties().get(self._NOT_NULL_PROP, "[]"))
-            )
-        except FileNotFoundError:
-            return []
+        reliably across IO boundaries. (table_properties() already
+        tolerates a missing table; a malformed property value raises —
+        that is real metadata damage, not something to mask.)"""
+        return list(
+            json.loads(self.table_properties().get(self._NOT_NULL_PROP, "[]"))
+        )
 
     def _set_nullability(self, col: str, nullable: bool, op: str) -> None:
         latest = self._latest()

@@ -148,6 +148,8 @@ def apply_bpe(
         memo: dict[str, tuple[str, ...]] = {}
 
         def enc(text: str) -> list[str]:
+            if not isinstance(text, str):
+                return []  # NULL text: empty tokenization, like tokens()
             out: list[str] = []
             for w in text.lower().split():
                 hit = memo.get(w)

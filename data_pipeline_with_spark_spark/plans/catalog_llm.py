@@ -259,7 +259,10 @@ _GOPHER_RULES_SQL = f"""
         WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
         s AS (SELECT doc_id, source,
                      len(toks) AS n,
-                     list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+                     -- coalesce: list_sum([]) is NULL in DuckDB, while the
+                     -- Spark aggregate's 0 seed gives 0 — a zero-token doc
+                     -- must not NULL-poison the rule conjunction
+                     coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len,
                      len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
                      len(list_filter(toks, x -> NOT regexp_matches(x, '[a-z0-9]'))) AS n_symbol,
                      len(list_filter({_STOP_SQL}, w -> list_contains(toks, w))) AS n_stop

@@ -1165,11 +1165,22 @@ def test_truncated_newest_commit_is_quarantined(spark, tmp_path):
     # claim and fsync leaves a truncated newest entry. The table must
     # stay readable at the prior version, the bad entry is quarantined
     # to *.corrupt, and the version slot frees for the next commit.
+    import os as _os
+    import time as _time
+
     df = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["id", "v"])
     t = VersionedTable(spark, str(tmp_path / "trunc")).create(df)
     v = t._latest().version
     bad = t.log_dir / f"{v + 1:020d}.json"
     bad.write_text('{"version": 1, "time')  # truncated mid-write
+    # a FRESH unparsable newest entry may be a live in-flight publish:
+    # readers skip past it but must NOT quarantine it (that would rename
+    # the file out from under the publisher's open fd)
+    assert t._latest().version == v
+    assert bad.exists() and not bad.with_suffix(".corrupt").exists()
+    # once it is older than the liveness window it is a crashed publish
+    old = _time.time() - (t.QUARANTINE_AGE_S + 1)
+    _os.utime(bad, (old, old))
     assert t._latest().version == v  # reads fall back to the good entry
     assert t.read().count() == 2
     assert not bad.exists() and bad.with_suffix(".corrupt").exists()

@@ -256,6 +256,35 @@ def test_bpe_train_apply_matches_python_replay(spark, sf_dir):
     assert got[any_doc.doc_id][1] < len(any_doc.text)
 
 
+def test_bpe_apply_null_text_yields_empty(spark):
+    from data_pipeline_with_spark_spark.llm import bpe
+
+    df = spark.createDataFrame([(1, "low lower"), (2, None)], "doc_id INT, text STRING")
+    merges = [("l", "o"), ("lo", "w")]
+    rows = {r.doc_id: r for r in bpe.apply_bpe(df, merges).collect()}
+    assert rows[2].bpe_tokens == [] and rows[2].n_bpe_tokens == 0
+    assert rows[1].n_bpe_tokens > 0
+
+
+def test_gopher_oracle_zero_token_doc_not_null_poisoned():
+    # DuckDB list_sum([]) is NULL; the oracle must coalesce it so a
+    # zero-token document yields booleans, not NULLs (which would
+    # hash-mismatch the Spark side's 0-seeded aggregate).
+    import duckdb
+
+    from data_pipeline_with_spark_spark.plans.catalog_llm import _GOPHER_RULES_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, '   ', 'en', 's1', 3), (2, 'the of word', 'en', 's1', 11)"
+        ") AS t(doc_id, text, lang, source, n_chars)"
+    )
+    rows = {r[0]: r for r in con.execute(_GOPHER_RULES_SQL).fetchall()}
+    assert all(v is not None for v in rows[1])  # no NULL-poisoned rule
+    assert rows[1][-1] is False  # zero-token doc fails the battery
+
+
 def test_epoch_expand_hits_token_target(spark):
     from data_pipeline_with_spark_spark.llm import packing
 
