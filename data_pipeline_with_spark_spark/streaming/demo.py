@@ -502,3 +502,64 @@ def run_transform_with_state(
     )
     query.awaitTermination()
     return spark.table(sink_table)
+
+
+def run_stream_matview(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> tuple["VersionedTable", "IncrementalAggView"]:
+    """Continuous incremental view maintenance: readStream →
+    foreachBatch → (transactional base-table append, CDF view refresh).
+
+    Each micro-batch lands as one atomic base commit via
+    ``idempotent_append`` and the aggregate view folds exactly that
+    commit's change feed — the streaming face of
+    ``lake.matview.IncrementalAggView``, i.e. a continuously-maintained
+    materialized view. Exactly-once composes end to end: a replayed
+    epoch no-ops the append (txnAppId/txnVersion pattern), which leaves
+    the base version unchanged, so the paired ``refresh()`` folds an
+    empty delta; and the view's watermark commits atomically with its
+    merge, so a crash between append and refresh is healed by the next
+    refresh (it folds from the recorded watermark, never resampling).
+
+    At 100 TB: per-batch cost is O(batch) for the append and
+    O(changed rows) for the fold — the base table is never rescanned,
+    which is the whole point versus recomputing the aggregate per
+    trigger. ``value`` is folded as integer cents: sums maintained by
+    signed add/subtract must be exact, not floating drift."""
+    from pathlib import Path
+
+    from data_pipeline_with_spark_spark.lake.matview import IncrementalAggView
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    work = Path(work_dir)
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    # stage as 4 files so availableNow + maxFilesPerTrigger=1 yields 4
+    # real micro-batches (the fixture is a single file = one batch)
+    staging = str(work / "staging")
+    ev.repartition(4).write.parquet(staging)
+    base = VersionedTable(spark, str(work / "base")).create(
+        spark.createDataFrame([], ev.schema)
+    )
+    view = IncrementalAggView(
+        spark, base, str(work / "view"), keys=["user_id"], sum_cols=["value_cents"]
+    ).build()
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        base.idempotent_append(batch_df, app_id="mv_ingest", batch_id=epoch_id)
+        view.refresh()
+
+    query = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return base, view

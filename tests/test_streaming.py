@@ -176,3 +176,27 @@ def test_rate_limited_stream_respects_rate(spark):
     # (2x headroom for second-boundary jitter on the first/last bucket)
     assert max(r.n_rows for r in rows) <= 400 * 2
     assert sum(r.n_rows for r in rows) > 0
+
+
+def test_stream_matview_equals_batch_recompute(spark, sf_dir, tmp_path):
+    # Continuously-maintained aggregate view: 4 micro-batches stream
+    # into the base table, the view CDF-refreshes after each, and the
+    # final view must equal a full recompute over all events.
+    base, view = demo.run_stream_matview(spark, sf_dir, str(tmp_path / "mv"))
+    assert len(base.history()) >= 4  # one commit per micro-batch
+    got = {
+        r.user_id: (r.sum_value_cents, r.n_rows) for r in view.read().collect()
+    }
+    want = {
+        r.user_id: (r.s, r.n)
+        for r in base.read()
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.coalesce("value_cents", F.lit(0))), F.lit(0)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
+    # watermark tracked the final base version (exactly-once bookkeeping)
+    assert view.last_synced_version() == base._latest().version
