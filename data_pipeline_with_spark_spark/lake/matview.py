@@ -13,10 +13,14 @@ table is not read at all. The watermark (last folded source version)
 rides the SAME commit as the merge via ``extra_properties``, so a crash
 can never double-apply or skip a delta — refresh is exactly-once.
 
-AVG is derived (sum/count) rather than stored; MIN/MAX are NOT
-self-maintainable under deletes (a removed maximum needs a rescan of
-its group) and are deliberately out of scope, matching the standard
-incremental-view-maintenance restriction.
+AVG is derived (sum/count) rather than stored. MIN/MAX (opt-in via
+``minmax_cols``) are NOT self-maintainable under deletes — a removed
+extremum needs its group rescanned — so they use the standard IVM
+hybrid: inserts fold incrementally (``least``/``greatest`` against the
+stored extremum), and ONLY groups whose delete-side touches the stored
+extremum are rescanned, via a key-semi-joined aggregate over the base
+(partition/file-pruned by the group keys at scale). Updates and
+deletes that never hit an extremum stay O(changed rows).
 
 View semantics note: ``sum_<col>`` is the sum of non-null values with 0
 (not NULL) for all-null groups — signed folding cannot distinguish "no
@@ -51,11 +55,13 @@ class IncrementalAggView:
         path: str,
         keys: list[str],
         sum_cols: list[str],
+        minmax_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.source = source
         self.keys = list(keys)
         self.sum_cols = list(sum_cols)
+        self.minmax_cols = list(minmax_cols or [])
         self.view = VersionedTable(spark, path)
 
     # ------------------------------------------------------------ build
@@ -73,6 +79,11 @@ class IncrementalAggView:
             for c in self.sum_cols
         ]
         exprs.append(F.sum(s).cast("long").alias(f"{prefix}n_rows"))
+        if sign is None:
+            # full-scan contexts (build, rescan): min/max are direct
+            for c in self.minmax_cols:
+                exprs.append(F.min(f"`{c}`").alias(f"{prefix}min_{c}"))
+                exprs.append(F.max(f"`{c}`").alias(f"{prefix}max_{c}"))
         return exprs
 
     def build(self) -> "IncrementalAggView":
@@ -113,10 +124,18 @@ class IncrementalAggView:
         if cur <= last:
             return {"from_version": last, "to_version": cur, "changed_keys": 0}
         ch = self.source.changes(last, cur)
-        sign = F.when(
-            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
-        ).otherwise(F.lit(-1))
-        delta = ch.groupBy(*self.keys).agg(*self._agg_exprs(sign, prefix="d_"))
+        is_ins = F.col("_change_type").isin("insert", "update_postimage")
+        sign = F.when(is_ins, F.lit(1)).otherwise(F.lit(-1))
+        aggs = self._agg_exprs(sign, prefix="d_")
+        for c in self.minmax_cols:
+            col = F.col(f"`{c}`")
+            aggs += [
+                F.min(F.when(is_ins, col)).alias(f"ins_min_{c}"),
+                F.max(F.when(is_ins, col)).alias(f"ins_max_{c}"),
+                F.min(F.when(~is_ins, col)).alias(f"del_min_{c}"),
+                F.max(F.when(~is_ins, col)).alias(f"del_max_{c}"),
+            ]
+        delta = ch.groupBy(*self.keys).agg(*aggs)
         # The CDF fold (two exceptAll shuffles over the snapshots) is
         # the expensive part — evaluate it ONCE: persist, count for the
         # stats, feed the cached result to the merge join. The merge's
@@ -129,14 +148,21 @@ class IncrementalAggView:
                 # metadata-only source commits: advance the watermark alone
                 self.view.set_properties({self.SYNC_PROP: str(cur)})
                 return {"from_version": last, "to_version": cur, "changed_keys": 0}
+            source_df = delta if not self.minmax_cols else self._with_minmax(delta, cur)
             upd = {f"sum_{c}": f"t.sum_{c} + s.d_sum_{c}" for c in self.sum_cols}
             upd["n_rows"] = "t.n_rows + s.d_n_rows"
             ins = {f"sum_{c}": f"s.d_sum_{c}" for c in self.sum_cols}
             ins["n_rows"] = "s.d_n_rows"
             for k in self.keys:
                 ins[k] = f"s.{k}"
+            for c in self.minmax_cols:
+                # _with_minmax resolved the FINAL extremum per key
+                upd[f"min_{c}"] = f"s.f_min_{c}"
+                upd[f"max_{c}"] = f"s.f_max_{c}"
+                ins[f"min_{c}"] = f"s.f_min_{c}"
+                ins[f"max_{c}"] = f"s.f_max_{c}"
             self.view.merge(
-                delta,
+                source_df,
                 keys=self.keys,
                 matched=[
                     # a group whose rows all left the base table leaves the
@@ -151,3 +177,61 @@ class IncrementalAggView:
         finally:
             delta.unpersist()
         return {"from_version": last, "to_version": cur, "changed_keys": n_keys}
+
+    def _with_minmax(self, delta: DataFrame, cur_version: int) -> DataFrame:
+        """Resolve the final min/max per changed key (IVM hybrid).
+
+        Inserts fold against the stored extremum with least/greatest
+        (null-skipping, so new keys and no-insert deltas fall out
+        naturally). A group needs a rescan ONLY when its delete side
+        reaches the stored extremum — deleted values sit inside the
+        group's range, so ``del_min <= stored min`` can only hold at
+        equality, i.e. the minimum itself was removed. Rescanned groups
+        aggregate a key-semi-joined slice of the base snapshot (pinned
+        to the fold's target version), not the whole table."""
+        cur = self.view.read().select(
+            *self.keys,
+            *[F.col(f"min_{c}").alias(f"cur_min_{c}") for c in self.minmax_cols],
+            *[F.col(f"max_{c}").alias(f"cur_max_{c}") for c in self.minmax_cols],
+        )
+        j = delta.join(cur, on=self.keys, how="left")
+        needs = None
+        for c in self.minmax_cols:
+            hit = (F.col(f"del_min_{c}") <= F.col(f"cur_min_{c}")) | (
+                F.col(f"del_max_{c}") >= F.col(f"cur_max_{c}")
+            )
+            needs = hit if needs is None else (needs | hit)
+        rescan_keys = j.where(needs).select(*self.keys)
+        rescan = (
+            self.source.read(version=cur_version)
+            .join(rescan_keys, on=self.keys, how="left_semi")
+            .groupBy(*self.keys)
+            .agg(
+                *[F.min(f"`{c}`").alias(f"rs_min_{c}") for c in self.minmax_cols],
+                *[F.max(f"`{c}`").alias(f"rs_max_{c}") for c in self.minmax_cols],
+            )
+        )
+        out = j.join(rescan, on=self.keys, how="left")
+        for c in self.minmax_cols:
+            # rescan verdict wins when present; else fold inserts into
+            # the stored extremum (least/greatest skip nulls).
+            # rs_* may be legitimately NULL after a rescan of a group
+            # whose remaining values are all null — detect rescan
+            # membership via the trigger condition, not rs_* nullness.
+            rescanned = F.coalesce(
+                (F.col(f"del_min_{c}") <= F.col(f"cur_min_{c}"))
+                | (F.col(f"del_max_{c}") >= F.col(f"cur_max_{c}")),
+                F.lit(False),
+            )
+            out = out.withColumn(
+                f"f_min_{c}",
+                F.when(rescanned, F.col(f"rs_min_{c}")).otherwise(
+                    F.least(F.col(f"cur_min_{c}"), F.col(f"ins_min_{c}"))
+                ),
+            ).withColumn(
+                f"f_max_{c}",
+                F.when(rescanned, F.col(f"rs_max_{c}")).otherwise(
+                    F.greatest(F.col(f"cur_max_{c}"), F.col(f"ins_max_{c}"))
+                ),
+            )
+        return out

@@ -697,6 +697,72 @@ def test_incremental_agg_view_tracks_dml(spark, tmp_path):
     assert view_state() == recompute()
 
 
+def test_incremental_agg_view_minmax_rescan(spark, tmp_path):
+    # MIN/MAX IVM hybrid: inserts fold incrementally; a delete that
+    # removes the stored extremum triggers a group-scoped rescan. Every
+    # step compares against a full recompute.
+    from data_pipeline_with_spark_spark.lake.matview import IncrementalAggView
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "mmbase"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 50), (3, "b", 7), (4, "b", 7), (5, "c", None)],
+            "id INT, k STRING, v INT",
+        )
+    )
+    view = IncrementalAggView(
+        spark, t, str(tmp_path / "mmview"), keys=["k"],
+        sum_cols=["v"], minmax_cols=["v"],
+    ).build()
+
+    def recompute():
+        return {
+            r.k: (r.mn, r.mx)
+            for r in t.read()
+            .groupBy("k")
+            .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+            .collect()
+        }
+
+    def view_state():
+        return {r.k: (r.min_v, r.max_v) for r in view.read().collect()}
+
+    assert view_state() == recompute() == {"a": (10, 50), "b": (7, 7), "c": (None, None)}
+
+    # insert improves both extremes: pure incremental fold
+    t.append(spark.createDataFrame([(6, "a", 3), (7, "a", 99)], "id INT, k STRING, v INT"))
+    view.refresh()
+    assert view_state()["a"] == (3, 99)
+    # delete the stored max -> rescan resolves the runner-up
+    t.delete(where="id = 7")
+    view.refresh()
+    assert view_state()["a"] == (3, 50)
+    # delete an interior value: no extremum change
+    t.delete(where="id = 1")
+    view.refresh()
+    assert view_state()["a"] == (3, 50)
+    # duplicate extremum: removing ONE copy keeps the value (rescan
+    # fires — del_min == stored min — and finds the surviving copy)
+    t.delete(where="id = 3")
+    view.refresh()
+    assert view_state()["b"] == (7, 7)
+    # update moves the minimum upward (delete+insert in the feed)
+    t.update(where="id = 6", set_exprs={"v": "40"})
+    view.refresh()
+    assert view_state() == recompute()
+    # all-null group gains a value incrementally
+    t.append(spark.createDataFrame([(8, "c", 12)], "id INT, k STRING, v INT"))
+    view.refresh()
+    assert view_state()["c"] == (12, 12)
+    assert view_state() == recompute()
+    # whole group leaves
+    t.delete(where="k = 'b'")
+    view.refresh()
+    assert "b" not in view_state()
+    assert view_state() == recompute()
+
+
 def test_describe_detail(spark, tmp_path):
     from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
 
