@@ -136,6 +136,23 @@ _NOT_NULL_RE = re.compile(
     r"`?(?P<col>\w+)`?\s+(?P<verb>SET|DROP)\s+NOT\s+NULL\s*;?\s*$",
     _I,
 )
+_CREATE_MV_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.`]+)\s+AS\s+"
+    r"SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<tbl>[\w.`]+)\s+"
+    r"GROUP\s+BY\s+(?P<groupby>[\w`,\s]+?)\s*;?\s*$",
+    _I | re.DOTALL,
+)
+_REFRESH_MV_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.`]+)\s*;?\s*$", _I
+)
+# select-list item shapes the incremental maintainer supports
+_MV_ITEM_RES = {
+    "key": re.compile(r"^`?(?P<col>\w+)`?$"),
+    "sum": re.compile(r"^sum\s*\(\s*`?(?P<col>\w+)`?\s*\)(?:\s+AS\s+`?(?P<alias>\w+)`?)?$", _I),
+    "min": re.compile(r"^min\s*\(\s*`?(?P<col>\w+)`?\s*\)(?:\s+AS\s+`?(?P<alias>\w+)`?)?$", _I),
+    "max": re.compile(r"^max\s*\(\s*`?(?P<col>\w+)`?\s*\)(?:\s+AS\s+`?(?P<alias>\w+)`?)?$", _I),
+    "count": re.compile(r"^count\s*\(\s*\*\s*\)(?:\s+AS\s+`?(?P<alias>\w+)`?)?$", _I),
+}
 _TIME_TRAVEL_RE = re.compile(r"(?P<tbl>[A-Za-z_][\w.]*)@v(?P<v>\d+)")
 
 # Segments of a SQL statement that table-name rewriting must never touch:
@@ -236,6 +253,7 @@ class LakehouseSQL:
         self.workspace = Path(workspace)
         self._tables: dict[str, VersionedTable] = {}
         self._parquet: dict[str, str] = {}
+        self._matviews: dict[str, object] = {}
 
     # ------------------------------------------------------------ catalog
     def register_parquet(self, name: str, path: str) -> None:
@@ -275,6 +293,8 @@ class LakehouseSQL:
             (_ADD_CONSTRAINT_RE, self._add_constraint),
             (_DROP_CONSTRAINT_RE, self._drop_constraint),
             (_NOT_NULL_RE, self._alter_not_null),
+            (_CREATE_MV_RE, self._create_matview),
+            (_REFRESH_MV_RE, self._refresh_matview),
             (_DESCRIBE_RE, self._describe),  # after HISTORY/DETAIL
         ):
             m = matcher.match(statement)
@@ -589,6 +609,85 @@ class LakehouseSQL:
         return self.spark.createDataFrame(
             [(m.group("name"), vt._latest().version)],
             "constraint string, new_version bigint",
+        )
+
+    def _create_matview(self, m: re.Match) -> DataFrame:
+        """CREATE MATERIALIZED VIEW name AS SELECT <keys, sum/min/max/
+        count(*)> FROM <registered table> GROUP BY <keys> — builds an
+        incrementally-maintained ``IncrementalAggView``. The select list
+        is restricted to what the CDF maintainer can keep exact (the
+        whole point of a matview here); anything else raises with the
+        supported grammar. Aliases, when given, must be the maintained
+        canonical names (sum_<col>/min_<col>/max_<col>/n_rows) so
+        SELECTs against the view read what they declared."""
+        from data_pipeline_with_spark_spark.lake.matview import IncrementalAggView
+
+        name = _norm(m.group("name"))
+        if name in self._matviews or name in self._tables:
+            raise ValueError(f"name {name!r} already registered")
+        base = self.table(m.group("tbl"))
+        keys = [k.strip().strip("`") for k in m.group("groupby").split(",")]
+        sum_cols: list[str] = []
+        minmax: list[str] = []
+        seen_keys: list[str] = []
+        for raw in m.group("select").split(","):
+            item = raw.strip()
+            for kind, rex in _MV_ITEM_RES.items():
+                mi = rex.match(item)
+                if not mi:
+                    continue
+                if kind == "key":
+                    seen_keys.append(mi.group("col"))
+                elif kind in ("sum", "min", "max"):
+                    col = mi.group("col")
+                    want = f"{kind}_{col}"
+                    alias = mi.group("alias")
+                    if alias and alias != want:
+                        raise ValueError(
+                            f"alias {alias!r} must be the maintained name {want!r}"
+                        )
+                    (sum_cols if kind == "sum" else minmax).append(col)
+                else:  # count(*)
+                    alias = mi.group("alias")
+                    if alias and alias != "n_rows":
+                        raise ValueError("count(*) alias must be n_rows")
+                break
+            else:
+                raise ValueError(
+                    f"unsupported select item {item!r}: materialized views "
+                    "maintain key columns, sum(col), min(col), max(col), "
+                    "count(*) only"
+                )
+        if sorted(seen_keys) != sorted(keys):
+            raise ValueError(
+                f"select keys {seen_keys} must equal GROUP BY keys {keys}"
+            )
+        mv = IncrementalAggView(
+            self.spark,
+            base,
+            str(self.workspace / "_matviews" / name.replace(".", "__")),
+            keys=keys,
+            sum_cols=sum_cols,
+            # min and max are maintained together per column
+            minmax_cols=sorted(set(minmax)),
+        ).build()
+        self._matviews[name] = mv
+        # the view's backing table registers under the view name, so
+        # SELECT / DESCRIBE HISTORY / time travel work on it directly
+        self.register_table(name, mv.view)
+        return self.spark.createDataFrame(
+            [(name, mv.last_synced_version())],
+            "materialized_view string, source_version bigint",
+        )
+
+    def _refresh_matview(self, m: re.Match) -> DataFrame:
+        name = _norm(m.group("name"))
+        if name not in self._matviews:
+            raise KeyError(f"no materialized view {name!r}")
+        stats = self._matviews[name].refresh()
+        return self.spark.createDataFrame(
+            [(name, stats["from_version"], stats["to_version"], stats["changed_keys"])],
+            "materialized_view string, from_version bigint, to_version bigint, changed_keys bigint",
         )
 
     def _alter_not_null(self, m: re.Match) -> DataFrame:

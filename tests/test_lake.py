@@ -697,6 +697,49 @@ def test_incremental_agg_view_tracks_dml(spark, tmp_path):
     assert view_state() == recompute()
 
 
+def test_matview_sql_routes(spark, tmp_path):
+    from data_pipeline_with_spark_spark.lake.sql_router import LakehouseSQL
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "mvbase"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 50), (3, "b", 7)], "id INT, k STRING, v INT"
+        )
+    )
+    router = LakehouseSQL(spark, str(tmp_path / "ws"))
+    router.register_table("base_t", t)
+    created = router.sql(
+        "CREATE MATERIALIZED VIEW mv_t AS "
+        "SELECT k, sum(v) AS sum_v, min(v) AS min_v, count(*) AS n_rows "
+        "FROM base_t GROUP BY k"
+    ).collect()[0]
+    assert created.materialized_view == "mv_t"
+    # the view is SELECTable through the router under its own name
+    got = {
+        r.k: (r.sum_v, r.min_v, r.n_rows)
+        for r in router.sql("SELECT k, sum_v, min_v, n_rows FROM mv_t").collect()
+    }
+    assert got == {"a": (60, 10, 2), "b": (7, 7, 1)}
+    # DML on the base + REFRESH picks up the delta incrementally
+    t.append(spark.createDataFrame([(4, "b", 2)], "id INT, k STRING, v INT"))
+    t.delete(where="id = 1")
+    stats = router.sql("REFRESH MATERIALIZED VIEW mv_t").collect()[0]
+    assert stats.changed_keys == 2
+    got = {
+        r.k: (r.sum_v, r.min_v, r.n_rows)
+        for r in router.sql("SELECT k, sum_v, min_v, n_rows FROM mv_t").collect()
+    }
+    assert got == {"a": (50, 50, 1), "b": (9, 2, 2)}
+    # guardrails: unsupported aggregates and dangling names say why
+    with pytest.raises(ValueError, match="unsupported select item"):
+        router.sql(
+            "CREATE MATERIALIZED VIEW mv_bad AS SELECT k, avg(v) FROM base_t GROUP BY k"
+        )
+    with pytest.raises(KeyError, match="no materialized view"):
+        router.sql("REFRESH MATERIALIZED VIEW nope")
+
+
 def test_incremental_agg_view_minmax_rescan(spark, tmp_path):
     # MIN/MAX IVM hybrid: inserts fold incrementally; a delete that
     # removes the stored extremum triggers a group-scoped rescan. Every
