@@ -637,6 +637,72 @@ register(
 )
 
 
+def _boilerplate_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source boilerplate rate: the fraction of a source's
+    paragraphs that are duplicates of an earlier occurrence anywhere in
+    the corpus — the curation dashboard number paragraph dedup exists
+    to drive (high rate → templated/scraped source). Derived entirely
+    from paragraph_dedup output, so the shuffles stay digest-only;
+    the ratio divides two longs once, per NEXT.md float discipline."""
+    docs = read_testdata(spark, sf, "documents")
+    out = dedup.paragraph_dedup(docs, block_tokens=8)
+    # documents whose every paragraph was subsumed don't appear in the
+    # dedup output; recover their totals from the full doc list so the
+    # per-source denominator counts ALL paragraphs
+    totals = docs.select(
+        "doc_id",
+        "source",
+        F.greatest(
+            F.ceil(F.size(text.tokens(F.col("text"))) / 8), F.lit(1)
+        ).cast("long").alias("n_paras_all"),
+    )
+    per_doc = totals.join(
+        out.select("doc_id", "n_kept"), on="doc_id", how="left"
+    ).withColumn("n_kept", F.coalesce("n_kept", F.lit(0)))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_paras_all").cast("bigint").alias("n_paras"),
+            F.sum("n_kept").cast("bigint").alias("n_kept"),
+        )
+        .withColumn(
+            "boilerplate_rate",
+            F.round(
+                (F.col("n_paras") - F.col("n_kept")).cast("double")
+                / F.col("n_paras").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="dedup_boilerplate_rate",
+        build=_boilerplate_rate,
+        doc="per-source duplicated-paragraph fraction (curation dashboard over paragraph dedup; digest-only shuffles)",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+        p AS (SELECT doc_id, source, CAST(g AS INT) AS para_idx,
+                     array_to_string(toks[(g*8+1):((g+1)*8)], ' ') AS para
+              FROM t, unnest(range(CAST(greatest(ceil(len(toks)/8.0), 1) AS BIGINT))) AS u(g)),
+        k AS (SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY md5(para)
+                                        ORDER BY doc_id, para_idx) AS rn
+              FROM p),
+        s AS (SELECT source, count(*) AS n_paras,
+                     sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+              FROM k GROUP BY source)
+        SELECT source, CAST(n_paras AS BIGINT) AS n_paras,
+               CAST(n_kept AS BIGINT) AS n_kept,
+               round(CAST(n_paras - n_kept AS DOUBLE) / CAST(n_paras AS DOUBLE), 6)
+                 AS boilerplate_rate
+        FROM s
+        """,
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 _COS_SQL = (
@@ -1204,6 +1270,119 @@ register(
                round(sum(-ln(CAST(tc AS DOUBLE) / CAST(n_total AS DOUBLE))) / count(*), 4) AS mean_nll
         FROM tok JOIN vocab USING (term) CROSS JOIN total
         GROUP BY doc_id
+        """,
+    )
+)
+
+
+def _bigram_backoff_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc mean -log p under a bigram LM with stupid backoff
+    (Brants et al. '07): p(w|prev) = c(prev,w)/c(prev) when the bigram
+    was seen, else 0.4 · p_uni(w), with add-one-smoothed unigrams
+    (c(w)+1)/(N+V); a document's first token scores as a plain
+    unigram. The model trains on the doc_id % 5 == 0 fifth of the corpus
+    and scores every document, so held-out docs genuinely exercise the
+    backoff path instead of it being dead on the training corpus.
+
+    This is the CCNet-style perplexity filter one rung up from
+    ``text_unigram_logprob``. Scale shape: the unigram and bigram
+    tables broadcast (vocabulary-sized); the scoring pass is
+    three map-side joins + one per-doc aggregation — the corpus
+    shuffles only as (doc_id, partial) pairs."""
+    docs = read_testdata(spark, sf, "documents")
+    with_toks = docs.withColumn("__toks", text.tokens(F.col("text")))
+    model = with_toks.where(F.col("doc_id") % 5 == 0)
+    uni = (
+        model.select(F.explode("__toks").alias("cur"))
+        .groupBy("cur")
+        .agg(F.count(F.lit(1)).alias("c_cur"))
+    )
+    # greatest(...,1) + null-cur filter: sequence(1, 0) DESCENDS in
+    # Spark, so an empty document would fabricate bogus pairs; the
+    # sentinel pair it produces instead has cur = NULL and is dropped
+    pair_expr = F.expr(
+        "filter(transform(sequence(1, greatest(size(__toks), 1)),"
+        " i -> struct(CASE WHEN i = 1 THEN NULL ELSE __toks[i-2] END AS prev,"
+        " __toks[i-1] AS cur)), s -> s.cur IS NOT NULL)"
+    )
+    bi = (
+        model.select(F.explode(pair_expr).alias("p"))
+        .select("p.prev", "p.cur")
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+    )
+    totals = uni.agg(
+        F.sum("c_cur").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    pairs = with_toks.select("doc_id", F.explode(pair_expr).alias("p")).select(
+        "doc_id", "p.prev", "p.cur"
+    )
+    prev_uni = uni.select(
+        F.col("cur").alias("prev"), F.col("c_cur").alias("c_prev")
+    )
+    p_uni = (
+        (F.coalesce(F.col("c_cur"), F.lit(0)) + 1).cast("double")
+        / (F.col("n_total") + F.col("v_size")).cast("double")
+    )
+    p = F.when(
+        F.col("prev").isNotNull() & F.col("c_bi").isNotNull(),
+        F.col("c_bi").cast("double") / F.col("c_prev").cast("double"),
+    ).otherwise(
+        F.when(F.col("prev").isNull(), F.lit(1.0)).otherwise(F.lit(0.4)) * p_uni
+    )
+    return (
+        pairs.join(F.broadcast(uni), "cur", "left")
+        .join(F.broadcast(prev_uni), "prev", "left")
+        .join(F.broadcast(bi), ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("nll", -F.log(p))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("nll") / F.count(F.lit(1)), 4).alias("mean_nll"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & F.col("c_bi").isNull(), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_backoff"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="text_bigram_backoff_logprob",
+        build=_bigram_backoff_logprob,
+        doc="per-doc mean -log p, bigram LM + stupid backoff trained on a 20% slice (broadcast n-gram tables)",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        pair AS (SELECT doc_id,
+                        CASE WHEN g = 1 THEN NULL ELSE toks[g-1] END AS prev,
+                        toks[g] AS cur
+                 FROM t, unnest(range(1, len(toks) + 1)) AS u(g)),
+        uni AS (SELECT cur, count(*) AS c_cur FROM pair WHERE doc_id % 5 = 0 GROUP BY cur),
+        bi AS (SELECT prev, cur, count(*) AS c_bi FROM pair
+               WHERE doc_id % 5 = 0 AND prev IS NOT NULL GROUP BY prev, cur),
+        tot AS (SELECT sum(c_cur) AS n_total, count(*) AS v_size FROM uni),
+        scored AS (
+          SELECT p.doc_id, p.prev, bi.c_bi,
+                 CASE WHEN p.prev IS NOT NULL AND bi.c_bi IS NOT NULL
+                      THEN CAST(bi.c_bi AS DOUBLE) / CAST(pu.c_cur AS DOUBLE)
+                      ELSE (CASE WHEN p.prev IS NULL THEN 1.0 ELSE 0.4 END)
+                           * (CAST(coalesce(cu.c_cur, 0) + 1 AS DOUBLE)
+                              / CAST(tot.n_total + tot.v_size AS DOUBLE))
+                 END AS p
+          FROM pair p
+          LEFT JOIN uni cu ON p.cur = cu.cur
+          LEFT JOIN uni pu ON p.prev = pu.cur
+          LEFT JOIN bi ON p.prev = bi.prev AND p.cur = bi.cur
+          CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(sum(-ln(p)) / count(*), 4) AS mean_nll,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND c_bi IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff
+        FROM scored GROUP BY doc_id
         """,
     )
 )
