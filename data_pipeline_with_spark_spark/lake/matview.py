@@ -6,12 +6,17 @@ change data feed; the same algebra works on the engine's
 self-maintainable aggregates, so a GROUP BY view can be refreshed from
 the row-level delta alone — never rescanning the base table.
 
-Scale doctrine (the whole point at 100 TB): a refresh costs
-O(changed rows) + a keyed merge into the view. The change feed folds
-to signed per-key deltas in one map-side-combined aggregation; the base
-table is not read at all. The watermark (last folded source version)
-rides the SAME commit as the merge via ``extra_properties``, so a crash
-can never double-apply or skip a delta — refresh is exactly-once.
+Scale doctrine (the whole point at 100 TB): a refresh SHUFFLES and
+merges only O(changed rows) — signed per-key deltas from one
+map-side-combined aggregation over the change feed. Honest caveat:
+this engine's ``changes()`` derives the feed as a declarative diff of
+the two endpoint snapshots (two ``exceptAll`` passes), so the refresh
+still *scans* O(table) to find the delta; a file-log CDF (Delta's)
+reads only changed files. Everything downstream of the feed — the
+fold, the merge, the optional extremum rescan — is delta-sized. The
+watermark (last folded source version) rides the SAME commit as the
+merge via ``extra_properties``, so a crash can never double-apply or
+skip a delta — refresh is exactly-once.
 
 AVG is derived (sum/count) rather than stored. MIN/MAX (opt-in via
 ``minmax_cols``) are NOT self-maintainable under deletes — a removed
@@ -201,17 +206,31 @@ class IncrementalAggView:
                 F.col(f"del_max_{c}") >= F.col(f"cur_max_{c}")
             )
             needs = hit if needs is None else (needs | hit)
-        rescan_keys = j.where(needs).select(*self.keys)
-        rescan = (
-            self.source.read(version=cur_version)
-            .join(rescan_keys, on=self.keys, how="left_semi")
-            .groupBy(*self.keys)
-            .agg(
-                *[F.min(f"`{c}`").alias(f"rs_min_{c}") for c in self.minmax_cols],
-                *[F.max(f"`{c}`").alias(f"rs_max_{c}") for c in self.minmax_cols],
-            )
-        )
-        out = j.join(rescan, on=self.keys, how="left")
+        rescan_keys = j.where(needs).select(*self.keys).persist()
+        try:
+            if rescan_keys.count() == 0:
+                # pure inserts / interior deletes: keep the base scan out
+                # of the plan entirely — Spark can't prove the semi-join
+                # probe set is empty without executing the scan, so the
+                # O(changed rows) promise needs this driver-side guard
+                out = j
+                for c in self.minmax_cols:
+                    out = out.withColumn(f"rs_min_{c}", F.lit(None)).withColumn(
+                        f"rs_max_{c}", F.lit(None)
+                    )
+            else:
+                rescan = (
+                    self.source.read(version=cur_version)
+                    .join(rescan_keys, on=self.keys, how="left_semi")
+                    .groupBy(*self.keys)
+                    .agg(
+                        *[F.min(f"`{c}`").alias(f"rs_min_{c}") for c in self.minmax_cols],
+                        *[F.max(f"`{c}`").alias(f"rs_max_{c}") for c in self.minmax_cols],
+                    )
+                )
+                out = j.join(rescan, on=self.keys, how="left")
+        finally:
+            rescan_keys.unpersist()
         for c in self.minmax_cols:
             # rescan verdict wins when present; else fold inserts into
             # the stored extremum (least/greatest skip nulls).

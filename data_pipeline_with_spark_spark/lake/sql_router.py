@@ -262,9 +262,22 @@ class LakehouseSQL:
     def register_table(self, name: str, table: VersionedTable) -> None:
         self._tables[_norm(name)] = table
 
-    def table(self, name: str) -> VersionedTable:
+    def table(self, name: str, allow_matview: bool = False) -> VersionedTable:
+        """Resolve a registered table. A materialized view's backing
+        table resolves only for read-shaped routes (history/detail/
+        describe, and SELECT via passthrough): DML or maintenance
+        against it would desync the view from its CDF watermark and
+        permanently corrupt every later refresh, so those routes keep
+        the default ``allow_matview=False`` and are rejected here."""
+        key = _norm(name)
+        if key in self._matviews and not allow_matview:
+            raise ValueError(
+                f"{name!r} is a materialized view: it is maintained by "
+                "REFRESH MATERIALIZED VIEW; direct DML/maintenance on it "
+                "is not allowed"
+            )
         try:
-            return self._tables[_norm(name)]
+            return self._tables[key]
         except KeyError:
             raise KeyError(
                 f"no versioned table {name!r}; registered: "
@@ -304,7 +317,7 @@ class LakehouseSQL:
 
     # ----------------------------------------------------------- handlers
     def _history(self, m: re.Match) -> DataFrame:
-        rows = self.table(m.group("tbl")).history()
+        rows = self.table(m.group("tbl"), allow_matview=True).history()
         return self.spark.createDataFrame(
             [
                 (r["version"], float(r["timestamp"]), r["operation"], repr(r["params"]))
@@ -314,7 +327,7 @@ class LakehouseSQL:
         )
 
     def _detail(self, m: re.Match) -> DataFrame:
-        d = self.table(m.group("tbl")).detail()
+        d = self.table(m.group("tbl"), allow_matview=True).detail()
         return self.spark.createDataFrame(
             [
                 (
@@ -331,7 +344,7 @@ class LakehouseSQL:
         )
 
     def _describe(self, m: re.Match) -> DataFrame:
-        pairs = self.table(m.group("tbl")).describe()
+        pairs = self.table(m.group("tbl"), allow_matview=True).describe()
         return self.spark.createDataFrame(pairs, "col_name string, data_type string")
 
     def _update(self, m: re.Match) -> DataFrame:
@@ -623,20 +636,30 @@ class LakehouseSQL:
         from data_pipeline_with_spark_spark.lake.matview import IncrementalAggView
 
         name = _norm(m.group("name"))
-        if name in self._matviews or name in self._tables:
+        if name in self._matviews or name in self._tables or name in self._parquet:
             raise ValueError(f"name {name!r} already registered")
         base = self.table(m.group("tbl"))
         keys = [k.strip().strip("`") for k in m.group("groupby").split(",")]
         sum_cols: list[str] = []
         minmax: list[str] = []
         seen_keys: list[str] = []
-        for raw in m.group("select").split(","):
+        out_names: set[str] = set()
+
+        def claim(out_name: str) -> None:
+            # a duplicate select item would create a view whose schema
+            # repeats a column name — every later reference ambiguous
+            if out_name in out_names:
+                raise ValueError(f"duplicate select item for {out_name!r}")
+            out_names.add(out_name)
+
+        for raw in _split_top_level(m.group("select")):
             item = raw.strip()
             for kind, rex in _MV_ITEM_RES.items():
                 mi = rex.match(item)
                 if not mi:
                     continue
                 if kind == "key":
+                    claim(mi.group("col"))
                     seen_keys.append(mi.group("col"))
                 elif kind in ("sum", "min", "max"):
                     col = mi.group("col")
@@ -646,11 +669,13 @@ class LakehouseSQL:
                         raise ValueError(
                             f"alias {alias!r} must be the maintained name {want!r}"
                         )
+                    claim(want)
                     (sum_cols if kind == "sum" else minmax).append(col)
                 else:  # count(*)
                     alias = mi.group("alias")
                     if alias and alias != "n_rows":
                         raise ValueError("count(*) alias must be n_rows")
+                    claim("n_rows")
                 break
             else:
                 raise ValueError(

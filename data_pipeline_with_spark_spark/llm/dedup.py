@@ -462,6 +462,7 @@ def paragraph_dedup(
     id_col: str = "doc_id",
     sep: str = r"\n{2,}",
     block_tokens: int | None = None,
+    include_subsumed: bool = False,
 ) -> DataFrame:
     """Remove duplicated paragraphs CORPUS-WIDE, keeping the first
     occurrence (min ``(doc_id, para_idx)``), and rebuild each document
@@ -472,7 +473,9 @@ def paragraph_dedup(
     ``block_tokens`` for fixed token blocks when the corpus has no
     structural separators. Documents whose every paragraph already
     occurred earlier vanish from the output — paragraph dedup subsumes
-    exact-document dedup.
+    exact-document dedup (pass ``include_subsumed=True`` to keep them
+    as rows with ``n_kept = 0`` and empty ``text_dedup``, e.g. for
+    boilerplate-rate accounting where every paragraph must count).
 
     Scale shape (same discipline as exact_dedup): the grouping
     exchanges carry only (16-byte md5, id, idx) triplets and then
@@ -516,9 +519,16 @@ def paragraph_dedup(
     kept_segs = F.filter(
         F.col("__segs"), lambda p, i: F.array_contains(F.col("__kept_idx"), i)
     )
+    joined = with_segs.join(
+        kept_idx, on=id_col, how="left" if include_subsumed else "inner"
+    )
+    if include_subsumed:
+        joined = joined.withColumn(
+            "__kept_idx",
+            F.coalesce(F.col("__kept_idx"), F.array().cast("array<int>")),
+        )
     return (
-        with_segs.join(kept_idx, on=id_col)
-        .withColumn("n_paras", F.size("__segs").cast("bigint"))
+        joined.withColumn("n_paras", F.size("__segs").cast("bigint"))
         .withColumn("n_kept", F.size("__kept_idx").cast("bigint"))
         .withColumn("text_dedup", F.array_join(kept_segs, join_sep))
         .drop("__segs", "__kept_idx")

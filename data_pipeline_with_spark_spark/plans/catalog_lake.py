@@ -323,8 +323,9 @@ def _incremental_matview(spark: SparkSession, sf: str) -> DataFrame:
     supplier table, run UPDATE / DELETE / append against the base, CDF-
     refresh after each, and return the view rows tagged with a proof
     column: 1 iff the incrementally-maintained row equals the full
-    recompute. Refresh cost is O(changed rows) — the base table is
-    never rescanned."""
+    recompute. Refresh shuffles/merges only O(changed rows); the scan
+    cost of finding them is the snapshot-diff CDF (see
+    lake/matview.py's module docstring for the honest accounting)."""
     from data_pipeline_with_spark_spark.lake.matview import IncrementalAggView
 
     sup = read_testdata(spark, sf, "supplier").select(

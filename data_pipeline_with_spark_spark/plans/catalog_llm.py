@@ -645,24 +645,14 @@ def _boilerplate_rate(spark: SparkSession, sf: str) -> DataFrame:
     from paragraph_dedup output, so the shuffles stay digest-only;
     the ratio divides two longs once, per NEXT.md float discipline."""
     docs = read_testdata(spark, sf, "documents")
-    out = dedup.paragraph_dedup(docs, block_tokens=8)
-    # documents whose every paragraph was subsumed don't appear in the
-    # dedup output; recover their totals from the full doc list so the
-    # per-source denominator counts ALL paragraphs
-    totals = docs.select(
-        "doc_id",
-        "source",
-        F.greatest(
-            F.ceil(F.size(text.tokens(F.col("text"))) / 8), F.lit(1)
-        ).cast("long").alias("n_paras_all"),
-    )
-    per_doc = totals.join(
-        out.select("doc_id", "n_kept"), on="doc_id", how="left"
-    ).withColumn("n_kept", F.coalesce("n_kept", F.lit(0)))
+    # include_subsumed keeps fully-duplicate docs as n_kept=0 rows, so
+    # the per-source denominator counts ALL paragraphs and the
+    # segmentation arithmetic lives in exactly one place (dedup.py)
+    out = dedup.paragraph_dedup(docs, block_tokens=8, include_subsumed=True)
     return (
-        per_doc.groupBy("source")
+        out.groupBy("source")
         .agg(
-            F.sum("n_paras_all").cast("bigint").alias("n_paras"),
+            F.sum("n_paras").cast("bigint").alias("n_paras"),
             F.sum("n_kept").cast("bigint").alias("n_kept"),
         )
         .withColumn(

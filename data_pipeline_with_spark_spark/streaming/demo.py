@@ -521,11 +521,17 @@ def run_stream_matview(
     merge, so a crash between append and refresh is healed by the next
     refresh (it folds from the recorded watermark, never resampling).
 
-    At 100 TB: per-batch cost is O(batch) for the append and
-    O(changed rows) for the fold — the base table is never rescanned,
-    which is the whole point versus recomputing the aggregate per
-    trigger. ``value`` is folded as integer cents: sums maintained by
-    signed add/subtract must be exact, not floating drift."""
+    Cost honesty: the fold's DELTA is O(changed rows), but this
+    engine's ``changes()`` derives it as a declarative diff of the two
+    endpoint snapshots (two ``exceptAll`` passes), so each refresh
+    still READS O(table) even though it shuffles/merges only the
+    delta. A file-log CDF (Delta's) would read only the changed files;
+    with this engine the equivalent shortcut is deriving the batch's
+    delta from ``batch_df`` itself when the sink is append-only —
+    ``changes()`` is used here because it stays correct for arbitrary
+    base DML, not just streaming appends. ``value`` is folded as
+    integer cents: sums maintained by signed add/subtract must be
+    exact, not floating drift."""
     from pathlib import Path
 
     from data_pipeline_with_spark_spark.lake.matview import IncrementalAggView

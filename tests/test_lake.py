@@ -738,6 +738,26 @@ def test_matview_sql_routes(spark, tmp_path):
         )
     with pytest.raises(KeyError, match="no materialized view"):
         router.sql("REFRESH MATERIALIZED VIEW nope")
+    # duplicate select items would make every later reference ambiguous
+    with pytest.raises(ValueError, match="duplicate select item"):
+        router.sql(
+            "CREATE MATERIALIZED VIEW mv_dup AS "
+            "SELECT k, sum(v), sum(v) FROM base_t GROUP BY k"
+        )
+    # the view's backing table is read-only through the router: DML on
+    # it would desync the CDF watermark and corrupt every later refresh
+    with pytest.raises(ValueError, match="materialized view"):
+        router.sql("DELETE FROM mv_t WHERE k = 'a'")
+    with pytest.raises(ValueError, match="materialized view"):
+        router.sql("UPDATE mv_t SET sum_v = 0")
+    # ... but read-shaped routes still work on it
+    assert router.sql("DESCRIBE HISTORY mv_t").count() >= 1
+    # a matview may not shadow a parquet registration either
+    router.register_parquet("pq_t", str(tmp_path / "nowhere"))
+    with pytest.raises(ValueError, match="already registered"):
+        router.sql(
+            "CREATE MATERIALIZED VIEW pq_t AS SELECT k, count(*) FROM base_t GROUP BY k"
+        )
 
 
 def test_incremental_agg_view_minmax_rescan(spark, tmp_path):
