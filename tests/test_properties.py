@@ -180,3 +180,46 @@ def test_versioned_table_matches_model_under_random_dml(spark, tmp_path_factory,
     for v, snap in list(snapshots.items())[:: max(1, len(snapshots) // 3)]:
         got = {(r.id, r.k, r.v) for r in t.read(version=v).collect()}
         assert got == set(snap.values()), f"version {v} mismatch"
+
+
+para_words = st.sampled_from(["alpha", "beta", "gamma", "delta"])
+paragraphs = st.lists(para_words, min_size=1, max_size=3).map(" ".join)
+
+
+@given(
+    docs=st.lists(
+        st.lists(paragraphs, min_size=1, max_size=4).map("\n\n".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_settings
+def test_paragraph_dedup_keep_first_property(spark, docs):
+    # Corpus-wide invariants on generated multi-paragraph documents:
+    # every distinct paragraph survives EXACTLY once, its survivor is
+    # the lexicographically-first (doc_id, para_idx) occurrence, and
+    # each doc's kept paragraphs preserve original order. Pure-Python
+    # replay is the oracle.
+    from data_pipeline_with_spark_spark.llm.dedup import paragraph_dedup
+
+    rows = [(i, text) for i, text in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r for r in paragraph_dedup(df, include_subsumed=True).collect()
+    }
+    first_owner: dict[str, tuple[int, int]] = {}
+    for i, text in rows:
+        for idx, para in enumerate(text.split("\n\n")):
+            first_owner.setdefault(para, (i, idx))
+    for i, text in rows:
+        paras = text.split("\n\n")
+        kept = [p for idx, p in enumerate(paras) if first_owner[p] == (i, idx)]
+        r = out[i]
+        assert r.n_paras == len(paras)
+        assert r.n_kept == len(kept)
+        assert r.text_dedup == "\n\n".join(kept)
+    # exactly-once survival across the whole corpus
+    survived = [
+        p for r in out.values() if r.text_dedup for p in r.text_dedup.split("\n\n")
+    ]
+    assert sorted(survived) == sorted(set(first_owner))
