@@ -400,7 +400,9 @@ class LakehouseSQL:
         )
 
     def _optimize(self, m: re.Match) -> DataFrame:
-        vt = self.table(m.group("tbl"))
+        # content-preserving: rewrites files, same logical rows — safe
+        # (and useful) on a frequently-merged matview backing table
+        vt = self.table(m.group("tbl"), allow_matview=True)
         zorder = (
             [c.strip(" `") for c in m.group("zorder").split(",")]
             if m.group("zorder")
@@ -446,7 +448,7 @@ class LakehouseSQL:
         )
 
     def _vacuum(self, m: re.Match) -> DataFrame:
-        removed = self.table(m.group("tbl")).vacuum(
+        removed = self.table(m.group("tbl"), allow_matview=True).vacuum(
             keep_versions=int(m.group("n") or 1),
             dry_run=bool(m.group("dry")),
         )

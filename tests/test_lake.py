@@ -752,6 +752,16 @@ def test_matview_sql_routes(spark, tmp_path):
         router.sql("UPDATE mv_t SET sum_v = 0")
     # ... but read-shaped routes still work on it
     assert router.sql("DESCRIBE HISTORY mv_t").count() >= 1
+    # content-preserving maintenance is allowed: OPTIMIZE rewrites
+    # files, not logical rows, so a later refresh stays correct
+    router.sql("OPTIMIZE mv_t")
+    t.append(spark.createDataFrame([(5, "a", 4)], "id INT, k STRING, v INT"))
+    router.sql("REFRESH MATERIALIZED VIEW mv_t")
+    got = {
+        r.k: (r.sum_v, r.n_rows)
+        for r in router.sql("SELECT k, sum_v, n_rows FROM mv_t").collect()
+    }
+    assert got == {"a": (54, 2), "b": (9, 2)}
     # a matview may not shadow a parquet registration either
     router.register_parquet("pq_t", str(tmp_path / "nowhere"))
     with pytest.raises(ValueError, match="already registered"):
