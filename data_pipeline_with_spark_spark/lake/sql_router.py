@@ -136,6 +136,11 @@ _NOT_NULL_RE = re.compile(
     r"`?(?P<col>\w+)`?\s+(?P<verb>SET|DROP)\s+NOT\s+NULL\s*;?\s*$",
     _I,
 )
+_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<tgt>[\w.`]+)\s+SHALLOW\s+CLONE\s+"
+    r"(?P<src>[\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?\s*;?\s*$",
+    _I,
+)
 _CREATE_MV_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.`]+)\s+AS\s+"
     r"SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<tbl>[\w.`]+)\s+"
@@ -306,6 +311,7 @@ class LakehouseSQL:
             (_ADD_CONSTRAINT_RE, self._add_constraint),
             (_DROP_CONSTRAINT_RE, self._drop_constraint),
             (_NOT_NULL_RE, self._alter_not_null),
+            (_CLONE_RE, self._shallow_clone),
             (_CREATE_MV_RE, self._create_matview),
             (_REFRESH_MV_RE, self._refresh_matview),
             (_DESCRIBE_RE, self._describe),  # after HISTORY/DETAIL
@@ -624,6 +630,27 @@ class LakehouseSQL:
         return self.spark.createDataFrame(
             [(m.group("name"), vt._latest().version)],
             "constraint string, new_version bigint",
+        )
+
+    def _shallow_clone(self, m: re.Match) -> DataFrame:
+        """CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF n] — the
+        SQL face of ``VersionedTable.clone_from``: zero bytes copied,
+        the clone's v0 references the source snapshot's files, and the
+        new table registers under ``tgt`` for every other route."""
+        tgt = _norm(m.group("tgt"))
+        if tgt in self._tables or tgt in self._parquet or tgt in self._matviews:
+            raise ValueError(f"name {tgt!r} already registered")
+        src = self.table(m.group("src"), allow_matview=True)
+        version = int(m.group("v")) if m.group("v") else None
+        clone = VersionedTable.clone_from(
+            src,
+            str(self.workspace / tgt.replace(".", "__")),
+            version=version,
+        )
+        self.register_table(tgt, clone)
+        return self.spark.createDataFrame(
+            [(tgt, _norm(m.group("src")), clone._latest().version)],
+            "cloned string, source string, new_version bigint",
         )
 
     def _create_matview(self, m: re.Match) -> DataFrame:

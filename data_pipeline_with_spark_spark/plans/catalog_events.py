@@ -209,3 +209,69 @@ register(
         oracle=_transitions_sql(),
     )
 )
+
+
+def _psi_drift_sql(epoch_fn: str) -> str:
+    # Population Stability Index between the first and second half of
+    # the event stream, per event type: the standard production
+    # drift-detection number (PSI < 0.1 stable, > 0.25 shifted). The
+    # value domain buckets into 10 fixed-width bins; a zero-filled
+    # (type x half x bin) grid + Laplace smoothing (+0.5 per bin) keeps
+    # ln() finite exactly the way production PSI implementations do.
+    # Scale shape: two grouped counts over one scan + a grid join of
+    # O(types x 20) rows — the stream itself never shuffles more than
+    # (type, half, bin) partials. Identical text runs in both engines;
+    # the epoch extraction is the only dialect difference.
+    return f"""
+    WITH e AS (SELECT event_type, {epoch_fn} AS es, value FROM events),
+    mid AS (SELECT (min(es) + max(es)) / 2 AS m FROM e),
+    b AS (SELECT event_type,
+                 CASE WHEN es <= m THEN 0 ELSE 1 END AS half,
+                 CAST(least(floor(value / 50), 9) AS INT) AS bin
+          FROM e CROSS JOIN mid),
+    c AS (SELECT event_type, half, bin, count(*) AS n
+          FROM b GROUP BY event_type, half, bin),
+    tot AS (SELECT event_type, half, sum(n) AS t
+            FROM c GROUP BY event_type, half),
+    grid AS (SELECT DISTINCT b.event_type, h.half, v.bin
+             FROM b
+             CROSS JOIN (SELECT 0 AS half UNION ALL SELECT 1) h
+             CROSS JOIN (SELECT 0 AS bin UNION ALL SELECT 1 UNION ALL
+                         SELECT 2 UNION ALL SELECT 3 UNION ALL
+                         SELECT 4 UNION ALL SELECT 5 UNION ALL
+                         SELECT 6 UNION ALL SELECT 7 UNION ALL
+                         SELECT 8 UNION ALL SELECT 9) v),
+    p AS (SELECT g.event_type, g.half, g.bin,
+                 (coalesce(c.n, 0) + 0.5) / (tot.t + 5.0) AS p
+          FROM grid g
+          LEFT JOIN c ON g.event_type = c.event_type
+                     AND g.half = c.half AND g.bin = c.bin
+          JOIN tot ON g.event_type = tot.event_type AND g.half = tot.half),
+    pair AS (SELECT a.event_type, a.bin, a.p AS pa, z.p AS pb
+             FROM p a JOIN p z ON a.event_type = z.event_type
+                              AND a.bin = z.bin
+             WHERE a.half = 0 AND z.half = 1)
+    SELECT pair.event_type,
+           CAST(t0.t AS BIGINT) AS n_first_half,
+           CAST(t1.t AS BIGINT) AS n_second_half,
+           round(sum((pb - pa) * ln(pb / pa)), 6) AS psi
+    FROM pair
+    JOIN tot t0 ON pair.event_type = t0.event_type AND t0.half = 0
+    JOIN tot t1 ON pair.event_type = t1.event_type AND t1.half = 1
+    GROUP BY pair.event_type, t0.t, t1.t
+    """
+
+
+def _psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    register_testdata_views(spark, sf)
+    return spark.sql(_psi_drift_sql("unix_timestamp(ts)"))
+
+
+register(
+    QuerySpec(
+        name="events_psi_drift",
+        build=_psi_drift,
+        doc="per-type PSI drift between stream halves (10-bin value histogram, Laplace-smoothed)",
+        oracle=_psi_drift_sql("CAST(floor(epoch(ts)) AS BIGINT)"),
+    )
+)

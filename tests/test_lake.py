@@ -770,6 +770,29 @@ def test_matview_sql_routes(spark, tmp_path):
         )
 
 
+def test_shallow_clone_sql_route(spark, tmp_path):
+    from data_pipeline_with_spark_spark.lake.sql_router import LakehouseSQL
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "clsrc"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id INT, tag STRING"))
+    t.append(spark.createDataFrame([(3, "c")], "id INT, tag STRING"))
+    router = LakehouseSQL(spark, str(tmp_path / "ws"))
+    router.register_table("src_t", t)
+    row = router.sql("CREATE TABLE cl_t SHALLOW CLONE src_t").collect()[0]
+    assert (row.cloned, row.source) == ("cl_t", "src_t")
+    assert router.sql("SELECT count(*) AS n FROM cl_t").collect()[0].n == 3
+    # divergence: writes to either side never affect the other
+    router.sql("DELETE FROM cl_t WHERE id = 1")
+    assert t.read().count() == 3
+    assert router.table("cl_t").read().count() == 2
+    # time-travel clone of the pre-append snapshot
+    router.sql("CREATE TABLE cl_v0 SHALLOW CLONE src_t VERSION AS OF 0")
+    assert router.sql("SELECT count(*) AS n FROM cl_v0").collect()[0].n == 2
+    with pytest.raises(ValueError, match="already registered"):
+        router.sql("CREATE TABLE cl_t SHALLOW CLONE src_t")
+
+
 def test_incremental_agg_view_minmax_rescan(spark, tmp_path):
     # MIN/MAX IVM hybrid: inserts fold incrementally; a delete that
     # removes the stored extremum triggers a group-scoped rescan. Every
