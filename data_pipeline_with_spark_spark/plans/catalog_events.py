@@ -275,3 +275,55 @@ register(
         oracle=_psi_drift_sql("CAST(floor(epoch(ts)) AS BIGINT)"),
     )
 )
+
+
+def _ks_drift_sql(epoch_fn: str) -> str:
+    # Two-sample Kolmogorov-Smirnov D per event type between stream
+    # halves: max |ECDF_1(x) - ECDF_2(x)| over the merged support —
+    # PSI's binning-free companion (PSI sees magnitude of shift per
+    # bucket, KS the worst single point of distributional divergence).
+    # Exact, not binned: per-value counts cumulate through one window
+    # per type ordered by value. Scale note: the window partition holds
+    # a type's DISTINCT values; at 100 TB one quantizes values first
+    # (binned KS) to bound it — the fixture's ~5k/type is fine exact.
+    return f"""
+    WITH e AS (SELECT event_type, {epoch_fn} AS es, value FROM events),
+    mid AS (SELECT (min(es) + max(es)) / 2 AS m FROM e),
+    b AS (SELECT event_type,
+                 CASE WHEN es <= m THEN 0 ELSE 1 END AS half, value
+          FROM e CROSS JOIN mid),
+    tot AS (SELECT event_type,
+                   sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+                   sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+            FROM b GROUP BY event_type),
+    r AS (SELECT event_type, value,
+                 sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+                 sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+          FROM b GROUP BY event_type, value),
+    c AS (SELECT event_type, value,
+                 sum(c0) OVER (PARTITION BY event_type ORDER BY value) AS cum0,
+                 sum(c1) OVER (PARTITION BY event_type ORDER BY value) AS cum1
+          FROM r)
+    SELECT c.event_type,
+           CAST(tot.n0 AS BIGINT) AS n_first_half,
+           CAST(tot.n1 AS BIGINT) AS n_second_half,
+           round(max(abs(CAST(cum0 AS DOUBLE) / tot.n0
+                         - CAST(cum1 AS DOUBLE) / tot.n1)), 6) AS ks_d
+    FROM c JOIN tot ON c.event_type = tot.event_type
+    GROUP BY c.event_type, tot.n0, tot.n1
+    """
+
+
+def _ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    register_testdata_views(spark, sf)
+    return spark.sql(_ks_drift_sql("unix_timestamp(ts)"))
+
+
+register(
+    QuerySpec(
+        name="events_ks_drift",
+        build=_ks_drift,
+        doc="per-type two-sample KS statistic between stream halves (exact ECDF max gap)",
+        oracle=_ks_drift_sql("CAST(floor(epoch(ts)) AS BIGINT)"),
+    )
+)
