@@ -1,0 +1,203 @@
+"""Pure-numpy image codecs for uncompressed containers (BMP, PPM).
+
+The container environment has no PIL/libvips/ffmpeg, but two standard
+image containers need no compression library at all:
+
+- **BMP** (Windows bitmap, ``BITMAPINFOHEADER`` + uncompressed 24-bit
+  BGR, bottom-up rows, 4-byte row padding) — the classic interchange
+  format, decodable with struct math alone.
+- **PPM** (Netpbm ``P6``: ASCII header ``P6 <w> <h> <maxval>`` then raw
+  RGB bytes) — the simplest real image container in existence.
+
+These are *real* codecs for those formats (byte-exact round-trip,
+header validation), not fakes: any external 24-bit uncompressed BMP or
+binary PPM decodes correctly. They give the multimodal pipeline
+(``llm/multimodal.py``) genuine pixels end-to-end without any native
+image library. Compressed formats (JPEG/PNG) still require a codec lib
+and raise ``UnsupportedImageError``.
+
+North-star capability (multimodal columns over binary payloads); no
+reference counterpart — the reference (elliemci/data-pipeline-with-spark)
+has no image path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class UnsupportedImageError(ValueError):
+    """Payload is not a container this pure-numpy codec can handle."""
+
+
+# --------------------------------------------------------------------------
+# BMP: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (40 bytes) + pixels.
+# 24-bit BGR, BI_RGB (no compression), rows bottom-up, padded to 4 bytes.
+
+_BMP_FILE_HEADER = struct.Struct("<2sIHHI")   # magic, file size, res, res, data offset
+_BMP_INFO_HEADER = struct.Struct("<IiiHHIIiiII")
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Encode an H×W×3 uint8 RGB array as an uncompressed 24-bit BMP."""
+    arr = np.asarray(rgb, dtype=np.uint8)
+    if arr.ndim == 2:  # grayscale convenience: replicate into RGB
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 (or HxW) uint8, got shape {arr.shape}")
+    h, w, _ = arr.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    # BGR order, bottom row first, each row padded to a 4-byte boundary.
+    bgr = arr[::-1, :, ::-1]
+    rows = bytearray()
+    zeros = b"\x00" * pad
+    for r in range(h):
+        rows += bgr[r].tobytes()
+        rows += zeros
+    data_offset = _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size
+    file_size = data_offset + len(rows)
+    header = _BMP_FILE_HEADER.pack(b"BM", file_size, 0, 0, data_offset)
+    info = _BMP_INFO_HEADER.pack(
+        _BMP_INFO_HEADER.size,  # biSize
+        w,                      # biWidth
+        h,                      # biHeight (>0 => bottom-up)
+        1,                      # biPlanes
+        24,                     # biBitCount
+        0,                      # biCompression = BI_RGB
+        len(rows),              # biSizeImage
+        2835, 2835,             # 72 DPI in px/metre
+        0, 0,                   # palette entries / important colors
+    )
+    return header + info + bytes(rows)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP to an H×W×3 uint8 RGB array."""
+    if (
+        len(data) < _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size
+        or data[:2] != b"BM"
+    ):
+        raise UnsupportedImageError("not a BMP payload (or truncated header)")
+    _, _, _, _, data_offset = _BMP_FILE_HEADER.unpack_from(data, 0)
+    bi_size = struct.unpack_from("<I", data, _BMP_FILE_HEADER.size)[0]
+    if bi_size < 40:
+        raise UnsupportedImageError(f"unsupported BMP header size {bi_size}")
+    (_, w, h, planes, bpp, compression, *_rest) = _BMP_INFO_HEADER.unpack_from(
+        data, _BMP_FILE_HEADER.size
+    )
+    if compression != 0 or bpp != 24 or planes != 1:
+        raise UnsupportedImageError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    need = data_offset + stride * h
+    if len(data) < need:
+        raise UnsupportedImageError("truncated BMP pixel data")
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=data_offset)
+    rows = raw.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+# --------------------------------------------------------------------------
+# PPM (Netpbm P6): "P6\n<w> <h>\n<maxval>\n" + raw RGB bytes.
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    arr = np.asarray(rgb, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 (or HxW) uint8, got shape {arr.shape}")
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if not data.startswith(b"P6"):
+        raise UnsupportedImageError("not a binary PPM (P6) payload")
+    # Header tokens may be separated by any whitespace and '#' comments.
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise UnsupportedImageError("truncated PPM header")
+        tokens.append(data[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise UnsupportedImageError(f"only maxval=255 PPM supported (got {maxval})")
+    need = w * h * 3
+    if len(data) - pos < need:
+        raise UnsupportedImageError("truncated PPM pixel data")
+    return (
+        np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+# --------------------------------------------------------------------------
+# Dispatch + pixel ops shared by the multimodal operators.
+
+def sniff_format(data: bytes) -> str | None:
+    """'bmp' / 'ppm' for containers this codec decodes, else None."""
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:2] == b"P6":
+        return "ppm"
+    return None
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode BMP or PPM payload bytes to an H×W×3 uint8 RGB array."""
+    fmt = sniff_format(bytes(data))
+    if fmt == "bmp":
+        return decode_bmp(bytes(data))
+    if fmt == "ppm":
+        return decode_ppm(bytes(data))
+    raise UnsupportedImageError("unrecognized image container (expected BMP or P6 PPM)")
+
+
+def encode_image(rgb: np.ndarray, fmt: str = "bmp") -> bytes:
+    if fmt == "bmp":
+        return encode_bmp(rgb)
+    if fmt == "ppm":
+        return encode_ppm(rgb)
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def to_grayscale(rgb: np.ndarray) -> np.ndarray:
+    """Integer ITU-R BT.601 luma: (299R + 587G + 114B) // 1000.
+
+    Pure-integer so the result is bit-deterministic across platforms;
+    a gray image (R==G==B) maps to exactly its byte value.
+    """
+    arr = np.asarray(rgb, dtype=np.int64)
+    return ((299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]) // 1000).astype(
+        np.uint8
+    )
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize (2-D grayscale or 3-D RGB), the
+    deterministic sampling used by the resize operator and pHash.
+    Source index = floor(dst * src / dstN) — pure integer arithmetic."""
+    src_h, src_w = img.shape[:2]
+    ys = (np.arange(height) * src_h) // height
+    xs = (np.arange(width) * src_w) // width
+    return img[np.ix_(ys, xs)] if img.ndim == 2 else img[np.ix_(ys, xs)]

@@ -9,11 +9,14 @@ The pattern for a 100 TB multimodal lakehouse:
   JVM→Python once per Arrow batch, not per row, and the operator
   composes with Catalyst like any other plan node.
 
-The image/audio codec libraries are not in this container, so the real
-codec call is STUBBED: ``decode_image_stub`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder (byte
-histogram features + checksum) exercises the full Spark plumbing —
-schema, batching, partitioning — with verifiable output.
+Decode is REAL for uncompressed containers: ``llm/codecs.py`` is a
+pure-numpy BMP (24-bit BI_RGB) and PPM (binary P6) codec, so payloads
+in those containers flow through genuine decode → grayscale →
+histogram / resize / DCT pixel math. Compressed formats (JPEG/PNG)
+would need PIL/libvips, which this container lacks — for payloads in an
+unrecognized container the codec boundary falls back to the
+clearly-marked deterministic fake (``fake=True``) or raises
+NotImplementedError, exercising the identical Spark plumbing either way.
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_pipeline_with_spark_spark.llm import codecs
 from data_pipeline_with_spark_spark.util import ensure_min_partitions
 
 FEATURE_DIM = 16
@@ -54,19 +58,75 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def attach_image_payload(
+    df: DataFrame,
+    width: int = 24,
+    height: int = 16,
+    fmt: str = "bmp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Attach a REAL image payload (BMP or PPM container, decodable by
+    ``llm/codecs.py``) derived deterministically from the id column:
+    grayscale pixel at flat index i is ``(doc_id*177 + i*55) % 256``.
+    The formula is SQL-replayable, so downstream pixel statistics are
+    DuckDB-oracle-checkable even though the Spark side round-trips the
+    bytes through a genuine container encode/decode."""
+    import numpy as np
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        idx = np.arange(width * height, dtype=np.int64)
+        out = []
+        for d in ids:
+            gray = ((int(d) * 177 + idx * 55) % 256).astype(np.uint8).reshape(
+                height, width
+            )
+            out.append(codecs.encode_image(gray, fmt))
+        return pd.Series(out)
+
+    mime = "image/bmp" if fmt == "bmp" else "image/x-portable-pixmap"
+    with_payload = df.withColumn("payload", gen(F.col(id_col).cast("long")))
+    return with_payload.withColumn(
+        "meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length(F.col("payload")).alias("n_bytes"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(1).alias("version"),
+        ),
+    )
+
+
 def decode_image_stub(payload: bytes, fake: bool = False) -> dict:
-    """Codec boundary. Real implementation would be PIL/libvips/ffmpeg;
-    those libraries are not available here, so this is a clearly-marked
-    stub. ``fake=True`` produces a deterministic fake decode."""
+    """Codec boundary. REAL decode for uncompressed containers (BMP /
+    P6 PPM via the pure-numpy ``llm/codecs.py``): features are the
+    16-bin grayscale-luma histogram, checksum the pixel-value sum.
+    Compressed formats would need PIL/libvips (absent here): for an
+    unrecognized container, ``fake=True`` produces the deterministic
+    byte-histogram fake decode, else NotImplementedError."""
+    data = bytes(payload)
+    if codecs.sniff_format(data) is not None:
+        import numpy as np
+
+        gray = codecs.to_grayscale(codecs.decode_image(data))
+        n_px = int(gray.size)
+        hist = np.bincount(gray.ravel() // (256 // FEATURE_DIM), minlength=FEATURE_DIM)
+        return {
+            "n_bytes": len(data),
+            "checksum": int(gray.sum(dtype=np.int64)),
+            "features": [int(h) / n_px if n_px else 0.0 for h in hist],
+        }
     if not fake:
         raise NotImplementedError(
-            "image/audio codecs not available in this environment; "
-            "use fake=True for the deterministic test decoder"
+            "compressed image/audio codecs not available in this environment; "
+            "supply BMP/PPM payloads or use fake=True for the deterministic "
+            "test decoder"
         )
-    n = len(payload)
-    checksum = sum(payload) % (2**32)
+    n = len(data)
+    checksum = sum(data) % (2**32)
     hist = [0] * FEATURE_DIM
-    for b in payload:
+    for b in data:
         hist[b % FEATURE_DIM] += 1
     features = [h / n if n else 0.0 for h in hist]
     return {"n_bytes": n, "checksum": checksum, "features": features}
@@ -110,16 +170,24 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_image_stub(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
-    """Resize codec boundary (real impl: PIL/libvips). ``fake=True``
+    """Resize codec boundary. REAL for BMP/PPM payloads: decode with
+    the pure-numpy codec, nearest-neighbor resample, re-encode in the
+    same container. For unrecognized containers ``fake=True``
     deterministically truncates/pads the byte stream to width*height
     bytes so the plumbing (binary in → binary out, metadata update) is
-    exercised end-to-end."""
+    still exercised end-to-end; otherwise NotImplementedError."""
+    data = bytes(payload)
+    fmt = codecs.sniff_format(data)
+    if fmt is not None:
+        resized = codecs.resize_nearest(codecs.decode_image(data), width, height)
+        return codecs.encode_image(resized, fmt)
     if not fake:
         raise NotImplementedError(
-            "image codecs not available in this environment; use fake=True"
+            "compressed image codecs not available in this environment; "
+            "supply BMP/PPM payloads or use fake=True"
         )
     target = width * height
-    return payload[:target].ljust(target, b"\0")
+    return data[:target].ljust(target, b"\0")
 
 
 def resize_images(
@@ -205,30 +273,33 @@ def perceptual_hash(
     payload_col: str = "payload",
     fake: bool = True,
 ) -> DataFrame:
-    """Perceptual hash (pHash) for image-shaped payloads: decode/resize
-    to a ``size``×``size`` grayscale grid (codec stubbed, like every
-    decode here), 2-D DCT-II (real numpy math — matmul with the cosine
-    basis), keep the 8×8 low-frequency block, threshold the 63 AC
-    coefficients at their median → 63-bit fingerprint. Near-identical
-    images differ in a few bits; resized/re-encoded copies usually in
-    none — the standard image-dedup fingerprint, one Arrow batch per
-    Python call."""
+    """Perceptual hash (pHash) for image-shaped payloads: decode to a
+    ``size``×``size`` grayscale grid (REAL decode for BMP/PPM via the
+    pure-numpy codec; byte-grid fake for unrecognized containers), 2-D
+    DCT-II (matmul with the cosine basis), keep the 8×8 low-frequency
+    block, threshold the 63 AC coefficients at their median → 63-bit
+    fingerprint. Near-identical images differ in a few bits;
+    resized/re-encoded copies usually in none — the standard image-dedup
+    fingerprint, one Arrow batch per Python call."""
     import numpy as np
 
     n = size
     k = np.arange(n)
     basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
 
+    def gray_grid(payload: bytes) -> "np.ndarray":
+        data = bytes(payload)
+        if codecs.sniff_format(data) is not None:
+            gray = codecs.to_grayscale(codecs.decode_image(data))
+            return codecs.resize_nearest(gray, n, n)
+        raw = resize_image_stub(data, n, n, fake=fake)
+        return np.frombuffer(raw, dtype=np.uint8).reshape(n, n)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                raw = resize_image_stub(payload, n, n, fake=fake)
-                grid = (
-                    np.frombuffer(raw, dtype=np.uint8)
-                    .reshape(n, n)
-                    .astype(np.float64)
-                )
+                grid = gray_grid(payload).astype(np.float64)
                 dct = basis @ grid @ basis.T
                 block = dct[:8, :8].flatten()[1:]  # drop DC
                 med = float(np.median(block))

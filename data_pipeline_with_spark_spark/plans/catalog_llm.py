@@ -825,18 +825,46 @@ register(
 
 
 def _mm_features(spark: SparkSession, sf: str) -> DataFrame:
+    # REAL decode path: payloads are genuine 24x16 BMP containers
+    # (pure-numpy codec, llm/codecs.py); pixel i of doc d is
+    # (d*177 + i*55) % 256, so the oracle replays the generator formula
+    # in SQL — if the BMP encode/decode or luma math were wrong, the
+    # checksum/histogram hashes would not match.
     docs = read_testdata(spark, sf, "documents")
-    assets = multimodal.attach_binary_payload(docs)
-    feats = multimodal.extract_features(assets, fake=True)
-    return feats.select("doc_id", "n_bytes", "checksum")
+    assets = multimodal.attach_image_payload(docs, width=24, height=16)
+    feats = multimodal.extract_features(assets, fake=False)
+    hist_int = F.transform(
+        "features", lambda x: F.floor(x * F.lit(384.0) + F.lit(0.5)).cast("int")
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("checksum").cast("bigint").alias("checksum"),
+        F.md5(F.concat_ws(",", hist_int)).alias("hist_digest"),
+    )
 
 
 register(
     QuerySpec(
         name="multimodal_extract_features",
         build=_mm_features,
-        doc="Arrow-batched mapInPandas decode/feature-extract (deterministic fake codec; real codec stubbed — llm/multimodal.py)",
-        oracle=None,  # byte-level checksum not SQL-expressible; pytest covers values
+        doc="Arrow-batched mapInPandas over REAL BMP decode (pure-numpy codec, "
+        "llm/codecs.py); oracle replays the deterministic pixel generator in SQL "
+        "(1206 = 54-byte BMP header + 16 rows x 72 bytes)",
+        oracle="""
+        WITH px AS (
+          SELECT doc_id,
+                 list_transform(range(0, 384), i -> (doc_id*177 + i*55) % 256) AS p
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(1206 AS BIGINT) AS n_bytes,
+               CAST(list_sum(p) AS BIGINT) AS checksum,
+               md5(array_to_string(
+                 list_transform(range(0, 16), b ->
+                   len(list_filter(p, v -> v // 16 = b))), ',')) AS hist_digest
+        FROM px
+        """,
     )
 )
 
@@ -1571,8 +1599,14 @@ register(
 
 
 def _phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    docs = read_testdata(spark, sf, "documents")
-    assets = multimodal.attach_binary_payload(docs)
+    # REAL pixels: 64 image classes (doc_id % 64) so same-class docs
+    # carry byte-identical BMP payloads -> pHash hamming 0; the DCT runs
+    # on genuinely decoded pixel grids. DCT thresholds are not
+    # SQL-expressible -> rows-only; pixel-exact pytest covers the codec.
+    docs = read_testdata(spark, sf, "documents").withColumn(
+        "img_class", F.col("doc_id") % 64
+    )
+    assets = multimodal.attach_image_payload(docs, id_col="img_class")
     hashed = multimodal.perceptual_hash(assets)
     return multimodal.phash_near_dup_pairs(hashed, max_hamming=4)
 
@@ -1581,8 +1615,9 @@ register(
     QuerySpec(
         name="multimodal_phash_near_dups",
         build=_phash_pairs,
-        doc="image near-dup pairs via perceptual hash (DCT pHash + banded LSH); "
-        "numpy DCT not SQL-expressible → rows-only, pytest-verified",
+        doc="image near-dup pairs via perceptual hash over REAL decoded BMP "
+        "pixels (DCT pHash + banded LSH); numpy DCT not SQL-expressible → "
+        "rows-only, pytest-verified",
         oracle=None,
     )
 )

@@ -1,0 +1,164 @@
+"""Pixel-exact tests for the pure-numpy image codecs (BMP / PPM) and
+the real multimodal decode path built on them."""
+
+import numpy as np
+import pytest
+
+from data_pipeline_with_spark_spark.llm import codecs, multimodal
+
+
+def test_bmp_round_trip_exact():
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (2, 3), (5, 4), (16, 24), (7, 13)]:  # incl. padded widths
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(arr)), arr)
+
+
+def test_bmp_bytes_handwritten():
+    # 1x2 image: left pixel pure red, right pure blue. 2*3=6 row bytes,
+    # padded to 8; file = 14 + 40 + 8 = 62 bytes.
+    arr = np.array([[[255, 0, 0], [0, 0, 255]]], dtype=np.uint8)
+    data = codecs.encode_bmp(arr)
+    assert len(data) == 62
+    assert data[:2] == b"BM"
+    assert int.from_bytes(data[2:6], "little") == 62          # file size
+    assert int.from_bytes(data[10:14], "little") == 54        # data offset
+    assert int.from_bytes(data[18:22], "little") == 2         # width
+    assert int.from_bytes(data[22:26], "little") == 1         # height
+    assert int.from_bytes(data[28:30], "little") == 24        # bpp
+    # Pixels are BGR: red -> 00 00 FF, blue -> FF 00 00, then 2 pad bytes.
+    assert data[54:62] == bytes([0, 0, 255, 255, 0, 0, 0, 0])
+    assert np.array_equal(codecs.decode_bmp(data), arr)
+
+
+def test_bmp_grayscale_and_errors():
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    rgb = codecs.decode_bmp(codecs.encode_bmp(gray))
+    assert np.array_equal(rgb[:, :, 0], gray)
+    assert np.array_equal(rgb[:, :, 1], gray)
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.decode_bmp(b"nope")
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.decode_bmp(codecs.encode_bmp(gray)[:40])  # truncated
+
+
+def test_ppm_round_trip_and_handwritten():
+    arr = np.array([[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], dtype=np.uint8)
+    data = codecs.encode_ppm(arr)
+    assert data == b"P6\n2 2\n255\n" + bytes(range(1, 13))
+    assert np.array_equal(codecs.decode_ppm(data), arr)
+    # comment + arbitrary whitespace in header is legal Netpbm
+    wonky = b"P6 # cmt\n 2\t2 # another\n 255\n" + bytes(range(1, 13))
+    assert np.array_equal(codecs.decode_ppm(wonky), arr)
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))
+
+
+def test_grayscale_luma_exact():
+    rgb = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 10, 10]]], dtype=np.uint8)
+    gray = codecs.to_grayscale(rgb)
+    # integer BT.601: floor((299R + 587G + 114B)/1000)
+    assert gray.tolist() == [[76, 149, 29, 10]]
+    # gray payloads decode to exactly their byte value
+    g = np.array([[0, 128, 255]], dtype=np.uint8)
+    assert codecs.to_grayscale(codecs.decode_bmp(codecs.encode_bmp(g))).tolist() == [
+        [0, 128, 255]
+    ]
+
+
+def test_resize_nearest_handwritten():
+    img = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    up = codecs.resize_nearest(img, 4, 4)
+    assert up.tolist() == [[1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]]
+    down = codecs.resize_nearest(up, 2, 2)
+    assert down.tolist() == img.tolist()
+    rgb = np.stack([img, img + 10, img + 20], axis=2)
+    up3 = codecs.resize_nearest(rgb, 4, 4)
+    assert up3.shape == (4, 4, 3)
+    assert np.array_equal(up3[:, :, 0], up)
+
+
+def test_decode_image_dispatch():
+    arr = np.full((2, 2, 3), 9, dtype=np.uint8)
+    assert np.array_equal(codecs.decode_image(codecs.encode_image(arr, "bmp")), arr)
+    assert np.array_equal(codecs.decode_image(codecs.encode_image(arr, "ppm")), arr)
+    assert codecs.sniff_format(b"\x89PNG\r\n") is None
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.decode_image(b"\x89PNG\r\n....")
+
+
+def test_decode_asset_real_pixels_no_fake_needed():
+    # Real container -> real decode even with fake=False.
+    gray = np.array([[0, 16], [32, 255]], dtype=np.uint8)
+    out = multimodal.decode_image_stub(codecs.encode_bmp(gray), fake=False)
+    assert out["checksum"] == 0 + 16 + 32 + 255
+    # histogram bins are v//16: {0:1, 1:1, 2:1, 15:1} over 4 pixels
+    assert out["features"][0] == 0.25
+    assert out["features"][1] == 0.25
+    assert out["features"][2] == 0.25
+    assert out["features"][15] == 0.25
+    assert sum(out["features"]) == pytest.approx(1.0)
+
+
+def test_resize_real_container_round_trip():
+    gray = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    resized = multimodal.resize_image_stub(codecs.encode_bmp(gray), 4, 4, fake=False)
+    dec = codecs.to_grayscale(codecs.decode_image(resized))
+    assert np.array_equal(dec, codecs.resize_nearest(gray, 4, 4))
+
+
+def test_attach_image_payload_generator_formula(spark):
+    df = spark.createDataFrame([(3, "x"), (7, "y")], ["doc_id", "text"])
+    assets = multimodal.attach_image_payload(df, width=4, height=2)
+    rows = {r.doc_id: r for r in assets.collect()}
+    for d in (3, 7):
+        img = codecs.to_grayscale(codecs.decode_image(bytes(rows[d].payload)))
+        expect = ((d * 177 + np.arange(8) * 55) % 256).reshape(2, 4)
+        assert np.array_equal(img, expect)
+        assert rows[d].meta.mime == "image/bmp"
+        assert rows[d].meta.width == 4
+
+
+def test_extract_features_real_decode_end_to_end(spark):
+    df = spark.createDataFrame([(5, "a")], ["doc_id", "text"])
+    assets = multimodal.attach_image_payload(df, width=24, height=16)
+    feats = multimodal.extract_features(assets, fake=False).collect()[0]
+    px = (5 * 177 + np.arange(384) * 55) % 256
+    assert feats.checksum == int(px.sum())
+    hist = np.bincount(px // 16, minlength=16)
+    assert feats.features == pytest.approx((hist / 384).tolist())
+    assert feats.n_bytes == 54 + 16 * 72  # BMP header + rows
+
+
+def test_phash_real_pixels_identical_and_perturbed(spark):
+    # Same generator id -> byte-identical image -> hamming 0; a copy
+    # with a few flipped pixels stays within a small hamming distance;
+    # a very different image does not collide at <=4.
+    base = np.minimum(np.add.outer(np.arange(32) * 6, np.arange(32) * 3), 255).astype(
+        np.uint8
+    )  # smooth diagonal gradient — the regime pHash is designed for
+    near = base.copy()
+    near[3, 3] ^= 0x08
+    near[20, 11] ^= 0x04
+    far = (((np.arange(32)[:, None] // 8 + np.arange(32)[None, :] // 8) % 2) * 255).astype(
+        np.uint8
+    )  # 8px checkerboard: very different spectrum
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(codecs.encode_bmp(base))),
+            (2, bytearray(codecs.encode_bmp(base))),
+            (3, bytearray(codecs.encode_bmp(near))),
+            (4, bytearray(codecs.encode_bmp(far))),
+        ],
+        "doc_id long, payload binary",
+    )
+    hashed = multimodal.perceptual_hash(df, fake=False)
+    hs = {r.doc_id: r.phash for r in hashed.collect()}
+    assert hs[1] == hs[2]
+    assert bin(hs[1] ^ hs[3]).count("1") <= 8
+    assert bin(hs[1] ^ hs[4]).count("1") > 8
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.phash_near_dup_pairs(hashed, max_hamming=4).collect()
+    }
+    assert pairs[(1, 2)] == 0
