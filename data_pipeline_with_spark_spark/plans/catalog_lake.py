@@ -331,8 +331,9 @@ def _incremental_matview(spark: SparkSession, sf: str) -> DataFrame:
     sup = read_testdata(spark, sf, "supplier").select(
         "s_suppkey",
         "s_nationkey",
-        # integer cents: exact under signed add/subtract folding
-        F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_cents"),
+        # integer cents: exact under signed add/subtract folding;
+        # floor(x+0.5) is the cross-engine half-up shared with the oracle
+        F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal_cents"),
     )
     t = VersionedTable(spark, tempfile.mkdtemp(prefix="matview_base_")).create(sup)
     view = IncrementalAggView(
@@ -376,7 +377,38 @@ register(
     QuerySpec(
         name="lakehouse_incremental_matview",
         build=_incremental_matview,
-        doc="CDF-driven incremental aggregate view: UPDATE/DELETE/append refreshes vs full recompute proof",
-        oracle=None,
+        doc="CDF-driven incremental aggregate view: UPDATE/DELETE/append refreshes "
+        "vs full recompute proof; oracle replays the deterministic DML sequence "
+        "as CTE logic over the base parquet (graduated from rows-only in r6)",
+        # The fixture DML is deterministic, so the view's final content
+        # equals a plain aggregate over the base table's final logical
+        # state — expressed here as update -> delete -> append CTEs. The
+        # proof column hashes as literal 1: if the incremental fold ever
+        # diverged from the recompute, Spark would emit 0 and mismatch.
+        oracle="""
+        WITH base AS (
+          SELECT s_suppkey, s_nationkey,
+                 CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+          FROM supplier
+        ), updated AS (
+          SELECT s_suppkey, s_nationkey,
+                 CASE WHEN s_suppkey % 3 = 0 THEN bal_cents + 100
+                      ELSE bal_cents END AS bal_cents
+          FROM base
+        ), deleted AS (
+          SELECT * FROM updated WHERE NOT (s_suppkey % 7 = 1)
+        ), final AS (
+          SELECT * FROM deleted
+          UNION ALL
+          SELECT s_suppkey + 100000 AS s_suppkey, s_nationkey, bal_cents
+          FROM deleted WHERE s_suppkey < 5
+        )
+        SELECT s_nationkey,
+               CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents,
+               count(*) AS n_rows,
+               CAST(1 AS INT) AS matches_recompute
+        FROM final
+        GROUP BY s_nationkey
+        """,
     )
 )

@@ -885,6 +885,29 @@ register(
 )
 
 
+def _ivf_indexed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    emb = read_testdata(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    idx = tempfile.mkdtemp(prefix="ivf_idx_")
+    similarity.ivf_build_index(emb, idx, n_cells=16)
+    return similarity.ivf_probe_topk(spark, idx, queries, k=5, n_probe=4)
+
+
+register(
+    QuerySpec(
+        name="sim_cosine_topk_ivf_indexed",
+        build=_ivf_indexed_topk,
+        doc="IVF ANN over the MATERIALIZED cell-partitioned index: corpus written "
+        "partitionBy(cell), probe is a partition-pruned scan of n_probe/n_cells "
+        "directories (PartitionFilters asserted in test_scale_patterns); same "
+        "seed => identical results to the in-job variant (rows-only: k-means)",
+        oracle=None,
+    )
+)
+
+
 def _token_estimate(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_testdata(spark, sf, "documents")
     return text.with_token_estimate(docs).select("doc_id", "n_pieces", "n_tokens_est")

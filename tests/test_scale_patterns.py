@@ -126,3 +126,29 @@ def test_new_query_plan_contracts(spark):
 
     p = _plan(specs["embedding_quantize_int8"].build(spark, sf))
     assert "Exchange" not in p and "EvalPython" not in p
+
+
+def test_ivf_materialized_index_prunes_partitions(spark, sf_dir, tmp_path):
+    from data_pipeline_with_spark_spark.llm.similarity import (
+        ivf_build_index,
+        ivf_probe_topk,
+        ivf_topk,
+    )
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(emb, idx, n_cells=16)
+
+    probed = ivf_probe_topk(spark, idx, queries, k=5, n_probe=4)
+    plan = _plan(probed)
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the scan must carry the probed-cell IN predicate, not read all cells
+    assert "cell IN" in plan or "cell#" in plan.split("PartitionFilters")[1][:200]
+
+    # identical quantizer seed => identical results to the in-job variant
+    in_job = ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+    got = {(r.q_id, r.neighbor_id, r.rnk) for r in probed.collect()}
+    want = {(r.q_id, r.neighbor_id, r.rnk) for r in in_job.collect()}
+    assert got == want and len(got) == 25
