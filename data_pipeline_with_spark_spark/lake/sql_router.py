@@ -474,11 +474,19 @@ class LakehouseSQL:
         # would fold `s.v + t.v` into `s.v + s.v`.
         scope = {talias: "t.", salias: "s."}
 
+        # Alias rewriting must skip quoted literals and comments (same
+        # discipline as the passthrough rewriter): with USING src AS u,
+        # a literal like 'call u. soon' in a SET value must NOT become
+        # 's.' (r5 ADVICE). _SQL_STRINGS_RE (not the default opaque set)
+        # so backticked identifiers still rescope.
+        alias_re = re.compile(rf"\b(?:{re.escape(talias)}|{re.escape(salias)})\.")
+
         def rescope(expr: str) -> str:
-            return re.sub(
-                rf"\b(?:{re.escape(talias)}|{re.escape(salias)})\.",
-                lambda am: scope[am.group(0)[:-1]],
+            return _sub_outside_literals(
                 expr,
+                alias_re,
+                lambda am: scope[am.group(0)[:-1]],
+                opaque=_SQL_STRINGS_RE,
             )
 
         keys = []

@@ -235,6 +235,14 @@ class VersionedTable:
         self.root = Path(path)
         self.log_dir = self.root / "_log"
         self.data_dir = self.root / "data"
+        # Optimistic-concurrency token: the last table version this
+        # instance read a snapshot at (recorded by _latest, reset to the
+        # committed version after each successful publish). _next_version
+        # refuses a slot that is not token+1, so a write whose base
+        # snapshot predates a concurrently-landed commit aborts with a
+        # conflict instead of silently excluding that commit from later
+        # snapshots (the r5-flagged lost-update window).
+        self._snapshot_version: int | None = None
 
     # ---------------------------------------------------------------- log
     # Every commit record is SELF-CONTAINED (full snapshot state, not a
@@ -316,6 +324,9 @@ class VersionedTable:
             with os.fdopen(fd, "w") as fh:
                 json.dump(commit.__dict__, fh)
             self._publish_commit(tmp, target, commit.version)
+            # published: later commits by this instance (multi-commit
+            # ops) build on the state just written
+            self._snapshot_version = commit.version
         finally:
             # tmp is removed on every exit path — serialization failure,
             # publish conflict, or success (link leaves tmp behind).
@@ -431,19 +442,50 @@ class VersionedTable:
         if not files:
             raise FileNotFoundError(f"no versioned table at {self.root}")
         c = self._read_commit_file(files[-1], newest=True)
-        if c is not None:
-            return c
-        if len(files) >= 2:
+        if c is None and len(files) >= 2:
             # raises on corruption — damage past the newest slot is real
-            return self._read_commit_file(files[-2], newest=False)
-        raise RuntimeError(
-            f"only commit in {self.log_dir} is corrupt or still "
-            "publishing; retry, or rebuild the table if this persists"
-        )
+            c = self._read_commit_file(files[-2], newest=False)
+        if c is None:
+            raise RuntimeError(
+                f"only commit in {self.log_dir} is corrupt or still "
+                "publishing; retry, or rebuild the table if this persists"
+            )
+        self._snapshot_version = c.version
+        return c
+
+    def _settle_log_tail(self) -> list[Path]:
+        """Writer-side liveness barrier: wait out an unparsable-but-young
+        newest log entry (a live O_EXCL publish mid-copy) before trusting
+        the tail. Readers (_latest) SKIP such an entry — correct for
+        them — but a writer that both skipped it for its base snapshot
+        and counted its slot for _next_version would commit past the
+        in-flight acknowledged commit and silently exclude it from every
+        later snapshot (lost update). So the write path blocks until the
+        tail parses, or ages past QUARANTINE_AGE_S and is quarantined
+        (re-listed), before any slot arithmetic."""
+        deadline = time.monotonic() + self.QUARANTINE_AGE_S + 5.0
+        while True:
+            files = self._log_files()
+            if not files or self._read_commit_file(files[-1], newest=True) is not None:
+                return files
+            if time.monotonic() >= deadline:
+                raise RuntimeError(
+                    f"commit log tail {files[-1]} still unparsable after "
+                    f"{self.QUARANTINE_AGE_S + 5.0:.0f}s; cannot choose a "
+                    "commit slot (crashed publisher with a refreshing mtime?)"
+                )
+            time.sleep(0.05)
 
     def _next_version(self) -> int:
-        files = self._log_files()
-        return int(files[-1].stem) + 1 if files else 0
+        files = self._settle_log_tail()
+        nxt = int(files[-1].stem) + 1 if files else 0
+        if self._snapshot_version is not None and nxt != self._snapshot_version + 1:
+            raise RuntimeError(
+                f"concurrent commit conflict: base snapshot was read at "
+                f"v{self._snapshot_version} but the next free slot is v{nxt}; "
+                "another writer committed in between — re-read and retry"
+            )
+        return nxt
 
     # ------------------------------------------------------------ schema
     @staticmethod

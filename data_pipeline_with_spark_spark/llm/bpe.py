@@ -25,6 +25,8 @@ Scale doctrine — why this shape survives 100 TB:
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,6 +38,20 @@ from data_pipeline_with_spark_spark.util import ensure_min_partitions
 # end-of-word marker, as in Sennrich et al. '16 — lets the tokenizer
 # distinguish "low" the word from "low" the prefix of "lower"
 EOW = "</w>"
+
+# Word segmentation shared between train and apply. The histogram side
+# tokenizes with text.tokens() — Java regex \s+, which is ASCII-only
+# ([ \t\n\x0B\f\r]) — so the Python apply side must split on the SAME
+# class, not str.split() (all Unicode whitespace): text containing e.g.
+# NBSP or U+2028 would otherwise segment into word boundaries the
+# training histogram never saw (r5 ADVICE).
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def split_words(text: str) -> list[str]:
+    """Lowercase + split on Java ``\\s+`` semantics, empties dropped —
+    the single word-boundary definition for BPE train AND apply."""
+    return [w for w in _JAVA_WS.split(text.lower()) if w]
 
 
 def word_histogram(
@@ -151,7 +167,7 @@ def apply_bpe(
             if not isinstance(text, str):
                 return []  # NULL text: empty tokenization, like tokens()
             out: list[str] = []
-            for w in text.lower().split():
+            for w in split_words(text):
                 hit = memo.get(w)
                 if hit is None:
                     hit = memo[w] = encode_word(w, ranks)

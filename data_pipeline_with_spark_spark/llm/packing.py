@@ -239,14 +239,28 @@ def source_mixture_weights(
     total = powed.agg(F.sum("__pw").alias("__pw_total"))
     return (
         powed.crossJoin(F.broadcast(total))
-        .withColumn("weight", F.round(F.col("__pw") / F.col("__pw_total"), 6))
+        # zero-token guard (r5 ADVICE): a source of all-empty documents
+        # has n_tokens=0 -> pw=0 and epochs would be 0/0 = NaN, which
+        # propagates into epoch_expand's n_repeats as NULL and silently
+        # drops the source. Weight/epochs pin to 0.0 instead (an empty
+        # source contributes no tokens, so 0 passes is the true answer).
+        .withColumn(
+            "weight",
+            F.when(
+                F.col("__pw_total") > 0,
+                F.round(F.col("__pw") / F.col("__pw_total"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
         .withColumn(
             "epochs",
-            F.round(
-                F.lit(float(target_tokens)) * (F.col("__pw") / F.col("__pw_total"))
-                / F.col("n_tokens").cast("double"),
-                4,
-            ),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.lit(float(target_tokens)) * (F.col("__pw") / F.col("__pw_total"))
+                    / F.col("n_tokens").cast("double"),
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)),
         )
         .select(source_col, "n_docs", "n_tokens", "weight", "epochs")
     )

@@ -1862,3 +1862,56 @@ def test_clone_carries_usable_stats(spark, tmp_path):
     assert stats and all("id" in s["cols"] for s in stats.values())
     kept, total = clone.plan_files(("id", "<", 50))
     assert total == 4 and len(kept) < total
+
+
+def test_writer_waits_out_inflight_publish_no_lost_update(spark, tmp_path):
+    # r5 ADVICE (medium): a writer starting while another writer's
+    # O_EXCL publish is in flight must NOT base its snapshot on v-1 yet
+    # commit to slot v+1 (which would silently exclude the in-flight
+    # acknowledged commit v from all later snapshots). Deterministic
+    # replay of that interleaving: the late writer's base snapshot READ
+    # skips the young in-flight entry (reader semantics), the in-flight
+    # publish then completes, and the late writer's slot choice must
+    # ABORT with a conflict instead of committing past it.
+    import json as _json
+    import threading as _threading
+    import time as _time
+
+    df = spark.createDataFrame([(1, 1.0)], ["id", "v"])
+    t = VersionedTable(spark, str(tmp_path / "race")).create(df)
+    v = t._latest().version
+    inflight = t.log_dir / f"{v + 1:020d}.json"
+    inflight.write_text("")  # slot claimed, content not yet synced
+    assert t._latest().version == v  # base snapshot skips the live publish
+    done = _json.dumps({**t._latest().__dict__, "version": v + 1})
+
+    # settle blocks while the tail is unparsable, resumes when it lands
+    w = _threading.Thread(target=lambda: (_time.sleep(1.0), inflight.write_text(done)))
+    t0 = _time.monotonic()
+    w.start()
+    try:
+        with pytest.raises(RuntimeError, match="concurrent commit conflict"):
+            t._next_version()
+    finally:
+        w.join()
+    assert _time.monotonic() - t0 >= 0.9  # it genuinely waited, not raced
+    # commit v+1 survived; nothing was committed past it
+    assert t._latest().version == v + 1
+    # after re-reading the settled state, writes proceed normally
+    t.append(spark.createDataFrame([(3, 3.0)], ["id", "v"]))
+    assert t._latest().version == v + 2
+    assert t.read().count() == 2
+
+
+def test_next_version_rejects_stale_snapshot(spark, tmp_path):
+    # OCC token: _next_version refuses a slot that skips past a commit
+    # the instance has not seen.
+    df = spark.createDataFrame([(1, 1.0)], ["id", "v"])
+    t = VersionedTable(spark, str(tmp_path / "occ")).create(df)
+    t._latest()  # snapshot read at v0
+    other = VersionedTable(spark, str(tmp_path / "occ"))
+    other.append(spark.createDataFrame([(2, 2.0)], ["id", "v"]))  # v1 lands
+    with pytest.raises(RuntimeError, match="concurrent commit conflict"):
+        t._next_version()
+    t._latest()  # re-read -> token refreshes -> slot arithmetic is clean
+    assert t._next_version() == 2

@@ -239,7 +239,7 @@ def test_bpe_train_apply_matches_python_replay(spark, sf_dir):
     rows = docs.select("doc_id", "text").collect()
     hist: dict[str, int] = {}
     for r in rows:
-        for w in r.text.lower().split():
+        for w in bpe.split_words(r.text):  # same Java-\s+ boundary as train
             hist[w] = hist.get(w, 0) + 1
     replay_merges = bpe.train_merges_from_histogram(
         sorted(hist.items(), key=lambda kv: (-kv[1], kv[0])), 25
@@ -248,12 +248,32 @@ def test_bpe_train_apply_matches_python_replay(spark, sf_dir):
     ranks = {p: i for i, p in enumerate(replay_merges)}
     for r in rows:
         toks: list[str] = []
-        for w in r.text.lower().split():
+        for w in bpe.split_words(r.text):
             toks.extend(bpe.encode_word(w, ranks))
         assert got[r.doc_id] == (toks, len(toks)), r.doc_id
     # merges actually compress: fewer pieces than characters
     any_doc = rows[0]
     assert got[any_doc.doc_id][1] < len(any_doc.text)
+
+
+def test_bpe_unicode_whitespace_train_apply_parity(spark):
+    # r5 ADVICE: NBSP / U+2028 are NOT word boundaries for Java \s+
+    # (training side); the apply UDF must agree, not str.split().
+    from data_pipeline_with_spark_spark.llm import bpe
+
+    text = "low\u00a0lower low lowest\u2028low"
+    df = spark.createDataFrame([(1, text)], "doc_id INT, text STRING")
+    hist = {r.word: r["count"] for r in bpe.word_histogram(df).collect()}
+    # NBSP-joined "low\u00a0lower" is ONE training word on both sides
+    assert "low\u00a0lower" in hist and hist["low"] == 1
+    assert sorted(hist) == sorted(
+        {w: 0 for w in bpe.split_words(text)}
+    ), "train/apply word boundaries diverge"
+    merges = bpe.bpe_train(df, n_merges=5)
+    got = bpe.apply_bpe(df, merges).collect()[0]
+    ranks = {p: i for i, p in enumerate(merges)}
+    want = [t for w in bpe.split_words(text) for t in bpe.encode_word(w, ranks)]
+    assert list(got.bpe_tokens) == want
 
 
 def test_bpe_apply_null_text_yields_empty(spark):
@@ -730,3 +750,26 @@ def test_embedding_quantize_matches_numpy(spark):
         joined = ",".join(str(int(x)) for x in r.q_vec)
         assert digests[vec_id].q_digest == hashlib.md5(joined.encode()).hexdigest()
         assert min(r.q_vec) >= 0 and max(r.q_vec) <= 255
+
+
+def test_mixture_weights_zero_token_source_guard(spark):
+    # r5 ADVICE: a source whose documents are all empty must yield
+    # weight=0.0 / epochs=0.0 (not NaN/NULL) and be cleanly dropped by
+    # epoch_expand instead of poisoning n_repeats with NULL.
+    import math
+
+    from data_pipeline_with_spark_spark.llm import packing
+
+    df = spark.createDataFrame(
+        [(1, "a", "the quick brown fox jumps"), (2, "a", "over the lazy dog"),
+         (3, "b", ""), (4, "b", "   ")],
+        ["doc_id", "source", "text"],
+    )
+    w = {r.source: r for r in packing.source_mixture_weights(df, target_tokens=100).collect()}
+    assert w["b"].n_tokens == 0
+    assert w["b"].weight == 0.0 and w["b"].epochs == 0.0
+    assert not math.isnan(w["a"].epochs) and w["a"].epochs > 0
+    assert w["a"].weight == 1.0  # sole token-bearing source takes all mass
+    out = packing.epoch_expand(df, target_tokens=100).collect()
+    assert all(r.source == "a" for r in out) and len(out) > 0
+    assert all(r.n_repeats is not None for r in out)

@@ -434,3 +434,23 @@ def test_vacuum_dry_run_removes_nothing(lake):
     assert vt.read().count() == 3
     det = vt.detail()
     assert det["clustering_columns"] == [] and det["identity_columns"] == []
+
+
+def test_merge_alias_rescope_skips_string_literals(lake, spark):
+    # r5 ADVICE: with USING src AS u, a literal like 'call u. soon'
+    # inside a SET value must not have its "u." rewritten to "s.".
+    lake.sql("CONVERT TO DELTA eea_curated.co2_emissions")
+    spark.createDataFrame(
+        [("DE", "BMW", 2500.0, 2020)], ["MS", "Mh", "ec_cm3", "year"]
+    ).createOrReplaceTempView("updates_lit")
+    lake.sql(
+        """
+        MERGE INTO eea_curated.co2_emissions AS g
+        USING updates_lit AS u
+        ON g.Mh = u.Mh
+        WHEN MATCHED THEN UPDATE SET ec_cm3 = u.ec_cm3, MS = 'call u. soon'
+        """
+    )
+    rows = {r.Mh: (r.MS, r.ec_cm3)
+            for r in lake.table("eea_curated.co2_emissions").read().collect()}
+    assert rows["BMW"] == ("call u. soon", 2500.0)
