@@ -391,12 +391,18 @@ def connected_components(
     transitive but "is a duplicate of" must be.
 
     Algorithm: min-label propagation (the Pregel/GraphX formulation, as
-    in Spark's GraphFrames connectedComponents): each iteration joins
-    labels to the undirected edge list and takes the min of neighbor
-    labels; converges in O(diameter) iterations. Dup clusters are tiny
-    (diameter ≤ a few hops), so 3-4 rounds settle real corpora; each
-    round is one shuffle join + one min-aggregation, labels only —
-    document bodies never move.
+    in Spark's GraphFrames connectedComponents) PLUS pointer doubling:
+    each iteration (a) joins labels to the undirected edge list and
+    takes the min of neighbor labels, then (b) shortcuts every label to
+    its label's label (component <- component[component], the
+    path-halving step of Shiloach-Vishkin / the Hash-to-Min family).
+    Propagation alone converges in O(diameter) rounds — fine for tiny
+    dup clusters, pathological for adversarial chain graphs; the
+    doubling step squares the pointer-jump distance per round, so even
+    a pure path graph converges in O(log n) rounds (property-tested: a
+    10k-node path settles in <15 iterations). Each round is two label
+    joins + one min-aggregation, labels only — document bodies never
+    move.
 
     Lineage control: an iterative persist() alone grows the logical
     plan by two joins per round — at tens of iterations, planning time
@@ -425,12 +431,29 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, on=labels.node == neighbor_min.src, how="left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # pointer doubling: component <- component's component. Labels
+        # are always node ids, so the self-join hits except transiently
+        # mid-round (coalesce keeps the propagated label then).
+        parent = propagated.select(
+            F.col("node").alias("__p_node"), F.col("component").alias("__p_comp")
+        )
+        new_labels = (
+            propagated.join(
+                parent, on=propagated.component == parent.__p_node, how="left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("__p_comp", F.col("component"))
                 ).alias("component"),
             )
         )

@@ -426,6 +426,22 @@ def test_connected_components_long_chain_stress(spark):
     assert got == {(i, 1) for i in range(1, n + 1)}
 
 
+def test_connected_components_path_graph_log_rounds(spark):
+    # Adversarial chain robustness (r5 verdict lead #6): min-label
+    # propagation alone needs O(diameter) rounds — ~10k for this graph.
+    # With the pointer-doubling shortcut, a 10,000-node PATH graph must
+    # fully converge within 15 iterations (O(log n)); max_iter=15 makes
+    # the bound the test: an unconverged run leaves wrong labels.
+    n = 10_000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    labels = dedup.connected_components(pairs, max_iter=15)
+    comps = {r.component for r in labels.collect()}
+    assert comps == {0}
+    assert labels.count() == n
+
+
 def test_phash_image_near_dups(spark):
     # Identical payloads share a pHash (hamming 0); an unrelated payload
     # must not pair with them within the hamming budget.

@@ -112,8 +112,25 @@ def test_new_query_plan_contracts(spark):
     assert "SortMergeJoin" not in p  # DF table + corpus-size scalar broadcast
     # The tf and df branches share one tokenize+shuffle of the corpus;
     # AQE applies the reuse at runtime, so pin it on the FINAL plan.
+    # Accounting for PLANS.md's "5 raw Exchanges": in the FINAL adaptive
+    # plan, ≤3 of them are distinct DATA shuffles (tf-agg on
+    # (doc_id,term), df-agg on term, final per-doc window on doc_id);
+    # the corpus-size count is a one-row SinglePartition scalar, and the
+    # df branch re-reads the tokenize shuffle via ReusedExchange instead
+    # of tokenizing the corpus a second time. A ReusedExchange line
+    # quotes its target ("ReusedExchange [...], Exchange hash..."), so
+    # count only Exchange NODES (line starts), not textual mentions.
     df.collect()
-    assert "ReusedExchange" in _plan(df)
+    import re as _re
+
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    data_shuffles = len(
+        _re.findall(r"^[\s:+|-]*Exchange hashpartitioning", final, _re.M)
+    )
+    assert data_shuffles <= 3, f"{data_shuffles} data shuffles:\n{final}"
+    scalar_shuffles = len(_re.findall(r"^[\s:+|-]*Exchange SinglePartition", final, _re.M))
+    assert scalar_shuffles <= 1
 
     p = _plan(specs["w2_analytic_windows"].build(spark, sf))
     assert p.count("Exchange") <= 1  # one consolidated window ordering
