@@ -59,6 +59,22 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
     total = round(sum(timings.values()), 3)
+    # Round-over-round attribution: the headline set grows as operators
+    # land (19 queries in r4 -> 22 in r5 -> ...), so the full-set total
+    # is not comparable across rounds by itself. Also report the
+    # subtotal over the frozen r4 19-query set, so "faster/slower than
+    # last round" claims stay attributable to real plan changes rather
+    # than set growth.
+    r4_set = {
+        "a2_group_avg_multikey", "curation_pipeline", "decontam_benchmark_overlap",
+        "dedup_minhash_lsh_pairs", "dedup_minhash_signatures", "j1_denormalize_star",
+        "j2_yoy_self_join", "j6_asof_join", "r1_unpivot_melt",
+        "sim_cosine_topk_bruteforce", "stream_tumbling_window", "text_profile",
+        "tpch_q18_large_volume_customer", "tpch_q1_pricing_summary",
+        "tpch_q3_top_revenue_orders", "tpch_q5_local_supplier_volume",
+        "tpch_q7_volume_shipping", "tpch_q9_product_profit", "w1_topk_per_group",
+    }
+    comparable = round(sum(v for k, v in timings.items() if k in r4_set), 3)
     print(
         json.dumps(
             {
@@ -69,6 +85,8 @@ def main() -> None:
                 "sf": parse_sf(SF_DIR),
                 "runs_per_query": runs,
                 "aggregation": "median",
+                "r4_comparable_total": comparable,
+                "r4_comparable_n": sum(1 for k in timings if k in r4_set),
             }
         )
     )

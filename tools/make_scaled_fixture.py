@@ -77,6 +77,17 @@ def scale_table(con: duckdb.DuckDBPyConnection, table: str, out_dir: Path) -> No
                 for c in range(1, FACTOR)
             )
             exprs.append(f"CASE c {cases} ELSE text END AS text")
+        elif table == "events" and col == "event_type":
+            exprs.append(col)
+            # Extra zipf-skewed key for skew-robustness benchmarks
+            # (r5 verdict lead #4): log-uniform rank over [1, 1000] is
+            # zipf(s≈1) — the hottest key carries ~10% of all rows,
+            # rank k carries ∝1/k. Deterministic (hash of event_id +
+            # copy), so every run and both engines see the same skew.
+            exprs.append(
+                "CAST(floor(pow(1000.0, ((hash(event_id + c * 100000) & 1023) + 0.5)"
+                " / 1024.0)) AS BIGINT) AS skew_key"
+            )
         elif table == "embeddings" and col == "embedding":
             # cyclic coordinate rotation by c positions (1-based slices,
             # inclusive both ends; [1:0] is empty for c = 0)
