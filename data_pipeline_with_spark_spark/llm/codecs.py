@@ -152,15 +152,84 @@ def decode_ppm(data: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# WAV (RIFF/WAVE, PCM16 mono/stereo): the uncompressed audio container —
+# 12-byte RIFF header + "fmt " chunk + "data" chunk of raw samples.
+# Like BMP/PPM, needs no codec library; any external PCM16 WAV decodes.
+
+_WAV_FMT = struct.Struct("<HHIIHH")  # format, channels, rate, byte_rate, align, bits
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 samples (1-D mono or [n, channels]) as PCM16 WAV."""
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2:
+        raise ValueError(f"expected 1-D or 2-D samples, got shape {arr.shape}")
+    n_channels = arr.shape[1]
+    data = arr.tobytes()  # interleaved little-endian int16
+    byte_rate = sample_rate * n_channels * 2
+    fmt = _WAV_FMT.pack(1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM16 WAV to ([n, channels] int16 samples, sample_rate)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise UnsupportedImageError("not a RIFF/WAVE payload")
+    pos, rate, n_channels, pcm = 12, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            if size < _WAV_FMT.size:
+                raise UnsupportedImageError("truncated WAV fmt chunk")
+            audio_fmt, n_channels, rate, _, _, bits = _WAV_FMT.unpack_from(data, body)
+            if audio_fmt != 1 or bits != 16:
+                raise UnsupportedImageError(
+                    f"only PCM16 WAV supported (format={audio_fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            if body + size > len(data):
+                raise UnsupportedImageError("truncated WAV data chunk")
+            pcm = data[body : body + size]
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if rate is None or pcm is None:
+        raise UnsupportedImageError("WAV missing fmt or data chunk")
+    samples = np.frombuffer(pcm, dtype="<i2")
+    if n_channels > 1:
+        samples = samples[: (len(samples) // n_channels) * n_channels].reshape(
+            -1, n_channels
+        )
+    else:
+        samples = samples[:, None] if samples.ndim == 1 else samples
+        samples = samples.reshape(-1, 1)
+    return samples.copy(), int(rate)
+
+
+# --------------------------------------------------------------------------
 # Dispatch + pixel ops shared by the multimodal operators.
 
 def sniff_format(data: bytes) -> str | None:
-    """'bmp' / 'ppm' for containers this codec decodes, else None."""
+    """'bmp' / 'ppm' for IMAGE containers this codec decodes, else None."""
     if data[:2] == b"BM":
         return "bmp"
     if data[:2] == b"P6":
         return "ppm"
     return None
+
+
+def sniff_media(data: bytes) -> str | None:
+    """Any container this module decodes: image formats plus 'wav'."""
+    if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    return sniff_format(data)
 
 
 def decode_image(data: bytes) -> np.ndarray:

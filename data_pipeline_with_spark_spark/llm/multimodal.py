@@ -315,6 +315,91 @@ def perceptual_hash(
     return inp.mapInPandas(run, PHASH_SCHEMA)
 
 
+def attach_audio_payload(
+    df: DataFrame,
+    n_samples: int = 2048,
+    sample_rate: int = 8000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Attach a REAL audio payload (PCM16 WAV container, decodable by
+    ``llm/codecs.py``) derived deterministically from the id column:
+    sample i of doc d is ``((d*31 + i*7) % 2001) - 1000`` — a sawtooth
+    with doc-dependent phase whose statistics (RMS, zero crossings,
+    peak) are SQL-replayable, so the audio feature pipeline is
+    DuckDB-oracle-checkable end-to-end through a genuine WAV
+    encode/decode round trip."""
+    import numpy as np
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        idx = np.arange(n_samples, dtype=np.int64)
+        out = []
+        for d in ids:
+            samples = (((int(d) * 31 + idx * 7) % 2001) - 1000).astype(np.int16)
+            out.append(codecs.encode_wav(samples, sample_rate))
+        return pd.Series(out)
+
+    with_payload = df.withColumn("payload", gen(F.col(id_col).cast("long")))
+    return with_payload.withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.octet_length(F.col("payload")).alias("n_bytes"),
+            F.lit(sample_rate).alias("sample_rate"),
+            F.lit(1).alias("version"),
+        ),
+    )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def extract_audio_features(
+    assets: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow-batched audio feature extraction over REAL WAV decode
+    (pure-struct RIFF parser, ``llm/codecs.py``): per clip — sample
+    count, rate, duration, integer RMS (floor(x+0.5) half-up, the
+    cross-engine formula), strict-sign zero crossings, absolute peak.
+    Stereo folds to mono by averaging channels (integer floor) first.
+    Compressed audio (MP3/AAC) would need ffmpeg — absent here — and
+    raises through the codec boundary."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples, rate = codecs.decode_wav(bytes(payload))
+                mono = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
+                n = len(mono)
+                rms = int(np.floor(np.sqrt((mono * mono).mean()) + 0.5)) if n else 0
+                zc = int(((mono[1:] * mono[:-1]) < 0).sum()) if n > 1 else 0
+                rows["doc_id"].append(int(doc_id))
+                rows["n_samples"].append(n)
+                rows["sample_rate"].append(rate)
+                rows["duration_ms"].append(int(n * 1000) // rate if rate else 0)
+                rows["rms"].append(rms)
+                rows["zero_crossings"].append(zc)
+                rows["peak"].append(int(np.abs(mono).max()) if n else 0)
+            yield pd.DataFrame(rows)
+
+    inp = ensure_min_partitions(assets.select(id_col, payload_col))
+    return inp.mapInPandas(run, AUDIO_SCHEMA)
+
+
 def phash_near_dup_pairs(
     hashed: DataFrame,
     id_col: str = "doc_id",

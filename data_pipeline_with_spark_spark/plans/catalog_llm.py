@@ -869,6 +869,44 @@ register(
 )
 
 
+def _audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    # REAL WAV decode path: payloads are genuine PCM16 RIFF/WAVE
+    # containers (pure-struct parser, llm/codecs.py); sample i of doc d
+    # is ((d*31 + i*7) % 2001) - 1000, so the oracle replays the
+    # generator in SQL — wrong RIFF parsing or sample math breaks the
+    # RMS / zero-crossing / peak hashes.
+    docs = read_testdata(spark, sf, "documents")
+    assets = multimodal.attach_audio_payload(docs, n_samples=2048, sample_rate=8000)
+    return multimodal.extract_audio_features(assets)
+
+
+register(
+    QuerySpec(
+        name="multimodal_audio_features",
+        build=_audio_features,
+        doc="Arrow-batched mapInPandas over REAL PCM16 WAV decode (pure-struct "
+        "RIFF parser, llm/codecs.py); oracle replays the deterministic sample "
+        "generator in SQL",
+        oracle="""
+        WITH s AS (
+          SELECT doc_id,
+                 list_transform(range(0, 2048),
+                                i -> ((doc_id*31 + i*7) % 2001) - 1000) AS smp
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(2048 AS BIGINT) AS n_samples,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(256 AS BIGINT) AS duration_ms,
+               CAST(floor(sqrt(list_avg(list_transform(smp, x -> CAST(x*x AS DOUBLE)))) + 0.5) AS BIGINT) AS rms,
+               CAST(len(list_filter(range(1, 2048), i -> smp[i+1]*smp[i] < 0)) AS BIGINT) AS zero_crossings,
+               CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak
+        FROM s
+        """,
+    )
+)
+
+
 def _ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = read_testdata(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)

@@ -162,3 +162,37 @@ def test_phash_real_pixels_identical_and_perturbed(spark):
         for r in multimodal.phash_near_dup_pairs(hashed, max_hamming=4).collect()
     }
     assert pairs[(1, 2)] == 0
+
+
+def test_wav_round_trip_and_handwritten():
+    samples = np.array([0, 1000, -1000, 32767, -32768], dtype=np.int16)
+    data = codecs.encode_wav(samples, 8000)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    # 44-byte canonical header + 10 bytes of PCM
+    assert len(data) == 44 + 10
+    assert int.from_bytes(data[24:28], "little") == 8000   # sample rate
+    assert int.from_bytes(data[34:36], "little") == 16     # bits
+    dec, rate = codecs.decode_wav(data)
+    assert rate == 8000
+    assert dec.shape == (5, 1)
+    assert dec[:, 0].tolist() == samples.tolist()
+    # stereo round trip
+    st = np.array([[1, -1], [2, -2]], dtype=np.int16)
+    dec2, _ = codecs.decode_wav(codecs.encode_wav(st, 44100))
+    assert dec2.tolist() == st.tolist()
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.decode_wav(b"RIFFxxxxNOPE")
+    assert codecs.sniff_media(data) == "wav"
+    assert codecs.sniff_media(b"BMxxxx" + bytes(60)) == "bmp"
+
+
+def test_audio_features_real_decode_end_to_end(spark):
+    df = spark.createDataFrame([(9, "x")], ["doc_id", "text"])
+    assets = multimodal.attach_audio_payload(df, n_samples=2048, sample_rate=8000)
+    feats = multimodal.extract_audio_features(assets).collect()[0]
+    smp = ((9 * 31 + np.arange(2048) * 7) % 2001) - 1000
+    assert feats.n_samples == 2048 and feats.sample_rate == 8000
+    assert feats.duration_ms == 256
+    assert feats.rms == int(np.floor(np.sqrt((smp * smp).mean()) + 0.5))
+    assert feats.zero_crossings == int(((smp[1:] * smp[:-1]) < 0).sum())
+    assert feats.peak == int(np.abs(smp).max())

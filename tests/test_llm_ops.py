@@ -789,3 +789,21 @@ def test_mixture_weights_zero_token_source_guard(spark):
     out = packing.epoch_expand(df, target_tokens=100).collect()
     assert all(r.source == "a" for r in out) and len(out) > 0
     assert all(r.n_repeats is not None for r in out)
+
+
+def test_broadcast_query_guard_fails_fast(spark):
+    # brute-force / IVF broadcast the query side; past the documented
+    # bound they must fail with the remedy, not OOM an executor.
+    from data_pipeline_with_spark_spark.llm import similarity
+
+    orig = similarity.MAX_BROADCAST_QUERIES
+    similarity.MAX_BROADCAST_QUERIES = 10
+    try:
+        big_q = spark.range(50).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        )
+        with pytest.raises(ValueError, match="broadcasts the query set"):
+            similarity.brute_force_topk(big_q, big_q, k=2)
+    finally:
+        similarity.MAX_BROADCAST_QUERIES = orig
