@@ -27,6 +27,20 @@ extremum are rescanned, via a key-semi-joined aggregate over the base
 (partition/file-pruned by the group keys at scale). Updates and
 deletes that never hit an extremum stay O(changed rows).
 
+COUNT(DISTINCT col) (opt-in via ``distinct_cols``) uses the classic
+SUPPORT-RELATION design: a companion versioned table per column holds
+(keys…, value, cnt) — multiplicity of each non-null value per group —
+which IS self-maintainable under deletes (signed count fold; a row
+leaves when its multiplicity hits 0). ``read()`` derives
+``n_distinct_<col>`` as the companion's per-key row count, so the
+distinct count is exact, never rescans the base, and each refresh
+shuffles only O(changed rows). Sketches (HLL) would make the view
+merge-only and break under deletes — exactly why the exact support
+relation is the IVM-textbook answer. Each companion carries its OWN
+watermark committed atomically with its merge, so a crash between the
+companion and main-view merges re-syncs idempotently: the recovery
+refresh sees the companion already at the target version and skips it.
+
 View semantics note: ``sum_<col>`` is the sum of non-null values with 0
 (not NULL) for all-null groups — signed folding cannot distinguish "no
 non-null values" from "values summing to 0" without per-column non-null
@@ -61,13 +75,23 @@ class IncrementalAggView:
         keys: list[str],
         sum_cols: list[str],
         minmax_cols: list[str] | None = None,
+        distinct_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.source = source
         self.keys = list(keys)
         self.sum_cols = list(sum_cols)
         self.minmax_cols = list(minmax_cols or [])
+        self.distinct_cols = list(distinct_cols or [])
         self.view = VersionedTable(spark, path)
+        if self.distinct_cols and not {"value", "cnt"}.isdisjoint(self.keys):
+            raise ValueError(
+                "group keys may not be named 'value' or 'cnt' when "
+                "distinct_cols is used (support-relation column names)"
+            )
+        self.supports = {
+            c: VersionedTable(spark, f"{path}__dist_{c}") for c in self.distinct_cols
+        }
 
     # ------------------------------------------------------------ build
     def _agg_exprs(
@@ -101,13 +125,36 @@ class IncrementalAggView:
         # without a version re-resolves latest, and a commit landing
         # between the two calls would make every later refresh
         # double-apply that delta
-        agg = self.source.read(version=v).groupBy(*self.keys).agg(*self._agg_exprs())
+        snapshot = self.source.read(version=v)
+        agg = snapshot.groupBy(*self.keys).agg(*self._agg_exprs())
         self.view.create(agg)
         self.view.set_properties({self.SYNC_PROP: str(v)})
+        for c, support in self.supports.items():
+            sup = (
+                snapshot.where(F.col(f"`{c}`").isNotNull())
+                .groupBy(*self.keys, f"`{c}`")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+                .withColumnRenamed(c, "value")
+            )
+            support.create(sup)
+            support.set_properties({self.SYNC_PROP: str(v)})
         return self
 
     def read(self) -> DataFrame:
-        return self.view.read()
+        """View rows; ``n_distinct_<col>`` columns derive from the
+        support relations (exact, 0 for groups with only-null values)."""
+        out = self.view.read()
+        for c, support in self.supports.items():
+            roll = (
+                support.read()
+                .groupBy(*self.keys)
+                .agg(F.count(F.lit(1)).cast("long").alias(f"n_distinct_{c}"))
+            )
+            out = out.join(roll, on=self.keys, how="left").withColumn(
+                f"n_distinct_{c}",
+                F.coalesce(F.col(f"n_distinct_{c}"), F.lit(0).cast("long")),
+            )
+        return out
 
     def last_synced_version(self) -> int:
         props = self.view.table_properties()
@@ -126,6 +173,11 @@ class IncrementalAggView:
         merge. Returns refresh stats."""
         last = self.last_synced_version()
         cur = self.source._latest().version
+        # Support relations fold FIRST, each against its own watermark:
+        # a crash between a support merge and the main merge re-syncs
+        # idempotently (the recovered support skips; the view catches up).
+        for c, support in self.supports.items():
+            self._refresh_support(c, support, cur)
         if cur <= last:
             return {"from_version": last, "to_version": cur, "changed_keys": 0}
         ch = self.source.changes(last, cur)
@@ -182,6 +234,54 @@ class IncrementalAggView:
         finally:
             delta.unpersist()
         return {"from_version": last, "to_version": cur, "changed_keys": n_keys}
+
+    def _refresh_support(
+        self, c: str, support: VersionedTable, cur: int
+    ) -> None:
+        """Fold source changes into one COUNT DISTINCT support relation:
+        signed multiplicity per (group keys, value); a value's row leaves
+        when its multiplicity hits 0. Own watermark, committed atomically
+        with the merge — exactly-once independently of the main view."""
+        props = support.table_properties()
+        if self.SYNC_PROP not in props:
+            raise ValueError(
+                f"support relation for {c!r} has no watermark (interrupted "
+                "build?); rebuild the view with build()"
+            )
+        sup_last = int(props[self.SYNC_PROP])
+        if cur <= sup_last:
+            return
+        ch = self.source.changes(sup_last, cur)
+        is_ins = F.col("_change_type").isin("insert", "update_postimage")
+        sign = F.when(is_ins, F.lit(1)).otherwise(F.lit(-1))
+        d = (
+            ch.where(F.col(f"`{c}`").isNotNull())
+            .groupBy(*self.keys, f"`{c}`")
+            .agg(F.sum(sign).cast("long").alias("d_cnt"))
+            .withColumnRenamed(c, "value")
+            .where(F.col("d_cnt") != 0)  # updates not touching c net out
+        )
+        d = d.persist()
+        try:
+            if d.count() == 0:
+                support.set_properties({self.SYNC_PROP: str(cur)})
+                return
+            ins = {k: f"s.{k}" for k in self.keys}
+            ins["value"] = "s.value"
+            ins["cnt"] = "s.d_cnt"
+            support.merge(
+                d,
+                keys=[*self.keys, "value"],
+                matched=[
+                    WhenMatched(condition="t.cnt + s.d_cnt = 0", delete=True),
+                    WhenMatched(update={"cnt": "t.cnt + s.d_cnt"}),
+                ],
+                not_matched=[WhenNotMatched(insert=ins)],
+                validate_unique_source=False,
+                extra_properties={self.SYNC_PROP: str(cur)},
+            )
+        finally:
+            d.unpersist()
 
     def _with_minmax(self, delta: DataFrame, cur_version: int) -> DataFrame:
         """Resolve the final min/max per changed key (IVM hybrid).

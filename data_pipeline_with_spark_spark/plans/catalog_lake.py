@@ -373,6 +373,69 @@ def _incremental_matview(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _matview_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(DISTINCT) incremental maintenance through the exact
+    support relation, driven by deterministic DML and replayed by the
+    oracle as CTE logic — the same graduation pattern as
+    lakehouse_incremental_matview."""
+    from data_pipeline_with_spark_spark.lake.matview import IncrementalAggView
+
+    sup = read_testdata(spark, sf, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal_cents"),
+        (F.col("s_suppkey") % 10).alias("bucket"),
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="matview_cd_base_")).create(sup)
+    view = IncrementalAggView(
+        spark,
+        t,
+        tempfile.mkdtemp(prefix="matview_cd_view_") + "/v",
+        keys=["s_nationkey"],
+        sum_cols=["bal_cents"],
+        distinct_cols=["bucket"],
+    )
+    view.build()
+    t.update(where="s_suppkey % 4 = 0", set_exprs={"bucket": "bucket + 1"})
+    view.refresh()
+    t.delete(where="s_suppkey % 5 = 2")
+    view.refresh()
+    return view.read().select(
+        "s_nationkey", "sum_bal_cents", "n_rows", "n_distinct_bucket"
+    )
+
+
+register(
+    QuerySpec(
+        name="lakehouse_matview_count_distinct",
+        build=_matview_count_distinct,
+        doc="COUNT(DISTINCT) matview via exact support relation (multiplicity "
+        "per (group, value), self-maintainable under deletes); oracle replays "
+        "the deterministic UPDATE/DELETE as CTEs",
+        oracle="""
+        WITH base AS (
+          SELECT s_suppkey, s_nationkey,
+                 CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+                 s_suppkey % 10 AS bucket
+          FROM supplier
+        ), updated AS (
+          SELECT s_suppkey, s_nationkey, bal_cents,
+                 CASE WHEN s_suppkey % 4 = 0 THEN bucket + 1 ELSE bucket END AS bucket
+          FROM base
+        ), final AS (
+          SELECT * FROM updated WHERE NOT (s_suppkey % 5 = 2)
+        )
+        SELECT s_nationkey,
+               CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents,
+               count(*) AS n_rows,
+               CAST(count(DISTINCT bucket) AS BIGINT) AS n_distinct_bucket
+        FROM final
+        GROUP BY s_nationkey
+        """,
+    )
+)
+
+
 register(
     QuerySpec(
         name="lakehouse_incremental_matview",
