@@ -87,3 +87,35 @@ register(
         """,
     )
 )
+
+
+def _stream_matview(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING-executed incremental matview (readStream -> foreachBatch
+    -> idempotent append + CDF refresh, 4 real micro-batches) whose
+    final state must equal the plain batch aggregate — so the whole
+    exactly-once composition is DuckDB-hash-checkable."""
+    import tempfile
+
+    from data_pipeline_with_spark_spark.streaming.demo import run_stream_matview
+
+    _, view = run_stream_matview(spark, sf, tempfile.mkdtemp(prefix="stream_mv_"))
+    return view.read().select("user_id", "sum_value_cents", "n_rows")
+
+
+register(
+    QuerySpec(
+        name="stream_incremental_matview",
+        build=_stream_matview,
+        doc="continuously-maintained materialized view: 4 micro-batches of "
+        "transactional append + CDF fold; oracle is the batch aggregate the "
+        "stream must converge to",
+        oracle="""
+        SELECT user_id,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents,
+               count(*) AS n_rows
+        FROM events
+        GROUP BY user_id
+        """,
+    )
+)

@@ -542,7 +542,8 @@ def run_stream_matview(
     ev = read_testdata(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        # floor(x+0.5): the cross-engine half-up shared with the oracle
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("value_cents"),
     )
     # stage as 4 files so availableNow + maxFilesPerTrigger=1 yields 4
     # real micro-batches (the fixture is a single file = one batch)
