@@ -214,6 +214,73 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 
 # --------------------------------------------------------------------------
+# Y4M (YUV4MPEG2): the uncompressed VIDEO container — one ASCII stream
+# header ("YUV4MPEG2 W<w> H<h> F<n>:<d> ... C<fmt>\n"), then per frame a
+# "FRAME\n" marker + raw planes. Grayscale video is C400 / Cmono (luma
+# plane only), which keeps this a pure-struct parser like BMP/WAV.
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """Encode [n_frames, h, w] uint8 grayscale frames as Y4M (Cmono)."""
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 3:
+        raise ValueError(f"expected [n, h, w] frames, got shape {arr.shape}")
+    n, h, w = arr.shape
+    header = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n" % (w, h, fps[0], fps[1])
+    body = b"".join(b"FRAME\n" + arr[i].tobytes() for i in range(n))
+    return header + body
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """Decode a grayscale (Cmono/C400) Y4M to ([n, h, w] uint8, fps)."""
+    if not data.startswith(_Y4M_MAGIC):
+        raise UnsupportedImageError("not a YUV4MPEG2 payload")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise UnsupportedImageError("truncated Y4M stream header")
+    w = h = None
+    fps = (25, 1)
+    fmt = b"420"  # Y4M default when no C tag present
+    for tok in data[len(_Y4M_MAGIC) : nl].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = tok[1:].split(b":")
+            fps = (int(num), int(den))
+        elif tok[:1] == b"C":
+            fmt = tok[1:]
+    if w is None or h is None:
+        raise UnsupportedImageError("Y4M header missing W/H")
+    if not (fmt.startswith(b"mono") or fmt.startswith(b"400")):
+        raise UnsupportedImageError(
+            f"only grayscale Y4M (Cmono/C400) supported, got C{fmt.decode()}"
+        )
+    frame_bytes = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or data[pos : pos + 5] != b"FRAME":
+            raise UnsupportedImageError("malformed Y4M FRAME marker")
+        body = fnl + 1
+        if body + frame_bytes > len(data):
+            raise UnsupportedImageError("truncated Y4M frame data")
+        frames.append(
+            np.frombuffer(data, dtype=np.uint8, count=frame_bytes, offset=body).reshape(
+                h, w
+            )
+        )
+        pos = body + frame_bytes
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps
+
+
+# --------------------------------------------------------------------------
 # Dispatch + pixel ops shared by the multimodal operators.
 
 def sniff_format(data: bytes) -> str | None:
@@ -226,9 +293,11 @@ def sniff_format(data: bytes) -> str | None:
 
 
 def sniff_media(data: bytes) -> str | None:
-    """Any container this module decodes: image formats plus 'wav'."""
+    """Any container this module decodes: images, 'wav', or 'y4m'."""
     if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:9] == _Y4M_MAGIC:
+        return "y4m"
     return sniff_format(data)
 
 

@@ -907,6 +907,79 @@ register(
 )
 
 
+def _video_motion(spark: SparkSession, sf: str) -> DataFrame:
+    # REAL Y4M decode path: payloads are genuine YUV4MPEG2 containers
+    # (pure-struct parser, llm/codecs.py); pixel i of frame f for doc d
+    # is (d*177 + f*131 + i*55) % 256 — the oracle replays the
+    # generator, so broken FRAME parsing or plane math breaks the
+    # luma/motion hashes.
+    docs = read_testdata(spark, sf, "documents")
+    assets = multimodal.attach_video_payload(docs, n_frames=8, width=16, height=8)
+    return multimodal.video_motion_features(assets)
+
+
+register(
+    QuerySpec(
+        name="multimodal_video_motion",
+        build=_video_motion,
+        doc="per-clip motion (SAD between consecutive frames) over REAL Y4M "
+        "video decode (pure-struct YUV4MPEG2 parser, llm/codecs.py); oracle "
+        "replays the deterministic frame generator in SQL",
+        oracle="""
+        WITH px AS (
+          SELECT doc_id,
+                 list_transform(range(0, 8), f ->
+                   list_transform(range(0, 128),
+                                  i -> (doc_id*177 + f*131 + i*55) % 256)) AS fr
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(8 AS INT) AS n_frames,
+               CAST(list_sum(list_transform(fr, l -> list_sum(l))) AS BIGINT)
+                 AS luma_total,
+               CAST(list_sum(list_transform(range(1, 8), f ->
+                     list_sum(list_transform(range(0, 128), i ->
+                       abs(fr[f+1][i+1] - fr[f][i+1]))))) AS BIGINT) AS motion_sad
+        FROM px
+        """,
+    )
+)
+
+
+def _video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    assets = multimodal.attach_video_payload(docs, n_frames=8, width=16, height=8)
+    frames = multimodal.sample_video_frames(assets, every_nth=2)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.max("n_frames_total").alias("n_frames_total"),
+        F.sum("luma_sum").alias("sampled_luma"),
+    )
+
+
+register(
+    QuerySpec(
+        name="multimodal_video_frame_sampling",
+        build=_video_frames,
+        doc="every-2nd-frame sampling over REAL Y4M decode (1 clip -> N frames "
+        "inside the Arrow worker); per-frame luma sums are generator-replayable",
+        oracle="""
+        WITH s AS (
+          SELECT doc_id, f,
+                 list_sum(list_transform(range(0, 128),
+                   i -> (doc_id*177 + f*131 + i*55) % 256)) AS luma
+          FROM documents, (SELECT unnest([0, 2, 4, 6]) AS f)
+        )
+        SELECT doc_id,
+               count(*) AS n_sampled,
+               CAST(8 AS INT) AS n_frames_total,
+               CAST(sum(luma) AS BIGINT) AS sampled_luma
+        FROM s GROUP BY doc_id
+        """,
+    )
+)
+
+
 def _ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = read_testdata(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)

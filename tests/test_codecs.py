@@ -196,3 +196,38 @@ def test_audio_features_real_decode_end_to_end(spark):
     assert feats.rms == int(np.floor(np.sqrt((smp * smp).mean()) + 0.5))
     assert feats.zero_crossings == int(((smp[1:] * smp[:-1]) < 0).sum())
     assert feats.peak == int(np.abs(smp).max())
+
+
+def test_y4m_round_trip_and_handwritten():
+    frames = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    data = codecs.encode_y4m(frames, fps=(30, 1))
+    assert data.startswith(b"YUV4MPEG2 W3 H2 F30:1 Ip A1:1 Cmono\n")
+    # body: FRAME marker + 6 luma bytes, twice
+    assert data.count(b"FRAME\n") == 2
+    dec, fps = codecs.decode_y4m(data)
+    assert fps == (30, 1)
+    assert np.array_equal(dec, frames)
+    assert codecs.sniff_media(data) == "y4m"
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.decode_y4m(b"YUV4MPEG2 W2 H2 C420\n" + b"FRAME\n" + bytes(6))
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.decode_y4m(data[:-3])  # truncated last frame
+
+
+def test_video_ops_real_decode_end_to_end(spark):
+    df = spark.createDataFrame([(4, "x")], ["doc_id", "text"])
+    assets = multimodal.attach_video_payload(df, n_frames=8, width=16, height=8)
+    mot = multimodal.video_motion_features(assets).collect()[0]
+    idx = np.arange(128)
+    fr = np.stack([((4 * 177 + f * 131 + idx * 55) % 256) for f in range(8)])
+    assert mot.n_frames == 8
+    assert mot.luma_total == int(fr.sum())
+    assert mot.motion_sad == int(np.abs(fr[1:] - fr[:-1]).sum())
+
+    frames = multimodal.sample_video_frames(assets, every_nth=2).collect()
+    assert sorted(r.frame_idx for r in frames) == [0, 2, 4, 6]
+    for r in frames:
+        # each sampled frame is a standalone BMP of the right plane
+        img = codecs.to_grayscale(codecs.decode_image(bytes(r.frame)))
+        assert np.array_equal(img.ravel(), fr[r.frame_idx].astype(np.uint8))
+        assert r.luma_sum == int(fr[r.frame_idx].sum())
