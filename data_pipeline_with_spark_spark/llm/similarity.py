@@ -56,9 +56,13 @@ def with_norm(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
 MAX_BROADCAST_QUERIES = 100_000
 
 
-def _guard_query_count(q: DataFrame, op: str) -> None:
-    n = q.limit(MAX_BROADCAST_QUERIES + 1).count()
-    if n > MAX_BROADCAST_QUERIES:
+def _materialize_query_side(q: DataFrame, op: str) -> DataFrame:
+    """Collect the (small) query side once — enforcing the size bound —
+    and rebuild it as a local relation. This REPLACES the scan the
+    broadcast exchange would have done rather than adding a pre-count
+    job, so the guard costs nothing extra on the happy path."""
+    rows = q.limit(MAX_BROADCAST_QUERIES + 1).collect()
+    if len(rows) > MAX_BROADCAST_QUERIES:
         raise ValueError(
             f"{op} broadcasts the query set, sized for |queries| <= "
             f"{MAX_BROADCAST_QUERIES}; got more. For query sets at corpus "
@@ -66,6 +70,7 @@ def _guard_query_count(q: DataFrame, op: str) -> None:
             "(embedding_near_dup_pairs / lsh_bucketed_topk with the big "
             "side as corpus)."
         )
+    return q.sparkSession.createDataFrame(rows, q.schema)
 
 
 def brute_force_topk(
@@ -78,9 +83,9 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query. Queries broadcast; the
     corpus is scanned once; ranking window partitions by query."""
-    _guard_query_count(queries, "brute_force_topk")
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb")
+    q = _materialize_query_side(
+        queries.select(F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb")),
+        "brute_force_topk",
     )
     scored = (
         ensure_min_partitions(corpus)
@@ -188,7 +193,6 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    _guard_query_count(queries, "ivf_topk")
     corpus = ensure_min_partitions(corpus)
     vecs = corpus.withColumn("__v", array_to_vector(F.col(emb_col).cast("array<double>")))
     km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="cell")
@@ -201,8 +205,9 @@ def ivf_topk(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         ["cell", "centroid"],
     )
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb")
+    q = _materialize_query_side(
+        queries.select(F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb")),
+        "ivf_topk",
     )
     q_cells = (
         q.crossJoin(F.broadcast(centroids))
@@ -285,9 +290,11 @@ def ivf_probe_topk(
     are listed/scanned), then exact cosine + top-k inside the probed
     cells. Driver traffic is ≤ n_cells ints; everything row-scale stays
     distributed."""
-    _guard_query_count(queries, "ivf_probe_topk")
     centroids = spark.read.parquet(f"{path}/centroids")
-    q = queries.select(F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb"))
+    q = _materialize_query_side(
+        queries.select(F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb")),
+        "ivf_probe_topk",
+    )
     q_cells = (
         q.crossJoin(F.broadcast(centroids))
         .withColumn("dist", -cosine(F.col("q_emb"), F.col("centroid")))

@@ -805,5 +805,7 @@ def test_broadcast_query_guard_fails_fast(spark):
         )
         with pytest.raises(ValueError, match="broadcasts the query set"):
             similarity.brute_force_topk(big_q, big_q, k=2)
+        with pytest.raises(ValueError, match="broadcasts the query set"):
+            similarity.ivf_topk(big_q, big_q, k=2, n_cells=2)
     finally:
         similarity.MAX_BROADCAST_QUERIES = orig
