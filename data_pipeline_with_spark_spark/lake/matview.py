@@ -8,11 +8,14 @@ the row-level delta alone — never rescanning the base table.
 
 Scale doctrine (the whole point at 100 TB): a refresh SHUFFLES and
 merges only O(changed rows) — signed per-key deltas from one
-map-side-combined aggregation over the change feed. Honest caveat:
-this engine's ``changes()`` derives the feed as a declarative diff of
-the two endpoint snapshots (two ``exceptAll`` passes), so the refresh
-still *scans* O(table) to find the delta; a file-log CDF (Delta's)
-reads only changed files. Everything downstream of the feed — the
+map-side-combined aggregation over the change feed. As of round 6 the
+READ side is O(changed rows) too: ``changes()`` serves
+append/update/delete windows from RECORDED per-commit feeds (appends
+point at their new dirs; DML writes Delta-CDC-style ``_change_data``
+parquet at commit time), falling back to the declarative snapshot
+diff (two ``exceptAll`` passes, O(table) read) only for windows
+containing a MERGE, a rename/drop/retype, or a pre-feature commit.
+Everything downstream of the feed — the
 fold, the merge, the optional extremum rescan — is delta-sized. The
 watermark (last folded source version) rides the SAME commit as the
 merge via ``extra_properties``, so a crash can never double-apply or

@@ -225,6 +225,19 @@ class Commit:
     # metadata-only; files absent from the refs fall back to footer
     # reads, so correctness never depends on the stats existing.
     stats_refs: dict | None = None
+    # Recorded change feed (Delta's CDC files, written at commit time):
+    #   {"mode": "empty"}                       content-preserving commit
+    #   {"mode": "insert_dirs", "dirs": [...]}  append: the new dirs ARE
+    #                                           the feed (zero extra I/O)
+    #   {"mode": "parquet", "path": ...}        explicit feed parquet with
+    #                                           a _change_type column
+    #   None                                    unknown -> changes() falls
+    #                                           back to the snapshot diff
+    # With a recorded feed for every version in the window, changes()
+    # READS only O(changed rows) instead of scanning both endpoint
+    # snapshots — the file-log CDF cost model Delta has, closing the
+    # honest-cost caveat in lake/matview.py.
+    cdf: dict | None = None
 
 
 class VersionedTable:
@@ -582,6 +595,7 @@ class VersionedTable:
                 dv_paths=latest.dv_paths,
                 properties=merged,
                 stats_refs=latest.stats_refs,
+                cdf={"mode": "empty"},  # metadata-only: no row changes
             )
         )
         return self
@@ -1065,6 +1079,7 @@ class VersionedTable:
                 dv_paths=latest.dv_paths,
                 properties=latest.properties,
                 stats_refs=latest.stats_refs,
+                cdf={"mode": "empty"},
             )
         )
         return self
@@ -1088,6 +1103,7 @@ class VersionedTable:
                 dv_paths=latest.dv_paths,
                 properties=latest.properties,
                 stats_refs=latest.stats_refs,
+                cdf={"mode": "empty"},
             )
         )
         return self
@@ -1324,6 +1340,10 @@ class VersionedTable:
         writer.parquet(str(target))
         return str(target)
 
+    # Physical reorganizations: logical content identical before/after,
+    # so their recorded change feed is empty by construction.
+    _CONTENT_PRESERVING_OPS = frozenset({"OPTIMIZE", "CLUSTER", "REORG"})
+
     def _commit_write(
         self,
         df: DataFrame,
@@ -1332,12 +1352,15 @@ class VersionedTable:
         data_dirs: list[str],
         dv_paths: object = "carry",
         properties: dict | None = None,
+        cdf: dict | None = None,
     ) -> "VersionedTable":
         # "carry" keeps the previous commit's deletion vectors (partial
         # rewrites: untouched files still need their tombstones); a
         # full-snapshot rewrite passes None — every surviving row was
         # re-materialized, so tombstones are obsolete.
         dv = self._latest().dv_paths if dv_paths == "carry" else (dv_paths or None)
+        if cdf is None and operation in self._CONTENT_PRESERVING_OPS:
+            cdf = {"mode": "empty"}
         self._write_commit(
             Commit(
                 version=self._next_version(),
@@ -1355,9 +1378,24 @@ class VersionedTable:
                     properties if properties is not None else self._latest().properties
                 ),
                 stats_refs=self._stats_for_commit(data_dirs),
+                cdf=cdf,
             )
         )
         return self
+
+    def _write_cdf_feed(self, feed: DataFrame, version: int) -> dict:
+        """Write one commit's explicit change feed (rows + _change_type)
+        to ``data/v<N>_cdf`` — Delta's CDC-file analogue. O(changed
+        rows) extra write, paid once so every later ``changes()`` read
+        over this version is O(changed rows) instead of O(snapshot)."""
+        # _change_data/: Delta's CDC-file directory name; NOT under
+        # data/ — the feed is commit metadata, and DV deletes promise
+        # zero new data files
+        path = self.root / "_change_data" / f"v{version}"
+        # overwrite: a commit conflict at this version leaves an orphan
+        # feed dir; the retry must be able to reclaim the slot's path
+        feed.write.mode("overwrite").parquet(str(path))
+        return {"mode": "parquet", "path": str(path)}
 
     def create(
         self,
@@ -1498,6 +1536,7 @@ class VersionedTable:
                 dv_paths=self._latest().dv_paths,
                 properties=props,
                 stats_refs=self._stats_for_commit(dirs),
+                cdf={"mode": "insert_dirs", "dirs": [d]},
             )
         )
         return self
@@ -1565,6 +1604,7 @@ class VersionedTable:
                 dv_paths=self._latest().dv_paths,
                 properties=props,
                 stats_refs=self._stats_for_commit(self._latest().data_dirs + [d]),
+                cdf={"mode": "insert_dirs", "dirs": [d]},
             )
         )
         return True
@@ -1641,6 +1681,7 @@ class VersionedTable:
                 "UPDATE",
                 params,
                 self._latest().data_dirs,  # snapshot unchanged, dirs verbatim
+                cdf={"mode": "empty"},
             )
         src = self._df_for_paths(selected, schema, self._mapping(), self._dv())
         updated = apply_set(src)
@@ -1656,14 +1697,35 @@ class VersionedTable:
                 obs, F.count(F.when(F.expr(where), True)).alias("num_affected_rows")
             )
         )
-        d = self._write_data(updated_obs, self._next_version(), self.partition_columns())
+        version = self._next_version()
+        d = self._write_data(updated_obs, version, self.partition_columns())
         params["num_affected_rows"] = int(obs.get["num_affected_rows"])
+        # Recorded change feed: pre/post images of the matched rows only
+        # (file-granular like Delta CDC — a predicate-true row whose SET
+        # leaves it unchanged still appears, and nets out in any signed
+        # fold). One extra O(matched rows) pass over the selected files.
+        # Tag vocabulary mirrors the snapshot-diff route: the update_*
+        # refinement only exists when row tracking gives row identity.
+        pre_tag, post_tag = (
+            ("update_preimage", "update_postimage")
+            if self._row_tracking_enabled()
+            else ("delete", "insert")
+        )
+        hit = F.coalesce(F.expr(where), F.lit(False))
+        feed = (
+            src.where(hit)
+            .withColumn("_change_type", F.lit(pre_tag))
+            .unionByName(
+                apply_set(src.where(hit)).withColumn("_change_type", F.lit(post_tag))
+            )
+        )
         return self._commit_write(
             updated,
             "UPDATE",
             params,
             untouched + [d],
             dv_paths="carry" if untouched else None,
+            cdf=self._write_cdf_feed(feed, version),
         )
 
     def delete(self, where: str, use_dv: bool | None = None) -> "VersionedTable":
@@ -1696,6 +1758,7 @@ class VersionedTable:
                 "DELETE",
                 params,
                 self._latest().data_dirs,
+                cdf={"mode": "empty"},
             )
         if use_dv:
             src = self._df_for_paths(
@@ -1731,33 +1794,48 @@ class VersionedTable:
                     params,
                     self._latest().data_dirs,
                     dv_paths="carry",
+                    cdf={"mode": "empty"},
                 )
+            # Recorded feed: the tombstoned rows themselves (schema cols
+            # only — the DV path/idx identity is physical, not logical).
+            version = self._next_version()
+            feed = src.where(F.coalesce(F.expr(where), F.lit(False))).select(
+                *[F.col(f"`{f.name}`") for f in schema.fields]
+            ).withColumn("_change_type", F.lit("delete"))
             return self._commit_write(
                 self.spark.createDataFrame([], schema),
                 "DELETE",
                 params,
                 self._latest().data_dirs,  # data files untouched
                 dv_paths=self._dv() + [str(dv_dir)],
+                cdf=self._write_cdf_feed(feed, version),
             )
         src = self._df_for_paths(selected, schema, self._mapping(), self._dv())
         # Deleted-row metric observed on the pre-filter scan of the same
         # write pass (CollectMetrics sees every row the filter drops).
         obs = Observation()
-        src = src.observe(
+        src_obs = src.observe(
             obs,
             F.count(F.when(F.coalesce(F.expr(where), F.lit(False)), True)).alias(
                 "num_affected_rows"
             ),
         )
-        remaining = src.where(~F.coalesce(F.expr(where), F.lit(False)))
-        d = self._write_data(remaining, self._next_version(), self.partition_columns())
+        remaining = src_obs.where(~F.coalesce(F.expr(where), F.lit(False)))
+        version = self._next_version()
+        d = self._write_data(remaining, version, self.partition_columns())
         params["num_affected_rows"] = int(obs.get["num_affected_rows"])
+        # Recorded feed: the rows the predicate removed (one extra
+        # O(matched rows) pass over the selected files).
+        feed = src.where(F.coalesce(F.expr(where), F.lit(False))).withColumn(
+            "_change_type", F.lit("delete")
+        )
         return self._commit_write(
             remaining,
             "DELETE",
             params,
             untouched + [d],
             dv_paths="carry" if untouched else None,
+            cdf=self._write_cdf_feed(feed, version),
         )
 
     def _dv_counts_by_file(self, dv_paths: list[str]) -> dict[str, int]:
@@ -2539,9 +2617,13 @@ class VersionedTable:
             for f in self._log_files()[-keep_versions:]
         ]
         live: set[str] = set()
+        live_cdf: set[str] = set()
         for c in keep:
             for d in c.dv_paths or []:  # tombstones are live metadata
                 live.add(d)
+            if (c.cdf or {}).get("mode") == "parquet":
+                # recorded change feeds of kept versions stay readable
+                live_cdf.add(c.cdf["path"])
             for d in c.data_dirs:
                 live.add(d)
                 p = Path(d)
@@ -2556,6 +2638,13 @@ class VersionedTable:
         if self.data_dir.exists():
             for d in self.data_dir.iterdir():
                 if str(d) not in live:
+                    if not dry_run:
+                        shutil.rmtree(d)
+                    removed.append(str(d))
+        cdf_root = self.root / "_change_data"
+        if cdf_root.exists():
+            for d in cdf_root.iterdir():
+                if str(d) not in live_cdf:
                     if not dry_run:
                         shutil.rmtree(d)
                     removed.append(str(d))
@@ -2859,13 +2948,36 @@ class VersionedTable:
         'update_preimage' (old values) / 'update_postimage' (new
         values); only genuinely new/gone ids tag 'insert'/'delete'.
 
-        Computed as two ``exceptAll`` set differences — each is one
-        hash-partition shuffle of the narrower snapshot; no log replay
-        or file diffing needed because snapshots are declarative here.
+        FAST PATH — recorded feeds (Delta's CDC-file cost model): when
+        every commit in the window carries its change feed (appends
+        point at their new dirs; UPDATE/DELETE write O(changed rows)
+        CDC parquet at commit time; metadata/physical-reorg commits are
+        empty by construction), the feed is the UNION of the recorded
+        per-version deltas — reading only O(changed rows), never the
+        snapshots. Multi-version windows then have event-log semantics
+        (intermediate churn included, exactly like Delta
+        ``table_changes``); any signed fold nets it out identically to
+        the diff. Falls back to the snapshot diff whenever a commit in
+        the window predates the feature, is a MERGE (no recorded feed
+        yet), spans a schema/column-mapping change, or its feed was
+        vacuumed. ``last_changes_route`` records which path served the
+        call ('recorded'/'diff') for tests and cost audits.
+
+        FALLBACK — computed as two ``exceptAll`` set differences — each
+        is one hash-partition shuffle of the narrower snapshot; no log
+        replay needed because snapshots are declarative here. NET-diff
+        semantics: rows inserted and deleted within the window cancel.
         Multiset semantics: duplicate rows count, so an append of an
         already-present row still surfaces as one 'insert'. The update
         refinement adds one id-keyed intersect + two id-keyed joins.
         """
+        to_v = (
+            to_version if to_version is not None else self._latest().version
+        )
+        recorded = self._recorded_changes(from_version, to_v)
+        self.last_changes_route = "recorded" if recorded is not None else "diff"
+        if recorded is not None:
+            return recorded
         newer = self.read(version=to_version)
         older = self.read(version=from_version)
         # align the older snapshot to the newer schema (evolution-safe:
@@ -2917,6 +3029,66 @@ class VersionedTable:
         return inserted.withColumn("_change_type", F.lit("insert")).unionByName(
             deleted.withColumn("_change_type", F.lit("delete"))
         )
+
+    def _recorded_changes(
+        self, from_version: int, to_version: int
+    ) -> DataFrame | None:
+        """Union of recorded per-version feeds for (from, to], or None
+        when any version lacks one (caller falls back to the diff)."""
+        try:
+            commits = [
+                self._resolve_commit(v) for v in range(from_version, to_version + 1)
+            ]
+        except (ValueError, FileNotFoundError):
+            return None
+        if not commits:
+            return None
+        target = commits[-1]
+        schema = T.StructType.fromJson(json.loads(target.schema_json))
+        to_types = {f.name: f.dataType for f in schema.fields}
+        # Recorded feeds are stored in their commit's schema and read
+        # back under the TO-version schema (schema-enforced parquet
+        # reads null-fill columns added later — the same semantics the
+        # diff's alignment gives pre-evolution rows). That is only
+        # sound for add-only evolution with unchanged types and an
+        # unchanged column mapping; renames/drops/retypes fall back.
+        for c in commits[1:]:
+            if c.column_mapping != target.column_mapping:
+                return None
+            for f in T.StructType.fromJson(json.loads(c.schema_json)).fields:
+                if to_types.get(f.name) != f.dataType:
+                    return None
+        cm = target.column_mapping or {}
+        mapping = {f.name: cm.get(f.name, f.name) for f in schema.fields}
+        feed_schema = T.StructType(
+            list(schema.fields) + [T.StructField("_change_type", T.StringType())]
+        )
+        feeds: list[DataFrame] = []
+        for c in commits[1:]:
+            info = c.cdf
+            if not info or "mode" not in info:
+                return None
+            mode = info["mode"]
+            if mode == "empty":
+                continue
+            if mode == "insert_dirs":
+                # the appended dirs ARE the feed; read WITHOUT deletion
+                # vectors — later deletes are their own versions' events
+                df = self._df_for_paths(list(info["dirs"]), schema, mapping)
+                feeds.append(df.withColumn("_change_type", F.lit("insert")))
+            elif mode == "parquet":
+                path = info.get("path")
+                if not path or not Path(path).exists():
+                    return None  # feed vacuumed away: fall back
+                feeds.append(self.spark.read.schema(feed_schema).parquet(path))
+            else:
+                return None
+        if not feeds:
+            return self.spark.createDataFrame([], feed_schema)
+        out = feeds[0]
+        for f in feeds[1:]:
+            out = out.unionByName(f)
+        return out
 
     def stream_changes(self, start_version: int = 0):
         """Incremental CDC consumption: yield ``(version, changes_df)``
