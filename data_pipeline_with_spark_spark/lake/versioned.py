@@ -1949,7 +1949,26 @@ class VersionedTable:
         merged = source.select(*target.columns).unionByName(survivors)
         version = self._next_version()
         d = self._write_data(merged, version, self.partition_columns())
-        return self._commit_write(merged, "MERGE", {"keys": keys}, [d], dv_paths=None)
+        # Recorded feed: replaced target rows out, every source row in
+        # (CDC semantics — a source row identical to its target twin
+        # still appears and nets out in any signed fold).
+        feed = (
+            target.join(source.select(*keys).distinct(), on=keys, how="left_semi")
+            .withColumn("_change_type", F.lit("delete"))
+            .unionByName(
+                source.select(*target.columns).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        )
+        return self._commit_write(
+            merged,
+            "MERGE",
+            {"keys": keys},
+            [d],
+            dv_paths=None,
+            cdf=self._write_cdf_feed(feed, version),
+        )
 
     def merge(
         self,
@@ -2147,8 +2166,34 @@ class VersionedTable:
             joined.observe(obs, n_upd, n_del, n_ins).where(keep).select(*out_cols),
             observe_ids=True,
         )
-        d = self._write_data(merged_obs, self._next_version(), self.partition_columns())
+        version = self._next_version()
+        d = self._write_data(merged_obs, version, self.partition_columns())
         metrics = {k: int(v) for k, v in obs.get.items()}
+        # Recorded change feed — only when the engine mints no ids:
+        # fresh _row_id / identity values come from
+        # monotonically_increasing_id in the WRITE job, and a feed
+        # computed in its own job would mint different ones. Those
+        # tables keep the snapshot-diff fallback.
+        cdf = None
+        if not rt and not id_specs:
+            pre_cols = [
+                F.col(f"t.`{f.name}`").cast(f.dataType).alias(f.name)
+                for f in target.schema.fields
+            ]
+            upd_mask = is_matched & (midx.isin(upd_idx) if upd_idx else F.lit(False))
+            del_mask = is_matched & (midx.isin(del_idx) if del_idx else F.lit(False))
+            ins_mask = (~t_present) & (nidx != -1)
+            feed = (
+                joined.where(upd_mask | del_mask)
+                .select(*pre_cols)
+                .withColumn("_change_type", F.lit("delete"))
+                .unionByName(
+                    joined.where(upd_mask | ins_mask)
+                    .select(*out_cols)
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            )
+            cdf = self._write_cdf_feed(feed, version)
         props = self._latest().properties
         if rt:
             max_id = obs_rt.get["max_id"]
@@ -2184,6 +2229,7 @@ class VersionedTable:
             [d],
             dv_paths=None,
             properties=props,
+            cdf=cdf,
         )
 
     @classmethod

@@ -2039,7 +2039,7 @@ def test_recorded_cdf_fast_path_matches_diff(spark, tmp_path):
         (3, "c", "delete"),
     }
 
-    # merge has no recorded feed yet -> diff fallback, still correct
+    # clause-based merge records its feed too (no engine-minted ids)
     t.merge(
         spark.createDataFrame([(4, "D"), (9, "i")], "id INT, tag STRING"),
         keys=["id"],
@@ -2047,23 +2047,29 @@ def test_recorded_cdf_fast_path_matches_diff(spark, tmp_path):
         not_matched=[WhenNotMatched()],
     )                                                                       # v4
     ch = rows(t.changes(3, 4))
-    assert t.last_changes_route == "diff"
+    assert t.last_changes_route == "recorded"
     assert ch == {(4, "d", "delete"), (4, "D", "insert"), (9, "i", "insert")}
-    # and a window CONTAINING the merge falls back as a whole
-    rows(t.changes(0, 4))
-    assert t.last_changes_route == "diff"
+    # whole-history window stays recorded and event-complete
+    assert rows(t.changes(0, 4)) >= ch
+    assert t.last_changes_route == "recorded"
 
-    # schema evolution inside the window -> fallback
+    # add-only schema evolution stays recorded: earlier feeds null-fill
+    # the new column under the to-version schema (same semantics as the
+    # diff's alignment)
     t.append(
         spark.createDataFrame([(10, "j", 1.5)], "id INT, tag STRING, score DOUBLE"),
         merge_schema=True,
     )                                                                       # v5
-    rows(t.changes(3, 5))
-    assert t.last_changes_route == "diff"
-    # but the post-evolution window is recorded again
-    got = rows(t.changes(4, 5))
+    got5 = {(r.id, r.tag, r.score, r._change_type) for r in t.changes(3, 5).collect()}
     assert t.last_changes_route == "recorded"
-    assert {(i, g, c) for (i, g, c) in got} == {(10, "j", "insert")}
+    assert (10, "j", 1.5, "insert") in got5
+    assert (4, "d", None, "delete") in got5  # v4 feed null-filled
+    # a column-mapping change (rename) inside the window -> fallback
+    t.rename_column("tag", "label")                                          # v6
+    rows6 = {(r.id, r.label, r._change_type) for r in t.changes(4, 6).collect()}
+    assert t.last_changes_route == "diff"
+    # rename is metadata-only: only v5's append surfaces
+    assert rows6 == {(10, "j", "insert")}
 
 
 def test_recorded_cdf_dv_delete_and_vacuum(spark, tmp_path):
