@@ -119,3 +119,84 @@ register(
         """,
     )
 )
+
+
+def _stream_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING-executed drift monitor: per-type 10-bin histograms fold
+    in GroupState across 4 real micro-batches (applyInPandasWithState);
+    the drained stream's final PSI per type must equal the batch
+    events_psi_drift — same reference half, same Laplace smoothing —
+    so the DuckDB batch SQL is the oracle for a genuinely stateful
+    streaming computation."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_spark_spark.streaming.demo import run_streaming_psi_drift
+
+    out = run_streaming_psi_drift(spark, sf, tempfile.mkdtemp(prefix="psi_stream_"))
+    # the batch formulation drops types absent from either half
+    out = out.where((F.col("n_first_half") > 0) & (F.col("n_second_half") > 0))
+    # Recompute PSI from the drained histograms with Catalyst
+    # expressions: the operator's in-Python float loop can differ from
+    # SQL SUM by 1 ulp in the 6th decimal; the exploded-bins formulation
+    # is the SAME plan shape as the batch twin and hashes identically.
+    bins = out.select(
+        "event_type",
+        "n_first_half",
+        "n_second_half",
+        F.posexplode(F.arrays_zip("ref_bins", "live_bins")).alias("bin", "c"),
+    )
+    pa = (F.col("c.ref_bins") + 0.5) / (F.col("n_first_half") + 5.0)
+    pb = (F.col("c.live_bins") + 0.5) / (F.col("n_second_half") + 5.0)
+    return bins.groupBy("event_type", "n_first_half", "n_second_half").agg(
+        F.round(F.sum((pb - pa) * F.log(pb / pa)), 6).alias("psi")
+    ).select("event_type", "n_first_half", "n_second_half", "psi")
+
+
+register(
+    QuerySpec(
+        name="stream_psi_drift",
+        build=_stream_psi,
+        doc="stateful streaming PSI drift monitor (GroupState histograms, "
+        "bounded O(types x bins) state); oracle = the batch PSI it converges to",
+        oracle="""
+    WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events),
+    mid AS (SELECT (min(es) + max(es)) / 2 AS m FROM e),
+    b AS (SELECT event_type,
+                 CASE WHEN es <= m THEN 0 ELSE 1 END AS half,
+                 CAST(least(floor(value / 50), 9) AS INT) AS bin
+          FROM e CROSS JOIN mid),
+    c AS (SELECT event_type, half, bin, count(*) AS n
+          FROM b GROUP BY event_type, half, bin),
+    tot AS (SELECT event_type, half, sum(n) AS t
+            FROM c GROUP BY event_type, half),
+    grid AS (SELECT DISTINCT b.event_type, h.half, v.bin
+             FROM b
+             CROSS JOIN (SELECT 0 AS half UNION ALL SELECT 1) h
+             CROSS JOIN (SELECT 0 AS bin UNION ALL SELECT 1 UNION ALL
+                         SELECT 2 UNION ALL SELECT 3 UNION ALL
+                         SELECT 4 UNION ALL SELECT 5 UNION ALL
+                         SELECT 6 UNION ALL SELECT 7 UNION ALL
+                         SELECT 8 UNION ALL SELECT 9) v),
+    p AS (SELECT g.event_type, g.half, g.bin,
+                 (coalesce(c.n, 0) + 0.5) / (tot.t + 5.0) AS p
+          FROM grid g
+          LEFT JOIN c ON g.event_type = c.event_type
+                     AND g.half = c.half AND g.bin = c.bin
+          JOIN tot ON g.event_type = tot.event_type AND g.half = tot.half),
+    pair AS (SELECT a.event_type, a.bin, a.p AS pa, z.p AS pb
+             FROM p a JOIN p z ON a.event_type = z.event_type
+                              AND a.bin = z.bin
+             WHERE a.half = 0 AND z.half = 1)
+    SELECT pair.event_type,
+           CAST(t0.t AS BIGINT) AS n_first_half,
+           CAST(t1.t AS BIGINT) AS n_second_half,
+           round(sum((pb - pa) * ln(pb / pa)), 6) AS psi
+    FROM pair
+    JOIN tot t0 ON pair.event_type = t0.event_type AND t0.half = 0
+    JOIN tot t1 ON pair.event_type = t1.event_type AND t1.half = 1
+    GROUP BY pair.event_type, t0.t, t1.t
+        """,
+    )
+)

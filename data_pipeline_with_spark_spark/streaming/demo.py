@@ -570,3 +570,128 @@ def run_stream_matview(
     )
     query.awaitTermination()
     return base, view
+
+
+PSI_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_first_half", T.LongType()),
+        T.StructField("n_second_half", T.LongType()),
+        T.StructField("psi", T.DoubleType()),
+        # raw histograms ride along so exact cross-engine PSI can be
+        # recomputed in Catalyst expressions (float-sum order in the
+        # Python loop differs from SQL SUM by 1 ulp on occasion)
+        T.StructField("ref_bins", T.ArrayType(T.LongType())),
+        T.StructField("live_bins", T.ArrayType(T.LongType())),
+    ]
+)
+_PSI_STATE_SCHEMA = T.StructType(
+    [T.StructField(f"b{i}", T.LongType()) for i in range(10)]
+)
+
+
+def run_streaming_psi_drift(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    sink_table: str = "psi_stream_sink",
+) -> DataFrame:
+    """Stateful streaming drift monitor — the production shape of
+    ``events_psi_drift``: a REFERENCE value histogram (here the stream's
+    first half, in production the training distribution) broadcasts in
+    the operator closure; the live stream (second half, staged as 4
+    files → 4 real micro-batches) folds per-type 10-bin histograms in
+    ``GroupState`` via ``applyInPandasWithState`` and emits the running
+    PSI each micro-batch. State is O(types × 10 bins) — bounded forever,
+    no watermark needed. After availableNow drains the stream, the
+    final emission per type equals the batch PSI exactly (same Laplace
+    smoothing), which is how the driver oracle checks a genuinely
+    streaming-executed query."""
+    from pathlib import Path
+
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp("ts").alias("es"),
+        "value",
+    )
+    lo, hi = ev.agg(F.min("es"), F.max("es")).collect()[0]
+    mid = (lo + hi) / 2
+    binned = ev.withColumn(
+        "bin", F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int")
+    )
+    # reference histogram: tiny (types x 10), rides the closure
+    ref_rows = (
+        binned.where(F.col("es") <= mid)
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    ref: dict[str, list[int]] = {}
+    for r in ref_rows:
+        ref.setdefault(r.event_type, [0] * 10)[r.bin] += r.n
+
+    # live side staged as 4 files for 4 real micro-batches
+    staging = str(Path(work_dir) / "psi_live")
+    live = binned.where(F.col("es") > mid).select("event_type", "bin")
+    live.repartition(4).write.parquet(staging)
+
+    import math
+
+    def fold(key: tuple, pdfs, state: GroupState):
+        counts = list(state.get) if state.exists else [0] * 10
+        for pdf in pdfs:
+            for b, n in pdf.groupby("bin").size().items():
+                counts[int(b)] += int(n)
+        state.update(tuple(counts))
+        et = key[0]
+        ref_counts = ref.get(et, [0] * 10)
+        n_ref, n_live = sum(ref_counts), sum(counts)
+        psi = 0.0
+        for b in range(10):
+            pa = (ref_counts[b] + 0.5) / (n_ref + 5.0)
+            pb = (counts[b] + 0.5) / (n_live + 5.0)
+            psi += (pb - pa) * math.log(pb / pa)
+        yield pd.DataFrame(
+            {
+                "event_type": [et],
+                "n_first_half": [n_ref],
+                "n_second_half": [n_live],
+                "psi": [round(psi, 6)],
+                "ref_bins": [list(ref_counts)],
+                "live_bins": [list(counts)],
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(live.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    monitored = stream.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=PSI_SCHEMA,
+        stateStructType=_PSI_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        monitored.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # updates accumulate per micro-batch: the final emission per type is
+    # the row with that type's maximum live count
+    from pyspark.sql import Window
+
+    sink = spark.table(sink_table)
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_second_half"))
+    return (
+        sink.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .drop("__r")
+    )

@@ -200,3 +200,42 @@ def test_stream_matview_equals_batch_recompute(spark, sf_dir, tmp_path):
     assert got == want
     # watermark tracked the final base version (exactly-once bookkeeping)
     assert view.last_synced_version() == base._latest().version
+
+
+def test_streaming_psi_drift_equals_batch(spark, sf_dir, tmp_path):
+    # The stateful streaming drift monitor (GroupState histograms over 4
+    # micro-batches) must converge to exactly the batch PSI numbers.
+    from data_pipeline_with_spark_spark.plans import all_queries
+    from data_pipeline_with_spark_spark.streaming.demo import run_streaming_psi_drift
+
+    import pytest as _pytest
+
+    raw = {
+        r.event_type: (r.n_first_half, r.n_second_half, r.psi)
+        for r in run_streaming_psi_drift(
+            spark, sf_dir, str(tmp_path), sink_table="psi_eq_sink"
+        ).collect()
+    }
+    batch = {
+        r.event_type: (r.n_first_half, r.n_second_half, r.psi)
+        for r in all_queries()["events_psi_drift"].build(spark, sf_dir).collect()
+    }
+    assert len(batch) > 0 and raw.keys() == batch.keys()
+    for et, (n0, n1, psi) in batch.items():
+        assert raw[et][0] == n0 and raw[et][1] == n1
+        # the operator's in-Python monitor value is 1-ulp-tolerant…
+        assert raw[et][2] == _pytest.approx(psi, abs=1e-5)
+    # …and the REGISTERED query (Catalyst recompute from the drained
+    # histograms) agrees on counts exactly and on psi to float-sum
+    # reassociation tolerance (each formulation is bit-matched against
+    # its OWN DuckDB oracle by check_oracle; the two formulations sum
+    # the 10 bin terms in different orders, so 1-ulp spread in the 6th
+    # decimal between them is expected)
+    reg = {
+        r.event_type: (r.n_first_half, r.n_second_half, r.psi)
+        for r in all_queries()["stream_psi_drift"].build(spark, sf_dir).collect()
+    }
+    assert reg.keys() == batch.keys()
+    for et, (n0, n1, psi) in batch.items():
+        assert reg[et][0] == n0 and reg[et][1] == n1
+        assert reg[et][2] == _pytest.approx(psi, abs=2e-6)
