@@ -14,7 +14,8 @@ append/update/delete windows from RECORDED per-commit feeds (appends
 point at their new dirs; DML writes Delta-CDC-style ``_change_data``
 parquet at commit time), falling back to the declarative snapshot
 diff (two ``exceptAll`` passes, O(table) read) only for windows
-containing a MERGE, a rename/drop/retype, or a pre-feature commit.
+containing an identity-minting or unvalidated-cardinality MERGE, a
+rename/drop/retype, or a pre-feature commit.
 Everything downstream of the feed — the
 fold, the merge, the optional extremum rescan — is delta-sized. The
 watermark (last folded source version) rides the SAME commit as the
@@ -176,14 +177,38 @@ class IncrementalAggView:
         merge. Returns refresh stats."""
         last = self.last_synced_version()
         cur = self.source._latest().version
+        # The change feed for a window is computed ONCE and shared
+        # between the main fold and every distinct-col support (on the
+        # snapshot-diff fallback route each changes() call costs two
+        # O(table) exceptAll shuffles; persist so consumers share the
+        # materialized rows instead of re-executing the plan).
+        feeds: dict[tuple[int, int], DataFrame] = {}
+        pinned: list[DataFrame] = []
+
+        def window_changes(a: int, b: int) -> DataFrame:
+            if (a, b) not in feeds:
+                f = self.source.changes(a, b)
+                if len(self.supports) > 0:
+                    f = f.persist()
+                    pinned.append(f)
+                feeds[(a, b)] = f
+            return feeds[(a, b)]
+
+        try:
+            return self._refresh(last, cur, window_changes)
+        finally:
+            for f in pinned:
+                f.unpersist()
+
+    def _refresh(self, last: int, cur: int, window_changes) -> dict:
         # Support relations fold FIRST, each against its own watermark:
         # a crash between a support merge and the main merge re-syncs
         # idempotently (the recovered support skips; the view catches up).
         for c, support in self.supports.items():
-            self._refresh_support(c, support, cur)
+            self._refresh_support(c, support, cur, window_changes)
         if cur <= last:
             return {"from_version": last, "to_version": cur, "changed_keys": 0}
-        ch = self.source.changes(last, cur)
+        ch = window_changes(last, cur)
         is_ins = F.col("_change_type").isin("insert", "update_postimage")
         sign = F.when(is_ins, F.lit(1)).otherwise(F.lit(-1))
         aggs = self._agg_exprs(sign, prefix="d_")
@@ -230,7 +255,13 @@ class IncrementalAggView:
                     WhenMatched(condition="t.n_rows + s.d_n_rows = 0", delete=True),
                     WhenMatched(update=upd),
                 ],
-                not_matched=[WhenNotMatched(insert=ins)],
+                # Event-log feed guard: a group key created AND fully
+                # deleted within one refresh window yields a delta row
+                # with d_n_rows = 0 for a key the view has never seen —
+                # inserting it would materialize a phantom group
+                # (n_rows=0) no recompute contains. Only keys whose net
+                # row count is positive may enter the view.
+                not_matched=[WhenNotMatched(insert=ins, condition="s.d_n_rows > 0")],
                 validate_unique_source=False,
                 extra_properties={self.SYNC_PROP: str(cur)},
             )
@@ -239,7 +270,7 @@ class IncrementalAggView:
         return {"from_version": last, "to_version": cur, "changed_keys": n_keys}
 
     def _refresh_support(
-        self, c: str, support: VersionedTable, cur: int
+        self, c: str, support: VersionedTable, cur: int, window_changes
     ) -> None:
         """Fold source changes into one COUNT DISTINCT support relation:
         signed multiplicity per (group keys, value); a value's row leaves
@@ -254,7 +285,7 @@ class IncrementalAggView:
         sup_last = int(props[self.SYNC_PROP])
         if cur <= sup_last:
             return
-        ch = self.source.changes(sup_last, cur)
+        ch = window_changes(sup_last, cur)
         is_ins = F.col("_change_type").isin("insert", "update_postimage")
         sign = F.when(is_ins, F.lit(1)).otherwise(F.lit(-1))
         d = (

@@ -43,6 +43,7 @@ import re
 import shutil
 import tempfile
 import time
+import uuid
 from dataclasses import dataclass
 from functools import reduce
 from operator import and_
@@ -256,6 +257,16 @@ class VersionedTable:
         # conflict instead of silently excluding that commit from later
         # snapshots (the r5-flagged lost-update window).
         self._snapshot_version: int | None = None
+        # Pinned commit slot: the FIRST _next_version() call of an
+        # operation fixes the slot; every later call in the same
+        # operation (data-dir naming, DV-dir naming, the commit itself)
+        # returns the SAME slot even if _latest() re-armed the token in
+        # between (e.g. the dv='carry' / properties reads inside
+        # _commit_write). If a concurrent writer takes the pinned slot
+        # meanwhile, the put-if-absent publish fails LOUDLY with a
+        # conflict instead of silently committing past it. Cleared after
+        # every publish attempt.
+        self._pinned_slot: int | None = None
 
     # ---------------------------------------------------------------- log
     # Every commit record is SELF-CONTAINED (full snapshot state, not a
@@ -341,6 +352,8 @@ class VersionedTable:
             # ops) build on the state just written
             self._snapshot_version = commit.version
         finally:
+            # the pinned slot is spent whether the publish won or lost
+            self._pinned_slot = None
             # tmp is removed on every exit path — serialization failure,
             # publish conflict, or success (link leaves tmp behind).
             try:
@@ -490,6 +503,8 @@ class VersionedTable:
             time.sleep(0.05)
 
     def _next_version(self) -> int:
+        if self._pinned_slot is not None:
+            return self._pinned_slot
         files = self._settle_log_tail()
         nxt = int(files[-1].stem) + 1 if files else 0
         if self._snapshot_version is not None and nxt != self._snapshot_version + 1:
@@ -498,6 +513,7 @@ class VersionedTable:
                 f"v{self._snapshot_version} but the next free slot is v{nxt}; "
                 "another writer committed in between — re-read and retry"
             )
+        self._pinned_slot = nxt
         return nxt
 
     # ------------------------------------------------------------ schema
@@ -1390,11 +1406,12 @@ class VersionedTable:
         over this version is O(changed rows) instead of O(snapshot)."""
         # _change_data/: Delta's CDC-file directory name; NOT under
         # data/ — the feed is commit metadata, and DV deletes promise
-        # zero new data files
-        path = self.root / "_change_data" / f"v{version}"
-        # overwrite: a commit conflict at this version leaves an orphan
-        # feed dir; the retry must be able to reclaim the slot's path
-        feed.write.mode("overwrite").parquet(str(path))
+        # zero new data files. The path carries a uuid so a LOSING
+        # concurrent writer can never clobber the winner's committed
+        # feed for the same slot — its orphan dir is simply never
+        # referenced by any commit and vacuum() reclaims it.
+        path = self.root / "_change_data" / f"v{version}_{uuid.uuid4().hex[:8]}"
+        feed.write.parquet(str(path))
         return {"mode": "parquet", "path": str(path)}
 
     def create(
@@ -2169,13 +2186,16 @@ class VersionedTable:
         version = self._next_version()
         d = self._write_data(merged_obs, version, self.partition_columns())
         metrics = {k: int(v) for k, v in obs.get.items()}
-        # Recorded change feed — only when the engine mints no ids:
-        # fresh _row_id / identity values come from
+        # Recorded change feed — only when (a) the engine mints no ids
+        # (fresh _row_id / identity values come from
         # monotonically_increasing_id in the WRITE job, and a feed
-        # computed in its own job would mint different ones. Those
-        # tables keep the snapshot-diff fallback.
+        # computed in its own job would mint different ones) and (b)
+        # source cardinality was validated: with duplicate source keys
+        # the join emits one pre-image per (target, source) PAIR, so an
+        # unvalidated merge would over-count deletions in the feed.
+        # Those cases keep the snapshot-diff fallback.
         cdf = None
-        if not rt and not id_specs:
+        if not rt and not id_specs and validate_unique_source:
             pre_cols = [
                 F.col(f"t.`{f.name}`").cast(f.dataType).alias(f.name)
                 for f in target.schema.fields
@@ -3004,9 +3024,9 @@ class VersionedTable:
         (intermediate churn included, exactly like Delta
         ``table_changes``); any signed fold nets it out identically to
         the diff. Falls back to the snapshot diff whenever a commit in
-        the window predates the feature, is a MERGE (no recorded feed
-        yet), spans a schema/column-mapping change, or its feed was
-        vacuumed. ``last_changes_route`` records which path served the
+        the window predates the feature, is a MERGE on an
+        identity-minting table or with unvalidated source cardinality,
+        spans a rename/drop/retype, or its feed was vacuumed. ``last_changes_route`` records which path served the
         call ('recorded'/'diff') for tests and cost audits.
 
         FALLBACK — computed as two ``exceptAll`` set differences — each

@@ -338,4 +338,5 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     src_h, src_w = img.shape[:2]
     ys = (np.arange(height) * src_h) // height
     xs = (np.arange(width) * src_w) // width
-    return img[np.ix_(ys, xs)] if img.ndim == 2 else img[np.ix_(ys, xs)]
+    # np.ix_ indexes the first two axes; a trailing channel axis rides
+    return img[np.ix_(ys, xs)]

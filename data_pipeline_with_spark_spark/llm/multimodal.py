@@ -107,16 +107,25 @@ def decode_image_stub(payload: bytes, fake: bool = False) -> dict:
     byte-histogram fake decode, else NotImplementedError."""
     data = bytes(payload)
     if codecs.sniff_format(data) is not None:
-        import numpy as np
+        try:
+            import numpy as np
 
-        gray = codecs.to_grayscale(codecs.decode_image(data))
-        n_px = int(gray.size)
-        hist = np.bincount(gray.ravel() // (256 // FEATURE_DIM), minlength=FEATURE_DIM)
-        return {
-            "n_bytes": len(data),
-            "checksum": int(gray.sum(dtype=np.int64)),
-            "features": [int(h) / n_px if n_px else 0.0 for h in hist],
-        }
+            gray = codecs.to_grayscale(codecs.decode_image(data))
+            n_px = int(gray.size)
+            hist = np.bincount(
+                gray.ravel() // (256 // FEATURE_DIM), minlength=FEATURE_DIM
+            )
+            return {
+                "n_bytes": len(data),
+                "checksum": int(gray.sum(dtype=np.int64)),
+                "features": [int(h) / n_px if n_px else 0.0 for h in hist],
+            }
+        except (codecs.UnsupportedImageError, ValueError):
+            # arbitrary bytes can START like a container ('BM', 'P6')
+            # without being one; with fake=True the deterministic fake
+            # decode must still serve them, as before real codecs landed
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
             "compressed image/audio codecs not available in this environment; "
@@ -179,14 +188,30 @@ def resize_image_stub(payload: bytes, width: int, height: int, fake: bool = Fals
     data = bytes(payload)
     fmt = codecs.sniff_format(data)
     if fmt is not None:
-        resized = codecs.resize_nearest(codecs.decode_image(data), width, height)
-        return codecs.encode_image(resized, fmt)
+        try:
+            resized = codecs.resize_nearest(codecs.decode_image(data), width, height)
+            return codecs.encode_image(resized, fmt)
+        except (codecs.UnsupportedImageError, ValueError):
+            if not fake:  # mis-sniffed bytes: fake path may still serve
+                raise
     if not fake:
         raise NotImplementedError(
             "compressed image codecs not available in this environment; "
             "supply BMP/PPM payloads or use fake=True"
         )
     target = width * height
+    return data[:target].ljust(target, b"\0")
+
+
+def payload_to_grid_bytes(data: bytes, n: int, fake: bool) -> bytes:
+    """Deterministic fake byte grid (truncate/pad to n*n) for payloads
+    outside the real-codec path."""
+    if not fake:
+        raise NotImplementedError(
+            "compressed image codecs not available in this environment; "
+            "supply BMP/PPM payloads or use fake=True"
+        )
+    target = n * n
     return data[:target].ljust(target, b"\0")
 
 
@@ -290,9 +315,13 @@ def perceptual_hash(
     def gray_grid(payload: bytes) -> "np.ndarray":
         data = bytes(payload)
         if codecs.sniff_format(data) is not None:
-            gray = codecs.to_grayscale(codecs.decode_image(data))
-            return codecs.resize_nearest(gray, n, n)
-        raw = resize_image_stub(data, n, n, fake=fake)
+            try:
+                gray = codecs.to_grayscale(codecs.decode_image(data))
+                return codecs.resize_nearest(gray, n, n)
+            except (codecs.UnsupportedImageError, ValueError):
+                if not fake:  # mis-sniffed bytes: fake path may serve
+                    raise
+        raw = payload_to_grid_bytes(data, n, fake)
         return np.frombuffer(raw, dtype=np.uint8).reshape(n, n)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -587,6 +587,7 @@ PSI_SCHEMA = T.StructType(
 )
 _PSI_STATE_SCHEMA = T.StructType(
     [T.StructField(f"b{i}", T.LongType()) for i in range(10)]
+    + [T.StructField("tot", T.LongType())]  # includes out-of-range bins
 )
 
 
@@ -621,7 +622,10 @@ def run_streaming_psi_drift(
     binned = ev.withColumn(
         "bin", F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int")
     )
-    # reference histogram: tiny (types x 10), rides the closure
+    # reference histogram: tiny (types x 10), rides the closure.
+    # The SQL twin's grid spans bins 0..9 only, but its per-half TOTALS
+    # count every row — a negative value (bin -1) is excluded from the
+    # probabilities yet still in the denominator; mirror that exactly.
     ref_rows = (
         binned.where(F.col("es") <= mid)
         .groupBy("event_type", "bin")
@@ -629,8 +633,13 @@ def run_streaming_psi_drift(
         .collect()
     )
     ref: dict[str, list[int]] = {}
+    ref_tot: dict[str, int] = {}
     for r in ref_rows:
-        ref.setdefault(r.event_type, [0] * 10)[r.bin] += r.n
+        ref_tot[r.event_type] = ref_tot.get(r.event_type, 0) + r.n
+        if 0 <= r.bin <= 9:
+            ref.setdefault(r.event_type, [0] * 10)[r.bin] += r.n
+        else:
+            ref.setdefault(r.event_type, [0] * 10)
 
     # live side staged as 4 files for 4 real micro-batches
     staging = str(Path(work_dir) / "psi_live")
@@ -640,14 +649,20 @@ def run_streaming_psi_drift(
     import math
 
     def fold(key: tuple, pdfs, state: GroupState):
-        counts = list(state.get) if state.exists else [0] * 10
+        if state.exists:
+            *counts, tot = state.get
+            counts = list(counts)
+        else:
+            counts, tot = [0] * 10, 0
         for pdf in pdfs:
             for b, n in pdf.groupby("bin").size().items():
-                counts[int(b)] += int(n)
-        state.update(tuple(counts))
+                tot += int(n)
+                if 0 <= int(b) <= 9:  # out-of-range: totals only
+                    counts[int(b)] += int(n)
+        state.update((*counts, tot))
         et = key[0]
         ref_counts = ref.get(et, [0] * 10)
-        n_ref, n_live = sum(ref_counts), sum(counts)
+        n_ref, n_live = ref_tot.get(et, 0), tot
         psi = 0.0
         for b in range(10):
             pa = (ref_counts[b] + 0.5) / (n_ref + 5.0)

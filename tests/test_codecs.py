@@ -231,3 +231,17 @@ def test_video_ops_real_decode_end_to_end(spark):
         img = codecs.to_grayscale(codecs.decode_image(bytes(r.frame)))
         assert np.array_equal(img.ravel(), fr[r.frame_idx].astype(np.uint8))
         assert r.luma_sum == int(fr[r.frame_idx].sum())
+
+
+def test_fake_path_survives_missniffed_payloads():
+    # r6 review: arbitrary bytes starting 'BM' or 'P6' must fall back to
+    # the deterministic fake decode under fake=True (pre-real-codec
+    # behavior), and only raise when fake=False.
+    for payload in (b"BMx" + bytes(60), b"P6 broken header", b"BM"):
+        out = multimodal.decode_image_stub(payload, fake=True)
+        assert out["n_bytes"] == len(payload)
+        assert out["checksum"] == sum(payload) % (2**32)
+        with pytest.raises((codecs.UnsupportedImageError, ValueError, NotImplementedError)):
+            multimodal.decode_image_stub(payload, fake=False)
+        resized = multimodal.resize_image_stub(payload, 4, 4, fake=True)
+        assert len(resized) == 16

@@ -2109,3 +2109,50 @@ def test_matview_refresh_uses_recorded_feeds(spark, tmp_path):
     assert t.last_changes_route == "recorded"
     got = {r.k: (r.sum_v, r.n_rows) for r in view.read().collect()}
     assert got == {"a": (15, 2), "b": (21, 1)}
+
+
+def test_pinned_slot_survives_latest_rearm(spark, tmp_path):
+    # r6 review: _latest() inside _commit_write (dv-carry / properties
+    # reads) must not re-arm the OCC token past a concurrently-taken
+    # slot — the first _next_version() of an operation PINS the slot,
+    # and losing it surfaces as a loud publish conflict, never a silent
+    # commit past another writer's version.
+    t = VersionedTable(spark, str(tmp_path / "pin")).create(
+        spark.createDataFrame([(1, 1.0)], ["id", "v"])
+    )
+    other = VersionedTable(spark, str(tmp_path / "pin"))
+    t._latest()
+    slot = t._next_version()  # operation begins: slot pinned
+    other.append(spark.createDataFrame([(2, 2.0)], ["id", "v"]))  # takes it
+    assert t._next_version() == slot  # still pinned…
+    t._latest()  # …even after a token re-arm mid-operation
+    assert t._next_version() == slot
+    with pytest.raises(RuntimeError, match="concurrent commit conflict"):
+        t.set_properties({"k": "v"})  # publish at the stolen slot: loud
+    # pin spent: the retry re-reads and lands on the next free slot
+    t._latest()
+    t.set_properties({"k": "v"})
+    assert t._latest().version == slot + 1
+    assert t.read().count() == 2  # other's append was never lost
+
+
+def test_matview_no_phantom_group_on_churn_within_window(spark, tmp_path):
+    # r6 review: a group key created AND fully deleted between two
+    # refreshes folds to d_n_rows=0 — it must NOT enter the view as a
+    # phantom (n_rows=0) row under the event-log recorded feed.
+    from data_pipeline_with_spark_spark.lake.matview import IncrementalAggView
+
+    t = VersionedTable(spark, str(tmp_path / "churn"))
+    t.create(spark.createDataFrame([(1, "a", 10)], "id INT, k STRING, v INT"))
+    view = IncrementalAggView(
+        spark, t, str(tmp_path / "churnv"), keys=["k"], sum_cols=["v"],
+        minmax_cols=["v"],
+    )
+    view.build()
+    t.append(spark.createDataFrame([(2, "z", 7), (3, "z", 9)], "id INT, k STRING, v INT"))
+    t.delete(where="k = 'z'")
+    view.refresh()  # ONE refresh spanning create+delete of 'z'
+    state = {r.k for r in view.read().collect()}
+    assert state == {"a"}
+    recompute = {r.k for r in t.read().groupBy("k").count().collect()}
+    assert state == recompute
