@@ -922,6 +922,7 @@ register(
     QuerySpec(
         name="multimodal_video_motion",
         build=_video_motion,
+        headline=True,
         doc="per-clip motion (SAD between consecutive frames) over REAL Y4M "
         "video decode (pure-struct YUV4MPEG2 parser, llm/codecs.py); oracle "
         "replays the deterministic frame generator in SQL",
@@ -1749,6 +1750,7 @@ register(
     QuerySpec(
         name="multimodal_phash_near_dups",
         build=_phash_pairs,
+        headline=True,
         doc="image near-dup pairs via perceptual hash over REAL decoded BMP "
         "pixels (DCT pHash + banded LSH); numpy DCT not SQL-expressible → "
         "rows-only, pytest-verified",

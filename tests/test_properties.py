@@ -223,3 +223,81 @@ def test_paragraph_dedup_keep_first_property(spark, docs):
         p for r in out.values() if r.text_dedup for p in r.text_dedup.split("\n\n")
     ]
     assert sorted(survived) == sorted(set(first_owner))
+
+
+# ---------------------------------------------------------------- codecs
+# Property round-trips for the pure-numpy media containers: any shape,
+# any pixel/sample content must survive encode->decode bit-exactly.
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_pipeline_with_spark_spark.llm import codecs
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_ppm_round_trip_property(h, w, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(arr)), arr)
+    assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(arr)), arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 200),
+    channels=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_round_trip_property(n, channels, rate, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-(2**15), 2**15, size=(n, channels)).astype(np.int16)
+    dec, got_rate = codecs.decode_wav(codecs.encode_wav(samples, rate))
+    assert got_rate == rate
+    assert dec.shape == (n, channels)
+    assert np.array_equal(dec, samples)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    frames=st.integers(1, 6),
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_y4m_round_trip_property(frames, h, w, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(frames, h, w), dtype=np.uint8)
+    dec, fps = codecs.decode_y4m(codecs.encode_y4m(arr, fps=(30, 1)))
+    assert fps == (30, 1)
+    assert np.array_equal(dec, arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_arbitrary_bytes_never_decode_silently(data):
+    # Garbage must raise UnsupportedImageError/ValueError, never return
+    # wrong pixels (a parser accepting garbage would poison checksums).
+    import pytest as _pytest
+
+    fmt = codecs.sniff_media(data)
+    if fmt is None:
+        with _pytest.raises(codecs.UnsupportedImageError):
+            codecs.decode_image(data)
+    else:
+        # sniffed: either decodes cleanly or raises the typed error
+        try:
+            if fmt == "wav":
+                codecs.decode_wav(data)
+            elif fmt == "y4m":
+                codecs.decode_y4m(data)
+            else:
+                codecs.decode_image(data)
+        except (codecs.UnsupportedImageError, ValueError):
+            pass
