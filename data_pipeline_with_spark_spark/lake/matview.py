@@ -334,11 +334,26 @@ class IncrementalAggView:
             *[F.col(f"max_{c}").alias(f"cur_max_{c}") for c in self.minmax_cols],
         )
         j = delta.join(cur, on=self.keys, how="left")
+
+        def rescan_trigger(c: str) -> F.Column:
+            # (a) an existing group's delete side reached the stored
+            # extremum, or (b) the group is NEW to the view (cur_* NULL)
+            # yet its window contains deletes — under event-log feeds a
+            # key created within the window can churn (insert then
+            # delete), and folding ins_min/ins_max alone would keep the
+            # deleted values (r6 second-review finding).
+            return (
+                (F.col(f"del_min_{c}") <= F.col(f"cur_min_{c}"))
+                | (F.col(f"del_max_{c}") >= F.col(f"cur_max_{c}"))
+                | (
+                    F.col(f"cur_min_{c}").isNull()
+                    & F.col(f"del_min_{c}").isNotNull()
+                )
+            )
+
         needs = None
         for c in self.minmax_cols:
-            hit = (F.col(f"del_min_{c}") <= F.col(f"cur_min_{c}")) | (
-                F.col(f"del_max_{c}") >= F.col(f"cur_max_{c}")
-            )
+            hit = rescan_trigger(c)
             needs = hit if needs is None else (needs | hit)
         rescan_keys = j.where(needs).select(*self.keys).persist()
         try:
@@ -371,11 +386,7 @@ class IncrementalAggView:
             # rs_* may be legitimately NULL after a rescan of a group
             # whose remaining values are all null — detect rescan
             # membership via the trigger condition, not rs_* nullness.
-            rescanned = F.coalesce(
-                (F.col(f"del_min_{c}") <= F.col(f"cur_min_{c}"))
-                | (F.col(f"del_max_{c}") >= F.col(f"cur_max_{c}")),
-                F.lit(False),
-            )
+            rescanned = F.coalesce(rescan_trigger(c), F.lit(False))
             out = out.withColumn(
                 f"f_min_{c}",
                 F.when(rescanned, F.col(f"rs_min_{c}")).otherwise(

@@ -504,7 +504,26 @@ class VersionedTable:
 
     def _next_version(self) -> int:
         if self._pinned_slot is not None:
-            return self._pinned_slot
+            # Cheap staleness probe: the pin is only valid while it is
+            # still tail+1. A moved tail means either a concurrent
+            # writer took the slot mid-operation, or the pin leaked
+            # from an ABORTED earlier operation on this handle — both
+            # must fail loudly (and release the pin so a re-read +
+            # retry proceeds cleanly) rather than publish or silently
+            # re-pin; re-pinning here would reopen the token-re-arm
+            # lost-update hole for the mid-operation case.
+            files = self._log_files()
+            tail_next = int(files[-1].stem) + 1 if files else 0
+            if tail_next == self._pinned_slot:
+                return self._pinned_slot
+            stale = self._pinned_slot
+            self._pinned_slot = None
+            raise RuntimeError(
+                f"concurrent commit conflict: operation pinned slot "
+                f"v{stale} but the log tail has moved to v{tail_next - 1}; "
+                "another writer committed (or a prior operation on this "
+                "handle aborted) — re-read and retry"
+            )
         files = self._settle_log_tail()
         nxt = int(files[-1].stem) + 1 if files else 0
         if self._snapshot_version is not None and nxt != self._snapshot_version + 1:
@@ -1790,7 +1809,9 @@ class VersionedTable:
             obs = Observation()
             tombstones = tombstones.observe(obs, F.count(F.lit(1)).alias("n"))
             dv_dir = self.data_dir / f"v{self._next_version()}_dv"
-            tombstones.coalesce(1).write.parquet(str(dv_dir))
+            # overwrite: an aborted earlier attempt may have left an
+            # orphan dir at this slot's name; the retry must reclaim it
+            tombstones.coalesce(1).write.mode("overwrite").parquet(str(dv_dir))
             n_dv = int(obs.get["n"])
             params = {
                 "where": where,

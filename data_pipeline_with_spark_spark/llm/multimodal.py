@@ -194,24 +194,18 @@ def resize_image_stub(payload: bytes, width: int, height: int, fake: bool = Fals
         except (codecs.UnsupportedImageError, ValueError):
             if not fake:  # mis-sniffed bytes: fake path may still serve
                 raise
+    return payload_to_grid_bytes(data, width * height, fake)
+
+
+def payload_to_grid_bytes(data: bytes, target: int, fake: bool) -> bytes:
+    """Deterministic fake byte grid (truncate/pad to ``target`` bytes)
+    for payloads outside the real-codec path — THE single fake-grid
+    contract shared by resize_image_stub and perceptual_hash."""
     if not fake:
         raise NotImplementedError(
             "compressed image codecs not available in this environment; "
             "supply BMP/PPM payloads or use fake=True"
         )
-    target = width * height
-    return data[:target].ljust(target, b"\0")
-
-
-def payload_to_grid_bytes(data: bytes, n: int, fake: bool) -> bytes:
-    """Deterministic fake byte grid (truncate/pad to n*n) for payloads
-    outside the real-codec path."""
-    if not fake:
-        raise NotImplementedError(
-            "compressed image codecs not available in this environment; "
-            "supply BMP/PPM payloads or use fake=True"
-        )
-    target = n * n
     return data[:target].ljust(target, b"\0")
 
 
@@ -321,7 +315,7 @@ def perceptual_hash(
             except (codecs.UnsupportedImageError, ValueError):
                 if not fake:  # mis-sniffed bytes: fake path may serve
                     raise
-        raw = payload_to_grid_bytes(data, n, fake)
+        raw = payload_to_grid_bytes(data, n * n, fake)
         return np.frombuffer(raw, dtype=np.uint8).reshape(n, n)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

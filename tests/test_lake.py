@@ -2123,17 +2123,29 @@ def test_pinned_slot_survives_latest_rearm(spark, tmp_path):
     other = VersionedTable(spark, str(tmp_path / "pin"))
     t._latest()
     slot = t._next_version()  # operation begins: slot pinned
-    other.append(spark.createDataFrame([(2, 2.0)], ["id", "v"]))  # takes it
-    assert t._next_version() == slot  # still pinned…
-    t._latest()  # …even after a token re-arm mid-operation
+    assert t._next_version() == slot  # stable while the tail is quiet
+    t._latest()  # a token re-arm mid-operation must NOT move the pin
     assert t._next_version() == slot
+    other.append(spark.createDataFrame([(2, 2.0)], ["id", "v"]))  # takes it
     with pytest.raises(RuntimeError, match="concurrent commit conflict"):
-        t.set_properties({"k": "v"})  # publish at the stolen slot: loud
-    # pin spent: the retry re-reads and lands on the next free slot
+        t.set_properties({"k": "v"})  # stolen slot detected eagerly: loud
+    # pin released by the conflict: the retry re-reads and lands cleanly
     t._latest()
     t.set_properties({"k": "v"})
     assert t._latest().version == slot + 1
     assert t.read().count() == 2  # other's append was never lost
+
+    # a pin leaked by an ABORTED operation self-heals the same way: one
+    # loud conflict (never a silent stale-slot commit), then clean retry
+    t._latest()
+    t._next_version()  # pin; simulate the op dying here
+    other.append(spark.createDataFrame([(3, 3.0)], ["id", "v"]))
+    t._latest()
+    with pytest.raises(RuntimeError, match="concurrent commit conflict"):
+        t.set_properties({"k2": "v2"})
+    t._latest()
+    t.set_properties({"k2": "v2"})
+    assert t.read().count() == 3
 
 
 def test_matview_no_phantom_group_on_churn_within_window(spark, tmp_path):
@@ -2156,3 +2168,30 @@ def test_matview_no_phantom_group_on_churn_within_window(spark, tmp_path):
     assert state == {"a"}
     recompute = {r.k for r in t.read().groupBy("k").count().collect()}
     assert state == recompute
+
+
+def test_matview_minmax_new_key_churn_within_window(spark, tmp_path):
+    # r6 second review (reproduced bug): a key NEW to the view whose
+    # window contains both inserts and a delete must rescan — folding
+    # ins_min/ins_max alone would keep the deleted extremum.
+    from data_pipeline_with_spark_spark.lake.matview import IncrementalAggView
+
+    t = VersionedTable(spark, str(tmp_path / "mmchurn"))
+    t.create(spark.createDataFrame([(1, "a", 10)], "id INT, k STRING, v INT"))
+    view = IncrementalAggView(
+        spark, t, str(tmp_path / "mmchurnv"), keys=["k"], sum_cols=["v"],
+        minmax_cols=["v"],
+    )
+    view.build()
+    t.append(spark.createDataFrame([(2, "z", 7), (3, "z", 9)], "id INT, k STRING, v INT"))
+    t.delete(where="k = 'z' AND v = 9")
+    view.refresh()  # one refresh spanning both commits
+    assert t.last_changes_route == "recorded"  # the route that exposed it
+    z = {r.k: (r.n_rows, r.min_v, r.max_v) for r in view.read().collect()}["z"]
+    assert z == (1, 7, 7)
+    # symmetric: min side churn
+    t.append(spark.createDataFrame([(4, "w", 3), (5, "w", 8)], "id INT, k STRING, v INT"))
+    t.delete(where="k = 'w' AND v = 3")
+    view.refresh()
+    w = {r.k: (r.n_rows, r.min_v, r.max_v) for r in view.read().collect()}["w"]
+    assert w == (1, 8, 8)
