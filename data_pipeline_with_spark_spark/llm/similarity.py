@@ -56,13 +56,21 @@ def with_norm(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
 MAX_BROADCAST_QUERIES = 100_000
 
 
-def _materialize_query_side(q: DataFrame, op: str) -> DataFrame:
-    """Collect the (small) query side once — enforcing the size bound —
-    and rebuild it as a local relation. This REPLACES the scan the
-    broadcast exchange would have done rather than adding a pre-count
-    job, so the guard costs nothing extra on the happy path."""
-    rows = q.limit(MAX_BROADCAST_QUERIES + 1).collect()
-    if len(rows) > MAX_BROADCAST_QUERIES:
+def _guard_query_side(q: DataFrame, op: str) -> DataFrame:
+    """Enforce the broadcast size bound entirely JVM-side: persist the
+    (small) query side, probe its cardinality with a bounded
+    ``limit(MAX+1).count()`` job, and hand the persisted frame back for
+    ``F.broadcast``. No row ever crosses to the Python driver — the
+    previous collect()+createDataFrame rebuild pickled every embedding
+    through the driver (OOM-prone with wide vectors near the bound, per
+    r6 ADVICE) and re-entered the plan as a ``Scan ExistingRDD``.
+    Persisting means the query subtree computes once (the probe job)
+    and the broadcast exchange reads the cache, so the happy-path cost
+    is one bounded job on the tiny side."""
+    q = q.persist()
+    n = q.limit(MAX_BROADCAST_QUERIES + 1).count()
+    if n > MAX_BROADCAST_QUERIES:
+        q.unpersist()
         raise ValueError(
             f"{op} broadcasts the query set, sized for |queries| <= "
             f"{MAX_BROADCAST_QUERIES}; got more. For query sets at corpus "
@@ -70,7 +78,7 @@ def _materialize_query_side(q: DataFrame, op: str) -> DataFrame:
             "(embedding_near_dup_pairs / lsh_bucketed_topk with the big "
             "side as corpus)."
         )
-    return q.sparkSession.createDataFrame(rows, q.schema)
+    return q
 
 
 def brute_force_topk(
@@ -83,7 +91,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query. Queries broadcast; the
     corpus is scanned once; ranking window partitions by query."""
-    q = _materialize_query_side(
+    q = _guard_query_side(
         queries.select(F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb")),
         "brute_force_topk",
     )
@@ -205,7 +213,7 @@ def ivf_topk(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         ["cell", "centroid"],
     )
-    q = _materialize_query_side(
+    q = _guard_query_side(
         queries.select(F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb")),
         "ivf_topk",
     )
@@ -291,7 +299,7 @@ def ivf_probe_topk(
     cells. Driver traffic is ≤ n_cells ints; everything row-scale stays
     distributed."""
     centroids = spark.read.parquet(f"{path}/centroids")
-    q = _materialize_query_side(
+    q = _guard_query_side(
         queries.select(F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb")),
         "ivf_probe_topk",
     )

@@ -145,6 +145,47 @@ def test_new_query_plan_contracts(spark):
     assert "Exchange" not in p and "EvalPython" not in p
 
 
+def test_lsh_selfjoin_signature_computed_once(spark):
+    # r6 verdict perf finding #1: the LSH self-joins used to execute the
+    # full signature subtree (shingle→md5 for MinHash; payload decode →
+    # DCT → pHash MapInPandas for images) on BOTH join sides. Both now
+    # repartition on the band keys BEFORE aliasing sides, so the two
+    # inputs share one Exchange and AQE reuse runs the expensive stage
+    # once. Pin: final adaptive plan has a ReusedExchange, exactly one
+    # Generate (band explode) node, and — for the image query — exactly
+    # one MapInPandas (decode) node.
+    import re
+
+    from data_pipeline_with_spark_spark.plans import all_queries
+
+    specs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    for name, n_mip in (("dedup_minhash_lsh_pairs", 0), ("multimodal_phash_near_dups", 1)):
+        df = specs[name].build(spark, sf)
+        df.collect()  # the FINAL adaptive plan only exists after execution
+        final = _plan(df).split("== Initial Plan ==")[0]
+        assert "ReusedExchange" in final, f"{name}: no exchange reuse:\n{final[:2000]}"
+        gens = len(re.findall(r"^[\s:+*(\d)-]*Generate ", final, re.M))
+        assert gens == 1, f"{name}: band explode ran {gens}× (want 1)"
+        mips = len(re.findall(r"^[\s:+*(\d)-]*MapInPandas", final, re.M))
+        assert mips == n_mip, f"{name}: {mips} MapInPandas nodes (want {n_mip})"
+
+
+def test_ann_query_guard_stays_jvm_side(spark):
+    # r6 verdict perf finding #2: the broadcast-size guard used to
+    # collect() the query side and rebuild it driver-side, re-entering
+    # the plan as `Scan ExistingRDD` (pickled JVM→Python→JVM round trip,
+    # 1.82× regression on the brute-force headliner). The guard is now a
+    # persist + bounded limit(MAX+1).count() probe: pin that no
+    # ExistingRDD scan appears in the brute-force plan.
+    from data_pipeline_with_spark_spark.plans import all_queries
+
+    df = all_queries()["sim_cosine_topk_bruteforce"].build(
+        spark, "/root/testdata/sf0.001"
+    )
+    assert "ExistingRDD" not in _plan(df)
+
+
 def test_ivf_materialized_index_prunes_partitions(spark, sf_dir, tmp_path):
     from data_pipeline_with_spark_spark.llm.similarity import (
         ivf_build_index,
