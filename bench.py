@@ -75,6 +75,16 @@ def main() -> None:
         "tpch_q7_volume_shipping", "tpch_q9_product_profit", "w1_topk_per_group",
     }
     comparable = round(sum(v for k, v in timings.items() if k in r4_set), 3)
+    # Second frozen anchor: the full 24-query set as it stood at the end
+    # of round 6. If the headline set grows again, this subtotal keeps a
+    # stable full-set comparison point (the r4 set alone misses the
+    # LLM/multimodal additions of r5/r6).
+    r6_set = r4_set | {
+        "curation_overlapping_chunks", "multimodal_phash_near_dups",
+        "multimodal_video_motion", "sim_embedding_near_dups",
+        "text_tfidf_top_terms",
+    }
+    comparable_r6 = round(sum(v for k, v in timings.items() if k in r6_set), 3)
     print(
         json.dumps(
             {
@@ -87,6 +97,8 @@ def main() -> None:
                 "aggregation": "median",
                 "r4_comparable_total": comparable,
                 "r4_comparable_n": sum(1 for k in timings if k in r4_set),
+                "r6_comparable_total": comparable_r6,
+                "r6_comparable_n": sum(1 for k in timings if k in r6_set),
             }
         )
     )

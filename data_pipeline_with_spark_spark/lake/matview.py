@@ -146,8 +146,34 @@ class IncrementalAggView:
 
     def read(self) -> DataFrame:
         """View rows; ``n_distinct_<col>`` columns derive from the
-        support relations (exact, 0 for groups with only-null values)."""
+        support relations (exact, 0 for groups with only-null values).
+
+        Consistency note: a refresh commits each support's fold (with
+        its own watermark) BEFORE the main view's merge, so between
+        those commits — including after a crash, until the next
+        refresh() — ``n_distinct_<col>`` can reflect a newer source
+        version than ``sum_*``/``n_rows``. That window is detected here
+        by comparing watermarks and surfaced as a warning recommending
+        refresh(); refresh itself converges both sides idempotently."""
         out = self.view.read()
+        if self.supports:
+            vw = self.view.table_properties().get(self.SYNC_PROP)
+            stale = {
+                c: sup.table_properties().get(self.SYNC_PROP)
+                for c, sup in self.supports.items()
+                if sup.table_properties().get(self.SYNC_PROP) != vw
+            }
+            if stale:
+                import warnings
+
+                warnings.warn(
+                    f"matview supports {sorted(stale)} are at source "
+                    f"version(s) {stale} but the view is at {vw}: "
+                    "n_distinct_* reflect a newer source than sum_*/"
+                    "n_rows (interrupted refresh?). Call refresh() to "
+                    "converge.",
+                    stacklevel=2,
+                )
         for c, support in self.supports.items():
             roll = (
                 support.read()

@@ -22,8 +22,13 @@ time travel, restore) with an explicitly simpler physical design:
   directories without copying;
 - the log is one JSON file per version (``_log/{N:020d}.json``),
   committed via atomic rename — single-writer, crash-safe;
-- UPDATE rewrites the full snapshot into a new commit (Delta rewrites
-  only matched files; correct-but-coarser here, noted for the judge);
+- DML is file-granular like Delta's matched-file rewrite: UPDATE /
+  DELETE intersect the predicate with hive path values + parquet
+  footer min/max stats and rewrite only the intersecting files,
+  carrying the rest of the snapshot into the new commit by reference
+  (see ``_dml_target_files``; predicates too rich to lift into
+  (col, op, value) tuples fall back to a full rewrite — correct,
+  just coarser — as does a SET that widens the schema);
 - OPTIMIZE compacts to one directory and applies Z-order-lite:
   ``repartitionByRange`` + ``sortWithinPartitions`` on the cluster
   columns — lexicographic clustering, which (like Z-order) lets
@@ -2207,16 +2212,13 @@ class VersionedTable:
         version = self._next_version()
         d = self._write_data(merged_obs, version, self.partition_columns())
         metrics = {k: int(v) for k, v in obs.get.items()}
-        # Recorded change feed — only when (a) the engine mints no ids
-        # (fresh _row_id / identity values come from
-        # monotonically_increasing_id in the WRITE job, and a feed
-        # computed in its own job would mint different ones) and (b)
-        # source cardinality was validated: with duplicate source keys
-        # the join emits one pre-image per (target, source) PAIR, so an
-        # unvalidated merge would over-count deletions in the feed.
-        # Those cases keep the snapshot-diff fallback.
+        # Recorded change feed. Requires validated source cardinality:
+        # with duplicate source keys the join emits one pre-image per
+        # (target, source) PAIR, so an unvalidated merge would
+        # over-count deletions in the feed — that case keeps the
+        # snapshot-diff fallback.
         cdf = None
-        if not rt and not id_specs and validate_unique_source:
+        if validate_unique_source:
             pre_cols = [
                 F.col(f"t.`{f.name}`").cast(f.dataType).alias(f.name)
                 for f in target.schema.fields
@@ -2224,16 +2226,62 @@ class VersionedTable:
             upd_mask = is_matched & (midx.isin(upd_idx) if upd_idx else F.lit(False))
             del_mask = is_matched & (midx.isin(del_idx) if del_idx else F.lit(False))
             ins_mask = (~t_present) & (nidx != -1)
-            feed = (
-                joined.where(upd_mask | del_mask)
-                .select(*pre_cols)
-                .withColumn("_change_type", F.lit("delete"))
-                .unionByName(
-                    joined.where(upd_mask | ins_mask)
-                    .select(*out_cols)
-                    .withColumn("_change_type", F.lit("insert"))
+            if not rt and not id_specs:
+                feed = (
+                    joined.where(upd_mask | del_mask)
+                    .select(*pre_cols)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .unionByName(
+                        joined.where(upd_mask | ins_mask)
+                        .select(*out_cols)
+                        .withColumn("_change_type", F.lit("insert"))
+                    )
                 )
-            )
+            else:
+                # Row-tracked / identity tables: fresh _row_id /
+                # identity values are minted by
+                # monotonically_increasing_id in the WRITE job, so a
+                # feed re-running the join would mint DIFFERENT ids.
+                # Derive post-images from the WRITTEN files instead —
+                # the minted ids are facts on disk — keyed on the
+                # engine-unique id (``_row_id`` when row tracking is
+                # on, else an identity column: GENERATED ALWAYS,
+                # strictly increasing, UPDATE-locked, so unique and
+                # stable across the merge by construction). Pre-images
+                # involve no minting and come from the join masks.
+                # Cost: O(changed rows) join work + one pass over the
+                # written files (the merge rewrite itself), never a
+                # second snapshot diff. Tag vocabulary mirrors the
+                # diff route: update_* only under row tracking.
+                key = self.ROW_ID_COL if rt else next(iter(id_specs))
+                pre_tag, post_tag = (
+                    ("update_preimage", "update_postimage")
+                    if rt
+                    else ("delete", "insert")
+                )
+                written = self._df_for_paths([d], target.schema, self._mapping())
+                tgt_keys = target.select(F.col(f"`{key}`"))
+                upd_keys = joined.where(upd_mask).select(
+                    F.col(f"t.`{key}`").alias(key)
+                )
+                feed = (
+                    joined.where(del_mask)
+                    .select(*pre_cols)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .unionByName(
+                        joined.where(upd_mask)
+                        .select(*pre_cols)
+                        .withColumn("_change_type", F.lit(pre_tag))
+                    )
+                    .unionByName(
+                        written.join(upd_keys, on=key, how="left_semi")
+                        .withColumn("_change_type", F.lit(post_tag))
+                    )
+                    .unionByName(
+                        written.join(tgt_keys, on=key, how="left_anti")
+                        .withColumn("_change_type", F.lit("insert"))
+                    )
+                )
             cdf = self._write_cdf_feed(feed, version)
         props = self._latest().properties
         if rt:
@@ -3044,10 +3092,12 @@ class VersionedTable:
         snapshots. Multi-version windows then have event-log semantics
         (intermediate churn included, exactly like Delta
         ``table_changes``); any signed fold nets it out identically to
-        the diff. Falls back to the snapshot diff whenever a commit in
-        the window predates the feature, is a MERGE on an
-        identity-minting table or with unvalidated source cardinality,
-        spans a rename/drop/retype, or its feed was vacuumed. ``last_changes_route`` records which path served the
+        the diff. MERGE on row-tracked/identity tables records too —
+        post-images derive from the written files, where the minted ids
+        live. Falls back to the snapshot diff whenever a commit in the
+        window predates the feature, is a MERGE with unvalidated source
+        cardinality, spans a rename/drop/retype, or its feed was
+        vacuumed. ``last_changes_route`` records which path served the
         call ('recorded'/'diff') for tests and cost audits.
 
         FALLBACK — computed as two ``exceptAll`` set differences — each
@@ -3160,7 +3210,15 @@ class VersionedTable:
                 continue
             if mode == "insert_dirs":
                 # the appended dirs ARE the feed; read WITHOUT deletion
-                # vectors — later deletes are their own versions' events
+                # vectors — later deletes are their own versions' events.
+                # Mirror the parquet-mode vacuum guard: an appended dir
+                # can be rewritten away (OPTIMIZE) and vacuumed while
+                # its commit log survives — fall back to the diff route
+                # (which then surfaces the missing-snapshot condition
+                # through the established error path) instead of raising
+                # an opaque AnalysisException mid-read.
+                if any(not Path(d).exists() for d in info["dirs"]):
+                    return None
                 df = self._df_for_paths(list(info["dirs"]), schema, mapping)
                 feeds.append(df.withColumn("_change_type", F.lit("insert")))
             elif mode == "parquet":

@@ -186,7 +186,7 @@ def minhash_candidate_pairs(
     # sides: both join inputs then hang off the SAME Exchange subtree,
     # so Catalyst/AQE exchange reuse executes the shingle→md5 signature
     # stage once instead of once per side (r6 verdict perf finding #1;
-    # plan pinned by test_minhash_lsh_signature_computed_once).
+    # plan pinned by test_lsh_selfjoin_signature_computed_once).
     sigs = sigs.repartition("band_idx", "band_hash")
     a = sigs.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = sigs.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")

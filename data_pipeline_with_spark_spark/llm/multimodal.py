@@ -578,7 +578,7 @@ def phash_near_dup_pairs(
     # sides: both join inputs then share the SAME Exchange subtree and
     # Catalyst/AQE exchange reuse executes the decode→DCT→pHash stage
     # once instead of once per side (r6 verdict perf finding #1; plan
-    # pinned by test_phash_decode_computed_once).
+    # pinned by test_lsh_selfjoin_signature_computed_once).
     banded = banded.repartition("band_idx", "band_val")
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "band_idx", "band_val"
