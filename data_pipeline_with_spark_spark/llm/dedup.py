@@ -209,8 +209,15 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (the verify stage
     after LSH): |A∩B| / |A∪B|, rounded to 6 for cross-engine parity."""
-    sh = with_shingles(df, text_col, k_shingle).select(
-        F.col(id_col), F.col("shingles")
+    # One shuffle on the id BEFORE aliasing the two lookup sides: both
+    # joins then read the SAME tokenize→shingle Exchange (alias-aware
+    # output partitioning satisfies the id_a/id_b requirements), so the
+    # shingle stage executes once instead of once per side — the verify
+    # stage's analogue of the candidate stage's shared-Exchange fix.
+    sh = (
+        with_shingles(df, text_col, k_shingle)
+        .select(F.col(id_col), F.col("shingles"))
+        .repartition(id_col)
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -304,6 +311,10 @@ def simhash_near_dup_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
+    # Shared-Exchange self-join (same fix as minhash_candidate_pairs):
+    # one shuffle on the band keys before aliasing sides, so the
+    # 16-md5-votes simhash subtree executes once, not per side.
+    banded = banded.repartition("band_idx", "band_val")
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val"
     )

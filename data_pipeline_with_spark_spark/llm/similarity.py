@@ -162,6 +162,11 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs via bucketed self-join:
     only same-bucket pairs are scored (id_a < id_b), then thresholded."""
     b = ensure_min_partitions(df).withColumn("bucket", sign_lsh_bucket(F.col(emb_col), bits))
+    # One shuffle on the bucket BEFORE aliasing sides: both join inputs
+    # share the SAME Exchange, so the corpus (embedding arrays included)
+    # is scanned and shuffled ONCE instead of once per side — at 100 TB
+    # the self-join would otherwise pay two full corpus scans.
+    b = b.repartition("bucket")
     left = b.select(
         F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"), "bucket"
     )

@@ -160,13 +160,20 @@ def test_lsh_selfjoin_signature_computed_once(spark):
 
     specs = all_queries()
     sf = "/root/testdata/sf0.001"
-    for name, n_mip in (("dedup_minhash_lsh_pairs", 0), ("multimodal_phash_near_dups", 1)):
+    # (query, expected Generate nodes, expected MapInPandas nodes)
+    cases = [
+        ("dedup_minhash_lsh_pairs", 1, 0),
+        ("multimodal_phash_near_dups", 1, 1),
+        ("sim_embedding_near_dups", 0, 0),   # no explode: sign-bucket arith
+        ("dedup_ngram_jaccard", 0, 0),       # shingle arrays, no explode
+    ]
+    for name, n_gen, n_mip in cases:
         df = specs[name].build(spark, sf)
         df.collect()  # the FINAL adaptive plan only exists after execution
         final = _plan(df).split("== Initial Plan ==")[0]
         assert "ReusedExchange" in final, f"{name}: no exchange reuse:\n{final[:2000]}"
         gens = len(re.findall(r"^[\s:+*(\d)-]*Generate ", final, re.M))
-        assert gens == 1, f"{name}: band explode ran {gens}× (want 1)"
+        assert gens == n_gen, f"{name}: band explode ran {gens}× (want {n_gen})"
         mips = len(re.findall(r"^[\s:+*(\d)-]*MapInPandas", final, re.M))
         assert mips == n_mip, f"{name}: {mips} MapInPandas nodes (want {n_mip})"
 
