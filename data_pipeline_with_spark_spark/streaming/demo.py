@@ -710,3 +710,93 @@ def run_streaming_psi_drift(
         .where(F.col("__r") == 1)
         .drop("__r")
     )
+
+
+DEDUP_LEDGER_SCHEMA = "text_hash STRING, keeper_id BIGINT, n_copies BIGINT"
+DEDUP_BATCH_PROP = "stream_dedup.last_batch"
+
+
+def fold_dedup_batch(ledger, batch_df: DataFrame, epoch_id: int) -> bool:
+    """Fold one micro-batch of documents into the dedup ledger via a
+    transactional MERGE: keeper = least(doc_id) on hash collision, copy
+    counts accumulate. ``least`` and ``+`` are commutative/associative,
+    so the drained ledger is independent of micro-batch order — it
+    always equals the batch ``exact_dedup_groups`` aggregate.
+
+    Exactly-once: the ledger's own batch watermark property rides the
+    SAME commit as the merge (VersionedTable.extra_properties), so a
+    foreachBatch replay of an already-folded epoch no-ops — the
+    streaming-sink idempotency pattern shared with idempotent_append.
+    Returns whether the batch was applied."""
+    from data_pipeline_with_spark_spark.lake.versioned import (
+        WhenMatched,
+        WhenNotMatched,
+    )
+
+    last = int(ledger.table_properties().get(DEDUP_BATCH_PROP, "-1"))
+    if epoch_id <= last:
+        return False
+    delta = (
+        batch_df.withColumn("text_hash", F.md5(F.col("text")))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+    ledger.merge(
+        delta,
+        keys=["text_hash"],
+        matched=[
+            WhenMatched(
+                update={
+                    "keeper_id": "least(t.keeper_id, s.keeper_id)",
+                    "n_copies": "t.n_copies + s.n_copies",
+                }
+            )
+        ],
+        not_matched=[WhenNotMatched()],
+        extra_properties={DEDUP_BATCH_PROP: str(epoch_id)},
+    )
+    return True
+
+
+def run_stream_dedup(spark: SparkSession, sf_dir: str, work_dir: str):
+    """STREAMING corpus deduplication — the crawl-snapshot shape an LLM
+    ingestion pipeline actually runs: documents arrive in micro-batches
+    and every batch must dedup against EVERYTHING seen so far, not just
+    itself. State lives in a transactional dedup ledger (content hash →
+    keeper id + copy count) folded per batch by ``fold_dedup_batch``'s
+    MERGE; only 16-byte digests ever shuffle or persist, never bodies.
+
+    Scale shape: per batch the work is O(batch) hashing + one MERGE
+    against the ledger — at 100 TB the ledger is partitioned by hash
+    prefix and the merge join stays hash-local; the corpus itself is
+    never re-read. Returns the ledger whose read() must equal the batch
+    exact-dedup aggregate (the DuckDB oracle)."""
+    from pathlib import Path
+
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    work = Path(work_dir)
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    # stage as 4 files so availableNow + maxFilesPerTrigger=1 yields 4
+    # real micro-batches (same staging idiom as run_stream_matview)
+    staging = str(work / "staging")
+    docs.repartition(4).write.parquet(staging)
+    ledger = VersionedTable(spark, str(work / "ledger")).create(
+        spark.createDataFrame([], DEDUP_LEDGER_SCHEMA)
+    )
+    query = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(
+            lambda batch_df, epoch_id: fold_dedup_batch(ledger, batch_df, epoch_id)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return ledger

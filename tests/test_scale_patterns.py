@@ -160,22 +160,47 @@ def test_lsh_selfjoin_signature_computed_once(spark):
 
     specs = all_queries()
     sf = "/root/testdata/sf0.001"
-    # (query, expected Generate nodes, expected MapInPandas nodes)
+    # (query, expected Generate nodes, expected MapInPandas nodes,
+    #  size-adaptive?) — adaptive ones (wide shuffled payload) take the
+    # shared-Exchange shape only past the broadcast threshold; pin that
+    # regime by disabling broadcast for their run.
     cases = [
-        ("dedup_minhash_lsh_pairs", 1, 0),
-        ("multimodal_phash_near_dups", 1, 1),
-        ("sim_embedding_near_dups", 0, 0),   # no explode: sign-bucket arith
-        ("dedup_ngram_jaccard", 0, 0),       # shingle arrays, no explode
+        ("dedup_minhash_lsh_pairs", 1, 0, False),
+        ("multimodal_phash_near_dups", 1, 1, False),
+        ("sim_embedding_near_dups", 0, 0, True),  # no explode: sign-bucket arith
+        ("dedup_ngram_jaccard", 0, 0, True),      # shingle arrays, no explode
     ]
-    for name, n_gen, n_mip in cases:
+    for name, n_gen, n_mip, adaptive in cases:
+        if adaptive:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = specs[name].build(spark, sf)
+            df.collect()  # the FINAL adaptive plan only exists after execution
+            final = _plan(df).split("== Initial Plan ==")[0]
+            assert "ReusedExchange" in final, f"{name}: no exchange reuse:\n{final[:2000]}"
+            gens = len(re.findall(r"^[\s:+*(\d)-]*Generate ", final, re.M))
+            assert gens == n_gen, f"{name}: band explode ran {gens}× (want {n_gen})"
+            mips = len(re.findall(r"^[\s:+*(\d)-]*MapInPandas", final, re.M))
+            assert mips == n_mip, f"{name}: {mips} MapInPandas nodes (want {n_mip})"
+        finally:
+            if adaptive:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # below the threshold the adaptive operators must NOT force the
+    # shuffle — the small regime keeps AQE's broadcast (our shaping
+    # repartition would appear as a REPARTITION_BY_COL-tagged Exchange)
+    for name in ("sim_embedding_near_dups", "dedup_ngram_jaccard"):
         df = specs[name].build(spark, sf)
-        df.collect()  # the FINAL adaptive plan only exists after execution
-        final = _plan(df).split("== Initial Plan ==")[0]
-        assert "ReusedExchange" in final, f"{name}: no exchange reuse:\n{final[:2000]}"
-        gens = len(re.findall(r"^[\s:+*(\d)-]*Generate ", final, re.M))
-        assert gens == n_gen, f"{name}: band explode ran {gens}× (want {n_gen})"
-        mips = len(re.findall(r"^[\s:+*(\d)-]*MapInPandas", final, re.M))
-        assert mips == n_mip, f"{name}: {mips} MapInPandas nodes (want {n_mip})"
+        assert "REPARTITION_BY_COL" not in _plan(df), f"{name}: forced shuffle below threshold"
+
+    from data_pipeline_with_spark_spark.util import too_big_to_broadcast
+
+    small = spark.range(10).selectExpr("id", "cast(id as string) s")
+    assert not too_big_to_broadcast(small)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert too_big_to_broadcast(small)  # broadcast disabled -> shared path
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
 def test_ann_query_guard_stays_jvm_side(spark):
