@@ -200,3 +200,35 @@ register(
         """,
     )
 )
+
+
+def _stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING-executed corpus dedup (see demo.run_stream_dedup): 4
+    micro-batches of documents fold into a transactional dedup ledger
+    via MERGE — keeper = least(doc_id), counts accumulate. least/+ are
+    commutative, so the drained ledger equals the batch exact-dedup
+    aggregate regardless of micro-batch order; the oracle hashes that
+    equality."""
+    import tempfile
+
+    from data_pipeline_with_spark_spark.streaming.demo import run_stream_dedup
+
+    ledger = run_stream_dedup(spark, sf, tempfile.mkdtemp(prefix="stream_dedup_"))
+    return ledger.read().select("text_hash", "keeper_id", "n_copies")
+
+
+register(
+    QuerySpec(
+        name="stream_dedup_exact",
+        build=_stream_dedup,
+        doc="streaming corpus dedup: micro-batches MERGE into a hash-keyed "
+        "ledger (crawl-snapshot shape); oracle = the batch exact-dedup "
+        "aggregate the stream must converge to",
+        oracle="""
+        SELECT md5(text) AS text_hash,
+               CAST(min(doc_id) AS BIGINT) AS keeper_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+        """,
+    )
+)

@@ -239,3 +239,71 @@ def test_streaming_psi_drift_equals_batch(spark, sf_dir, tmp_path):
     for et, (n0, n1, psi) in batch.items():
         assert reg[et][0] == n0 and reg[et][1] == n1
         assert reg[et][2] == _pytest.approx(psi, abs=2e-6)
+
+
+def test_stream_dedup_equals_batch_and_replay_noop(spark, sf_dir, tmp_path):
+    # Streaming corpus dedup: the drained ledger equals the batch
+    # exact-dedup aggregate; a foreachBatch replay (same epoch id) is a
+    # no-op — the ledger's batch watermark rides the merge commit.
+    from data_pipeline_with_spark_spark.streaming.demo import (
+        DEDUP_BATCH_PROP,
+        fold_dedup_batch,
+        run_stream_dedup,
+    )
+
+    ledger = run_stream_dedup(spark, sf_dir, str(tmp_path / "sd"))
+    got = {(r.text_hash, r.keeper_id, r.n_copies) for r in ledger.read().collect()}
+    docs = read_testdata(spark, sf_dir, "documents")
+    want = {
+        (r.text_hash, r.keeper_id, r.n_copies)
+        for r in docs.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # replay of the last epoch: no-op (no new commit, state unchanged)
+    last_epoch = int(ledger.table_properties()[DEDUP_BATCH_PROP])
+    v = ledger._latest().version
+    applied = fold_dedup_batch(ledger, docs.select("doc_id", "text").limit(5), last_epoch)
+    assert applied is False and ledger._latest().version == v
+    # a genuinely new epoch re-sending already-seen docs exercises the
+    # WhenMatched path: counts bump by exactly 1, keepers never regress
+    # (least() is commutative)
+    replay_docs = docs.select("doc_id", "text").orderBy("doc_id").limit(5)
+    replayed = {r[0] for r in replay_docs.select(F.md5("text")).collect()}
+    assert fold_dedup_batch(ledger, replay_docs, last_epoch + 1) is True
+    base = {h: (k, c) for h, k, c in got}
+    after = {r.text_hash: (r.keeper_id, r.n_copies) for r in ledger.read().collect()}
+    assert after.keys() == base.keys()
+    for th, (kid, n) in after.items():
+        assert kid == base[th][0]  # keeper stable
+        assert n == base[th][1] + (1 if th in replayed else 0)
+
+
+def test_stream_dedup_order_independent(spark, tmp_path):
+    # least/+ fold: folding batches in any order yields the same ledger.
+    import itertools
+
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+    from data_pipeline_with_spark_spark.streaming.demo import (
+        DEDUP_LEDGER_SCHEMA,
+        fold_dedup_batch,
+    )
+
+    rows = [(1, "aa"), (2, "bb"), (3, "aa"), (4, "cc"), (5, "bb"), (6, "aa")]
+    batches = [rows[0:2], rows[2:4], rows[4:6]]
+    results = []
+    for i, perm in enumerate(itertools.permutations(range(3))):
+        t = VersionedTable(spark, str(tmp_path / f"ord{i}")).create(
+            spark.createDataFrame([], DEDUP_LEDGER_SCHEMA)
+        )
+        for epoch, b in enumerate(perm):
+            fold_dedup_batch(
+                t, spark.createDataFrame(batches[b], "doc_id LONG, text STRING"), epoch
+            )
+        results.append(
+            frozenset((r.text_hash, r.keeper_id, r.n_copies) for r in t.read().collect())
+        )
+    assert len(set(results)) == 1  # all 6 orders agree
+    assert any(n == 3 for _, _, n in results[0])  # "aa" counted thrice
