@@ -1020,6 +1020,35 @@ register(
 )
 
 
+def _pq_refined_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank (Jégou et al. 2011 /
+    FAISS IVFPQ+refine): codebooks trained distributed (all subspaces in
+    one pass per iteration), corpus encoded to m small ints (32× memory
+    cut at D=64), ADC shortlist from the codes alone, exact L2 re-rank
+    of only the shortlist. Iterative k-means train is not portable to
+    SQL → rows-only; pytest asserts numpy parity of train/encode, a
+    recall floor, and exact-equality when the shortlist spans the
+    corpus."""
+    emb = read_testdata(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    books = similarity.pq_train(emb, m=8, k_codes=16, iters=2)
+    codes = similarity.pq_encode(emb, books)
+    return similarity.pq_topk_refined(
+        emb, codes, queries, books, k=5, shortlist_factor=10
+    )
+
+
+register(
+    QuerySpec(
+        name="sim_cosine_topk_pq",
+        build=_pq_refined_topk,
+        doc="PQ ANN: distributed codebook train, Catalyst-only encode + ADC "
+        "shortlist, exact re-rank of the shortlist (rows-only: k-means)",
+        oracle=None,
+    )
+)
+
+
 def _token_estimate(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_testdata(spark, sf, "documents")
     return text.with_token_estimate(docs).select("doc_id", "n_pieces", "n_tokens_est")

@@ -809,3 +809,103 @@ def test_broadcast_query_guard_fails_fast(spark):
             similarity.ivf_topk(big_q, big_q, k=2, n_cells=2)
     finally:
         similarity.MAX_BROADCAST_QUERIES = orig
+
+
+def test_pq_train_encode_matches_numpy(spark):
+    import numpy as np
+
+    from data_pipeline_with_spark_spark.llm import similarity as S
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    m, kc, iters = 8, 16, 2
+    books = S.pq_train(emb, m=m, k_codes=kc, iters=iters)
+    got_codes = {
+        r.vec_id: list(r.pq_codes) for r in S.pq_encode(emb, books).collect()
+    }
+
+    rows = sorted(
+        (r.vec_id, np.array(r.embedding, dtype=np.float64)) for r in emb.collect()
+    )
+    ids = [i for i, _ in rows]
+    X = np.stack([v for _, v in rows])
+    D = X.shape[1]
+    d = D // m
+    B = [[X[c, j * d : (j + 1) * d].copy() for c in range(kc)] for j in range(m)]
+    for _ in range(iters):
+        A = np.zeros((len(ids), m), dtype=int)
+        for j in range(m):
+            sub = X[:, j * d : (j + 1) * d]
+            dist = ((sub[:, None, :] - np.stack(B[j])[None, :, :]) ** 2).sum(axis=2)
+            A[:, j] = dist.argmin(axis=1)
+        for j in range(m):
+            sub = X[:, j * d : (j + 1) * d]
+            for c in range(kc):
+                if (A[:, j] == c).any():
+                    B[j][c] = sub[A[:, j] == c].mean(axis=0)
+    # final encode with the trained books
+    enc = {}
+    for i, vid in enumerate(ids):
+        enc[vid] = [
+            int(((X[i, j * d : (j + 1) * d] - np.stack(B[j])) ** 2).sum(axis=1).argmin())
+            for j in range(m)
+        ]
+    assert got_codes == enc
+    assert np.allclose(
+        np.array(books), np.array([[list(c) for c in B[j]] for j in range(m)]), atol=1e-8
+    )
+
+
+def test_pq_refined_recall_and_exactness(spark):
+    import numpy as np
+
+    from data_pipeline_with_spark_spark.llm import similarity as S
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    books = S.pq_train(emb, m=8, k_codes=16, iters=2)
+    codes = S.pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < 5)
+
+    X = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    ids = sorted(X)
+    n = len(ids)
+
+    def exact(qid, k=5):
+        return [
+            i
+            for _, i in sorted(
+                (round(float(((X[i] - X[qid]) ** 2).sum()), 6), i)
+                for i in ids
+                if i != qid
+            )[:k]
+        ]
+
+    # ADC alone: right shape (per-query k rows), JVM-only plan
+    adc = S.pq_topk(codes, queries, books, k=5)
+    plan = adc._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "ExistingRDD" not in plan
+    by_q = {}
+    for r in adc.collect():
+        by_q.setdefault(r.q_id, []).append(r.neighbor_id)
+    assert set(by_q) == {0, 1, 2, 3, 4} and all(len(v) == 5 for v in by_q.values())
+
+    # refined: recall floor at shortlist_factor=10 (uniform-random
+    # embeddings are PQ's worst case; real corpora cluster)
+    ref = S.pq_topk_refined(emb, codes, queries, books, k=5, shortlist_factor=10)
+    rec = []
+    got = {}
+    for r in ref.collect():
+        got.setdefault(r.q_id, []).append(r.neighbor_id)
+    for qid, nb in got.items():
+        rec.append(len(set(exact(qid)) & set(nb)) / 5)
+    assert sum(rec) / len(rec) >= 0.5
+
+    # shortlist spanning the whole corpus -> EXACT brute-force L2 result
+    full = S.pq_topk_refined(
+        emb, codes, queries, books, k=5, shortlist_factor=(n // 5) + 1
+    )
+    got_full = {}
+    for r in full.collect():
+        got_full.setdefault(r.q_id, []).append(r.neighbor_id)
+    assert got_full == {q: exact(q) for q in got_full}
