@@ -298,7 +298,13 @@ def simhash_near_dup_pairs(
     """SimHash near-dups: band the fingerprint into band_bits chunks
     (pigeonhole: ≤ max_hamming differing bits ⇒ some band equal for
     bits/band_bits > max_hamming), bucket-join, verify Hamming ≤ max."""
-    sh = with_simhash(df, text_col, bits).select(F.col(id_col), F.col("simhash"))
+    # Persist the tiny (id, simhash) frame: the 16-md5-votes fingerprint
+    # stage executes once for the self-join, and AQE stays free to
+    # broadcast. SimHash band values are LOW-cardinality (band_bits
+    # wide) and collide heavily on similar corpora — the same hot-bucket
+    # trap as pHash (see phash_near_dup_pairs), so the shared-Exchange
+    # shape used by the md5-banded MinHash join is wrong here.
+    sh = with_simhash(df, text_col, bits).select(F.col(id_col), F.col("simhash")).persist()
     n_bands = bits // band_bits
     banded = sh.select(
         id_col,
@@ -314,10 +320,6 @@ def simhash_near_dup_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
-    # Shared-Exchange self-join (same fix as minhash_candidate_pairs):
-    # one shuffle on the band keys before aliasing sides, so the
-    # 16-md5-votes simhash subtree executes once, not per side.
-    banded = banded.repartition("band_idx", "band_val")
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val"
     )

@@ -560,6 +560,17 @@ def phash_near_dup_pairs(
     hash) triples shuffle — same LSH shape as the text SimHash pipeline,
     applied to the image modality."""
     n_bands = _PHASH_BITS // band_bits
+    # Persist the TINY fingerprint frame (id, 8-byte phash) so the
+    # expensive decode→DCT subtree upstream executes ONCE for the
+    # self-join instead of once per side (r6 verdict perf finding #1),
+    # while the join below stays free for AQE to broadcast. Forcing a
+    # band-key shuffle here instead (the shared-Exchange shape used by
+    # the md5-banded MinHash join) measured 4-6x SLOWER at sf1: image
+    # corpora have hot bands — duplicate classes share every band value
+    # — and a reused exchange disables AQE's skew split, so per-key
+    # pair generation straggles. Cache cost is O(corpus rows x 16
+    # bytes), evictable, and never the decoded pixels.
+    hashed = hashed.select(id_col, hash_col).persist()
     banded = hashed.select(
         id_col,
         hash_col,
@@ -574,12 +585,6 @@ def phash_near_dup_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
-    # One explicit shuffle on the join keys BEFORE aliasing the two
-    # sides: both join inputs then share the SAME Exchange subtree and
-    # Catalyst/AQE exchange reuse executes the decode→DCT→pHash stage
-    # once instead of once per side (r6 verdict perf finding #1; plan
-    # pinned by test_lsh_selfjoin_signature_computed_once).
-    banded = banded.repartition("band_idx", "band_val")
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "band_idx", "band_val"
     )
