@@ -232,3 +232,56 @@ register(
         """,
     )
 )
+
+
+def _stream_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING MinHash-LSH near-dup (see demo.run_stream_near_dup):
+    4 micro-batches probe a band-hash ledger; the accumulated pairs
+    table must equal the batch LSH candidate set — hash-checked against
+    the identical DuckDB formulation used by dedup_minhash_lsh_pairs."""
+    import tempfile
+
+    from data_pipeline_with_spark_spark.streaming.demo import run_stream_near_dup
+
+    _, pairs = run_stream_near_dup(spark, sf, tempfile.mkdtemp(prefix="stream_nd_"))
+    return pairs.read().select("id_a", "id_b")
+
+
+def _stream_near_dup_oracle() -> str:
+    # identical formulation to dedup_minhash_lsh_pairs' oracle (same
+    # shingle/minhash/banding constants) — the stream must converge to
+    # the batch candidate set. BIGINT casts match the ledger schema.
+    from data_pipeline_with_spark_spark.plans.catalog_llm import (
+        _BANDS,
+        _BANDS_SQL,
+        _MINHASH_SQL,
+        _SHINGLES_SQL,
+        _TOKS_SQL,
+    )
+
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+        sig AS (SELECT doc_id, {_MINHASH_SQL} AS minhash FROM sh),
+        bands AS (
+          SELECT doc_id, j AS band_idx, ({_BANDS_SQL})[j] AS band_hash
+          FROM sig, (SELECT unnest(generate_series(1, {_BANDS})) AS j)
+        )
+        SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,
+                        CAST(b.doc_id AS BIGINT) AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        WHERE a.doc_id < b.doc_id
+        """
+
+
+register(
+    QuerySpec(
+        name="stream_near_dup_pairs",
+        build=_stream_near_dup,
+        doc="streaming MinHash-LSH near-dup: micro-batches probe a band-hash "
+        "ledger, pairs discovered when their later doc arrives; oracle = the "
+        "batch LSH candidate set the stream must converge to",
+        oracle=_stream_near_dup_oracle(),
+    )
+)

@@ -800,3 +800,118 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str, work_dir: str):
     )
     query.awaitTermination()
     return ledger
+
+
+def _band_triples(
+    batch_df: DataFrame, k_shingle: int, num_hashes: int, bands: int
+) -> DataFrame:
+    from data_pipeline_with_spark_spark.llm.dedup import (
+        lsh_band_hashes,
+        with_minhash,
+    )
+
+    sigs = with_minhash(batch_df, "text", k_shingle, num_hashes)
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(
+            lsh_band_hashes(F.col("minhash"), bands, rows_per_band)
+        ).alias("band_idx", "band_hash"),
+    ).select("band_idx", "band_hash", "doc_id")
+
+
+def fold_near_dup_batch(
+    bands_ledger,
+    pairs_table,
+    batch_df: DataFrame,
+    epoch_id: int,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> bool:
+    """Fold one micro-batch into the streaming near-dup state: compute
+    the batch docs' MinHash band triples, emit every candidate pair
+    with AT LEAST ONE new doc (new×seen via the band ledger, new×new
+    within the batch), then append the new triples to the ledger.
+
+    A pair is discovered exactly once — in the batch where its LATER
+    doc arrives (both docs' bands exist from then on, and both-old
+    pairs are never re-joined) — so the accumulated pairs table equals
+    the batch LSH candidate set regardless of batch order. Both appends
+    are ``idempotent_append`` under the same epoch id, ordered pairs
+    BEFORE bands: a replay after a crash between them re-skips the
+    pairs append and re-applies only the missing bands append, never
+    double-counting (pairs are derived from the PRE-batch ledger
+    state, which a pairs-applied/bands-missing crash preserves)."""
+    new = _band_triples(
+        batch_df.select("doc_id", "text"), k_shingle, num_hashes, bands
+    )
+    seen = bands_ledger.read()
+    pool = seen.unionByName(new)
+    cand = (
+        new.alias("n")
+        .join(
+            pool.alias("s"),
+            on=(
+                (F.col("n.band_idx") == F.col("s.band_idx"))
+                & (F.col("n.band_hash") == F.col("s.band_hash"))
+                & (F.col("n.doc_id") != F.col("s.doc_id"))
+            ),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("s.doc_id")).alias("id_a"),
+            F.greatest(F.col("n.doc_id"), F.col("s.doc_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    applied = pairs_table.idempotent_append(
+        cand, app_id="stream_near_dup_pairs", batch_id=epoch_id
+    )
+    bands_ledger.idempotent_append(
+        new, app_id="stream_near_dup_bands", batch_id=epoch_id
+    )
+    return applied
+
+
+def run_stream_near_dup(
+    spark: SparkSession, sf_dir: str, work_dir: str
+):
+    """STREAMING MinHash-LSH near-dup detection — the incremental form
+    of ``dedup.minhash_candidate_pairs``: documents arrive in
+    micro-batches and each batch's candidates are found against the
+    full history via a band-hash ledger, never by re-scanning the
+    corpus. Per batch the work is O(batch bands + matched buckets):
+    the ledger join is an equi-join on (band_idx, band_hash) — at
+    100 TB the ledger is bucketed on the band hash so the probe is
+    hash-local, and only 16-byte digests + ids ever persist or
+    shuffle. Returns (bands_ledger, pairs_table); the pairs table must
+    equal the batch LSH candidate set (the DuckDB oracle)."""
+    from pathlib import Path
+
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    work = Path(work_dir)
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    staging = str(work / "staging")
+    docs.repartition(4).write.parquet(staging)
+    bands_ledger = VersionedTable(spark, str(work / "bands")).create(
+        spark.createDataFrame([], "band_idx INT, band_hash STRING, doc_id BIGINT")
+    )
+    pairs_table = VersionedTable(spark, str(work / "pairs")).create(
+        spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    )
+    query = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(
+            lambda batch_df, epoch_id: fold_near_dup_batch(
+                bands_ledger, pairs_table, batch_df, epoch_id
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return bands_ledger, pairs_table

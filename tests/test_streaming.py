@@ -307,3 +307,93 @@ def test_stream_dedup_order_independent(spark, tmp_path):
         )
     assert len(set(results)) == 1  # all 6 orders agree
     assert any(n == 3 for _, _, n in results[0])  # "aa" counted thrice
+
+
+def test_stream_near_dup_order_independent_and_crash_safe(spark, tmp_path):
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+    from data_pipeline_with_spark_spark.llm.dedup import minhash_candidate_pairs
+    from data_pipeline_with_spark_spark.streaming.demo import (
+        _band_triples,
+        fold_near_dup_batch,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),   # exact dup of 1
+        (3, "totally different words here now"),
+        (4, "alpha beta gamma delta zeta"),      # near dup of 1/2
+        (5, "totally different words here now"), # dup of 3
+        (6, "unrelated content entirely fresh"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    want = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(docs, num_hashes=16, bands=8).collect()
+    }
+    assert len(want) >= 2  # dups exist by construction
+
+    def make_tables(tag):
+        bl = VersionedTable(spark, str(tmp_path / f"b{tag}")).create(
+            spark.createDataFrame([], "band_idx INT, band_hash STRING, doc_id BIGINT")
+        )
+        pt = VersionedTable(spark, str(tmp_path / f"p{tag}")).create(
+            spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+        )
+        return bl, pt
+
+    batches = [rows[0:2], rows[2:4], rows[4:6]]
+    import itertools
+
+    results = []
+    for i, perm in enumerate(itertools.permutations(range(3))):
+        bl, pt = make_tables(f"o{i}")
+        for epoch, bi in enumerate(perm):
+            fold_near_dup_batch(
+                bl, pt, spark.createDataFrame(batches[bi], "doc_id LONG, text STRING"),
+                epoch, num_hashes=16, bands=8,
+            )
+        results.append(frozenset((r.id_a, r.id_b) for r in pt.read().collect()))
+    assert len(set(results)) == 1  # all 6 orders agree
+    assert results[0] == frozenset(want)  # and equal the batch answer
+
+    # crash between the pairs append and the bands append: replaying the
+    # epoch must skip the already-applied pairs and apply only the
+    # missing bands — converging to the clean two-fold state.
+    bl, pt = make_tables("crash")
+    b0 = spark.createDataFrame(batches[0], "doc_id LONG, text STRING")
+    b1 = spark.createDataFrame(batches[1], "doc_id LONG, text STRING")
+    fold_near_dup_batch(bl, pt, b0, 0, num_hashes=16, bands=8)
+    # simulate the torn epoch 1: pairs landed, bands did not
+    seen = bl.read()
+    new = _band_triples(b1, 3, 16, 8)
+    pool = seen.unionByName(new)
+    cand = (
+        new.alias("n")
+        .join(
+            pool.alias("s"),
+            on=(
+                (F.col("n.band_idx") == F.col("s.band_idx"))
+                & (F.col("n.band_hash") == F.col("s.band_hash"))
+                & (F.col("n.doc_id") != F.col("s.doc_id"))
+            ),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("s.doc_id")).alias("id_a"),
+            F.greatest(F.col("n.doc_id"), F.col("s.doc_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    pt.idempotent_append(cand, app_id="stream_near_dup_pairs", batch_id=1)
+    pairs_after_crash = {(r.id_a, r.id_b) for r in pt.read().collect()}
+    ledger_v = bl._latest().version
+    # replay epoch 1 through the real fold
+    applied = fold_near_dup_batch(bl, pt, b1, 1, num_hashes=16, bands=8)
+    assert applied is False  # pairs append was skipped
+    assert {(r.id_a, r.id_b) for r in pt.read().collect()} == pairs_after_crash
+    assert bl._latest().version == ledger_v + 1  # bands append DID apply
+    # epoch 2 on the healed state completes the batch answer
+    fold_near_dup_batch(
+        bl, pt, spark.createDataFrame(batches[2], "doc_id LONG, text STRING"),
+        2, num_hashes=16, bands=8,
+    )
+    assert {(r.id_a, r.id_b) for r in pt.read().collect()} == want
