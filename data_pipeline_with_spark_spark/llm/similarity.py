@@ -1,14 +1,22 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, per the standard ANN playbook:
+Four paths, per the standard ANN playbook:
 - **Brute-force cosine top-k** — the exactness baseline. Queries are a
   small set: broadcast them, so the big side streams through one scan
   with no shuffle; per-query top-k via a ranked window.
-- **LSH-bucketed top-k** — the scale path: sign-of-coordinate random-
-  hyperplane buckets (Charikar '02 simplified to axis hyperplanes so
-  the bucket formula is portable SQL); candidates only meet inside a
-  bucket, turning O(N·Q) into O(N·Q/2^b) with recall traded via
-  ``n_probe``-style multi-band ORs (here: band count).
+- **LSH-bucketed top-k** — the compute-bound scale path: sign-of-
+  coordinate random-hyperplane buckets (Charikar '02 simplified to
+  axis hyperplanes so the bucket formula is portable SQL); candidates
+  only meet inside a bucket, turning O(N·Q) into O(N·Q/2^b) with
+  recall traded via ``n_probe``-style multi-band ORs (band count).
+- **IVF** — the I/O-bound scale path: a k-means coarse quantizer
+  inverts the corpus by cell; a materialized index partitions the
+  corpus on disk by cell so a probe reads n_probe/n_cells of the
+  bytes (partition-pruned scan).
+- **PQ + ADC re-rank** — the memory-bound scale path (Jégou et al.
+  2011): vectors compress to m codebook indices (32× at D=64), queries
+  score candidates from per-query lookup tables without touching the
+  vectors, and an exact re-rank of the shortlist recovers recall.
 
 All arithmetic is element-wise double (cast from float32 first, then a
 sequential fold), and final scores round to 6 decimals so rankings are

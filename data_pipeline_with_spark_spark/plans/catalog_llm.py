@@ -1040,10 +1040,12 @@ def _pq_refined_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 register(
     QuerySpec(
-        name="sim_cosine_topk_pq",
+        name="sim_l2_topk_pq",
         build=_pq_refined_topk,
-        doc="PQ ANN: distributed codebook train, Catalyst-only encode + ADC "
-        "shortlist, exact re-rank of the shortlist (rows-only: k-means)",
+        doc="PQ ANN (squared-L2 metric; normalize embeddings first when "
+        "cosine ranking is wanted): distributed codebook train, "
+        "Catalyst-only encode + ADC shortlist, exact re-rank of the "
+        "shortlist (rows-only: k-means)",
         oracle=None,
     )
 )
