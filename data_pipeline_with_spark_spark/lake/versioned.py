@@ -2021,6 +2021,7 @@ class VersionedTable:
         not_matched: list[WhenNotMatched] | None = None,
         validate_unique_source: bool = True,
         extra_properties: dict[str, str] | None = None,
+        null_safe_keys: bool = False,
     ) -> "VersionedTable":
         """Full MERGE INTO with conditional clauses (Delta DML family,
         the generalization of D4 UPDATE at ``update_versioning.py:40-44``):
@@ -2044,6 +2045,16 @@ class VersionedTable:
         a target row matched by >1 source rows is nondeterministic and
         raises MergeCardinalityError (one extra count job over the
         source keys; disable only if uniqueness is guaranteed upstream).
+
+        ``null_safe_keys`` switches the key comparison to ``<=>``
+        (NULL matches NULL) — standard MERGE equality never matches a
+        NULL key, so a source row with a NULL key always takes the NOT
+        MATCHED path and re-inserts on every merge. Aggregation-shaped
+        ledgers (key = groupBy output, where NULL is one real group —
+        e.g. the streaming dedup fold) need null-safe matching to stay
+        equal to their batch twin. Note ``validate_unique_source``'s
+        groupBy already counts NULL as one group, consistent with this
+        mode.
         """
         import functools
         import operator
@@ -2071,7 +2082,13 @@ class VersionedTable:
         t = target.withColumn("__t", F.lit(1)).alias("t")
         s = source.withColumn("__s", F.lit(1)).alias("s")
         key_cond = functools.reduce(
-            operator.and_, [F.col(f"t.`{k}`") == F.col(f"s.`{k}`") for k in keys]
+            operator.and_,
+            [
+                F.col(f"t.`{k}`").eqNullSafe(F.col(f"s.`{k}`"))
+                if null_safe_keys
+                else F.col(f"t.`{k}`") == F.col(f"s.`{k}`")
+                for k in keys
+            ],
         )
         how = "left_outer" if not not_matched else "full_outer"
         joined = t.join(s, on=key_cond, how=how)

@@ -24,7 +24,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_spark.llm.text import tokens
-from data_pipeline_with_spark_spark.util import ensure_min_partitions, too_big_to_broadcast
+from data_pipeline_with_spark_spark.util import (
+    ensure_min_partitions,
+    session_cache,
+    too_big_to_broadcast,
+)
 
 
 # --------------------------------------------------------------------------
@@ -304,7 +308,9 @@ def simhash_near_dup_pairs(
     # wide) and collide heavily on similar corpora — the same hot-bucket
     # trap as pHash (see phash_near_dup_pairs), so the shared-Exchange
     # shape used by the md5-banded MinHash join is wrong here.
-    sh = with_simhash(df, text_col, bits).select(F.col(id_col), F.col("simhash")).persist()
+    sh = session_cache(
+        with_simhash(df, text_col, bits).select(F.col(id_col), F.col("simhash"))
+    )
     n_bands = bits // band_bits
     banded = sh.select(
         id_col,

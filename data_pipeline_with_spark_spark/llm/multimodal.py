@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_pipeline_with_spark_spark.llm import codecs
-from data_pipeline_with_spark_spark.util import ensure_min_partitions
+from data_pipeline_with_spark_spark.util import ensure_min_partitions, session_cache
 
 FEATURE_DIM = 16
 
@@ -569,8 +569,9 @@ def phash_near_dup_pairs(
     # corpora have hot bands — duplicate classes share every band value
     # — and a reused exchange disables AQE's skew split, so per-key
     # pair generation straggles. Cache cost is O(corpus rows x 16
-    # bytes), evictable, and never the decoded pixels.
-    hashed = hashed.select(id_col, hash_col).persist()
+    # bytes), MEMORY_ONLY via session_cache (LRU-evictable, releasable
+    # with util.release_session_caches), and never the decoded pixels.
+    hashed = session_cache(hashed.select(id_col, hash_col))
     banded = hashed.select(
         id_col,
         hash_col,

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Four paths, per the standard ANN playbook:
+Five paths, per the standard ANN playbook:
 - **Brute-force cosine top-k** — the exactness baseline. Queries are a
   small set: broadcast them, so the big side streams through one scan
   with no shuffle; per-query top-k via a ranked window.
@@ -17,6 +17,9 @@ Four paths, per the standard ANN playbook:
   2011): vectors compress to m codebook indices (32× at D=64), queries
   score candidates from per-query lookup tables without touching the
   vectors, and an exact re-rank of the shortlist recovers recall.
+- **IVFPQ** — the combined production shape (FAISS IVFPQ): the coarse
+  quantizer prunes I/O, residual-trained PQ codes shrink what the
+  probe scans, exact re-rank of the shortlist recovers recall.
 
 All arithmetic is element-wise double (cast from float32 first, then a
 sequential fold), and final scores round to 6 decimals so rankings are
@@ -28,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_pipeline_with_spark_spark.util import ensure_min_partitions, too_big_to_broadcast
+from data_pipeline_with_spark_spark.util import (
+    ensure_min_partitions,
+    session_cache,
+    too_big_to_broadcast,
+)
 
 
 def _as_double(arr: Column) -> Column:
@@ -63,6 +70,11 @@ def with_norm(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
 # executor at scale (r5 verdict quibble).
 MAX_BROADCAST_QUERIES = 100_000
 
+# PQ re-rank shortlists are (q_id, neighbor_id) pairs — 16 bytes of
+# data per row. 2M rows ≈ 32 MB serialized — comfortably inside a
+# broadcast; past that the fetch join falls back to a shuffle.
+SHORTLIST_BROADCAST_MAX_ROWS = 2_000_000
+
 
 def _guard_query_side(q: DataFrame, op: str) -> DataFrame:
     """Enforce the broadcast size bound entirely JVM-side: persist the
@@ -74,8 +86,12 @@ def _guard_query_side(q: DataFrame, op: str) -> DataFrame:
     r6 ADVICE) and re-entered the plan as a ``Scan ExistingRDD``.
     Persisting means the query subtree computes once (the probe job)
     and the broadcast exchange reads the cache, so the happy-path cost
-    is one bounded job on the tiny side."""
-    q = q.persist()
+    is one bounded job on the tiny side. The cache is MEMORY_ONLY and
+    registered via util.session_cache — the frame outlives this call
+    (the consumer materializes it lazily), so it cannot be unpersisted
+    here; MEMORY_ONLY keeps it LRU-evictable (recompute-on-miss) and
+    util.release_session_caches() frees it deterministically."""
+    q = session_cache(q)
     n = q.limit(MAX_BROADCAST_QUERIES + 1).count()
     if n > MAX_BROADCAST_QUERIES:
         q.unpersist()
@@ -627,7 +643,15 @@ def pq_topk_refined(
     Compression errors cost recall only when a true neighbor falls
     outside the shortlist, so recall ramps with ``shortlist_factor``
     while the exact-math cost stays O(|Q| × k × factor), never
-    O(corpus)."""
+    O(corpus).
+
+    The shortlist is |Q| × k × factor rows — NOT bounded by the query
+    guard (100k queries × k=5 × factor=10 is already 5M rows), so the
+    broadcast hint on the corpus fetch is conditional on the known
+    bound ``n_q × k × factor``: under SHORTLIST_BROADCAST_MAX_ROWS the
+    id-pair relation broadcasts (the point-read shape); above it the
+    fetch falls back to a plain equi-join, which AQE plans as a shuffle
+    on ids — the right strategy when the shortlist itself is big."""
     cand = pq_topk(
         codes_df,
         queries,
@@ -637,12 +661,19 @@ def pq_topk_refined(
         emb_col=emb_col,
         query_id_col=query_id_col,
     ).select(query_id_col, "neighbor_id")
+    # the guard inside pq_topk already capped |Q|; this extra bounded
+    # count job on the (persisted-small) query side prices the
+    # shortlist exactly instead of trusting Catalyst's post-window
+    # row estimate
+    n_q = queries.limit(MAX_BROADCAST_QUERIES + 1).count()
+    shortlist_small = n_q * k * shortlist_factor <= SHORTLIST_BROADCAST_MAX_ROWS
+    cand = F.broadcast(cand) if shortlist_small else cand
     q = queries.select(
         F.col(id_col).alias(query_id_col), _as_double(F.col(emb_col)).alias("__q")
     )
     fetched = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(emb_col)).alias("__n")
-    ).join(F.broadcast(cand), on="neighbor_id")
+    ).join(cand, on="neighbor_id")
     scored = fetched.join(F.broadcast(q), on=query_id_col).withColumn(
         "l2_dist",
         F.round(
@@ -654,6 +685,227 @@ def pq_topk_refined(
             6,
         ),
     )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, "neighbor_id", "l2_dist", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ combined index — the full FAISS IVFPQ layout (Jégou et al.
+# 2011 §V): the coarse quantizer bounds I/O (a probe reads only
+# n_probe/n_cells of the index, partition-pruned), PQ bounds memory
+# (the scanned rows are m small ints each, 32× smaller than vectors at
+# D=64), and an exact re-rank of the shortlist recovers recall. PQ
+# encodes the RESIDUAL x − centroid(cell), not x itself — residuals
+# concentrate near 0 so the same codebook budget quantizes them with
+# far less error than raw vectors (the core IVFPQ insight).
+def _sq_dist_cols(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Build the IVFPQ index: fit the seeded k-means coarse quantizer,
+    train PQ codebooks ON THE RESIDUALS (distributed, one scan per
+    iteration — `pq_train`), then write per cell directory
+    (``{path}/data/cell=<i>/``) rows of (id, embedding, pq_codes) plus
+    the tiny centroid and codebook tables. The embedding column rides
+    along for the re-rank point-read; a probe's ADC scan never reads it
+    (column pruning — pinned in tests).
+
+    The residual frame is persisted for the duration of the build (the
+    PQ trainer scans it once per iteration, then the encode pass reads
+    it once more) and unpersisted before returning — the build is fully
+    materialized by its writes, so the cache has no post-call consumer.
+
+    Returns the codebooks for convenience."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = ensure_min_partitions(corpus)
+    vecs = corpus.withColumn(
+        "__v", array_to_vector(F.col(emb_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="__v", predictionCol="cell"
+    ).fit(vecs)
+    assigned = model.transform(vecs).drop("__v")
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cell", "centroid"],
+    )
+    resid = (
+        assigned.join(F.broadcast(centroids), on="cell")
+        .withColumn(
+            "__resid",
+            F.zip_with(
+                _as_double(F.col(emb_col)), F.col("centroid"), lambda a, b: a - b
+            ),
+        )
+        .drop("centroid")
+        .persist()
+    )
+    try:
+        books = pq_train(
+            resid, m=m, k_codes=k_codes, iters=pq_iters,
+            id_col=id_col, emb_col="__resid",
+        )
+        d = len(books[0][0])
+        encoded = resid.withColumn(
+            "pq_codes", _pq_codes_expr(F.col("__resid"), books, d)
+        )
+        (
+            encoded.select(id_col, emb_col, "pq_codes", "cell")
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/data")
+        )
+    finally:
+        resid.unpersist()
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(j, c, books[j][c]) for j in range(m) for c in range(k_codes)],
+        "sub INT, code INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return books
+
+
+def _load_codebooks(spark, path: str) -> list[list[list[float]]]:
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r.sub for r in rows)
+    k_codes = 1 + max(r.code for r in rows)
+    books: list[list[list[float]]] = [[None] * k_codes for _ in range(m)]
+    for r in rows:
+        books[r.sub][r.code] = [float(x) for x in r.centroid]
+    return books
+
+
+def ivfpq_probe_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist_factor: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Probe an IVFPQ index (squared-L2 metric; normalize embeddings
+    first when cosine ranking is wanted):
+
+    1. rank cells per query by exact centroid distance (centroids are
+       tiny and broadcast), keep ``n_probe``;
+    2. build each (query, cell) pair's ADC lookup table from the
+       query's RESIDUAL in that cell — |Q| × n_probe rows, each
+       m × k_codes doubles, broadcast;
+    3. ADC-score a partition-pruned scan of the probed cells that reads
+       ONLY (cell, id, pq_codes) — never the embedding column — and
+       shortlist ``k × shortlist_factor`` per query;
+    4. exact re-rank: fetch just the shortlisted rows' true vectors
+       (second pruned scan, id-keyed point-read; broadcast conditional
+       on the known shortlist bound, as in ``pq_topk_refined``).
+
+    Driver traffic is ≤ n_cells ints (the probed-cell set for the
+    partition predicate) + the codebooks; every row-scale structure
+    stays distributed."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    books = _load_codebooks(spark, path)
+    m = len(books)
+    d = len(books[0][0])
+    q = _guard_query_side(
+        queries.select(
+            F.col(id_col).alias(query_id_col), _as_double(F.col(emb_col)).alias("__q")
+        ),
+        "ivfpq_probe_topk",
+    )
+    q_cells = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", _sq_dist_cols(F.col("__q"), F.col("centroid")))
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(F.asc("cdist"), F.asc("cell"))
+            ),
+        )
+        .where(F.col("cell_rank") <= n_probe)
+        .withColumn(
+            "__resid", F.zip_with(F.col("__q"), F.col("centroid"), lambda a, b: a - b)
+        )
+        .select(query_id_col, "__resid", "cell")
+    )
+    luts = [
+        F.array(
+            *[
+                _sq_dist_lit(F.slice(F.col("__resid"), j * d + 1, d), c)
+                for c in books[j]
+            ]
+        ).alias(f"__lut{j}")
+        for j in range(m)
+    ]
+    q_lut = q_cells.select(query_id_col, "cell", *luts)
+    # ≤ n_cells ints to the driver: the partition predicate must be a
+    # literal for Catalyst to prune directories at plan time.
+    probe_cells = sorted({r.cell for r in q_cells.select("cell").distinct().collect()})
+    codes_scan = (
+        spark.read.parquet(f"{path}/data")
+        .where(F.col("cell").isin(probe_cells))
+        .select("cell", id_col, "pq_codes")
+    )
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.col(f"__lut{j}"), F.element_at(F.col("pq_codes"), j + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    shortlist = (
+        codes_scan.join(F.broadcast(q_lut), on="cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .withColumn("adc_dist", F.round(adc, 6))
+        .withColumn(
+            "srnk",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.asc("adc_dist"), F.asc(id_col)
+                )
+            ),
+        )
+        .where(F.col("srnk") <= k * shortlist_factor)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"))
+    )
+    n_q = q.limit(MAX_BROADCAST_QUERIES + 1).count()
+    if n_q * k * shortlist_factor <= SHORTLIST_BROADCAST_MAX_ROWS:
+        shortlist = F.broadcast(shortlist)
+    fetched = (
+        spark.read.parquet(f"{path}/data")
+        .where(F.col("cell").isin(probe_cells))
+        .select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(emb_col)).alias("__n")
+        )
+        .join(shortlist, on="neighbor_id")
+    )
+    scored = fetched.join(
+        F.broadcast(q.select(query_id_col, "__q")), on=query_id_col
+    ).withColumn("l2_dist", F.round(_sq_dist_cols(F.col("__n"), F.col("__q")), 6))
     w = Window.partitionBy(query_id_col).orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -1051,6 +1051,39 @@ register(
 )
 
 
+def _ivfpq_indexed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Full FAISS-IVFPQ shape: coarse quantizer prunes I/O (probe =
+    partition-pruned scan of n_probe/n_cells directories), residual-
+    trained PQ codes shrink what the ADC scan reads (never the
+    embedding column — column pruning pinned in tests), exact re-rank
+    of the shortlist recovers recall. Iterative k-means train is not
+    portable to SQL -> rows-only; pytest asserts exact-equality under a
+    full probe + corpus-wide shortlist, a recall floor, and the plan
+    shape (PartitionFilters + pruned ReadSchema)."""
+    import tempfile
+
+    emb = read_testdata(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    idx = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    similarity.ivfpq_build_index(emb, idx, n_cells=16, m=8, k_codes=16, pq_iters=2)
+    return similarity.ivfpq_probe_topk(
+        spark, idx, queries, k=5, n_probe=4, shortlist_factor=10
+    )
+
+
+register(
+    QuerySpec(
+        name="sim_l2_topk_ivfpq",
+        build=_ivfpq_indexed_topk,
+        doc="IVFPQ ANN over a materialized index: cell-partitioned residual "
+        "PQ codes, probe = partition-pruned ADC scan (codes only, 32x "
+        "lighter than vectors) + exact re-rank of the shortlist "
+        "(rows-only: k-means)",
+        oracle=None,
+    )
+)
+
+
 def _token_estimate(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_testdata(spark, sf, "documents")
     return text.with_token_estimate(docs).select("doc_id", "n_pieces", "n_tokens_est")

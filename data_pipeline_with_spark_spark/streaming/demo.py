@@ -757,6 +757,11 @@ def fold_dedup_batch(ledger, batch_df: DataFrame, epoch_id: int) -> bool:
         ],
         not_matched=[WhenNotMatched()],
         extra_properties={DEDUP_BATCH_PROP: str(epoch_id)},
+        # md5(NULL) is NULL and groupBy folds NULL texts into ONE group
+        # (exactly like the batch aggregate / DuckDB oracle); plain
+        # MERGE equality would never match that ledger row and insert a
+        # fresh NULL-hash row per batch, so the key must be null-safe.
+        null_safe_keys=True,
     )
     return True
 
@@ -820,6 +825,30 @@ def _band_triples(
     ).select("band_idx", "band_hash", "doc_id")
 
 
+def _candidate_pairs(new: DataFrame, seen: DataFrame) -> DataFrame:
+    """Candidate pairs with AT LEAST ONE new doc: new×(seen ∪ new) on
+    band-bucket equality, normalized to distinct (id_a < id_b). Shared
+    by the production fold and the crash-replay test so the torn-epoch
+    simulation can never drift from the real derivation."""
+    pool = seen.unionByName(new)
+    return (
+        new.alias("n")
+        .join(
+            pool.alias("s"),
+            on=(
+                (F.col("n.band_idx") == F.col("s.band_idx"))
+                & (F.col("n.band_hash") == F.col("s.band_hash"))
+                & (F.col("n.doc_id") != F.col("s.doc_id"))
+            ),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("s.doc_id")).alias("id_a"),
+            F.greatest(F.col("n.doc_id"), F.col("s.doc_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def fold_near_dup_batch(
     bands_ledger,
     pairs_table,
@@ -846,24 +875,7 @@ def fold_near_dup_batch(
     new = _band_triples(
         batch_df.select("doc_id", "text"), k_shingle, num_hashes, bands
     )
-    seen = bands_ledger.read()
-    pool = seen.unionByName(new)
-    cand = (
-        new.alias("n")
-        .join(
-            pool.alias("s"),
-            on=(
-                (F.col("n.band_idx") == F.col("s.band_idx"))
-                & (F.col("n.band_hash") == F.col("s.band_hash"))
-                & (F.col("n.doc_id") != F.col("s.doc_id"))
-            ),
-        )
-        .select(
-            F.least(F.col("n.doc_id"), F.col("s.doc_id")).alias("id_a"),
-            F.greatest(F.col("n.doc_id"), F.col("s.doc_id")).alias("id_b"),
-        )
-        .distinct()
-    )
+    cand = _candidate_pairs(new, bands_ledger.read())
     applied = pairs_table.idempotent_append(
         cand, app_id="stream_near_dup_pairs", batch_id=epoch_id
     )

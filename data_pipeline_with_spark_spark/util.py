@@ -52,3 +52,46 @@ def too_big_to_broadcast(df: DataFrame) -> bool:
     if thr < 0:
         return True
     return plan_size_bytes(df) > thr
+
+
+# ---------------------------------------------------------------------------
+# Session-lifetime operator caches.
+#
+# Several operators persist a small derived relation whose subtree is
+# expensive relative to its size (LSH fingerprints feeding a self-join;
+# the guarded ANN query side feeding a broadcast). The frame outlives
+# the function call — laziness means the consumer materializes it later
+# — so the function cannot unpersist it, and an unregistered
+# MEMORY_AND_DISK persist leaks: the disk tier is never evicted by
+# memory pressure, so repeated calls in one long-lived session grow
+# storage without bound (r7 review finding). Two-part answer:
+#   * cache at MEMORY_ONLY — every block is LRU-evictable under
+#     pressure and simply recomputes on a miss, so the cache can never
+#     pin disk or grow past the storage pool;
+#   * register every handle so callers (benchmarks, long-lived
+#     services, tests) can free them deterministically with
+#     release_session_caches().
+_SESSION_CACHES: list[DataFrame] = []
+
+
+def session_cache(df: DataFrame) -> DataFrame:
+    """Persist ``df`` at MEMORY_ONLY and register the handle for
+    ``release_session_caches()``. Use for operator-internal caches that
+    must outlive the operator call (self-join sides, broadcast feeds);
+    the contract is cache-or-recompute, never spill."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_ONLY)
+    _SESSION_CACHES.append(df)
+    return df
+
+
+def release_session_caches() -> int:
+    """Unpersist every registered operator cache (idempotent — Spark
+    treats unpersist of a non-persisted frame as a no-op). Returns the
+    number of handles released."""
+    n = 0
+    while _SESSION_CACHES:
+        _SESSION_CACHES.pop().unpersist()
+        n += 1
+    return n

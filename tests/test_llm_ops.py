@@ -909,3 +909,115 @@ def test_pq_refined_recall_and_exactness(spark):
     for r in full.collect():
         got_full.setdefault(r.q_id, []).append(r.neighbor_id)
     assert got_full == {q: exact(q) for q in got_full}
+
+
+def test_pq_shortlist_broadcast_falls_back_past_bound(spark, monkeypatch):
+    # The re-rank shortlist is |Q| x k x factor rows — beyond the query
+    # guard's reach. Past SHORTLIST_BROADCAST_MAX_ROWS the fetch join
+    # must drop the broadcast hint (shuffle fallback) and still return
+    # the identical result (r7 review finding).
+    from data_pipeline_with_spark_spark.llm import similarity as S
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    books = S.pq_train(emb, m=4, k_codes=8, iters=1)
+    codes = S.pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < 3)
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    hinted = rows(S.pq_topk_refined(emb, codes, queries, books, k=3))
+    monkeypatch.setattr(S, "SHORTLIST_BROADCAST_MAX_ROWS", 0)
+    unhinted_df = S.pq_topk_refined(emb, codes, queries, books, k=3)
+    assert rows(unhinted_df) == hinted and hinted
+
+
+def test_session_cache_registry_releases_memory_only(spark):
+    # Operator-internal caches must be MEMORY_ONLY (evictable, no disk
+    # pinning) and releasable via the registry (r7 review finding).
+    from pyspark import StorageLevel
+
+    from data_pipeline_with_spark_spark import util
+    from data_pipeline_with_spark_spark.llm import similarity as S
+
+    util.release_session_caches()  # clean slate
+    emb = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=7), F.rand(seed=8)).alias("embedding"),
+    )
+    out = S.brute_force_topk(emb, emb.where("vec_id < 2"), k=2)
+    out.collect()
+    assert util._SESSION_CACHES, "guard did not register its cache"
+    cached = util._SESSION_CACHES[-1]
+    assert cached.storageLevel == StorageLevel.MEMORY_ONLY
+    n = util.release_session_caches()
+    assert n >= 1 and not util._SESSION_CACHES
+    assert cached.storageLevel == StorageLevel.NONE  # actually unpersisted
+
+
+def test_ivfpq_exactness_recall_and_plan_shape(spark, tmp_path):
+    import numpy as np
+
+    from data_pipeline_with_spark_spark.llm import similarity as S
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    books = S.ivfpq_build_index(emb, idx, n_cells=8, m=8, k_codes=16, pq_iters=2)
+    assert len(books) == 8 and len(books[0]) == 16
+    queries = emb.where(F.col("vec_id") < 5)
+
+    X = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    ids = sorted(X)
+
+    def exact(qid, k=5):
+        return [
+            i
+            for _, i in sorted(
+                (round(float(((X[i] - X[qid]) ** 2).sum()), 6), i)
+                for i in ids
+                if i != qid
+            )[:k]
+        ]
+
+    # full probe + corpus-wide shortlist -> EXACT brute-force L2 result
+    # (ADC approximation can only cost recall, never re-rank accuracy)
+    full = S.ivfpq_probe_topk(
+        spark, idx, queries, k=5, n_probe=8, shortlist_factor=(len(ids) // 5) + 1
+    )
+    got = {}
+    for r in full.collect():
+        got.setdefault(r.q_id, []).append(r.neighbor_id)
+    assert got == {q: exact(q) for q in got} and len(got) == 5
+
+    # recall floor at the default probe/shortlist budget (uniform-random
+    # embeddings are the worst case; real corpora cluster)
+    part = S.ivfpq_probe_topk(spark, idx, queries, k=5, n_probe=4, shortlist_factor=10)
+    by_q = {}
+    for r in part.collect():
+        by_q.setdefault(r.q_id, []).append(r.neighbor_id)
+    rec = [len(set(exact(q)) & set(nb)) / 5 for q, nb in by_q.items()]
+    assert sum(rec) / len(rec) >= 0.5
+
+    # plan shape: the ADC scan is partition-pruned to the probed cells
+    # AND reads only (cell, id, pq_codes) — never the embedding column
+    part.collect()
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    adc_scans = [ln for ln in scan_lines if "pq_codes" in ln]
+    assert adc_scans, plan
+    for ln in adc_scans:
+        # pruned to the probed cells at plan time...
+        assert "PartitionFilters: [cell" in ln and " IN " in ln, ln
+        # ...and the heavy embedding column never reaches the ADC scan
+        assert "embedding" not in ln.split("ReadSchema:")[1], ln
+    # the re-rank fetch scan is ALSO partition-pruned
+    fetch_scans = [
+        ln
+        for ln in scan_lines
+        # index scans carry the cell partition column; the queries-source
+        # scan of the raw embeddings table does not
+        if "embedding" in ln.split("ReadSchema:")[1] and "cell#" in ln
+    ]
+    assert fetch_scans and all("PartitionFilters: [cell" in ln for ln in fetch_scans)

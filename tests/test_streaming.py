@@ -314,6 +314,7 @@ def test_stream_near_dup_order_independent_and_crash_safe(spark, tmp_path):
     from data_pipeline_with_spark_spark.llm.dedup import minhash_candidate_pairs
     from data_pipeline_with_spark_spark.streaming.demo import (
         _band_triples,
+        _candidate_pairs,
         fold_near_dup_batch,
     )
 
@@ -364,25 +365,7 @@ def test_stream_near_dup_order_independent_and_crash_safe(spark, tmp_path):
     b1 = spark.createDataFrame(batches[1], "doc_id LONG, text STRING")
     fold_near_dup_batch(bl, pt, b0, 0, num_hashes=16, bands=8)
     # simulate the torn epoch 1: pairs landed, bands did not
-    seen = bl.read()
-    new = _band_triples(b1, 3, 16, 8)
-    pool = seen.unionByName(new)
-    cand = (
-        new.alias("n")
-        .join(
-            pool.alias("s"),
-            on=(
-                (F.col("n.band_idx") == F.col("s.band_idx"))
-                & (F.col("n.band_hash") == F.col("s.band_hash"))
-                & (F.col("n.doc_id") != F.col("s.doc_id"))
-            ),
-        )
-        .select(
-            F.least(F.col("n.doc_id"), F.col("s.doc_id")).alias("id_a"),
-            F.greatest(F.col("n.doc_id"), F.col("s.doc_id")).alias("id_b"),
-        )
-        .distinct()
-    )
+    cand = _candidate_pairs(_band_triples(b1, 3, 16, 8), bl.read())
     pt.idempotent_append(cand, app_id="stream_near_dup_pairs", batch_id=1)
     pairs_after_crash = {(r.id_a, r.id_b) for r in pt.read().collect()}
     ledger_v = bl._latest().version
@@ -397,3 +380,34 @@ def test_stream_near_dup_order_independent_and_crash_safe(spark, tmp_path):
         2, num_hashes=16, bands=8,
     )
     assert {(r.id_a, r.id_b) for r in pt.read().collect()} == want
+
+
+def test_stream_dedup_null_text_folds_into_one_group(spark, tmp_path):
+    # md5(NULL) is NULL and the batch aggregate (and the DuckDB oracle's
+    # GROUP BY md5(text)) makes NULL texts ONE group — the ledger MERGE
+    # must match that row null-safely instead of inserting a fresh
+    # NULL-hash row per micro-batch (r7 review finding).
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+    from data_pipeline_with_spark_spark.llm.dedup import exact_dedup_groups
+    from data_pipeline_with_spark_spark.streaming.demo import (
+        DEDUP_LEDGER_SCHEMA,
+        fold_dedup_batch,
+    )
+
+    rows = [(1, None), (2, "aa"), (3, None), (4, "aa"), (5, None), (6, "bb")]
+    batches = [rows[0:2], rows[2:4], rows[4:6]]
+    t = VersionedTable(spark, str(tmp_path / "nulls")).create(
+        spark.createDataFrame([], DEDUP_LEDGER_SCHEMA)
+    )
+    for epoch, b in enumerate(batches):
+        fold_dedup_batch(
+            t, spark.createDataFrame(b, "doc_id LONG, text STRING"), epoch
+        )
+    got = {(r.text_hash, r.keeper_id, r.n_copies) for r in t.read().collect()}
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    want = {
+        (r.text_hash, r.keeper_id, r.n_copies)
+        for r in exact_dedup_groups(docs).collect()
+    }
+    assert got == want
+    assert (None, 1, 3) in got  # the single NULL group, folded across batches
