@@ -58,7 +58,7 @@ from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_SKIP_OPS = frozenset({"=", ">", ">=", "<", "<="})
+_SKIP_OPS = frozenset({"=", ">", ">=", "<", "<=", "in"})
 
 _SKIP_TERM_RE = re.compile(
     r"^\s*`?(?P<col>\w+)`?\s*(?P<op>=|>=|<=|>|<)\s*(?P<val>'[^']*'|[-\w.]+)\s*$"
@@ -97,6 +97,9 @@ def lift_skip_predicates(where: str) -> list[tuple[str, str, object]] | None:
 
 def _predicate_column(col: str, op: str, val: object) -> Column:
     c = F.col(col)
+    if op == "in":
+        vals = list(val)
+        return c.isin(*vals) if vals else F.lit(False)
     return {
         "=": c == F.lit(val),
         ">": c > F.lit(val),
@@ -2993,6 +2996,10 @@ class VersionedTable:
 
         def may_match(op: str, val, lo, hi) -> bool:
             try:
+                if op == "in":
+                    # a file may hold a row of the IN-set iff some member
+                    # falls inside its [lo, hi] range
+                    return any(lo <= v <= hi for v in val)
                 return {
                     "=": lo <= val <= hi,
                     ">": hi > val,

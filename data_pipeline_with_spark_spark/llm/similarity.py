@@ -830,6 +830,35 @@ def ivfpq_probe_topk(
     stays distributed."""
     centroids = spark.read.parquet(f"{path}/centroids")
     books = _load_codebooks(spark, path)
+
+    def scan_for(cells):
+        return spark.read.parquet(f"{path}/data").where(F.col("cell").isin(cells))
+
+    return _ivfpq_probe_core(
+        centroids, books, scan_for, queries,
+        k=k, n_probe=n_probe, shortlist_factor=shortlist_factor,
+        id_col=id_col, emb_col=emb_col, query_id_col=query_id_col,
+    )
+
+
+def _ivfpq_probe_core(
+    centroids: DataFrame,
+    books: list[list[list[float]]],
+    scan_for,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    shortlist_factor: int,
+    id_col: str,
+    emb_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Steps 1–4 of the IVFPQ probe, index-storage-agnostic:
+    ``scan_for(probe_cells)`` returns the pruned (cell, id, embedding,
+    pq_codes) frame — a partition-pruned ``spark.read.parquet`` for the
+    plain index, a file-skipping ``read_where`` for the versioned one.
+    Column pruning inside (codes-only ADC scan vs embedding fetch) is
+    applied here so both storages share the exact probe plan shape."""
     m = len(books)
     d = len(books[0][0])
     q = _guard_query_side(
@@ -866,11 +895,7 @@ def ivfpq_probe_topk(
     # ≤ n_cells ints to the driver: the partition predicate must be a
     # literal for Catalyst to prune directories at plan time.
     probe_cells = sorted({r.cell for r in q_cells.select("cell").distinct().collect()})
-    codes_scan = (
-        spark.read.parquet(f"{path}/data")
-        .where(F.col("cell").isin(probe_cells))
-        .select("cell", id_col, "pq_codes")
-    )
+    codes_scan = scan_for(probe_cells).select("cell", id_col, "pq_codes")
     adc = None
     for j in range(m):
         term = F.element_at(
@@ -896,8 +921,7 @@ def ivfpq_probe_topk(
     if n_q * k * shortlist_factor <= SHORTLIST_BROADCAST_MAX_ROWS:
         shortlist = F.broadcast(shortlist)
     fetched = (
-        spark.read.parquet(f"{path}/data")
-        .where(F.col("cell").isin(probe_cells))
+        scan_for(probe_cells)
         .select(
             F.col(id_col).alias("neighbor_id"), _as_double(F.col(emb_col)).alias("__n")
         )
@@ -912,3 +936,193 @@ def ivfpq_probe_topk(
         .where(F.col("rnk") <= k)
         .select(query_id_col, "neighbor_id", "l2_dist", "rnk")
     )
+
+
+def _ivfpq_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its exact nearest centroid (squared L2,
+    lowest-cell tiebreak) and attach the PQ residual — pure Catalyst:
+    cross join against the broadcast (tiny) centroid table, windowed
+    argmin per vector. Used for index APPENDS, where the quantizers are
+    frozen artifacts read back from the index, not a fitted model."""
+    w = Window.partitionBy(id_col).orderBy(F.asc("cdist"), F.asc("cell"))
+    return (
+        ensure_min_partitions(vectors)
+        .select(F.col(id_col), F.col(emb_col), _as_double(F.col(emb_col)).alias("__e"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", _sq_dist_cols(F.col("__e"), F.col("centroid")))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .withColumn(
+            "__resid", F.zip_with(F.col("__e"), F.col("centroid"), lambda a, b: a - b)
+        )
+        .drop("cdist", "__rk", "centroid", "__e")
+    )
+
+
+class VersionedIvfPqIndex:
+    """IVFPQ index whose data rows live in a ``VersionedTable``
+    partitioned by cell — the index itself becomes a lakehouse table:
+
+    - **incremental maintenance**: new vectors are assigned to the
+      frozen coarse-quantizer cells and PQ-encoded with the frozen
+      codebooks (no retrain), then appended transactionally;
+      ``ingest()`` is exactly-once under foreachBatch replay
+      (``idempotent_append``), so a crawl's embedding stream can feed
+      the ANN index directly;
+    - **time travel**: ``probe(version=...)`` answers "what were the
+      neighbors as of yesterday's index" — the reproducibility story a
+      training-data pipeline needs when a run must be replayed;
+    - **pruned probes**: the probe reads only the probed cells via
+      ``read_where(('cell', 'in', cells))`` — hive-path file skipping,
+      the VersionedTable analogue of PartitionFilters.
+
+    Quantizer artifacts (centroids, codebooks) are immutable once
+    trained — appending never changes existing cell assignments, so a
+    probe is comparable across index versions. Retraining (cell-count
+    changes, drifted corpus) is a rebuild.
+
+    At 100 TB: appends touch only the appended rows (assign + encode
+    is one scan of the batch); the commit log caps at O(files);
+    probes read n_probe/n_cells of the files regardless of how many
+    increments built the index."""
+
+    APP_ID = "ivfpq_ingest"
+
+    def __init__(self, spark, path: str):
+        from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+        self.spark = spark
+        self.path = str(path)
+        self.table = VersionedTable(spark, f"{self.path}/data_vt")
+
+    # ------------------------------------------------------------ build
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        path: str,
+        n_cells: int = 16,
+        m: int = 8,
+        k_codes: int = 16,
+        pq_iters: int = 2,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+        seed: int = 42,
+    ) -> "VersionedIvfPqIndex":
+        """Train quantizers (seeded k-means coarse + residual PQ, both
+        distributed) and create the index table at version 0. The
+        residual frame persists for the duration of the build only."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        spark = corpus.sparkSession
+        corpus = ensure_min_partitions(corpus)
+        vecs = corpus.withColumn(
+            "__v", array_to_vector(F.col(emb_col).cast("array<double>"))
+        )
+        model = KMeans(
+            k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell_unused"
+        ).fit(vecs)
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            ["cell", "centroid"],
+        )
+        centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        # assignment goes through the SAME SQL argmin appends use, so a
+        # row gets one cell no matter when it arrives (model.transform
+        # and the SQL path agree except on exact ties, where the SQL
+        # path's lowest-cell rule is the contract)
+        assigned = _ivfpq_assign(corpus, centroids, id_col, emb_col).persist()
+        try:
+            books = pq_train(
+                assigned, m=m, k_codes=k_codes, iters=pq_iters,
+                id_col=id_col, emb_col="__resid",
+            )
+            d = len(books[0][0])
+            spark.createDataFrame(
+                [(j, c, books[j][c]) for j in range(m) for c in range(k_codes)],
+                "sub INT, code INT, centroid ARRAY<DOUBLE>",
+            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+            encoded = assigned.withColumn(
+                "pq_codes", _pq_codes_expr(F.col("__resid"), books, d)
+            ).select(id_col, emb_col, "pq_codes", "cell")
+            idx = cls(spark, path)
+            idx.table.create(encoded, partition_by=["cell"])
+        finally:
+            assigned.unpersist()
+        return idx
+
+    # ---------------------------------------------------------- quantize
+    def _quantizers(self):
+        centroids = self.spark.read.parquet(f"{self.path}/centroids")
+        return centroids, _load_codebooks(self.spark, self.path)
+
+    def encode(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+    ) -> DataFrame:
+        """(id, embedding, pq_codes, cell) for new vectors under the
+        index's frozen quantizers."""
+        centroids, books = self._quantizers()
+        d = len(books[0][0])
+        return (
+            _ivfpq_assign(vectors, centroids, id_col, emb_col)
+            .withColumn("pq_codes", _pq_codes_expr(F.col("__resid"), books, d))
+            .select(id_col, emb_col, "pq_codes", "cell")
+        )
+
+    # ------------------------------------------------------------ append
+    def append(self, vectors: DataFrame, id_col: str = "vec_id",
+               emb_col: str = "embedding") -> "VersionedIvfPqIndex":
+        """One transactional index increment (one commit)."""
+        self.table.append(self.encode(vectors, id_col, emb_col))
+        return self
+
+    def ingest(
+        self,
+        vectors: DataFrame,
+        batch_id: int,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+    ) -> bool:
+        """Exactly-once streaming increment (foreachBatch contract): a
+        replayed batch id no-ops. Returns whether the batch applied."""
+        return self.table.idempotent_append(
+            self.encode(vectors, id_col, emb_col),
+            app_id=self.APP_ID,
+            batch_id=batch_id,
+        )
+
+    # ------------------------------------------------------------- probe
+    def probe(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+        shortlist_factor: int = 10,
+        version: int | None = None,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+        query_id_col: str = "q_id",
+    ) -> DataFrame:
+        """IVFPQ probe over the index snapshot (current, or as-of
+        ``version``). Identical math/plan to ``ivfpq_probe_topk`` —
+        only the pruned-scan source differs (read_where file skipping
+        on the hive cell paths)."""
+        centroids, books = self._quantizers()
+
+        def scan_for(cells):
+            return self.table.read_where(("cell", "in", cells), version=version)
+
+        return _ivfpq_probe_core(
+            centroids, books, scan_for, queries,
+            k=k, n_probe=n_probe, shortlist_factor=shortlist_factor,
+            id_col=id_col, emb_col=emb_col, query_id_col=query_id_col,
+        )

@@ -285,3 +285,37 @@ register(
         oracle=_stream_near_dup_oracle(),
     )
 )
+
+
+def _stream_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING ANN-index maintenance (see demo.run_stream_ivfpq_ingest):
+    the IVFPQ index builds on half the embeddings, the other half
+    arrives in 4 real micro-batches, each assigned/encoded under the
+    frozen quantizers and appended exactly-once to the index\'s
+    VersionedTable. The probe answers from the fully-ingested index.
+    Approx ANN + iterative k-means -> rows-only; pytest pins
+    stream-built == batch-built probe equality, replay idempotence and
+    time travel."""
+    import tempfile
+
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+    from data_pipeline_with_spark_spark.streaming.demo import run_stream_ivfpq_ingest
+
+    idx = run_stream_ivfpq_ingest(spark, sf, tempfile.mkdtemp(prefix="stream_ivfpq_"))
+    emb = read_testdata(spark, sf, "embeddings")
+    from pyspark.sql import functions as F
+
+    return idx.probe(emb.where(F.col("vec_id") < 5), k=5, n_probe=4)
+
+
+register(
+    QuerySpec(
+        name="stream_ivfpq_ingest",
+        build=_stream_ivfpq,
+        doc="streaming IVFPQ index maintenance: embeddings arrive in "
+        "micro-batches, each PQ-encoded under frozen quantizers and "
+        "appended exactly-once; probe = pruned ADC scan + exact re-rank "
+        "(rows-only: approx ANN)",
+        oracle=None,
+    )
+)

@@ -927,3 +927,47 @@ def run_stream_near_dup(
     )
     query.awaitTermination()
     return bands_ledger, pairs_table
+
+
+def run_stream_ivfpq_ingest(spark: SparkSession, sf_dir: str, work_dir: str):
+    """STREAMING ANN-index maintenance — the serving shape of a
+    continuously-crawled embedding corpus: the IVFPQ index is built
+    once on the vectors already present, then newly-arrived embeddings
+    stream in micro-batches and each batch is assigned to the frozen
+    coarse cells, PQ-encoded, and appended to the index's
+    ``VersionedTable`` exactly-once (``idempotent_append`` under the
+    foreachBatch contract — a replayed epoch no-ops).
+
+    Scale shape: per batch the work is one scan of the batch (assign =
+    broadcast-centroid argmin, encode = Catalyst expressions) + one
+    commit touching only the appended files; probes stay pruned to
+    n_probe/n_cells of the files no matter how many increments built
+    the index, and time travel replays any historical index state.
+
+    Returns the ``VersionedIvfPqIndex``; the caller probes it."""
+    from pathlib import Path
+
+    from data_pipeline_with_spark_spark.llm.similarity import VersionedIvfPqIndex
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    work = Path(work_dir)
+    emb = read_testdata(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.where("vec_id % 2 = 0")
+    arriving = emb.where("vec_id % 2 = 1")
+    idx = VersionedIvfPqIndex.build(
+        base, str(work / "index"), n_cells=16, m=8, k_codes=16, pq_iters=2
+    )
+    staging = str(work / "staging")
+    arriving.repartition(4).write.parquet(staging)
+    query = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(
+            lambda batch_df, epoch_id: idx.ingest(batch_df, batch_id=epoch_id)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return idx

@@ -1021,3 +1021,71 @@ def test_ivfpq_exactness_recall_and_plan_shape(spark, tmp_path):
         if "embedding" in ln.split("ReadSchema:")[1] and "cell#" in ln
     ]
     assert fetch_scans and all("PartitionFilters: [cell" in ln for ln in fetch_scans)
+
+
+def test_versioned_ivfpq_incremental_ingest_and_time_travel(spark, tmp_path):
+    from data_pipeline_with_spark_spark.llm import similarity as S
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    half = emb.where("vec_id % 2 = 0")
+    rest = emb.where("vec_id % 2 = 1")
+    queries = emb.where(F.col("vec_id") < 5)
+
+    idx = S.VersionedIvfPqIndex.build(
+        half, str(tmp_path / "a"), n_cells=8, m=8, k_codes=16, pq_iters=2
+    )
+    v0 = idx.table._latest().version
+    b1, b2 = rest.where("vec_id % 4 = 1"), rest.where("vec_id % 4 = 3")
+    assert idx.ingest(b1, batch_id=0) is True
+    assert idx.ingest(b1, batch_id=0) is False  # foreachBatch replay no-ops
+    assert idx.ingest(b2, batch_id=1) is True
+    assert idx.table.read().count() == emb.count()
+
+    # batch-order independence: two increments == one append of the
+    # union, under the SAME frozen quantizers (fresh build, same seed)
+    idx2 = S.VersionedIvfPqIndex.build(
+        half, str(tmp_path / "b"), n_cells=8, m=8, k_codes=16, pq_iters=2
+    )
+    idx2.append(rest)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = rows(idx.probe(queries, k=5, n_probe=3))
+    assert got == rows(idx2.probe(queries, k=5, n_probe=3)) and got
+
+    # time travel: a probe as-of the pre-ingest version only ever sees
+    # base-half neighbors — the reproducible-replay contract
+    base_ids = {r.vec_id for r in half.collect()}
+    old = idx.probe(queries, k=5, n_probe=8, version=v0).collect()
+    assert old and all(r.neighbor_id in base_ids for r in old)
+
+    # file skipping: the pruned probe plans strictly fewer files than
+    # the full snapshot holds
+    probed = idx.probe(queries, k=5, n_probe=2)
+    probed.collect()
+    kept, total = idx.table.plan_files(("cell", "in", [0, 1]))
+    assert kept and len(kept) < total
+
+
+def test_read_where_in_op_skips_files(spark, tmp_path):
+    # 'in' data skipping: hive-path pruning keeps only the named
+    # partitions' files, and results equal read().where(isin).
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).cast("int").alias("part")
+    )
+    t = VersionedTable(spark, str(tmp_path / "t")).create(df, partition_by=["part"])
+    kept, total = t.plan_files(("part", "in", [1, 3]))
+    assert kept and total > len(kept)
+    got = {r.id for r in t.read_where(("part", "in", [1, 3])).collect()}
+    want = {r.id for r in t.read().where(F.col("part").isin(1, 3)).collect()}
+    assert got == want and got
+    # empty IN-set: matches nothing, errors nowhere
+    assert t.read_where(("part", "in", [])).count() == 0
+    # min/max footer-stats route (non-partition column)
+    kept2, _ = t.plan_files(("id", "in", [7]))
+    assert kept2
+    assert {r.id for r in t.read_where(("id", "in", [7, 999])).collect()} == {7}

@@ -411,3 +411,34 @@ def test_stream_dedup_null_text_folds_into_one_group(spark, tmp_path):
     }
     assert got == want
     assert (None, 1, 3) in got  # the single NULL group, folded across batches
+
+
+def test_stream_ivfpq_ingest_equals_batch_built_index(spark, sf_dir, tmp_path):
+    # Streamed index (4 micro-batch increments under frozen quantizers)
+    # must probe identically to the same base index with the arriving
+    # half appended in ONE batch — batch-count independence through a
+    # REAL stream, plus one-commit-per-batch accounting.
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_spark_spark.llm.similarity import VersionedIvfPqIndex
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+    from data_pipeline_with_spark_spark.streaming.demo import run_stream_ivfpq_ingest
+
+    idx = run_stream_ivfpq_ingest(spark, sf_dir, str(tmp_path / "s"))
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    assert idx.table.read().count() == emb.count()
+    # one index commit per micro-batch rode the stream (v0 = build)
+    assert idx.table._latest().version >= 4
+
+    twin = VersionedIvfPqIndex.build(
+        emb.where("vec_id % 2 = 0"), str(tmp_path / "b"),
+        n_cells=16, m=8, k_codes=16, pq_iters=2,
+    )
+    twin.append(emb.where("vec_id % 2 = 1"))
+    queries = emb.where(F.col("vec_id") < 5)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = rows(idx.probe(queries, k=5, n_probe=4))
+    assert got == rows(twin.probe(queries, k=5, n_probe=4)) and got
