@@ -1100,6 +1100,45 @@ class VersionedIvfPqIndex:
             batch_id=batch_id,
         )
 
+    # ------------------------------------------------------- maintenance
+    def compact(
+        self,
+        target_partitions: int | None = None,
+        target_file_size_bytes: int | None = None,
+    ) -> "VersionedIvfPqIndex":
+        """Heal small-file buildup from many ingest increments:
+        OPTIMIZE with Z-order-lite on ``cell``. Compaction drops the
+        hive cell directories, but the range-sort gives every output
+        file a tight cell min/max, so ``read_where``'s footer-stats
+        skipping replaces hive-path pruning — probes stay pruned,
+        results stay identical (purely physical rewrite). Size outputs
+        with Delta's binSize knob (``target_file_size_bytes``, ~1 GiB
+        at 100 TB) so compaction never collapses a big index into one
+        unparallel file."""
+        self.table.optimize(
+            zorder_by=["cell"],
+            target_partitions=target_partitions,
+            target_file_size_bytes=target_file_size_bytes,
+        )
+        return self
+
+    def forget(
+        self, ids, id_col: str = "vec_id", use_dv: bool = True
+    ) -> "VersionedIvfPqIndex":
+        """Deletion requests against the ANN index (the
+        right-to-be-forgotten shape): remove vectors by id. With
+        deletion vectors (default) a request writes O(matched rows) of
+        tombstones and leaves every data file byte-identical — the only
+        affordable cadence for frequent small deletes on a 100 TB
+        index; probes anti-join the tombstones away immediately. A
+        later ``compact()`` (or ``purge_deletion_vectors``) folds them
+        physically."""
+        vals = ", ".join(str(int(i)) for i in ids)
+        if not vals:
+            return self
+        self.table.delete(f"{id_col} IN ({vals})", use_dv=use_dv)
+        return self
+
     # ------------------------------------------------------------- probe
     def probe(
         self,
@@ -1126,3 +1165,4 @@ class VersionedIvfPqIndex:
             k=k, n_probe=n_probe, shortlist_factor=shortlist_factor,
             id_col=id_col, emb_col=emb_col, query_id_col=query_id_col,
         )
+

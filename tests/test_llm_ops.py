@@ -1089,3 +1089,57 @@ def test_read_where_in_op_skips_files(spark, tmp_path):
     kept2, _ = t.plan_files(("id", "in", [7]))
     assert kept2
     assert {r.id for r in t.read_where(("id", "in", [7, 999])).collect()} == {7}
+
+
+def test_versioned_ivfpq_compact_and_forget(spark, tmp_path):
+    # OPTIMIZE ZORDER(cell) after many small ingests: results identical,
+    # probes still skip files (footer min/max replaces hive paths).
+    # forget(): deletion-vector removal excludes vectors immediately.
+    import numpy as np
+
+    from data_pipeline_with_spark_spark.llm import similarity as S
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    idx = S.VersionedIvfPqIndex.build(
+        emb.where("vec_id % 4 = 0"), str(tmp_path / "i"),
+        n_cells=8, m=8, k_codes=16, pq_iters=1,
+    )
+    for b in range(1, 4):  # three small increments -> small-file buildup
+        idx.ingest(emb.where(f"vec_id % 4 = {b}"), batch_id=b - 1)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    before = rows(idx.probe(queries, k=5, n_probe=3))
+    pre_files, _ = idx.table._snapshot_files()
+    idx.compact(target_partitions=4)
+    post_files, _ = idx.table._snapshot_files()
+    assert len(post_files) < len(pre_files)  # compaction happened
+    assert rows(idx.probe(queries, k=5, n_probe=3)) == before  # physical only
+    # Z-order stats keep IN-skipping alive without hive paths
+    kept, total = idx.table.plan_files(("cell", "in", [0]))
+    assert total == len(post_files) and len(kept) < total
+
+    # forget: full-probe exactness against numpy over the REMAINING set
+    X = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    victims = {r.neighbor_id for r in idx.probe(queries, k=2, n_probe=8).collect()}
+    idx.forget(victims)
+    ids = sorted(set(X) - victims)
+
+    def exact(qid, k=5):
+        return [
+            i
+            for _, i in sorted(
+                (round(float(((X[i] - X[qid]) ** 2).sum()), 6), i)
+                for i in ids
+                if i != qid
+            )[:k]
+        ]
+
+    full = idx.probe(queries, k=5, n_probe=8, shortlist_factor=len(ids))
+    got = {}
+    for r in full.collect():
+        got.setdefault(r.q_id, []).append(r.neighbor_id)
+    assert got == {q: exact(q) for q in got} and len(got) == 3
