@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from data_pipeline_with_spark_spark.util import (
     ensure_min_partitions,
     session_cache,
+    session_cache_forget,
     too_big_to_broadcast,
 )
 
@@ -76,25 +77,30 @@ MAX_BROADCAST_QUERIES = 100_000
 SHORTLIST_BROADCAST_MAX_ROWS = 2_000_000
 
 
-def _guard_query_side(q: DataFrame, op: str) -> DataFrame:
+def _guard_query_side(q: DataFrame, op: str) -> tuple[DataFrame, int]:
     """Enforce the broadcast size bound entirely JVM-side: persist the
     (small) query side, probe its cardinality with a bounded
-    ``limit(MAX+1).count()`` job, and hand the persisted frame back for
-    ``F.broadcast``. No row ever crosses to the Python driver — the
-    previous collect()+createDataFrame rebuild pickled every embedding
-    through the driver (OOM-prone with wide vectors near the bound, per
-    r6 ADVICE) and re-entered the plan as a ``Scan ExistingRDD``.
-    Persisting means the query subtree computes once (the probe job)
-    and the broadcast exchange reads the cache, so the happy-path cost
-    is one bounded job on the tiny side. The cache is MEMORY_ONLY and
-    registered via util.session_cache — the frame outlives this call
-    (the consumer materializes it lazily), so it cannot be unpersisted
-    here; MEMORY_ONLY keeps it LRU-evictable (recompute-on-miss) and
+    ``limit(MAX+1).count()`` job, and hand back (persisted frame,
+    count) for ``F.broadcast`` and downstream size decisions (callers
+    price shortlists/LUT relations from the count instead of re-running
+    the job). No row ever crosses to the Python driver — the previous
+    collect()+createDataFrame rebuild pickled every embedding through
+    the driver (OOM-prone with wide vectors near the bound, per r6
+    ADVICE) and re-entered the plan as a ``Scan ExistingRDD``.
+
+    The cache is registered via util.session_cache with ``spill=True``
+    (MEMORY_AND_DISK): query sets are often sample()/limit-derived —
+    nondeterministic lineage — and later driver decisions (the counted
+    bound, IVF's collected probe-cell set) assume THIS materialization,
+    so an eviction-triggered recompute would silently desync them;
+    spilling cannot. The frame outlives this call (consumers
+    materialize it lazily), so it cannot be unpersisted here;
     util.release_session_caches() frees it deterministically."""
-    q = session_cache(q)
+    q = session_cache(q, spill=True)
     n = q.limit(MAX_BROADCAST_QUERIES + 1).count()
     if n > MAX_BROADCAST_QUERIES:
         q.unpersist()
+        session_cache_forget(q)
         raise ValueError(
             f"{op} broadcasts the query set, sized for |queries| <= "
             f"{MAX_BROADCAST_QUERIES}; got more. For query sets at corpus "
@@ -102,7 +108,7 @@ def _guard_query_side(q: DataFrame, op: str) -> DataFrame:
             "(embedding_near_dup_pairs / lsh_bucketed_topk with the big "
             "side as corpus)."
         )
-    return q
+    return q, n
 
 
 def brute_force_topk(
@@ -115,7 +121,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query. Queries broadcast; the
     corpus is scanned once; ranking window partitions by query."""
-    q = _guard_query_side(
+    q, _ = _guard_query_side(
         queries.select(F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb")),
         "brute_force_topk",
     )
@@ -247,7 +253,7 @@ def ivf_topk(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         ["cell", "centroid"],
     )
-    q = _guard_query_side(
+    q, n_q = _guard_query_side(
         queries.select(F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb")),
         "ivf_topk",
     )
@@ -263,8 +269,12 @@ def ivf_topk(
         .where(F.col("cell_rank") <= n_probe)
         .select(query_id_col, "q_emb", "cell")
     )
+    # q_cells is |Q| × n_probe rows each carrying the full query vector
+    # — n_probe× the guarded relation; hint only under the bound
+    if n_q * n_probe <= MAX_BROADCAST_QUERIES:
+        q_cells = F.broadcast(q_cells)
     scored = (
-        assigned.join(F.broadcast(q_cells), on="cell")
+        assigned.join(q_cells, on="cell")
         .where(F.col(id_col) != F.col(query_id_col))
         .withColumn("cos_sim", F.round(cosine(F.col(emb_col), F.col("q_emb")), 6))
     )
@@ -333,7 +343,7 @@ def ivf_probe_topk(
     cells. Driver traffic is ≤ n_cells ints; everything row-scale stays
     distributed."""
     centroids = spark.read.parquet(f"{path}/centroids")
-    q = _guard_query_side(
+    q, n_q = _guard_query_side(
         queries.select(F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb")),
         "ivf_probe_topk",
     )
@@ -353,8 +363,10 @@ def ivf_probe_topk(
     # carries a literal partition predicate and prunes directories.
     probe_cells = sorted({r.cell for r in q_cells.select("cell").distinct().collect()})
     pruned = spark.read.parquet(f"{path}/data").where(F.col("cell").isin(probe_cells))
+    if n_q * n_probe <= MAX_BROADCAST_QUERIES:
+        q_cells = F.broadcast(q_cells)
     scored = (
-        pruned.join(F.broadcast(q_cells), on="cell")
+        pruned.join(q_cells, on="cell")
         .where(F.col(id_col) != F.col(query_id_col))
         .withColumn("cos_sim", F.round(cosine(F.col(emb_col), F.col("q_emb")), 6))
     )
@@ -480,6 +492,34 @@ def _sq_dist_lit(col: Column, centroid: list[float]) -> Column:
     )
 
 
+def _adc_lut_cols(
+    resid: Column, codebooks: list[list[list[float]]]
+) -> list[Column]:
+    """Per-subspace ADC lookup tables: ``__lut{j}`` = array of exact
+    squared distances from the query('s residual) subvector to every
+    entry of codebook j. Tiny (m × k_codes doubles per query row);
+    rides whatever relation carries the query side."""
+    d = len(codebooks[0][0])
+    return [
+        F.array(
+            *[_sq_dist_lit(F.slice(resid, j * d + 1, d), c) for c in codebooks[j]]
+        ).alias(f"__lut{j}")
+        for j in range(len(codebooks))
+    ]
+
+
+def _adc_dist(m: int) -> Column:
+    """Approximate squared-L2 distance of a candidate: m 1-based array
+    lookups (codes are 0-based) + adds — no vector math."""
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.col(f"__lut{j}"), F.element_at(F.col("pq_codes"), j + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    return adc
+
+
 def _pq_codes_expr(v: Column, codebooks: list[list[list[float]]], d: int) -> Column:
     """array<int> of per-subspace nearest-centroid indices (ties -> the
     lowest index, matching numpy argmin)."""
@@ -592,29 +632,17 @@ def pq_topk(
     to 6 decimals for cross-engine-stable ordering."""
     m = len(codebooks)
     d = len(codebooks[0][0])
-    q = _guard_query_side(
+    q, _ = _guard_query_side(
         queries.select(
             F.col(id_col).alias(query_id_col), _as_double(F.col(emb_col)).alias("__q")
         ),
         "pq_topk",
     )
-    luts = [
-        F.array(
-            *[_sq_dist_lit(F.slice(F.col("__q"), j * d + 1, d), c) for c in codebooks[j]]
-        ).alias(f"__lut{j}")
-        for j in range(m)
-    ]
-    q_lut = q.select(query_id_col, *luts)
-    adc = None
-    for j in range(m):
-        term = F.element_at(
-            F.col(f"__lut{j}"), F.element_at(F.col("pq_codes"), j + 1) + 1
-        )
-        adc = term if adc is None else adc + term
+    q_lut = q.select(query_id_col, *_adc_lut_cols(F.col("__q"), codebooks))
     scored = (
         codes_df.crossJoin(F.broadcast(q_lut))
         .where(F.col(id_col) != F.col(query_id_col))
-        .withColumn("adc_dist", F.round(adc, 6))
+        .withColumn("adc_dist", F.round(_adc_dist(m), 6))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
     return (
@@ -652,6 +680,15 @@ def pq_topk_refined(
     id-pair relation broadcasts (the point-read shape); above it the
     fetch falls back to a plain equi-join, which AQE plans as a shuffle
     on ids — the right strategy when the shortlist itself is big."""
+    # guard OUR projection of the query side (persisted; the count
+    # prices the shortlist with no extra job over raw `queries`, whose
+    # lineage may be arbitrarily expensive to re-execute)
+    q, n_q = _guard_query_side(
+        queries.select(
+            F.col(id_col).alias(query_id_col), _as_double(F.col(emb_col)).alias("__q")
+        ),
+        "pq_topk_refined",
+    )
     cand = pq_topk(
         codes_df,
         queries,
@@ -661,29 +698,13 @@ def pq_topk_refined(
         emb_col=emb_col,
         query_id_col=query_id_col,
     ).select(query_id_col, "neighbor_id")
-    # the guard inside pq_topk already capped |Q|; this extra bounded
-    # count job on the (persisted-small) query side prices the
-    # shortlist exactly instead of trusting Catalyst's post-window
-    # row estimate
-    n_q = queries.limit(MAX_BROADCAST_QUERIES + 1).count()
     shortlist_small = n_q * k * shortlist_factor <= SHORTLIST_BROADCAST_MAX_ROWS
     cand = F.broadcast(cand) if shortlist_small else cand
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), _as_double(F.col(emb_col)).alias("__q")
-    )
     fetched = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(emb_col)).alias("__n")
     ).join(cand, on="neighbor_id")
     scored = fetched.join(F.broadcast(q), on=query_id_col).withColumn(
-        "l2_dist",
-        F.round(
-            F.aggregate(
-                F.zip_with(F.col("__n"), F.col("__q"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ),
+        "l2_dist", F.round(_sq_dist_cols(F.col("__n"), F.col("__q")), 6)
     )
     w = Window.partitionBy(query_id_col).orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
     return (
@@ -711,6 +732,59 @@ def _sq_dist_cols(a: Column, b: Column) -> Column:
     )
 
 
+def _ivfpq_train(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int,
+    m: int,
+    k_codes: int,
+    pq_iters: int,
+    id_col: str,
+    emb_col: str,
+    seed: int,
+):
+    """Shared IVFPQ training pipeline (both index storages): fit the
+    seeded k-means coarse quantizer, assign every vector through the
+    SAME SQL argmin that appends use (``_ivfpq_assign`` — so a tie
+    vector gets one cell no matter when or how it arrives; the
+    lowest-cell rule is the contract), train PQ codebooks ON THE
+    RESIDUALS (`pq_train`, one distributed scan per iteration), write
+    the immutable quantizer artifacts, and hand back
+    ``(centroids, books, encoded)`` where encoded = (id, embedding,
+    pq_codes, cell), PERSISTED — the caller writes it to its storage
+    and must unpersist it."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    corpus = ensure_min_partitions(corpus)
+    vecs = corpus.withColumn(
+        "__v", array_to_vector(F.col(emb_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell_unused"
+    ).fit(vecs)
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cell", "centroid"],
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = _ivfpq_assign(corpus, centroids, id_col, emb_col).persist()
+    books = pq_train(
+        assigned, m=m, k_codes=k_codes, iters=pq_iters,
+        id_col=id_col, emb_col="__resid",
+    )
+    spark.createDataFrame(
+        [(j, c, books[j][c]) for j in range(m) for c in range(k_codes)],
+        "sub INT, code INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    d = len(books[0][0])
+    encoded = assigned.withColumn(
+        "pq_codes", _pq_codes_expr(F.col("__resid"), books, d)
+    ).select(id_col, emb_col, "pq_codes", "cell")
+    return centroids, books, encoded, assigned
+
+
 def ivfpq_build_index(
     corpus: DataFrame,
     path: str,
@@ -722,70 +796,28 @@ def ivfpq_build_index(
     emb_col: str = "embedding",
     seed: int = 42,
 ) -> list[list[list[float]]]:
-    """Build the IVFPQ index: fit the seeded k-means coarse quantizer,
-    train PQ codebooks ON THE RESIDUALS (distributed, one scan per
-    iteration — `pq_train`), then write per cell directory
-    (``{path}/data/cell=<i>/``) rows of (id, embedding, pq_codes) plus
-    the tiny centroid and codebook tables. The embedding column rides
-    along for the re-rank point-read; a probe's ADC scan never reads it
-    (column pruning — pinned in tests).
-
-    The residual frame is persisted for the duration of the build (the
-    PQ trainer scans it once per iteration, then the encode pass reads
-    it once more) and unpersisted before returning — the build is fully
-    materialized by its writes, so the cache has no post-call consumer.
+    """Build the plain-parquet IVFPQ index (``_ivfpq_train`` for the
+    pipeline): rows land per cell directory (``{path}/data/cell=<i>/``)
+    so probes partition-prune, plus the tiny centroid and codebook
+    tables. The embedding column rides along for the re-rank
+    point-read; a probe's ADC scan never reads it (column pruning —
+    pinned in tests). The residual frame persists for the duration of
+    the build only (the trainer scans it per iteration, the encode/
+    write pass once more).
 
     Returns the codebooks for convenience."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    corpus = ensure_min_partitions(corpus)
-    vecs = corpus.withColumn(
-        "__v", array_to_vector(F.col(emb_col).cast("array<double>"))
-    )
-    model = KMeans(
-        k=n_cells, seed=seed, featuresCol="__v", predictionCol="cell"
-    ).fit(vecs)
-    assigned = model.transform(vecs).drop("__v")
-    spark = corpus.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        ["cell", "centroid"],
-    )
-    resid = (
-        assigned.join(F.broadcast(centroids), on="cell")
-        .withColumn(
-            "__resid",
-            F.zip_with(
-                _as_double(F.col(emb_col)), F.col("centroid"), lambda a, b: a - b
-            ),
-        )
-        .drop("centroid")
-        .persist()
+    _, books, encoded, cached = _ivfpq_train(
+        corpus, path, n_cells, m, k_codes, pq_iters, id_col, emb_col, seed
     )
     try:
-        books = pq_train(
-            resid, m=m, k_codes=k_codes, iters=pq_iters,
-            id_col=id_col, emb_col="__resid",
-        )
-        d = len(books[0][0])
-        encoded = resid.withColumn(
-            "pq_codes", _pq_codes_expr(F.col("__resid"), books, d)
-        )
         (
-            encoded.select(id_col, emb_col, "pq_codes", "cell")
-            .repartition("cell")
+            encoded.repartition("cell")
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(f"{path}/data")
         )
     finally:
-        resid.unpersist()
-    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
-        [(j, c, books[j][c]) for j in range(m) for c in range(k_codes)],
-        "sub INT, code INT, centroid ARRAY<DOUBLE>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+        cached.unpersist()
     return books
 
 
@@ -861,7 +893,7 @@ def _ivfpq_probe_core(
     applied here so both storages share the exact probe plan shape."""
     m = len(books)
     d = len(books[0][0])
-    q = _guard_query_side(
+    q, n_q = _guard_query_side(
         queries.select(
             F.col(id_col).alias(query_id_col), _as_double(F.col(emb_col)).alias("__q")
         ),
@@ -882,30 +914,23 @@ def _ivfpq_probe_core(
         )
         .select(query_id_col, "__resid", "cell")
     )
-    luts = [
-        F.array(
-            *[
-                _sq_dist_lit(F.slice(F.col("__resid"), j * d + 1, d), c)
-                for c in books[j]
-            ]
-        ).alias(f"__lut{j}")
-        for j in range(m)
-    ]
-    q_lut = q_cells.select(query_id_col, "cell", *luts)
+    q_lut = q_cells.select(
+        query_id_col, "cell", *_adc_lut_cols(F.col("__resid"), books)
+    )
+    # q_lut is |Q| × n_probe rows of m × k_codes doubles — n_probe×
+    # BIGGER than the guarded query relation, so the broadcast hint is
+    # conditional on the inflated row count; past the bound the band
+    # join falls back to a plain equi-join on cell (AQE re-plans)
+    if n_q * n_probe <= MAX_BROADCAST_QUERIES:
+        q_lut = F.broadcast(q_lut)
     # ≤ n_cells ints to the driver: the partition predicate must be a
     # literal for Catalyst to prune directories at plan time.
     probe_cells = sorted({r.cell for r in q_cells.select("cell").distinct().collect()})
     codes_scan = scan_for(probe_cells).select("cell", id_col, "pq_codes")
-    adc = None
-    for j in range(m):
-        term = F.element_at(
-            F.col(f"__lut{j}"), F.element_at(F.col("pq_codes"), j + 1) + 1
-        )
-        adc = term if adc is None else adc + term
     shortlist = (
-        codes_scan.join(F.broadcast(q_lut), on="cell")
+        codes_scan.join(q_lut, on="cell")
         .where(F.col(id_col) != F.col(query_id_col))
-        .withColumn("adc_dist", F.round(adc, 6))
+        .withColumn("adc_dist", F.round(_adc_dist(m), 6))
         .withColumn(
             "srnk",
             F.row_number().over(
@@ -917,7 +942,6 @@ def _ivfpq_probe_core(
         .where(F.col("srnk") <= k * shortlist_factor)
         .select(query_id_col, F.col(id_col).alias("neighbor_id"))
     )
-    n_q = q.limit(MAX_BROADCAST_QUERIES + 1).count()
     if n_q * k * shortlist_factor <= SHORTLIST_BROADCAST_MAX_ROWS:
         shortlist = F.broadcast(shortlist)
     fetched = (
@@ -999,6 +1023,7 @@ class VersionedIvfPqIndex:
         self.spark = spark
         self.path = str(path)
         self.table = VersionedTable(spark, f"{self.path}/data_vt")
+        self._quantizer_cache: tuple[DataFrame, list] | None = None
 
     # ------------------------------------------------------------ build
     @classmethod
@@ -1014,53 +1039,29 @@ class VersionedIvfPqIndex:
         emb_col: str = "embedding",
         seed: int = 42,
     ) -> "VersionedIvfPqIndex":
-        """Train quantizers (seeded k-means coarse + residual PQ, both
-        distributed) and create the index table at version 0. The
-        residual frame persists for the duration of the build only."""
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
+        """Train quantizers via the shared ``_ivfpq_train`` pipeline
+        and create the index table at version 0."""
         spark = corpus.sparkSession
-        corpus = ensure_min_partitions(corpus)
-        vecs = corpus.withColumn(
-            "__v", array_to_vector(F.col(emb_col).cast("array<double>"))
+        _, _, encoded, cached = _ivfpq_train(
+            corpus, path, n_cells, m, k_codes, pq_iters, id_col, emb_col, seed
         )
-        model = KMeans(
-            k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell_unused"
-        ).fit(vecs)
-        centroids = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-            ["cell", "centroid"],
-        )
-        centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-        # assignment goes through the SAME SQL argmin appends use, so a
-        # row gets one cell no matter when it arrives (model.transform
-        # and the SQL path agree except on exact ties, where the SQL
-        # path's lowest-cell rule is the contract)
-        assigned = _ivfpq_assign(corpus, centroids, id_col, emb_col).persist()
         try:
-            books = pq_train(
-                assigned, m=m, k_codes=k_codes, iters=pq_iters,
-                id_col=id_col, emb_col="__resid",
-            )
-            d = len(books[0][0])
-            spark.createDataFrame(
-                [(j, c, books[j][c]) for j in range(m) for c in range(k_codes)],
-                "sub INT, code INT, centroid ARRAY<DOUBLE>",
-            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-            encoded = assigned.withColumn(
-                "pq_codes", _pq_codes_expr(F.col("__resid"), books, d)
-            ).select(id_col, emb_col, "pq_codes", "cell")
             idx = cls(spark, path)
             idx.table.create(encoded, partition_by=["cell"])
         finally:
-            assigned.unpersist()
+            cached.unpersist()
         return idx
 
     # ---------------------------------------------------------- quantize
     def _quantizers(self):
-        centroids = self.spark.read.parquet(f"{self.path}/centroids")
-        return centroids, _load_codebooks(self.spark, self.path)
+        # Quantizer artifacts are immutable once trained (class
+        # contract), so read + driver-collect them ONCE per instance —
+        # a streaming ingest otherwise pays two parquet reads and a
+        # codebook collect on every micro-batch.
+        if self._quantizer_cache is None:
+            centroids = self.spark.read.parquet(f"{self.path}/centroids")
+            self._quantizer_cache = (centroids, _load_codebooks(self.spark, self.path))
+        return self._quantizer_cache
 
     def encode(
         self,
@@ -1133,10 +1134,17 @@ class VersionedIvfPqIndex:
         index; probes anti-join the tombstones away immediately. A
         later ``compact()`` (or ``purge_deletion_vectors``) folds them
         physically."""
-        vals = ", ".join(str(int(i)) for i in ids)
+        def lit(v) -> str:
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            if isinstance(v, (int, float)):
+                return str(v)
+            return "'" + str(v).replace("'", "''") + "'"
+
+        vals = ", ".join(lit(i) for i in ids)
         if not vals:
             return self
-        self.table.delete(f"{id_col} IN ({vals})", use_dv=use_dv)
+        self.table.delete(f"`{id_col}` IN ({vals})", use_dv=use_dv)
         return self
 
     # ------------------------------------------------------------- probe

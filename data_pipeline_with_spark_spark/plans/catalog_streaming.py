@@ -301,7 +301,13 @@ def _stream_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     from data_pipeline_with_spark_spark.sources.readers import read_testdata
     from data_pipeline_with_spark_spark.streaming.demo import run_stream_ivfpq_ingest
 
-    idx = run_stream_ivfpq_ingest(spark, sf, tempfile.mkdtemp(prefix="stream_ivfpq_"))
+    # lighter quantizer for the registry run: the per-query cost is
+    # dominated by codegen of the m x k_codes ADC expressions, and the
+    # correctness contract (stream == batch convergence, exactly-once)
+    # is quantizer-size-independent — pytest covers the full-size one
+    idx = run_stream_ivfpq_ingest(
+        spark, sf, tempfile.mkdtemp(prefix="stream_ivfpq_"), k_codes=8, pq_iters=1
+    )
     emb = read_testdata(spark, sf, "embeddings")
     from pyspark.sql import functions as F
 

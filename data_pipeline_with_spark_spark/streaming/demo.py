@@ -929,7 +929,15 @@ def run_stream_near_dup(
     return bands_ledger, pairs_table
 
 
-def run_stream_ivfpq_ingest(spark: SparkSession, sf_dir: str, work_dir: str):
+def run_stream_ivfpq_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    n_cells: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    pq_iters: int = 2,
+):
     """STREAMING ANN-index maintenance — the serving shape of a
     continuously-crawled embedding corpus: the IVFPQ index is built
     once on the vectors already present, then newly-arrived embeddings
@@ -955,7 +963,8 @@ def run_stream_ivfpq_ingest(spark: SparkSession, sf_dir: str, work_dir: str):
     base = emb.where("vec_id % 2 = 0")
     arriving = emb.where("vec_id % 2 = 1")
     idx = VersionedIvfPqIndex.build(
-        base, str(work / "index"), n_cells=16, m=8, k_codes=16, pq_iters=2
+        base, str(work / "index"),
+        n_cells=n_cells, m=m, k_codes=k_codes, pq_iters=pq_iters,
     )
     staging = str(work / "staging")
     arriving.repartition(4).write.parquet(staging)

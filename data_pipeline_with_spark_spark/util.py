@@ -74,24 +74,51 @@ def too_big_to_broadcast(df: DataFrame) -> bool:
 _SESSION_CACHES: list[DataFrame] = []
 
 
-def session_cache(df: DataFrame) -> DataFrame:
-    """Persist ``df`` at MEMORY_ONLY and register the handle for
+def session_cache(df: DataFrame, spill: bool = False) -> DataFrame:
+    """Persist ``df`` and register the handle for
     ``release_session_caches()``. Use for operator-internal caches that
-    must outlive the operator call (self-join sides, broadcast feeds);
-    the contract is cache-or-recompute, never spill."""
+    must outlive the operator call (self-join sides, broadcast feeds).
+
+    Default level is MEMORY_ONLY — LRU-evictable, recompute-on-miss —
+    which is ONLY safe for deterministic frames (LSH fingerprints,
+    md5 digests): an evicted block recomputes to the same rows. Pass
+    ``spill=True`` (MEMORY_AND_DISK) for frames whose lineage may be
+    nondeterministic (a sampled/limit-derived query set): there a
+    recompute could silently produce different rows than the
+    materialization earlier driver decisions (counts, collected
+    partition predicates) were based on, so spilling is the correct
+    trade even though the disk tier is only freed by release/unpersist.
+    """
     from pyspark import StorageLevel
 
-    df = df.persist(StorageLevel.MEMORY_ONLY)
+    df = df.persist(
+        StorageLevel.MEMORY_AND_DISK if spill else StorageLevel.MEMORY_ONLY
+    )
     _SESSION_CACHES.append(df)
     return df
 
 
+def session_cache_forget(df: DataFrame) -> None:
+    """Drop a handle registered by ``session_cache`` (by identity) —
+    for error paths that unpersist eagerly and must not leave a stale
+    entry behind."""
+    for i, h in enumerate(_SESSION_CACHES):
+        if h is df:
+            del _SESSION_CACHES[i]
+            return
+
+
 def release_session_caches() -> int:
     """Unpersist every registered operator cache (idempotent — Spark
-    treats unpersist of a non-persisted frame as a no-op). Returns the
-    number of handles released."""
+    treats unpersist of a non-persisted frame as a no-op). A handle
+    whose SparkSession has already stopped is skipped, never aborting
+    the drain. Returns the number of handles released."""
     n = 0
     while _SESSION_CACHES:
-        _SESSION_CACHES.pop().unpersist()
-        n += 1
+        h = _SESSION_CACHES.pop()
+        try:
+            h.unpersist()
+            n += 1
+        except Exception:
+            pass  # dead session / torn-down JVM: nothing left to free
     return n

@@ -933,13 +933,18 @@ def test_pq_shortlist_broadcast_falls_back_past_bound(spark, monkeypatch):
     assert rows(unhinted_df) == hinted and hinted
 
 
-def test_session_cache_registry_releases_memory_only(spark):
-    # Operator-internal caches must be MEMORY_ONLY (evictable, no disk
-    # pinning) and releasable via the registry (r7 review finding).
+def test_session_cache_registry_levels_and_release(spark):
+    # Operator caches are registered and releasable. Levels express the
+    # determinism contract (r7 review findings): the ANN query guard
+    # spills (MEMORY_AND_DISK — a recompute of a sample()-derived query
+    # set would desync the counted bound / collected probe cells), while
+    # deterministic fingerprint caches stay MEMORY_ONLY (evictable, no
+    # disk pinning, recompute-safe).
     from pyspark import StorageLevel
 
     from data_pipeline_with_spark_spark import util
     from data_pipeline_with_spark_spark.llm import similarity as S
+    from data_pipeline_with_spark_spark.llm.dedup import simhash_near_dup_pairs
 
     util.release_session_caches()  # clean slate
     emb = spark.range(10).select(
@@ -949,11 +954,21 @@ def test_session_cache_registry_releases_memory_only(spark):
     out = S.brute_force_topk(emb, emb.where("vec_id < 2"), k=2)
     out.collect()
     assert util._SESSION_CACHES, "guard did not register its cache"
-    cached = util._SESSION_CACHES[-1]
-    assert cached.storageLevel == StorageLevel.MEMORY_ONLY
+    guard_cached = util._SESSION_CACHES[-1]
+    assert guard_cached.storageLevel == StorageLevel.MEMORY_AND_DISK
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb cc dd"), (3, "zz yy xx ww")],
+        "doc_id LONG, text STRING",
+    )
+    simhash_near_dup_pairs(docs).collect()
+    fp_cached = util._SESSION_CACHES[-1]
+    assert fp_cached.storageLevel == StorageLevel.MEMORY_ONLY
+
     n = util.release_session_caches()
-    assert n >= 1 and not util._SESSION_CACHES
-    assert cached.storageLevel == StorageLevel.NONE  # actually unpersisted
+    assert n >= 2 and not util._SESSION_CACHES
+    assert guard_cached.storageLevel == StorageLevel.NONE
+    assert fp_cached.storageLevel == StorageLevel.NONE
 
 
 def test_ivfpq_exactness_recall_and_plan_shape(spark, tmp_path):
