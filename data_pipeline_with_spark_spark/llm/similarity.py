@@ -732,6 +732,17 @@ def _sq_dist_cols(a: Column, b: Column) -> Column:
     )
 
 
+# Quantizer training is bounded: k-means and PQ codebooks fit on a
+# deterministic hash-sample of at most this many vectors (FAISS's rule
+# of thumb is ~39-256 training points per centroid — 100k rows train
+# 64 coarse cells and 8x16 PQ codes with two orders of magnitude of
+# headroom). Training cost is therefore O(sample) regardless of corpus
+# size; ONLY the single assign+encode pass scans the full corpus. At
+# 100 TB this is the difference between a build that works and one
+# that iterates k-means over the whole corpus per Lloyd round.
+MAX_QUANTIZER_TRAIN_ROWS = 100_000
+
+
 def _ivfpq_train(
     corpus: DataFrame,
     path: str,
@@ -742,23 +753,35 @@ def _ivfpq_train(
     id_col: str,
     emb_col: str,
     seed: int,
+    max_train_rows: int = MAX_QUANTIZER_TRAIN_ROWS,
 ):
     """Shared IVFPQ training pipeline (both index storages): fit the
-    seeded k-means coarse quantizer, assign every vector through the
-    SAME SQL argmin that appends use (``_ivfpq_assign`` — so a tie
-    vector gets one cell no matter when or how it arrives; the
-    lowest-cell rule is the contract), train PQ codebooks ON THE
-    RESIDUALS (`pq_train`, one distributed scan per iteration), write
-    the immutable quantizer artifacts, and hand back
-    ``(centroids, books, encoded)`` where encoded = (id, embedding,
-    pq_codes, cell), PERSISTED — the caller writes it to its storage
-    and must unpersist it."""
+    seeded k-means coarse quantizer and the residual PQ codebooks on a
+    bounded deterministic sample (see MAX_QUANTIZER_TRAIN_ROWS), assign
+    every corpus vector through the SAME SQL argmin that appends use
+    (``_ivfpq_assign`` — so a tie vector gets one cell no matter when
+    or how it arrives; the lowest-cell rule is the contract), write the
+    immutable quantizer artifacts, and hand back ``(centroids, books,
+    encoded, cached)`` where encoded = (id, embedding, pq_codes, cell)
+    over the FULL corpus and cached is the persisted frame the caller
+    must unpersist after writing."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
     corpus = ensure_min_partitions(corpus)
-    vecs = corpus.withColumn(
+    n = corpus.count()
+    if n > max_train_rows:
+        # deterministic hash-sample (xxhash64 of the id + seed): the
+        # same corpus and seed always train the same quantizers —
+        # sample() would re-draw on recompute
+        thresh = int((max_train_rows / n) * (2**32))
+        train = corpus.where(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(2**32)) < thresh
+        )
+    else:
+        train = corpus
+    vecs = train.withColumn(
         "__v", array_to_vector(F.col(emb_col).cast("array<double>"))
     )
     model = KMeans(
@@ -770,8 +793,14 @@ def _ivfpq_train(
     )
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = _ivfpq_assign(corpus, centroids, id_col, emb_col).persist()
+    if train is corpus:
+        train_resid = assigned  # small corpus: one frame serves both
+    else:
+        train_resid = assigned.where(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(2**32)) < thresh
+        )
     books = pq_train(
-        assigned, m=m, k_codes=k_codes, iters=pq_iters,
+        train_resid, m=m, k_codes=k_codes, iters=pq_iters,
         id_col=id_col, emb_col="__resid",
     )
     spark.createDataFrame(
@@ -795,6 +824,7 @@ def ivfpq_build_index(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 42,
+    max_train_rows: int = MAX_QUANTIZER_TRAIN_ROWS,
 ) -> list[list[list[float]]]:
     """Build the plain-parquet IVFPQ index (``_ivfpq_train`` for the
     pipeline): rows land per cell directory (``{path}/data/cell=<i>/``)
@@ -807,7 +837,8 @@ def ivfpq_build_index(
 
     Returns the codebooks for convenience."""
     _, books, encoded, cached = _ivfpq_train(
-        corpus, path, n_cells, m, k_codes, pq_iters, id_col, emb_col, seed
+        corpus, path, n_cells, m, k_codes, pq_iters, id_col, emb_col, seed,
+        max_train_rows=max_train_rows,
     )
     try:
         (
@@ -1038,12 +1069,14 @@ class VersionedIvfPqIndex:
         id_col: str = "vec_id",
         emb_col: str = "embedding",
         seed: int = 42,
+        max_train_rows: int = MAX_QUANTIZER_TRAIN_ROWS,
     ) -> "VersionedIvfPqIndex":
         """Train quantizers via the shared ``_ivfpq_train`` pipeline
         and create the index table at version 0."""
         spark = corpus.sparkSession
         _, _, encoded, cached = _ivfpq_train(
-            corpus, path, n_cells, m, k_codes, pq_iters, id_col, emb_col, seed
+            corpus, path, n_cells, m, k_codes, pq_iters, id_col, emb_col, seed,
+            max_train_rows=max_train_rows,
         )
         try:
             idx = cls(spark, path)

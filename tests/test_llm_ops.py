@@ -1158,3 +1158,54 @@ def test_versioned_ivfpq_compact_and_forget(spark, tmp_path):
     for r in full.collect():
         got.setdefault(r.q_id, []).append(r.neighbor_id)
     assert got == {q: exact(q) for q in got} and len(got) == 3
+
+
+def test_ivfpq_sampled_training_exact_and_deterministic(spark, tmp_path):
+    # Quantizers train on a bounded deterministic hash-sample (the
+    # 100 TB shape: training cost is O(sample), only assign+encode
+    # scans the corpus). Sampling moves recall, never re-rank
+    # exactness; same corpus + seed -> identical quantizers.
+    import numpy as np
+
+    from data_pipeline_with_spark_spark.llm import similarity as S
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    b1 = S.ivfpq_build_index(
+        emb, str(tmp_path / "s1"), n_cells=8, m=8, k_codes=16,
+        pq_iters=1, max_train_rows=200,
+    )
+    b2 = S.ivfpq_build_index(
+        emb, str(tmp_path / "s2"), n_cells=8, m=8, k_codes=16,
+        pq_iters=1, max_train_rows=200,
+    )
+    assert b1 == b2  # deterministic sample -> identical codebooks
+
+    # the sample genuinely bounded training: codebook entries differ
+    # from the full-corpus-trained books
+    full = S.ivfpq_build_index(
+        emb, str(tmp_path / "f"), n_cells=8, m=8, k_codes=16, pq_iters=1
+    )
+    assert b1 != full
+
+    X = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    ids = sorted(X)
+
+    def exact(qid, k=5):
+        return [
+            i
+            for _, i in sorted(
+                (round(float(((X[i] - X[qid]) ** 2).sum()), 6), i)
+                for i in ids
+                if i != qid
+            )[:k]
+        ]
+
+    queries = emb.where(F.col("vec_id") < 3)
+    got = {}
+    for r in S.ivfpq_probe_topk(
+        spark, str(tmp_path / "s1"), queries, k=5, n_probe=8,
+        shortlist_factor=(len(ids) // 5) + 1,
+    ).collect():
+        got.setdefault(r.q_id, []).append(r.neighbor_id)
+    assert got == {q: exact(q) for q in got} and len(got) == 3
