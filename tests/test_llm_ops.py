@@ -1209,3 +1209,30 @@ def test_ivfpq_sampled_training_exact_and_deterministic(spark, tmp_path):
     ).collect():
         got.setdefault(r.q_id, []).append(r.neighbor_id)
     assert got == {q: exact(q) for q in got} and len(got) == 3
+
+
+def test_ann_probe_broadcast_fallbacks_preserve_results(spark, tmp_path, monkeypatch):
+    # q_cells/q_lut are |Q| x n_probe rows; past the bound the hint is
+    # dropped and the join re-plans — results must be identical. Bound
+    # chosen so the guard itself still passes (|Q| <= MAX) but the
+    # inflated relation does not (|Q| * n_probe > MAX).
+    from data_pipeline_with_spark_spark.llm import similarity as S
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    hinted_ivf = rows(S.ivf_topk(emb, queries, k=3, n_cells=8, n_probe=4))
+    idx = str(tmp_path / "pq")
+    S.ivfpq_build_index(emb, idx, n_cells=8, m=8, k_codes=16, pq_iters=1)
+    hinted_pq = rows(S.ivfpq_probe_topk(spark, idx, queries, k=3, n_probe=4))
+
+    monkeypatch.setattr(S, "MAX_BROADCAST_QUERIES", 10)  # 5*4=20 > 10
+    assert rows(S.ivf_topk(emb, queries, k=3, n_cells=8, n_probe=4)) == hinted_ivf
+    assert (
+        rows(S.ivfpq_probe_topk(spark, idx, queries, k=3, n_probe=4)) == hinted_pq
+    )
+    assert hinted_ivf and hinted_pq
