@@ -139,6 +139,64 @@ def brute_force_topk(
     )
 
 
+def l2_normalize(
+    df: DataFrame, emb_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """Unit-normalize an embedding column (double output). On the unit
+    sphere squared L2 and cosine rank identically (|a−b|² = 2 − 2·a·b),
+    so normalizing once up front lets the whole L2-metric ANN family
+    (PQ ADC, IVFPQ) serve cosine workloads — the standard trick, done
+    as one corpus pass instead of per-distance sqrt work. Zero vectors
+    have no direction: they normalize to NULL rather than NaN-poisoning
+    downstream scores. The norm binds to its own column first so the
+    per-element division doesn't recompute the fold per coordinate
+    (interpreted higher-order lambdas; see with_shingles)."""
+    out = out_col or emb_col
+    return (
+        df.withColumn("__nm", norm(F.col(emb_col)))
+        .withColumn(
+            out,
+            F.when(
+                F.col("__nm") > 0,
+                F.transform(_as_double(F.col(emb_col)), lambda x: x / F.col("__nm")),
+            ),
+        )
+        .drop("__nm")
+    )
+
+
+def brute_force_l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact squared-L2 top-k per query — the metric twin of
+    ``brute_force_topk`` (ascending distance, id tiebreak); same
+    broadcast + map-side-window plan shape."""
+    q, _ = _guard_query_side(
+        queries.select(
+            F.col(id_col).alias(query_id_col), _as_double(F.col(emb_col)).alias("__q")
+        ),
+        "brute_force_l2_topk",
+    )
+    scored = (
+        ensure_min_partitions(corpus)
+        .select(F.col(id_col), _as_double(F.col(emb_col)).alias("__n"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .withColumn("l2_sq", F.round(_sq_dist_cols(F.col("__n"), F.col("__q")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("l2_sq"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "l2_sq", "rnk")
+    )
+
+
 def sign_lsh_bucket(emb: Column, bits: int = 8) -> Column:
     """Axis-hyperplane sign bucket: bit i set iff coordinate i > 0.
     Portable to ANSI SQL (element_at is 1-based in both engines)."""

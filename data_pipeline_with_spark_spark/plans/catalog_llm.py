@@ -695,6 +695,12 @@ register(
 
 # --------------------------------------------------------------------------
 # Similarity search
+_COS_SQL_RAW = (
+    "(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))))"
+)
+
 _COS_SQL = (
     "round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
@@ -723,6 +729,41 @@ register(
         SELECT q_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
           SELECT *, row_number() OVER (
             PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        """,
+    )
+)
+
+
+def _l2norm_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The bridge that lets the L2-metric ANN family (PQ ADC / IVFPQ)
+    serve cosine workloads: on unit-normalized vectors squared L2 IS
+    2 − 2·cosine, so ranking by it reproduces the cosine ranking
+    exactly. Spark genuinely normalizes (one corpus pass) and scores
+    sum((a/|a| − b/|b|)²); the oracle scores the closed form
+    2 − 2·cos — a hash match certifies the identity end-to-end."""
+    emb = similarity.l2_normalize(read_testdata(spark, sf, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.brute_force_l2_topk(emb, queries, k=5)
+
+
+register(
+    QuerySpec(
+        name="sim_l2_normalized_topk",
+        build=_l2norm_topk,
+        doc="squared-L2 top-5 over unit-normalized embeddings == the cosine "
+        "ranking (|a-b|^2 = 2-2cos on the sphere); oracle scores the closed "
+        "form, Spark the real normalize-and-subtract",
+        oracle=f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.q_id, e.vec_id AS neighbor_id,
+                 round(2 - 2 * {_COS_SQL_RAW.format(a='e.embedding', b='q.q_emb')}, 6) AS l2_sq
+          FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+        SELECT q_id, neighbor_id, l2_sq, CAST(rnk AS INT) AS rnk FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY l2_sq ASC, neighbor_id) AS rnk
           FROM scored)
         WHERE rnk <= 5
         """,

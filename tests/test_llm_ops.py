@@ -1236,3 +1236,22 @@ def test_ann_probe_broadcast_fallbacks_preserve_results(spark, tmp_path, monkeyp
         rows(S.ivfpq_probe_topk(spark, idx, queries, k=3, n_probe=4)) == hinted_pq
     )
     assert hinted_ivf and hinted_pq
+
+
+def test_l2_normalize_zero_vectors_and_cosine_identity(spark):
+    import math
+
+    from data_pipeline_with_spark_spark.llm import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = {r.vec_id: r.embedding for r in S.l2_normalize(df).collect()}
+    assert out[1] == [0.6, 0.8]
+    assert out[2] is None  # zero vector: no direction, not NaN
+    # identity: |a-b|^2 == 2 - 2*cos on the unit sphere
+    a, b = out[1], out[3]
+    l2 = sum((x - y) ** 2 for x, y in zip(a, b))
+    cos = sum(x * y for x, y in zip(a, b))
+    assert math.isclose(l2, 2 - 2 * cos, rel_tol=1e-12)
