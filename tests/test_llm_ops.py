@@ -1255,3 +1255,27 @@ def test_l2_normalize_zero_vectors_and_cosine_identity(spark):
     l2 = sum((x - y) ** 2 for x, y in zip(a, b))
     cos = sum(x * y for x, y in zip(a, b))
     assert math.isclose(l2, 2 - 2 * cos, rel_tol=1e-12)
+
+
+def test_ivfpq_on_normalized_embeddings_serves_cosine(spark, tmp_path):
+    # The full cosine-serving path: normalize -> IVFPQ (L2 metric) ->
+    # probe. Under a full probe + corpus-wide shortlist the neighbor
+    # ranking must equal the exact COSINE ranking — the sphere identity
+    # carried through index build, residual PQ encode and re-rank.
+    from data_pipeline_with_spark_spark.llm import similarity as S
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    emb = S.l2_normalize(read_testdata(spark, "/root/testdata/sf0.001", "embeddings"))
+    n = emb.count()
+    queries = emb.where(F.col("vec_id") < 4)
+    idx = str(tmp_path / "cosidx")
+    S.ivfpq_build_index(emb, idx, n_cells=8, m=8, k_codes=16, pq_iters=1)
+    via_index = {}
+    for r in S.ivfpq_probe_topk(
+        spark, idx, queries, k=5, n_probe=8, shortlist_factor=(n // 5) + 1
+    ).collect():
+        via_index.setdefault(r.q_id, []).append(r.neighbor_id)
+    via_cosine = {}
+    for r in S.brute_force_topk(emb, queries, k=5).collect():
+        via_cosine.setdefault(r.q_id, []).append(r.neighbor_id)
+    assert via_index == via_cosine and len(via_index) == 4
