@@ -845,12 +845,12 @@ def _ivfpq_train(
     model = KMeans(
         k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell_unused"
     ).fit(vecs)
+    centroid_list = [[float(x) for x in c] for c in model.clusterCenters()]
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        ["cell", "centroid"],
+        [(i, c) for i, c in enumerate(centroid_list)], ["cell", "centroid"]
     )
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    assigned = _ivfpq_assign(corpus, centroids, id_col, emb_col).persist()
+    assigned = _ivfpq_assign(corpus, centroid_list, id_col, emb_col).persist()
     if train is corpus:
         train_resid = assigned  # small corpus: one frame serves both
     else:
@@ -1053,27 +1053,39 @@ def _ivfpq_probe_core(
 
 def _ivfpq_assign(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroid_list: list[list[float]],
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its exact nearest centroid (squared L2,
-    lowest-cell tiebreak) and attach the PQ residual — pure Catalyst:
-    cross join against the broadcast (tiny) centroid table, windowed
-    argmin per vector. Used for index APPENDS, where the quantizers are
-    frozen artifacts read back from the index, not a fitted model."""
-    w = Window.partitionBy(id_col).orderBy(F.asc("cdist"), F.asc("cell"))
+    lowest-cell-on-tie, matching numpy argmin) and attach the PQ
+    residual — a ZERO-SHUFFLE projection: centroids are tiny and
+    driver-known, so the argmin is an expression over literal centroid
+    arrays (the `_pq_codes_expr` trick), and the chosen centroid for
+    the residual subtraction is one `element_at` into a nested literal.
+    The earlier cross-join + per-id window shape shuffled the whole
+    corpus on its UNIQUE id just to rank ≤ n_cells rows — a full-corpus
+    exchange this projection never pays, which at 100 TB is the
+    difference between an assign pass that streams and one that
+    re-sorts the table."""
+    dists = F.array(*[_sq_dist_lit(F.col("__e"), c) for c in centroid_list])
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroid_list]
+    )
     return (
         ensure_min_partitions(vectors)
         .select(F.col(id_col), F.col(emb_col), _as_double(F.col(emb_col)).alias("__e"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("cdist", _sq_dist_cols(F.col("__e"), F.col("centroid")))
-        .withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") == 1)
+        .withColumn("cell", cell)
         .withColumn(
-            "__resid", F.zip_with(F.col("__e"), F.col("centroid"), lambda a, b: a - b)
+            "__resid",
+            F.zip_with(
+                F.col("__e"),
+                F.element_at(cent_lit, F.col("cell") + 1),
+                lambda a, b: a - b,
+            ),
         )
-        .drop("cdist", "__rk", "centroid", "__e")
+        .drop("__e")
     )
 
 
@@ -1148,10 +1160,18 @@ class VersionedIvfPqIndex:
         # Quantizer artifacts are immutable once trained (class
         # contract), so read + driver-collect them ONCE per instance —
         # a streaming ingest otherwise pays two parquet reads and a
-        # codebook collect on every micro-batch.
+        # codebook collect on every micro-batch. Holds (centroid
+        # DataFrame for probes, centroid list for the literal-argmin
+        # assign, codebooks).
         if self._quantizer_cache is None:
             centroids = self.spark.read.parquet(f"{self.path}/centroids")
-            self._quantizer_cache = (centroids, _load_codebooks(self.spark, self.path))
+            clist = [
+                [float(x) for x in r.centroid]
+                for r in sorted(centroids.collect(), key=lambda r: r.cell)
+            ]
+            self._quantizer_cache = (
+                centroids, clist, _load_codebooks(self.spark, self.path)
+            )
         return self._quantizer_cache
 
     def encode(
@@ -1162,10 +1182,10 @@ class VersionedIvfPqIndex:
     ) -> DataFrame:
         """(id, embedding, pq_codes, cell) for new vectors under the
         index's frozen quantizers."""
-        centroids, books = self._quantizers()
+        _, clist, books = self._quantizers()
         d = len(books[0][0])
         return (
-            _ivfpq_assign(vectors, centroids, id_col, emb_col)
+            _ivfpq_assign(vectors, clist, id_col, emb_col)
             .withColumn("pq_codes", _pq_codes_expr(F.col("__resid"), books, d))
             .select(id_col, emb_col, "pq_codes", "cell")
         )
@@ -1254,7 +1274,7 @@ class VersionedIvfPqIndex:
         ``version``). Identical math/plan to ``ivfpq_probe_topk`` —
         only the pruned-scan source differs (read_where file skipping
         on the hive cell paths)."""
-        centroids, books = self._quantizers()
+        centroids, _, books = self._quantizers()
 
         def scan_for(cells):
             return self.table.read_where(("cell", "in", cells), version=version)

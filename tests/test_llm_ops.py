@@ -1279,3 +1279,20 @@ def test_ivfpq_on_normalized_embeddings_serves_cosine(spark, tmp_path):
     for r in S.brute_force_topk(emb, queries, k=5).collect():
         via_cosine.setdefault(r.q_id, []).append(r.neighbor_id)
     assert via_index == via_cosine and len(via_index) == 4
+
+
+def test_ivfpq_assign_is_zero_shuffle_projection(spark):
+    # Cell assignment must be a literal-argmin projection: no Window,
+    # no Sort, no per-id hash Exchange — the corpus streams through one
+    # narrow pass (the earlier window shape shuffled on the unique id).
+    from data_pipeline_with_spark_spark.llm.similarity import _ivfpq_assign
+
+    emb = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(8)]).alias("embedding"),
+    )
+    out = _ivfpq_assign(emb, [[0.0] * 8, [1.0] * 8, [0.5] * 8])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan
+    assert "hashpartitioning(vec_id" not in plan
