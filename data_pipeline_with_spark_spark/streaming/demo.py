@@ -896,8 +896,13 @@ def run_stream_near_dup(
     the ledger join is an equi-join on (band_idx, band_hash) — at
     100 TB the ledger is bucketed on the band hash so the probe is
     hash-local, and only 16-byte digests + ids ever persist or
-    shuffle. Returns (bands_ledger, pairs_table); the pairs table must
-    equal the batch LSH candidate set (the DuckDB oracle)."""
+    shuffle. The ledgers accrete one commit per micro-batch; periodic
+    maintenance is the table's own OPTIMIZE (zorder on band_hash for
+    the probe key) — purely physical, so it composes with in-flight
+    folds and the idempotent-append accounting sees through the
+    interleaved commit (tested). Returns (bands_ledger, pairs_table);
+    the pairs table must equal the batch LSH candidate set (the DuckDB
+    oracle)."""
     from pathlib import Path
 
     from data_pipeline_with_spark_spark.lake.versioned import VersionedTable

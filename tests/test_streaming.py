@@ -442,3 +442,53 @@ def test_stream_ivfpq_ingest_equals_batch_built_index(spark, sf_dir, tmp_path):
 
     got = rows(idx.probe(queries, k=5, n_probe=4))
     assert got == rows(twin.probe(queries, k=5, n_probe=4)) and got
+
+
+def test_stream_near_dup_survives_ledger_compaction(spark, tmp_path):
+    # The band ledger grows one commit per micro-batch forever; OPTIMIZE
+    # between batches (small-file healing, zorder on the probe key) is
+    # purely physical, so folds before and after it must compose to the
+    # same batch answer, and exactly-once accounting must see through
+    # the interleaved maintenance commit.
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+    from data_pipeline_with_spark_spark.llm.dedup import minhash_candidate_pairs
+    from data_pipeline_with_spark_spark.streaming.demo import fold_near_dup_batch
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "alpha beta gamma delta zeta"),
+        (4, "one two three four five"),
+        (5, "one two three four five"),
+        (6, "totally different words here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    want = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(docs, num_hashes=16, bands=8).collect()
+    }
+    bl = VersionedTable(spark, str(tmp_path / "bands")).create(
+        spark.createDataFrame([], "band_idx INT, band_hash STRING, doc_id BIGINT")
+    )
+    pt = VersionedTable(spark, str(tmp_path / "pairs")).create(
+        spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    )
+    batches = [rows[0:2], rows[2:4], rows[4:6]]
+    for epoch, b in enumerate(batches):
+        if epoch == 2:
+            bl.optimize(zorder_by=["band_hash"])  # maintenance mid-stream
+            pt.optimize()
+        applied = fold_near_dup_batch(
+            bl, pt, spark.createDataFrame(b, "doc_id LONG, text STRING"),
+            epoch, num_hashes=16, bands=8,
+        )
+        assert applied is True
+    # replay of the last epoch after maintenance commits still no-ops
+    assert (
+        fold_near_dup_batch(
+            bl, pt, spark.createDataFrame(batches[2], "doc_id LONG, text STRING"),
+            2, num_hashes=16, bands=8,
+        )
+        is False
+    )
+    assert {(r.id_a, r.id_b) for r in pt.read().collect()} == want
