@@ -596,6 +596,8 @@ def pq_train(
     iters: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_train_rows: int | None = None,
+    seed: int = 42,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks (Jégou et al. 2011): split
     the D-dim space into ``m`` subspaces of D/m dims and run Lloyd
@@ -606,10 +608,24 @@ def pq_train(
     ``k_codes`` lowest-id vectors' subvectors) like ``kmeans_lloyd``.
 
     Returns ``codebooks[j][c]`` = centroid c of subspace j. Only
-    m × k_codes × D/m floats ever reach the driver per iteration."""
+    m × k_codes × D/m floats ever reach the driver per iteration.
+
+    ``max_train_rows`` bounds training to a deterministic hash-sample
+    (pass MAX_QUANTIZER_TRAIN_ROWS for the IVFPQ builds' default):
+    codebook quality needs a bounded sample, never the corpus — with
+    the bound set, every Lloyd iteration scans O(sample) regardless of
+    input size. Default None trains on everything (the historical
+    direct-API behavior; callers encoding 100 TB should set it)."""
     vecs = ensure_min_partitions(df).select(
         F.col(id_col).alias("__id"), _as_double(F.col(emb_col)).alias("__v")
     )
+    if max_train_rows is not None:
+        n_total = vecs.count()
+        if n_total > max_train_rows:
+            thresh = int((max_train_rows / n_total) * (2**32))
+            vecs = vecs.where(
+                F.pmod(F.xxhash64(F.col("__id"), F.lit(seed)), F.lit(2**32)) < thresh
+            )
     first = vecs.select(F.size("__v").alias("n")).limit(1).collect()
     if not first:
         raise ValueError("pq_train: empty input")

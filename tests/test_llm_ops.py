@@ -1296,3 +1296,15 @@ def test_ivfpq_assign_is_zero_shuffle_projection(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Sort" not in plan
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_pq_train_bounded_sample_deterministic(spark):
+    from data_pipeline_with_spark_spark.llm import similarity as S
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    b1 = S.pq_train(emb, m=4, k_codes=8, iters=1, max_train_rows=150)
+    b2 = S.pq_train(emb, m=4, k_codes=8, iters=1, max_train_rows=150)
+    full = S.pq_train(emb, m=4, k_codes=8, iters=1)
+    assert b1 == b2  # deterministic hash-sample
+    assert b1 != full  # and the bound genuinely reduced the train set
