@@ -843,7 +843,10 @@ def _ivfpq_train(
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
-    corpus = ensure_min_partitions(corpus)
+    # NULL embeddings are unindexable (no direction — see
+    # _ivfpq_assign); exclude them from quantizer training as well so
+    # array_to_vector never NPEs on them
+    corpus = ensure_min_partitions(corpus.where(F.col(emb_col).isNotNull()))
     n = corpus.count()
     if n > max_train_rows:
         # deterministic hash-sample (xxhash64 of the id + seed): the
@@ -1083,7 +1086,12 @@ def _ivfpq_assign(
     corpus on its UNIQUE id just to rank ≤ n_cells rows — a full-corpus
     exchange this projection never pays, which at 100 TB is the
     difference between an assign pass that streams and one that
-    re-sorts the table."""
+    re-sorts the table.
+
+    NULL embeddings (e.g. ``l2_normalize``d zero vectors — no
+    direction) are unindexable: they are filtered here, uniformly
+    across build, append and ingest, rather than silently landing in a
+    NULL cell partition no probe would ever read."""
     dists = F.array(*[_sq_dist_lit(F.col("__e"), c) for c in centroid_list])
     cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     cent_lit = F.array(
@@ -1091,6 +1099,7 @@ def _ivfpq_assign(
     )
     return (
         ensure_min_partitions(vectors)
+        .where(F.col(emb_col).isNotNull())
         .select(F.col(id_col), F.col(emb_col), _as_double(F.col(emb_col)).alias("__e"))
         .withColumn("cell", cell)
         .withColumn(

@@ -1308,3 +1308,32 @@ def test_pq_train_bounded_sample_deterministic(spark):
     full = S.pq_train(emb, m=4, k_codes=8, iters=1)
     assert b1 == b2  # deterministic hash-sample
     assert b1 != full  # and the bound genuinely reduced the train set
+
+
+def test_ivfpq_null_embeddings_are_unindexable(spark, tmp_path):
+    # A normalized zero vector has no direction (l2_normalize -> NULL):
+    # it must be excluded from the index uniformly (build AND ingest),
+    # never written to a NULL cell partition no probe reads.
+    from data_pipeline_with_spark_spark.llm import similarity as S
+
+    rows = [(i, [float(i + 1), float(2 * i + 1)]) for i in range(20)]
+    df = S.l2_normalize(
+        spark.createDataFrame(
+            rows + [(99, [0.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+        )
+    )
+    idx = S.VersionedIvfPqIndex.build(
+        df, str(tmp_path / "n"), n_cells=2, m=2, k_codes=4, pq_iters=1
+    )
+    idx.ingest(
+        S.l2_normalize(
+            spark.createDataFrame(
+                [(100, [1.0, 3.0]), (101, [0.0, 0.0])],
+                "vec_id LONG, embedding ARRAY<DOUBLE>",
+            )
+        ),
+        batch_id=0,
+    )
+    ids = {r.vec_id for r in idx.table.read().collect()}
+    assert 99 not in ids and 101 not in ids and 100 in ids
+    assert len(ids) == 21
