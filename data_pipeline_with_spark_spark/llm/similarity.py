@@ -541,10 +541,15 @@ def kmeans_lloyd(
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN — the memory-bound scale path.
 def _sq_dist_lit(col: Column, centroid: list[float]) -> Column:
-    """Squared L2 distance between an array column and a literal."""
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    """Squared L2 distance between an array column and a literal.
+    ``F.lit(list)`` makes the centroid ONE Literal node — a
+    ``F.array(*lits)`` built it from d child literals, and with
+    m × k_codes codebook entries per expression that factor-of-d tree
+    bloat showed up as seconds of driver-side analysis/codegen per
+    query (profiled: 4 s to materialize 160 LUT rows). Same per-row
+    cost either way (a constant is a constant)."""
     return F.aggregate(
-        F.zip_with(col, lit, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(col, F.lit([float(x) for x in centroid]), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -556,14 +561,29 @@ def _adc_lut_cols(
     """Per-subspace ADC lookup tables: ``__lut{j}`` = array of exact
     squared distances from the query('s residual) subvector to every
     entry of codebook j. Tiny (m × k_codes doubles per query row);
-    rides whatever relation carries the query side."""
+    rides whatever relation carries the query side.
+
+    Built as ONE ``transform`` over a nested codebook literal instead
+    of k_codes unrolled expressions: the LUT relation has only
+    |Q| × n_probe rows, so the interpreted-lambda per-row cost is
+    irrelevant while the expression tree shrinks ~k_codes× — cutting
+    the probe's fixed driver-side analysis/codegen cost (the dominant
+    term for small query sets; profiled 4 s → sub-second)."""
     d = len(codebooks[0][0])
-    return [
-        F.array(
-            *[_sq_dist_lit(F.slice(resid, j * d + 1, d), c) for c in codebooks[j]]
-        ).alias(f"__lut{j}")
-        for j in range(len(codebooks))
-    ]
+    out = []
+    for j in range(len(codebooks)):
+        sub = F.slice(resid, j * d + 1, d)
+        out.append(
+            F.transform(
+                F.lit([[float(x) for x in c] for c in codebooks[j]]),
+                lambda c: F.aggregate(
+                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ).alias(f"__lut{j}")
+        )
+    return out
 
 
 def _adc_dist(m: int) -> Column:
@@ -1094,9 +1114,7 @@ def _ivfpq_assign(
     NULL cell partition no probe would ever read."""
     dists = F.array(*[_sq_dist_lit(F.col("__e"), c) for c in centroid_list])
     cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroid_list]
-    )
+    cent_lit = F.lit([[float(x) for x in c] for c in centroid_list])
     return (
         ensure_min_partitions(vectors)
         .where(F.col(emb_col).isNotNull())
