@@ -16,7 +16,9 @@ which keeps the *semantics* (versioned snapshots, enforcement,
 time travel, restore) with an explicitly simpler physical design:
 
 - data files are immutable parquet directories, one per commit
-  (``data/v{N}/``), hive-partitioned when the table declares
+  (``data/v{N}_{uuid8}/`` — unique per write attempt so concurrent
+  writers never share a staging dir), hive-partitioned when the table
+  declares
   ``partition_by`` (Delta's partitionColumns); a commit's snapshot is
   the file-list in its log entry, so appends reference prior
   directories without copying;
@@ -1376,7 +1378,14 @@ class VersionedTable:
         if renames:
             df = df.withColumnsRenamed(renames)
             partition_by = [mapping.get(c, c) for c in (partition_by or [])] or None
-        target = self.data_dir / f"v{version}"
+        # Unique per write attempt (Delta's uniquely-named-objects rule):
+        # the version alone is NOT unique pre-commit — two writers can
+        # both pin slot v{N}, and with a shared target the loser's
+        # Hadoop _temporary staging clobbers the winner's mid-write.
+        # With a uuid suffix each attempt stages and lands privately,
+        # the O_EXCL log publish stays the one arbiter, and a loser's
+        # orphan dir is unreferenced -> vacuum collects it.
+        target = self.data_dir / f"v{version}_{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -2663,9 +2672,12 @@ class VersionedTable:
         for f in statless:
             degree[f] += len(files) - 1
         # settled-by-provenance: output dirs of past CLUSTER/OPTIMIZE
-        # commits (cheap via the history checkpoint walk)
+        # commits (cheap via the history checkpoint walk). Data dirs
+        # are named v{N}_{uuid8}, so the version prefix "v{N}_" is the
+        # provenance key ("v1_" cannot false-match "v12_…", and the
+        # v{N}_dv tombstone dirs never appear in snapshot file lists).
         settled_dirs = tuple(
-            str(self.data_dir / f"v{h['version']}") + os.sep
+            str(self.data_dir / f"v{h['version']}_")
             for h in self.history()
             if h["operation"] in ("CLUSTER", "OPTIMIZE")
         )

@@ -294,8 +294,10 @@ def test_partitioned_table_lifecycle(spark, tmp_path):
     assert got == {r for r in base if r[1] == 2018}
     # UPDATE rewrites but keeps hive layout
     t.update(where="k = 0", set_exprs={"v": "v + 100"})
-    v2 = t.data_dir / "v2"
-    assert any(c.name.startswith("year=") for c in v2.iterdir() if c.is_dir())
+    from pathlib import Path as _P
+
+    newest = _P(t._latest().data_dirs[-1])  # dir names carry a uuid suffix
+    assert any(c.name.startswith("year=") for c in newest.iterdir() if c.is_dir())
     assert {r.v for r in t.read().where("k = 0").collect()} == {100.0}
     # partial compaction of one partition: content identical, others carried
     before = {tuple(r) for r in t.read().collect()}
@@ -941,9 +943,10 @@ def test_update_rewrites_only_matching_files(spark, tmp_path):
     # the first range's files by reference, byte-identical.
     t = VersionedTable(spark, str(tmp_path / "fg"))
     t.create(spark.range(0, 100).withColumn("v", F.lit(1.0)).coalesce(1))
+    d0 = t._latest().data_dirs[0]  # the create commit's dir (uuid-named)
     t.append(spark.range(100, 200).withColumn("v", F.lit(1.0)).coalesce(1))
     files_before, _ = t._snapshot_files()
-    low_files = [f for f in files_before if "/v0/" in f]
+    low_files = [f for f in files_before if f.startswith(d0)]
     before = _file_state(low_files)
 
     t.update(where="id >= 150", set_exprs={"v": "v + 1.0"})

@@ -1337,3 +1337,64 @@ def test_ivfpq_null_embeddings_are_unindexable(spark, tmp_path):
     ids = {r.vec_id for r in idx.table.read().collect()}
     assert 99 not in ids and 101 not in ids and 100 in ids
     assert len(ids) == 21
+
+
+def test_versioned_ivfpq_concurrent_ingest_serializes_or_conflicts(spark, tmp_path):
+    # Two independent writers (one table handle each, like two jobs)
+    # racing increments into the same index: every attempt must either
+    # commit serialized or fail LOUDLY with the OCC conflict and
+    # succeed on retry — no lost rows, no cross-writer staging
+    # clobbers (data dirs are unique per attempt). Encodes are
+    # precomputed so the race is on the commit protocol itself.
+    import threading
+
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+    from data_pipeline_with_spark_spark.llm import similarity as S
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = S.VersionedIvfPqIndex.build(
+        emb.where("vec_id < 100"), str(tmp_path / "c"),
+        n_cells=4, m=4, k_codes=8, pq_iters=1,
+    )
+    table_root = idx.table.root
+    batches = [
+        idx.encode(emb.where(f"vec_id >= {100 + 50 * i} AND vec_id < {150 + 50 * i}"))
+        for i in range(4)
+    ]
+    for b in batches:
+        b.cache().count()  # materialize so threads only race the commit
+    errors, done, conflicts = [], [], []
+
+    def writer(my):
+        handle = VersionedTable(spark, str(table_root))  # own handle
+        for b in my:
+            for _ in range(50):
+                try:
+                    handle.append(b)
+                    done.append(1)
+                    break
+                except RuntimeError as e:
+                    if "conflict" not in str(e):
+                        errors.append(e)
+                        break
+                    conflicts.append(1)  # loud conflict: retry
+            else:
+                errors.append(RuntimeError("retries exhausted"))
+
+    ts = [
+        threading.Thread(target=writer, args=([batches[0], batches[1]],)),
+        threading.Thread(target=writer, args=([batches[2], batches[3]],)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    assert len(done) == 4
+    ids = {r.vec_id for r in idx.table.read().collect()}
+    assert ids == {r.vec_id for r in emb.where("vec_id < 300").collect()}
+    # losers' orphan attempt-dirs (if any) are unreferenced -> vacuumable
+    orphans = idx.table.vacuum(keep_versions=len(idx.table.history()), dry_run=True)
+    for b in batches:
+        b.unpersist()
