@@ -1825,10 +1825,16 @@ class VersionedTable:
             # (no read-back scan of the DV file).
             obs = Observation()
             tombstones = tombstones.observe(obs, F.count(F.lit(1)).alias("n"))
-            dv_dir = self.data_dir / f"v{self._next_version()}_dv"
-            # overwrite: an aborted earlier attempt may have left an
-            # orphan dir at this slot's name; the retry must reclaim it
-            tombstones.coalesce(1).write.mode("overwrite").parquet(str(dv_dir))
+            # Unique per attempt, like data dirs: with a fixed v{N}_dv
+            # name a racing loser's overwrite could clobber tombstones
+            # the winner had already PUBLISHED (its committed dv_paths
+            # would then point at the loser's rows — silent corruption).
+            # Orphan attempt-dirs are unreferenced → vacuum collects
+            # them, so no reclaim-by-overwrite is needed either.
+            dv_dir = self.data_dir / (
+                f"v{self._next_version()}_dv_{uuid.uuid4().hex[:8]}"
+            )
+            tombstones.coalesce(1).write.mode("errorifexists").parquet(str(dv_dir))
             n_dv = int(obs.get["n"])
             params = {
                 "where": where,
