@@ -947,6 +947,7 @@ def test_update_rewrites_only_matching_files(spark, tmp_path):
     t.append(spark.range(100, 200).withColumn("v", F.lit(1.0)).coalesce(1))
     files_before, _ = t._snapshot_files()
     low_files = [f for f in files_before if f.startswith(d0)]
+    assert low_files  # the filter must actually select v0's files
     before = _file_state(low_files)
 
     t.update(where="id >= 150", set_exprs={"v": "v + 1.0"})
@@ -1019,7 +1020,9 @@ def test_delete_file_granular_and_null_semantics(spark, tmp_path):
     t.append(
         spark.createDataFrame([(100, 99.0)], ["id", "score"]).coalesce(1)
     )
-    keep = [f for f in t._snapshot_files()[0] if "/v1/" in f]
+    append_dir = t._latest().data_dirs[-1]  # dirs carry a uuid suffix
+    keep = [f for f in t._snapshot_files()[0] if f.startswith(append_dir)]
+    assert keep  # the filter must actually select the appended file
     before = _file_state(keep)
 
     # Delta DELETE semantics: predicate TRUE deletes; NULL keeps.
