@@ -73,6 +73,7 @@ _OPTIMIZE_RE = re.compile(
 )
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<tbl>[\w.`]+)(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?"
+    r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?"
     r"(?:\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
     _I,
 )
@@ -454,9 +455,17 @@ class LakehouseSQL:
         )
 
     def _vacuum(self, m: re.Match) -> DataFrame:
+        # RETAIN <h> HOURS is Delta's vacuum retention clause — here it
+        # bounds how young a never-committed orphan dir may be and still
+        # be collected (VersionedTable.vacuum's race guard); version
+        # retention stays RETAIN <n> VERSIONS.
+        hours = m.group("hours")
         removed = self.table(m.group("tbl"), allow_matview=True).vacuum(
             keep_versions=int(m.group("n") or 1),
             dry_run=bool(m.group("dry")),
+            orphan_retention_seconds=(
+                None if hours is None else float(hours) * 3600.0
+            ),
         )
         return self.spark.createDataFrame(
             [(p,) for p in removed] or [], "removed_path string"

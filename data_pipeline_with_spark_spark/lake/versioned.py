@@ -2682,10 +2682,15 @@ class VersionedTable:
         # are named v{N}_{uuid8}, so the version prefix "v{N}_" is the
         # provenance key ("v1_" cannot false-match "v12_…", and the
         # v{N}_dv tombstone dirs never appear in snapshot file lists).
+        # Pre-uuid-rename tables named dirs plainly "v{N}", so the
+        # legacy "v{N}/" form is matched too — without it, existing
+        # tables would silently lose the settled optimization and
+        # re-compact already-settled files every pass (r7 advice).
         settled_dirs = tuple(
-            str(self.data_dir / f"v{h['version']}_")
+            str(self.data_dir / f"v{h['version']}{suffix}")
             for h in self.history()
             if h["operation"] in ("CLUSTER", "OPTIMIZE")
+            for suffix in ("_", os.sep)
         )
         selected = [
             f
@@ -2780,47 +2785,112 @@ class VersionedTable:
             compacted.append(vals[0] if len(vals) == 1 else vals)
         return compacted
 
-    def vacuum(self, keep_versions: int = 1, dry_run: bool = False) -> list[str]:
+    # Never-committed dirs younger than this are presumed in-flight
+    # staging from a concurrent writer and are NOT vacuumed (Delta's
+    # deletedFileRetentionDuration guard, default 7 days).
+    ORPHAN_RETENTION_SECONDS = 7 * 24 * 3600
+
+    def vacuum(
+        self,
+        keep_versions: int = 1,
+        dry_run: bool = False,
+        orphan_retention_seconds: float | None = None,
+    ) -> list[str]:
         """Remove data directories referenced only by pruned history
         (Delta VACUUM analogue). Returns removed paths. ``dry_run``
         lists what WOULD be removed without touching anything —
-        Delta's ``VACUUM … DRY RUN`` safety valve."""
-        keep = [
-            Commit(**json.loads(f.read_text()))
-            for f in self._log_files()[-keep_versions:]
+        Delta's ``VACUUM … DRY RUN`` safety valve.
+
+        Two classes of dead directory are distinguished (r7 advice):
+
+        - **superseded** — referenced by SOME log entry but not by the
+          kept versions. Published then replaced; always safe to
+          collect (nobody can be mid-write into a published dir: data
+          dirs are unique per attempt).
+        - **never-committed orphans** — referenced by NO log entry.
+          Usually a loser writer's staging dir, but indistinguishable
+          from a LIVE in-flight attempt between its parquet write and
+          its O_EXCL log publish — deleting one of those yields a
+          committed snapshot pointing at a vanished directory. These
+          are collected only when older than
+          ``orphan_retention_seconds`` (default
+          ``ORPHAN_RETENTION_SECONDS``, 7 days — Delta's
+          ``deletedFileRetentionDuration`` default; tests pass 0 the
+          way Delta tests disable ``retentionDurationCheck``)."""
+        retention = (
+            self.ORPHAN_RETENTION_SECONDS
+            if orphan_retention_seconds is None
+            else orphan_retention_seconds
+        )
+        all_commits = [
+            Commit(**json.loads(f.read_text())) for f in self._log_files()
         ]
-        live: set[str] = set()
+        keep = all_commits[-keep_versions:]
+
+        def refs(commits) -> set[str]:
+            out: set[str] = set()
+            for c in commits:
+                for d in c.dv_paths or []:  # tombstones are live metadata
+                    out.add(d)
+                for d in c.data_dirs:
+                    out.add(d)
+                    p = Path(d)
+                    if p.is_file():
+                        # loose-file ref pins every ancestor up to the
+                        # data root (hive trees nest k=v dirs under the
+                        # v-dir)
+                        for anc in p.parents:
+                            out.add(str(anc))
+                            if anc == self.data_dir:
+                                break
+            return out
+
+        live = refs(keep)
+        ever_referenced = refs(all_commits)
         live_cdf: set[str] = set()
         for c in keep:
-            for d in c.dv_paths or []:  # tombstones are live metadata
-                live.add(d)
             if (c.cdf or {}).get("mode") == "parquet":
                 # recorded change feeds of kept versions stay readable
                 live_cdf.add(c.cdf["path"])
-            for d in c.data_dirs:
-                live.add(d)
-                p = Path(d)
-                if p.is_file():
-                    # loose-file ref pins every ancestor up to the data
-                    # root (hive trees nest k=v dirs under the v-dir)
-                    for anc in p.parents:
-                        live.add(str(anc))
-                        if anc == self.data_dir:
-                            break
+        now = time.time()
         removed = []
         if self.data_dir.exists():
             for d in self.data_dir.iterdir():
-                if str(d) not in live:
-                    if not dry_run:
-                        shutil.rmtree(d)
-                    removed.append(str(d))
+                if str(d) in live:
+                    continue
+                if str(d) not in ever_referenced:
+                    try:
+                        age = now - d.stat().st_mtime
+                    except OSError:
+                        continue  # vanished mid-scan (racing writer cleanup)
+                    if age < retention:
+                        continue  # possibly a live in-flight staging dir
+                if not dry_run:
+                    shutil.rmtree(d)
+                removed.append(str(d))
+        # recorded change feeds share the staging race class: a feed dir
+        # is written BEFORE its commit publishes, so never-committed
+        # young dirs get the same retention benefit of the doubt.
+        ever_cdf = {
+            c.cdf["path"]
+            for c in all_commits
+            if (c.cdf or {}).get("mode") == "parquet"
+        }
         cdf_root = self.root / "_change_data"
         if cdf_root.exists():
             for d in cdf_root.iterdir():
-                if str(d) not in live_cdf:
-                    if not dry_run:
-                        shutil.rmtree(d)
-                    removed.append(str(d))
+                if str(d) in live_cdf:
+                    continue
+                if str(d) not in ever_cdf:
+                    try:
+                        age = now - d.stat().st_mtime
+                    except OSError:
+                        continue
+                    if age < retention:
+                        continue
+                if not dry_run:
+                    shutil.rmtree(d)
+                removed.append(str(d))
         if dry_run:
             return removed
         # stats files for vacuumed dirs are orphans — prune them too

@@ -175,21 +175,31 @@ def brute_force_l2_topk(
 ) -> DataFrame:
     """Exact squared-L2 top-k per query — the metric twin of
     ``brute_force_topk`` (ascending distance, id tiebreak); same
-    broadcast + map-side-window plan shape."""
+    broadcast + map-side-window plan shape.
+
+    NULL embeddings (``l2_normalize``d zero vectors — no direction)
+    are excluded from BOTH sides, matching ``_ivfpq_assign``'s uniform
+    exclusion: an unfiltered NULL candidate would score a NULL
+    distance, and Spark's ASC default is NULLS FIRST — every query's
+    rank-1 "neighbor" (r7 advice). The ordering also pins
+    ``asc_nulls_last`` as defense in depth."""
     q, _ = _guard_query_side(
-        queries.select(
+        queries.where(F.col(emb_col).isNotNull()).select(
             F.col(id_col).alias(query_id_col), _as_double(F.col(emb_col)).alias("__q")
         ),
         "brute_force_l2_topk",
     )
     scored = (
         ensure_min_partitions(corpus)
+        .where(F.col(emb_col).isNotNull())
         .select(F.col(id_col), _as_double(F.col(emb_col)).alias("__n"))
         .crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col(query_id_col))
         .withColumn("l2_sq", F.round(_sq_dist_cols(F.col("__n"), F.col("__q")), 6))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.asc("l2_sq"), F.asc(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc_nulls_last("l2_sq"), F.asc(id_col)
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
@@ -635,9 +645,15 @@ def pq_train(
     codebook quality needs a bounded sample, never the corpus — with
     the bound set, every Lloyd iteration scans O(sample) regardless of
     input size. Default None trains on everything (the historical
-    direct-API behavior; callers encoding 100 TB should set it)."""
-    vecs = ensure_min_partitions(df).select(
-        F.col(id_col).alias("__id"), _as_double(F.col(emb_col)).alias("__v")
+    direct-API behavior; callers encoding 100 TB should set it).
+
+    NULL embeddings are excluded from training, uniform with
+    ``_ivfpq_assign``/``pq_encode`` — a NULL subvector would poison
+    the Lloyd mean recompute."""
+    vecs = (
+        ensure_min_partitions(df)
+        .where(F.col(emb_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), _as_double(F.col(emb_col)).alias("__v"))
     )
     if max_train_rows is not None:
         n_total = vecs.count()
@@ -700,9 +716,13 @@ def pq_encode(
     codebook entries) — pure Catalyst expressions, no Python in the hot
     path. At D=64 float32 → 8 codes this is a 32× memory cut: the codes
     table (not the vectors) is what a 100 TB ANN serving layer keeps
-    hot, and ADC scoring below never touches the original embeddings."""
+    hot, and ADC scoring below never touches the original embeddings.
+
+    NULL embeddings are excluded (not encoded to NULL codes) —
+    uniform with ``_ivfpq_assign``: a NULL-codes row would score a
+    NULL ADC distance and poison ascending rankings downstream."""
     d = len(codebooks[0][0])
-    return df.select(
+    return df.where(F.col(emb_col).isNotNull()).select(
         F.col(id_col),
         _pq_codes_expr(_as_double(F.col(emb_col)), codebooks, d).alias("pq_codes"),
     )
@@ -723,22 +743,47 @@ def pq_topk(
     broadcast), then a candidate's approximate squared-L2 distance is m
     array lookups + adds — no vector math on the corpus side at all.
     Ranking ascends distance with the id tiebreak; ``adc_dist`` rounds
-    to 6 decimals for cross-engine-stable ordering."""
-    m = len(codebooks)
-    d = len(codebooks[0][0])
+    to 6 decimals for cross-engine-stable ordering.
+
+    NULL query embeddings are excluded at the guard projection and
+    legacy NULL-codes rows (pre-r8 ``pq_encode`` output) are skipped,
+    uniform with ``_ivfpq_assign``; ``asc_nulls_last`` backstops the
+    ranking (r7 advice)."""
     q, _ = _guard_query_side(
-        queries.select(
+        queries.where(F.col(emb_col).isNotNull()).select(
             F.col(id_col).alias(query_id_col), _as_double(F.col(emb_col)).alias("__q")
         ),
         "pq_topk",
     )
+    return _pq_topk_on_guarded(
+        codes_df, q, codebooks, k=k, id_col=id_col, query_id_col=query_id_col
+    )
+
+
+def _pq_topk_on_guarded(
+    codes_df: DataFrame,
+    q: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """ADC shortlist over an ALREADY-guarded query frame (columns
+    ``query_id_col, __q``) — the shared core of ``pq_topk`` and
+    ``pq_topk_refined``, so the refined path guards/persists the query
+    side exactly once (r7 advice: the previous composition persisted
+    it twice and ran the bounded count job twice per call)."""
+    m = len(codebooks)
     q_lut = q.select(query_id_col, *_adc_lut_cols(F.col("__q"), codebooks))
     scored = (
-        codes_df.crossJoin(F.broadcast(q_lut))
+        codes_df.where(F.col("pq_codes").isNotNull())
+        .crossJoin(F.broadcast(q_lut))
         .where(F.col(id_col) != F.col(query_id_col))
         .withColumn("adc_dist", F.round(_adc_dist(m), 6))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc_nulls_last("adc_dist"), F.asc(id_col)
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
@@ -774,33 +819,38 @@ def pq_topk_refined(
     id-pair relation broadcasts (the point-read shape); above it the
     fetch falls back to a plain equi-join, which AQE plans as a shuffle
     on ids — the right strategy when the shortlist itself is big."""
-    # guard OUR projection of the query side (persisted; the count
-    # prices the shortlist with no extra job over raw `queries`, whose
-    # lineage may be arbitrarily expensive to re-execute)
+    # guard OUR projection of the query side ONCE (persisted; the
+    # count prices the shortlist with no extra job over raw `queries`,
+    # whose lineage may be arbitrarily expensive to re-execute) and
+    # hand the guarded frame straight to the ADC shortlist — the
+    # previous composition called the public pq_topk, which re-guarded
+    # the same query set (two persisted cache entries + two bounded
+    # count jobs per call; r7 advice).
     q, n_q = _guard_query_side(
-        queries.select(
+        queries.where(F.col(emb_col).isNotNull()).select(
             F.col(id_col).alias(query_id_col), _as_double(F.col(emb_col)).alias("__q")
         ),
         "pq_topk_refined",
     )
-    cand = pq_topk(
-        codes_df,
-        queries,
-        codebooks,
-        k=k * shortlist_factor,
-        id_col=id_col,
-        emb_col=emb_col,
-        query_id_col=query_id_col,
+    cand = _pq_topk_on_guarded(
+        codes_df, q, codebooks, k=k * shortlist_factor,
+        id_col=id_col, query_id_col=query_id_col,
     ).select(query_id_col, "neighbor_id")
     shortlist_small = n_q * k * shortlist_factor <= SHORTLIST_BROADCAST_MAX_ROWS
     cand = F.broadcast(cand) if shortlist_small else cand
-    fetched = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(emb_col)).alias("__n")
-    ).join(cand, on="neighbor_id")
+    fetched = (
+        corpus.where(F.col(emb_col).isNotNull())
+        .select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(emb_col)).alias("__n")
+        )
+        .join(cand, on="neighbor_id")
+    )
     scored = fetched.join(F.broadcast(q), on=query_id_col).withColumn(
         "l2_dist", F.round(_sq_dist_cols(F.col("__n"), F.col("__q")), 6)
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc_nulls_last("l2_dist"), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
@@ -1021,8 +1071,11 @@ def _ivfpq_probe_core(
     applied here so both storages share the exact probe plan shape."""
     m = len(books)
     d = len(books[0][0])
+    # NULL query embeddings have no cell distance (cdist would be NULL
+    # for every centroid) — excluded at the guard, uniform with
+    # _ivfpq_assign's index-side exclusion.
     q, n_q = _guard_query_side(
-        queries.select(
+        queries.where(F.col(emb_col).isNotNull()).select(
             F.col(id_col).alias(query_id_col), _as_double(F.col(emb_col)).alias("__q")
         ),
         "ivfpq_probe_topk",
@@ -1063,7 +1116,7 @@ def _ivfpq_probe_core(
             "srnk",
             F.row_number().over(
                 Window.partitionBy(query_id_col).orderBy(
-                    F.asc("adc_dist"), F.asc(id_col)
+                    F.asc_nulls_last("adc_dist"), F.asc(id_col)
                 )
             ),
         )
@@ -1082,7 +1135,9 @@ def _ivfpq_probe_core(
     scored = fetched.join(
         F.broadcast(q.select(query_id_col, "__q")), on=query_id_col
     ).withColumn("l2_dist", F.round(_sq_dist_cols(F.col("__n"), F.col("__q")), 6))
-    w = Window.partitionBy(query_id_col).orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc_nulls_last("l2_dist"), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)

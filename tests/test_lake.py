@@ -67,6 +67,59 @@ def test_schema_enforcement_and_evolution(spark, cars, tmp_path):
         t.append(bad, merge_schema=True)
 
 
+def test_vacuum_retention_spares_young_orphans(spark, cars, tmp_path):
+    # A never-committed dir can be a LIVE in-flight staging attempt
+    # (between its parquet write and its O_EXCL log publish) — vacuum
+    # must give it the retention benefit of the doubt (r7 advice;
+    # Delta's deletedFileRetentionDuration, default 7 days). Dirs
+    # referenced by pruned history were published-then-superseded and
+    # collect immediately regardless of age.
+    import os
+    import time
+
+    t = VersionedTable(spark, str(tmp_path / "ret")).create(cars)
+    t.optimize()  # supersedes v0's dir
+
+    # fake in-flight staging attempts (never referenced by any commit)
+    young = t.data_dir / "v99_aaaaaaaa"
+    young.mkdir()
+    (young / "part-0.parquet").write_bytes(b"x")
+    old = t.data_dir / "v98_bbbbbbbb"
+    old.mkdir()
+    (old / "part-0.parquet").write_bytes(b"x")
+    stale = time.time() - 8 * 24 * 3600
+    os.utime(old, (stale, stale))
+
+    removed = t.vacuum(keep_versions=1)
+    assert any("v0" in p for p in removed)  # superseded: age-exempt
+    assert str(old) in removed  # past retention: collected
+    assert str(young) not in removed and young.exists()  # spared
+
+    # retention 0 restores the old eager behavior explicitly
+    removed2 = t.vacuum(keep_versions=1, orphan_retention_seconds=0)
+    assert str(young) in removed2 and not young.exists()
+
+
+def test_vacuum_sql_retain_hours_clause(spark, cars, tmp_path):
+    from data_pipeline_with_spark_spark.lake.sql_router import LakehouseSQL
+
+    t = VersionedTable(spark, str(tmp_path / "sqlret")).create(cars)
+    orphan = t.data_dir / "v77_cccccccc"
+    orphan.mkdir()
+    (orphan / "part-0.parquet").write_bytes(b"x")
+    router = LakehouseSQL(spark, str(tmp_path / "ws"))
+    router.register_table("sqlret", t)
+    # default retention spares the young orphan
+    kept = {r.removed_path for r in router.sql("VACUUM sqlret DRY RUN").collect()}
+    assert str(orphan) not in kept
+    # RETAIN 0 HOURS collects it (Delta's retention-override syntax)
+    got = {
+        r.removed_path
+        for r in router.sql("VACUUM sqlret RETAIN 0 HOURS DRY RUN").collect()
+    }
+    assert str(orphan) in got and orphan.exists()  # dry run never deletes
+
+
 def test_append_references_prior_files(spark, cars, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "app")).create(cars)
     t.append(cars)
@@ -1483,6 +1536,37 @@ def test_incremental_clustering_recluster_new_files_only(spark, tmp_path):
     v2 = t._latest().version
     t.optimize_incremental()
     assert t._latest().version == v2
+
+
+def test_settled_provenance_matches_legacy_unsuffixed_dirs(spark, tmp_path):
+    # Pre-r7 tables named data dirs plainly "v{N}" (no per-attempt uuid
+    # suffix). The settled-by-provenance match moved to the "v{N}_"
+    # prefix with the rename; without also matching the legacy "v{N}/"
+    # form, existing tables silently lose the settled optimization and
+    # re-compact already-settled files every maintenance pass (r7
+    # advice). Plain compaction (no zorder) makes the case real: its
+    # output files carry OVERLAPPING key ranges, so only provenance —
+    # not overlap health — keeps them out of the rewrite set (the ZCube
+    # rule that guarantees convergence).
+    import os
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(4000)], ["id", "k"])
+    t = VersionedTable(spark, str(tmp_path / "legacy")).create(df.repartition(4))
+    t.cluster_by(["id"])
+    t.optimize(target_partitions=4)  # compact WITHOUT sorting
+    opt = t._latest()
+    assert opt.operation == "OPTIMIZE" and len(opt.data_dirs) == 1
+    new_dir = opt.data_dirs[0]
+    legacy_dir = str(t.data_dir / f"v{opt.version}")
+    os.rename(new_dir, legacy_dir)
+    for f in t.log_dir.glob("**/*.json"):
+        f.write_text(f.read_text().replace(new_dir, legacy_dir))
+
+    t2 = VersionedTable(spark, str(tmp_path / "legacy"))
+    assert t2.read().count() == 4000
+    v = t2._latest().version
+    t2.optimize_incremental()
+    assert t2._latest().version == v
 
 
 def test_incremental_clustering_multicolumn_box_health(spark, tmp_path):

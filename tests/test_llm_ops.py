@@ -1339,6 +1339,68 @@ def test_ivfpq_null_embeddings_are_unindexable(spark, tmp_path):
     assert len(ids) == 21
 
 
+def test_l2_family_excludes_null_embeddings(spark):
+    # l2_normalize emits NULL for zero vectors; Spark ASC defaults to
+    # NULLS FIRST, so an unfiltered NULL candidate would be every
+    # query's rank-1 "neighbor" in the ascending-distance family (r7
+    # advice). NULLs must be excluded uniformly: corpus side, query
+    # side, and pq_encode output.
+    from data_pipeline_with_spark_spark.llm import similarity as S
+
+    rows = [(i, [float(i + 1), float(2 * i + 1)]) for i in range(12)]
+    df = S.l2_normalize(
+        spark.createDataFrame(
+            rows + [(99, [0.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+        )
+    )
+    queries = df.where(F.col("vec_id").isin(0, 99))
+
+    bf = S.brute_force_l2_topk(df, queries, k=3).collect()
+    assert {r.q_id for r in bf} == {0}  # NULL-embedding query drops out
+    assert all(r.neighbor_id != 99 and r.l2_sq is not None for r in bf)
+
+    books = S.pq_train(df, m=2, k_codes=4, iters=1)
+    codes = S.pq_encode(df, books)
+    assert {r.vec_id for r in codes.collect()} == {r[0] for r in rows}
+    assert all(r.pq_codes is not None for r in codes.collect())
+
+    adc = S.pq_topk(codes, queries, books, k=3).collect()
+    assert {r.q_id for r in adc} == {0}
+    assert all(r.neighbor_id != 99 and r.adc_dist is not None for r in adc)
+
+    ref = S.pq_topk_refined(df, codes, queries, books, k=3).collect()
+    assert {r.q_id for r in ref} == {0}
+    assert all(r.neighbor_id != 99 and r.l2_dist is not None for r in ref)
+
+    # legacy NULL-codes rows (pre-fix encodes) are skipped, not ranked
+    legacy = codes.unionByName(
+        spark.createDataFrame([(99, None)], "vec_id LONG, pq_codes ARRAY<INT>")
+    )
+    adc2 = S.pq_topk(legacy, queries, books, k=3).collect()
+    assert all(r.neighbor_id != 99 for r in adc2)
+
+
+def test_pq_topk_refined_guards_query_side_once(spark):
+    # pq_topk_refined previously guarded its own query projection AND
+    # called the public pq_topk, which re-guarded it: two persisted
+    # session-cache entries + two bounded count jobs per call (r7
+    # advice). The shared _pq_topk_on_guarded core keeps it to one.
+    from data_pipeline_with_spark_spark import util
+    from data_pipeline_with_spark_spark.llm import similarity as S
+
+    util.release_session_caches()
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), float(i % 3)]) for i in range(10)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    books = S.pq_train(df, m=2, k_codes=4, iters=1)
+    codes = S.pq_encode(df, books)
+    before = len(util._SESSION_CACHES)
+    S.pq_topk_refined(df, codes, df.limit(3), books, k=2).collect()
+    assert len(util._SESSION_CACHES) - before == 1
+    util.release_session_caches()
+
+
 def test_versioned_ivfpq_concurrent_ingest_serializes_or_conflicts(spark, tmp_path):
     # Two independent writers (one table handle each, like two jobs)
     # racing increments into the same index: every attempt must either
@@ -1395,6 +1457,12 @@ def test_versioned_ivfpq_concurrent_ingest_serializes_or_conflicts(spark, tmp_pa
     ids = {r.vec_id for r in idx.table.read().collect()}
     assert ids == {r.vec_id for r in emb.where("vec_id < 300").collect()}
     # losers' orphan attempt-dirs (if any) are unreferenced -> vacuumable
-    orphans = idx.table.vacuum(keep_versions=len(idx.table.history()), dry_run=True)
+    # (retention 0: by default young never-committed dirs are presumed
+    # in-flight and skipped — the r8 race guard)
+    orphans = idx.table.vacuum(
+        keep_versions=len(idx.table.history()),
+        dry_run=True,
+        orphan_retention_seconds=0,
+    )
     for b in batches:
         b.unpersist()
