@@ -152,6 +152,7 @@ def all_queries(rotate: bool | None = None) -> dict[str, QuerySpec]:
         catalog_extended,
         catalog_lake,
         catalog_llm,
+        catalog_sources,
         catalog_streaming,
         catalog_tpch,
     )

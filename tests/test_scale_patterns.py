@@ -62,6 +62,20 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     assert read.count() == 100
 
 
+def test_a4_entry_prunes_partitions(spark, sf_dir):
+    # The A4 driver-gate entry (a4_count_partition_value) claims its
+    # WHERE is satisfied by directory pruning — pin PartitionFilters in
+    # its actual plan so the claim survives refactors.
+    from data_pipeline_with_spark_spark.plans.catalog_sources import (
+        _a4_count_partition,
+    )
+
+    df = _a4_count_partition(spark, sf_dir)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "o_orderpriority" in plan
+    assert {r.o_orderpriority for r in df.collect()} == {"1-URGENT", "2-HIGH"}
+
+
 def test_ensure_min_partitions_noop_when_parallel(spark):
     df = spark.range(1000).repartition(64)
     out = ensure_min_partitions(df, target=32)
