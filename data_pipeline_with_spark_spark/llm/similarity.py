@@ -619,6 +619,17 @@ def _pq_codes_expr(v: Column, codebooks: list[list[list[float]]], d: int) -> Col
     return F.array(*out)
 
 
+# Quantizer training is bounded: k-means and PQ codebooks fit on a
+# deterministic hash-sample of at most this many vectors (FAISS's rule
+# of thumb is ~39-256 training points per centroid — 100k rows train
+# 64 coarse cells and 8x16 PQ codes with two orders of magnitude of
+# headroom). Training cost is therefore O(sample) regardless of corpus
+# size; ONLY the single assign+encode pass scans the full corpus. At
+# 100 TB this is the difference between a build that works and one
+# that iterates k-means over the whole corpus per Lloyd round.
+MAX_QUANTIZER_TRAIN_ROWS = 100_000
+
+
 def pq_train(
     df: DataFrame,
     m: int = 8,
@@ -626,7 +637,7 @@ def pq_train(
     iters: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    max_train_rows: int | None = None,
+    max_train_rows: int | None = MAX_QUANTIZER_TRAIN_ROWS,
     seed: int = 42,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks (Jégou et al. 2011): split
@@ -640,12 +651,13 @@ def pq_train(
     Returns ``codebooks[j][c]`` = centroid c of subspace j. Only
     m × k_codes × D/m floats ever reach the driver per iteration.
 
-    ``max_train_rows`` bounds training to a deterministic hash-sample
-    (pass MAX_QUANTIZER_TRAIN_ROWS for the IVFPQ builds' default):
+    ``max_train_rows`` bounds training to a deterministic hash-sample:
     codebook quality needs a bounded sample, never the corpus — with
     the bound set, every Lloyd iteration scans O(sample) regardless of
-    input size. Default None trains on everything (the historical
-    direct-API behavior; callers encoding 100 TB should set it).
+    input size. The default is ``MAX_QUANTIZER_TRAIN_ROWS`` (the same
+    bound the IVFPQ builds use; below the bound the sample is the
+    whole input, so small-corpus results are unchanged — r7 lead).
+    Pass ``None`` to force training on everything.
 
     NULL embeddings are excluded from training, uniform with
     ``_ivfpq_assign``/``pq_encode`` — a NULL subvector would poison
@@ -874,17 +886,6 @@ def _sq_dist_cols(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-
-
-# Quantizer training is bounded: k-means and PQ codebooks fit on a
-# deterministic hash-sample of at most this many vectors (FAISS's rule
-# of thumb is ~39-256 training points per centroid — 100k rows train
-# 64 coarse cells and 8x16 PQ codes with two orders of magnitude of
-# headroom). Training cost is therefore O(sample) regardless of corpus
-# size; ONLY the single assign+encode pass scans the full corpus. At
-# 100 TB this is the difference between a build that works and one
-# that iterates k-means over the whole corpus per Lloyd round.
-MAX_QUANTIZER_TRAIN_ROWS = 100_000
 
 
 def _ivfpq_train(

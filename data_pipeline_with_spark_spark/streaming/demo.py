@@ -934,6 +934,59 @@ def run_stream_near_dup(
     return bands_ledger, pairs_table
 
 
+def maintain_stream_dedup_state(
+    ledger=None,
+    bands_ledger=None,
+    pairs_table=None,
+    keep_versions: int = 1,
+    orphan_retention_seconds: float | None = None,
+    target_file_size_bytes: int | None = None,
+) -> dict:
+    """Periodic maintenance for the streaming-dedup ledgers — the
+    missing half of "the ledgers accrete one commit per micro-batch":
+    without it a long-running stream accumulates one small file AND one
+    log version per batch forever. For each ledger handed in, this runs
+
+    - ``OPTIMIZE`` with Z-order-lite on the ledger's probe key (the
+      column its per-batch join/merge seeks on: ``text_hash`` for the
+      exact-dedup ledger, ``band_hash`` for the band ledger, ``id_a``
+      for the pairs table), so post-compaction footer min/max keeps the
+      probe pruned — the same small-file healing the IVFPQ index gets
+      from ``compact()``; and
+    - ``vacuum(keep_versions, orphan_retention_seconds)``, reclaiming
+      the superseded per-batch dirs while the retention guard spares
+      any in-flight writer's staging dir (safe to run BESIDE an active
+      stream, not just between batches).
+
+    Both steps are purely physical: folds before and after compose to
+    the same answer and the exactly-once batch watermarks ride the
+    property chain through the maintenance commits (pinned by
+    tests/test_streaming.py). Returns per-ledger stats
+    ``{files_before, files_after, vacuumed_dirs}``."""
+    out: dict[str, dict] = {}
+    for name, t, zkey in (
+        ("ledger", ledger, "text_hash"),
+        ("bands_ledger", bands_ledger, "band_hash"),
+        ("pairs_table", pairs_table, "id_a"),
+    ):
+        if t is None:
+            continue
+        before = len(t._snapshot_files()[0])
+        t.optimize(
+            zorder_by=[zkey], target_file_size_bytes=target_file_size_bytes
+        )
+        removed = t.vacuum(
+            keep_versions=keep_versions,
+            orphan_retention_seconds=orphan_retention_seconds,
+        )
+        out[name] = {
+            "files_before": before,
+            "files_after": len(t._snapshot_files()[0]),
+            "vacuumed_dirs": len(removed),
+        }
+    return out
+
+
 def run_stream_ivfpq_ingest(
     spark: SparkSession,
     sf_dir: str,

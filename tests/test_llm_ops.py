@@ -1305,9 +1305,11 @@ def test_pq_train_bounded_sample_deterministic(spark):
     emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
     b1 = S.pq_train(emb, m=4, k_codes=8, iters=1, max_train_rows=150)
     b2 = S.pq_train(emb, m=4, k_codes=8, iters=1, max_train_rows=150)
-    full = S.pq_train(emb, m=4, k_codes=8, iters=1)
+    full = S.pq_train(emb, m=4, k_codes=8, iters=1, max_train_rows=None)
     assert b1 == b2  # deterministic hash-sample
     assert b1 != full  # and the bound genuinely reduced the train set
+    # default bound (100k) >= this corpus: defaulted call == full train
+    assert S.pq_train(emb, m=4, k_codes=8, iters=1) == full
 
 
 def test_ivfpq_null_embeddings_are_unindexable(spark, tmp_path):

@@ -444,6 +444,100 @@ def test_stream_ivfpq_ingest_equals_batch_built_index(spark, sf_dir, tmp_path):
     assert got == rows(twin.probe(queries, k=5, n_probe=4)) and got
 
 
+def test_maintain_stream_dedup_state_heals_and_reclaims(spark, tmp_path):
+    # The first-class maintenance entry point: OPTIMIZE (zorder on each
+    # ledger's probe key) + retention-guarded vacuum, runnable beside an
+    # active stream. State must be unchanged, exactly-once accounting
+    # intact across the maintenance commits, small files healed, and
+    # superseded per-batch dirs reclaimed.
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+    from data_pipeline_with_spark_spark.llm.dedup import exact_dedup_groups
+    from data_pipeline_with_spark_spark.streaming.demo import (
+        DEDUP_LEDGER_SCHEMA,
+        fold_dedup_batch,
+        maintain_stream_dedup_state,
+    )
+
+    rows = [
+        (1, "aaa"), (2, "aaa"), (3, "bbb"),
+        (4, "bbb"), (5, "ccc"), (6, "aaa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    ledger = VersionedTable(spark, str(tmp_path / "led")).create(
+        spark.createDataFrame([], DEDUP_LEDGER_SCHEMA)
+    )
+    batches = [rows[0:2], rows[2:4], rows[4:6]]
+    for epoch, b in enumerate(batches[:2]):
+        assert fold_dedup_batch(
+            ledger, spark.createDataFrame(b, "doc_id LONG, text STRING"), epoch
+        )
+    stats = maintain_stream_dedup_state(
+        ledger=ledger, orphan_retention_seconds=0
+    )["ledger"]
+    assert stats["vacuumed_dirs"] > 0  # per-batch dirs reclaimed
+    assert stats["files_after"] <= stats["files_before"]
+    # the stream keeps folding through the maintenance commits...
+    assert fold_dedup_batch(
+        ledger, spark.createDataFrame(batches[2], "doc_id LONG, text STRING"), 2
+    )
+    # ...and a replayed epoch still no-ops (watermark rode the chain)
+    assert not fold_dedup_batch(
+        ledger, spark.createDataFrame(batches[2], "doc_id LONG, text STRING"), 2
+    )
+    got = {
+        (r.text_hash, r.keeper_id, r.n_copies) for r in ledger.read().collect()
+    }
+    want = {
+        (r.text_hash, r.keeper_id, r.n_copies)
+        for r in exact_dedup_groups(docs).collect()
+    }
+    assert got == want
+
+
+def test_maintain_near_dup_twin_state(spark, tmp_path):
+    # Same maintenance entry point over the near-dup twin's two tables;
+    # folds after maintenance must still discover each pair exactly once.
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+    from data_pipeline_with_spark_spark.llm.dedup import minhash_candidate_pairs
+    from data_pipeline_with_spark_spark.streaming.demo import (
+        fold_near_dup_batch,
+        maintain_stream_dedup_state,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "alpha beta gamma delta zeta"),
+        (4, "one two three four five"),
+        (5, "one two three four five"),
+        (6, "totally different words here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    want = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(docs, num_hashes=16, bands=8).collect()
+    }
+    bl = VersionedTable(spark, str(tmp_path / "bands")).create(
+        spark.createDataFrame([], "band_idx INT, band_hash STRING, doc_id BIGINT")
+    )
+    pt = VersionedTable(spark, str(tmp_path / "pairs")).create(
+        spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    )
+    batches = [rows[0:2], rows[2:4], rows[4:6]]
+    for epoch, b in enumerate(batches):
+        if epoch == 2:
+            stats = maintain_stream_dedup_state(
+                bands_ledger=bl, pairs_table=pt, orphan_retention_seconds=0
+            )
+            assert set(stats) == {"bands_ledger", "pairs_table"}
+            assert stats["bands_ledger"]["vacuumed_dirs"] > 0
+        assert fold_near_dup_batch(
+            bl, pt, spark.createDataFrame(b, "doc_id LONG, text STRING"),
+            epoch, num_hashes=16, bands=8,
+        )
+    assert {(r.id_a, r.id_b) for r in pt.read().collect()} == want
+
+
 def test_stream_near_dup_survives_ledger_compaction(spark, tmp_path):
     # The band ledger grows one commit per micro-batch forever; OPTIMIZE
     # between batches (small-file healing, zorder on the probe key) is
