@@ -850,6 +850,52 @@ def test_shallow_clone_sql_route(spark, tmp_path):
         router.sql("CREATE TABLE cl_t SHALLOW CLONE src_t")
 
 
+def test_matview_refresh_folds_count_actions(spark, tmp_path, monkeypatch):
+    # The refresh path must not issue per-relation DataFrame.count()
+    # driver actions (r7 verdict nit): the minmax route folds key-count
+    # + rescan-count into one aggregate job, and all COUNT DISTINCT
+    # support guards count in one union job. Pinned by intercepting
+    # count() — zero calls during a minmax+distinct refresh, while the
+    # refresh still produces correct values.
+    from pyspark.sql import DataFrame
+
+    from data_pipeline_with_spark_spark.lake.matview import IncrementalAggView
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "cbase"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 10, "x"), (2, "a", 50, "y"), (3, "b", 7, "x")],
+            "id INT, k STRING, v INT, tag STRING",
+        )
+    )
+    view = IncrementalAggView(
+        spark, t, str(tmp_path / "cview"), keys=["k"],
+        sum_cols=["v"], minmax_cols=["v"], distinct_cols=["tag"],
+    ).build()
+    t.append(
+        spark.createDataFrame(
+            [(4, "a", 99, "z"), (5, "b", 1, "x")],
+            "id INT, k STRING, v INT, tag STRING",
+        )
+    )
+    calls = []
+    orig = DataFrame.count
+    monkeypatch.setattr(
+        DataFrame, "count", lambda self: (calls.append(1), orig(self))[1]
+    )
+    view.refresh()
+    monkeypatch.undo()
+    assert calls == []  # counting rode aggregate jobs, not count() actions
+    got = {r.k: (r.min_v, r.max_v, r.sum_v) for r in view.read().collect()}
+    assert got == {"a": (10, 99, 159), "b": (1, 7, 8)}
+    sup = {
+        (r.k, r.value): r.cnt
+        for r in view.supports["tag"].read().collect()
+    }
+    assert sup == {("a", "x"): 1, ("a", "y"): 1, ("a", "z"): 1, ("b", "x"): 2}
+
+
 def test_incremental_agg_view_minmax_rescan(spark, tmp_path):
     # MIN/MAX IVM hybrid: inserts fold incrementally; a delete that
     # removes the stored extremum triggers a group-scoped rescan. Every
