@@ -177,8 +177,27 @@ def minhash_candidate_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing at least one band bucket.
-    Shuffles only (band_idx, band_hash, id); the self-join runs
-    per-bucket. Returns distinct (id_a < id_b) pairs."""
+    Shuffles only (band_idx, band_hash, id); returns distinct
+    (id_a < id_b) pairs.
+
+    Shape: bucket-group, NOT self-join (r7 verdict perf item #5). The
+    band triples aggregate into per-bucket sorted id lists (ONE
+    exchange on the band keys, with map-side partial aggregation), and
+    pairs generate expression-side from each list: posexplode picks
+    id_a, a sliced explode emits its greater partners. vs the earlier
+    repartition + self-join this (a) executes the shingle→md5
+    signature subtree exactly once BY CONSTRUCTION — the old shape
+    relied on AQE exchange reuse, which silently broke whenever the
+    join converted to broadcast and recomputed the whole signature
+    stage per side — and (b) cuts the wide shuffles to 2 (band
+    groupBy + final distinct). Peak memory is O(bucket) ids per row
+    (the two-stage explode never materializes a bucket's B² pairs at
+    once); the B² candidate OUTPUT is inherent to the all-pairs
+    contract, exactly as the join produced. At 100 TB a hot bucket
+    (boilerplate band) concentrates in one task either way — the
+    standard mitigation, capping pathological buckets as
+    too-common-to-be-informative, drops pairs and is left to callers
+    that can accept it."""
     rows_per_band = num_hashes // bands
     sigs = with_minhash(df, text_col, k_shingle, num_hashes).select(
         F.col(id_col),
@@ -186,18 +205,19 @@ def minhash_candidate_pairs(
             "band_idx", "band_hash"
         ),
     )
-    # One explicit shuffle on the join keys BEFORE aliasing the two
-    # sides: both join inputs then hang off the SAME Exchange subtree,
-    # so Catalyst/AQE exchange reuse executes the shingle→md5 signature
-    # stage once instead of once per side (r6 verdict perf finding #1;
-    # plan pinned by test_lsh_selfjoin_signature_computed_once).
-    sigs = sigs.repartition("band_idx", "band_hash")
-    a = sigs.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
-    b = sigs.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    buckets = (
+        sigs.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     return (
-        a.join(b, on=["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.posexplode("ids").alias("__i", "id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("__i") + 2, F.size("ids"))
+            ).alias("id_b"),
+        )
         .distinct()
     )
 

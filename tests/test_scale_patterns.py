@@ -175,14 +175,20 @@ def test_lsh_selfjoin_signature_computed_once(spark):
     specs = all_queries()
     sf = "/root/testdata/sf0.001"
 
-    # MinHash: shared-Exchange shape (band_hash is md5-diverse, so the
-    # band shuffle has no hot keys) — one signature subtree, reused.
+    # MinHash: bucket-group shape (r7 verdict item #5) — NO self-join
+    # at all. One source scan means the shingle→md5 signature subtree
+    # executes once BY CONSTRUCTION (the old shared-Exchange shape
+    # relied on AQE reuse, which broke whenever the join converted to
+    # broadcast), and the wide shuffles are the band groupBy + the
+    # final distinct (≤3 exchanges total with the parallelism guard).
     df = specs["dedup_minhash_lsh_pairs"].build(spark, sf)
     df.collect()  # the FINAL adaptive plan only exists after execution
     final = _plan(df).split("== Initial Plan ==")[0]
-    assert "ReusedExchange" in final, f"no exchange reuse:\n{final[:2000]}"
-    gens = len(re.findall(r"^[\s:+*(\d)-]*Generate ", final, re.M))
-    assert gens == 1, f"band explode ran {gens}× (want 1)"
+    scans = len(re.findall(r"Scan parquet|FileScan", final))
+    assert scans == 1, f"signature source scanned {scans}× (want 1)"
+    assert "Join" not in final, f"self-join resurfaced:\n{final[:2000]}"
+    exchanges = len(re.findall(r"Exchange (?:hash|RoundRobin)", final))
+    assert exchanges <= 3, f"{exchanges} exchanges (want <=3):\n{final[:2000]}"
 
     # pHash: persist shape (image band values are LOW-cardinality and
     # duplicate classes make them hot; a reused exchange would disable
