@@ -550,16 +550,35 @@ def kmeans_lloyd(
 
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN — the memory-bound scale path.
+def _double_lit(values) -> Column:
+    """Literal ``ARRAY<DOUBLE>`` (or ``ARRAY<ARRAY<DOUBLE>>`` for
+    nested input) built JVM-side from SQL text via ONE ``F.expr``
+    call. ``F.lit(list)`` converts element-by-element over py4j —
+    ~2 s for a 64×64 nested centroid list, the dominant probe-BUILD
+    cost at sf1 (r8 profiling: F.lit 2.4 s vs F.expr 5 ms) — while
+    the text form parses in milliseconds and yields bit-identical
+    doubles (``repr`` round-trips, and the decimal→double cast rounds
+    to nearest exactly like Python's float parser; verified
+    element-wise on the real quantizers)."""
+    if values and isinstance(values[0], (list, tuple)):
+        body = ",".join(
+            "array(" + ",".join(repr(float(x)) for x in c) + ")" for c in values
+        )
+        return F.expr(f"CAST(array({body}) AS ARRAY<ARRAY<DOUBLE>>)")
+    body = ",".join(repr(float(x)) for x in values)
+    return F.expr(f"CAST(array({body}) AS ARRAY<DOUBLE>)")
+
+
 def _sq_dist_lit(col: Column, centroid: list[float]) -> Column:
     """Squared L2 distance between an array column and a literal.
-    ``F.lit(list)`` makes the centroid ONE Literal node — a
-    ``F.array(*lits)`` built it from d child literals, and with
-    m × k_codes codebook entries per expression that factor-of-d tree
-    bloat showed up as seconds of driver-side analysis/codegen per
-    query (profiled: 4 s to materialize 160 LUT rows). Same per-row
-    cost either way (a constant is a constant)."""
+    ``_double_lit`` makes the centroid ONE Literal node built from SQL
+    text — a ``F.array(*lits)`` built it from d child literals over
+    py4j, and with m × k_codes codebook entries per expression that
+    factor-of-d tree bloat showed up as seconds of driver-side
+    analysis/codegen per query (profiled: 4 s to materialize 160 LUT
+    rows). Same per-row cost either way (a constant is a constant)."""
     return F.aggregate(
-        F.zip_with(col, F.lit([float(x) for x in centroid]), lambda a, b: (a - b) * (a - b)),
+        F.zip_with(col, _double_lit(centroid), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -585,7 +604,7 @@ def _adc_lut_cols(
         sub = F.slice(resid, j * d + 1, d)
         out.append(
             F.transform(
-                F.lit([[float(x) for x in c] for c in codebooks[j]]),
+                _double_lit(codebooks[j]),
                 lambda c: F.aggregate(
                     F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
                     F.lit(0.0),
@@ -1010,6 +1029,49 @@ def _load_codebooks(spark, path: str) -> list[list[list[float]]]:
     return books
 
 
+# Warm-probe quantizer cache: (path, artifact mtimes) → (centroid rows,
+# codebooks). Quantizer artifacts are immutable once written (rebuilds
+# rewrite the files, changing mtime), so keying on mtime makes the
+# cache safely invalidate on rebuild while repeated probes against the
+# same index skip the two driver collects — part of the probe's fixed
+# overhead (r7 verdict item #4).
+_QUANTIZER_CACHE: dict[tuple, tuple] = {}
+
+
+def _quantizer_key(path: str) -> tuple:
+    import os
+
+    def sig(sub: str) -> tuple:
+        d = os.path.join(path, sub)
+        try:
+            names = sorted(os.listdir(d))
+            return (sub,) + tuple(
+                (n, os.path.getmtime(os.path.join(d, n))) for n in names
+            )
+        except OSError:
+            return (sub, None)
+
+    return (path, sig("centroids"), sig("codebooks"))
+
+
+def _load_quantizer(spark, path: str):
+    """(cell-indexed centroid list, codebooks) with mtime-keyed caching."""
+    key = _quantizer_key(path)
+    hit = _QUANTIZER_CACHE.get(key)
+    if hit is None:
+        clist = [
+            [float(x) for x in r.centroid]
+            for r in sorted(
+                spark.read.parquet(f"{path}/centroids").collect(),
+                key=lambda r: r.cell,
+            )
+        ]
+        hit = (clist, _load_codebooks(spark, path))
+        _QUANTIZER_CACHE.clear()  # bound: keep only the latest index
+        _QUANTIZER_CACHE[key] = hit
+    return hit
+
+
 def ivfpq_probe_topk(
     spark,
     path: str,
@@ -1038,22 +1100,24 @@ def ivfpq_probe_topk(
 
     Driver traffic is ≤ n_cells ints (the probed-cell set for the
     partition predicate) + the codebooks; every row-scale structure
-    stays distributed."""
-    centroids = spark.read.parquet(f"{path}/centroids")
-    books = _load_codebooks(spark, path)
+    stays distributed. Quantizer artifacts load through the mtime-keyed
+    ``_QUANTIZER_CACHE`` so warm probes against the same index skip the
+    two driver collects (part of the probe's fixed overhead — r7
+    verdict item #4)."""
+    clist, books = _load_quantizer(spark, path)
 
     def scan_for(cells):
         return spark.read.parquet(f"{path}/data").where(F.col("cell").isin(cells))
 
     return _ivfpq_probe_core(
-        centroids, books, scan_for, queries,
+        clist, books, scan_for, queries,
         k=k, n_probe=n_probe, shortlist_factor=shortlist_factor,
         id_col=id_col, emb_col=emb_col, query_id_col=query_id_col,
     )
 
 
 def _ivfpq_probe_core(
-    centroids: DataFrame,
+    centroid_list: list[list[float]],
     books: list[list[list[float]]],
     scan_for,
     queries: DataFrame,
@@ -1069,33 +1133,95 @@ def _ivfpq_probe_core(
     pq_codes) frame — a partition-pruned ``spark.read.parquet`` for the
     plain index, a file-skipping ``read_where`` for the versioned one.
     Column pruning inside (codes-only ADC scan vs embedding fetch) is
-    applied here so both storages share the exact probe plan shape."""
+    applied here so both storages share the exact probe plan shape.
+
+    Cell ranking is a pure PROJECTION over the guarded query frame —
+    the ``_ivfpq_assign`` literal trick generalized to top-n: per query
+    an array of (cdist, cell) structs over the literal centroids,
+    ``array_sort`` (lexicographic: distance then lowest-cell tiebreak,
+    identical to the old window ordering), slice ``n_probe``, explode.
+    The previous shape crossJoined a broadcast centroid frame and
+    ranked with a per-query row_number window — a broadcast build + a
+    sort for ≤ n_cells rows per query, two of the probe's six small
+    jobs (r7 verdict item #4)."""
     m = len(books)
     d = len(books[0][0])
     # NULL query embeddings have no cell distance (cdist would be NULL
     # for every centroid) — excluded at the guard, uniform with
     # _ivfpq_assign's index-side exclusion.
-    q, n_q = _guard_query_side(
+    q = session_cache(
         queries.where(F.col(emb_col).isNotNull()).select(
             F.col(id_col).alias(query_id_col), _as_double(F.col(emb_col)).alias("__q")
         ),
-        "ivfpq_probe_topk",
+        spill=True,
+    )
+    cent_lit = _double_lit(centroid_list)
+    # ONE transform over the nested centroid literal, not n_cells
+    # unrolled fold expressions: the unrolled form cost ~7 s of
+    # driver-side analysis/codegen per probe at 64 cells × D=64 (the
+    # same expression-tree bloat r7 fixed for the ADC LUTs). The
+    # interpreted per-row cost is irrelevant here — this projects the
+    # guarded QUERY rows, never the corpus.
+    dists = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("__q"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    ranked = F.array_sort(
+        F.transform(
+            dists,
+            lambda dist, i: F.struct(dist.alias("cdist"), i.alias("cell")),
+        )
     )
     q_cells = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("cdist", _sq_dist_cols(F.col("__q"), F.col("centroid")))
-        .withColumn(
-            "cell_rank",
-            F.row_number().over(
-                Window.partitionBy(query_id_col).orderBy(F.asc("cdist"), F.asc("cell"))
-            ),
+        q.select(
+            query_id_col,
+            "__q",
+            F.explode(F.slice(ranked, 1, n_probe)).alias("__rc"),
         )
-        .where(F.col("cell_rank") <= n_probe)
-        .withColumn(
-            "__resid", F.zip_with(F.col("__q"), F.col("centroid"), lambda a, b: a - b)
+        .select(
+            query_id_col,
+            F.col("__rc.cell").alias("cell"),
+            F.zip_with(
+                F.col("__q"),
+                F.element_at(cent_lit, F.col("__rc.cell") + 1),
+                lambda a, b: a - b,
+            ).alias("__resid"),
         )
-        .select(query_id_col, "__resid", "cell")
     )
+    # ONE driver job replaces the old guard-count + probe-cell collect
+    # pair (r7 verdict item #4): the aggregate returns the distinct
+    # probed cells (≤ n_cells ints — the partition predicate must be a
+    # literal for Catalyst to prune directories at plan time) AND the
+    # exploded row count, from which |Q| recovers exactly (every
+    # non-NULL query emits min(n_probe, n_cells) rows). The broadcast
+    # size guard enforces the SAME bound as _guard_query_side — the
+    # oversize failure pays one full pass over the query projection
+    # instead of a bounded count, but the driver still only ever
+    # receives a cell set + one long.
+    take = min(n_probe, len(centroid_list))
+    stats = q_cells.agg(
+        F.collect_set("cell").alias("cells"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    n_q = int(stats.n) // take if take else 0
+    if n_q > MAX_BROADCAST_QUERIES:
+        q.unpersist()
+        session_cache_forget(q)
+        raise ValueError(
+            "ivfpq_probe_topk broadcasts the query set, sized for "
+            f"|queries| <= {MAX_BROADCAST_QUERIES}; got more. For query "
+            "sets at corpus scale use the bucketed self-join shape "
+            "instead (embedding_near_dup_pairs / lsh_bucketed_topk with "
+            "the big side as corpus)."
+        )
+    probe_cells = sorted(stats.cells)
+    # ONE pruned-scan relation, projected twice (codes-only ADC scan vs
+    # embedding fetch) — two scan_for() calls paid the parquet
+    # footer/schema resolution twice per probe.
+    pruned = scan_for(probe_cells)
     q_lut = q_cells.select(
         query_id_col, "cell", *_adc_lut_cols(F.col("__resid"), books)
     )
@@ -1105,10 +1231,7 @@ def _ivfpq_probe_core(
     # join falls back to a plain equi-join on cell (AQE re-plans)
     if n_q * n_probe <= MAX_BROADCAST_QUERIES:
         q_lut = F.broadcast(q_lut)
-    # ≤ n_cells ints to the driver: the partition predicate must be a
-    # literal for Catalyst to prune directories at plan time.
-    probe_cells = sorted({r.cell for r in q_cells.select("cell").distinct().collect()})
-    codes_scan = scan_for(probe_cells).select("cell", id_col, "pq_codes")
+    codes_scan = pruned.select("cell", id_col, "pq_codes")
     shortlist = (
         codes_scan.join(q_lut, on="cell")
         .where(F.col(id_col) != F.col(query_id_col))
@@ -1127,8 +1250,7 @@ def _ivfpq_probe_core(
     if n_q * k * shortlist_factor <= SHORTLIST_BROADCAST_MAX_ROWS:
         shortlist = F.broadcast(shortlist)
     fetched = (
-        scan_for(probe_cells)
-        .select(
+        pruned.select(
             F.col(id_col).alias("neighbor_id"), _as_double(F.col(emb_col)).alias("__n")
         )
         .join(shortlist, on="neighbor_id")
@@ -1170,7 +1292,7 @@ def _ivfpq_assign(
     NULL cell partition no probe would ever read."""
     dists = F.array(*[_sq_dist_lit(F.col("__e"), c) for c in centroid_list])
     cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    cent_lit = F.lit([[float(x) for x in c] for c in centroid_list])
+    cent_lit = _double_lit(centroid_list)
     return (
         ensure_min_partitions(vectors)
         .where(F.col(emb_col).isNotNull())
@@ -1373,13 +1495,13 @@ class VersionedIvfPqIndex:
         ``version``). Identical math/plan to ``ivfpq_probe_topk`` —
         only the pruned-scan source differs (read_where file skipping
         on the hive cell paths)."""
-        centroids, _, books = self._quantizers()
+        _, clist, books = self._quantizers()
 
         def scan_for(cells):
             return self.table.read_where(("cell", "in", cells), version=version)
 
         return _ivfpq_probe_core(
-            centroids, books, scan_for, queries,
+            clist, books, scan_for, queries,
             k=k, n_probe=n_probe, shortlist_factor=shortlist_factor,
             id_col=id_col, emb_col=emb_col, query_id_col=query_id_col,
         )
