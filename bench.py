@@ -85,23 +85,50 @@ def main() -> None:
         "text_tfidf_top_terms",
     }
     comparable_r6 = round(sum(v for k, v in timings.items() if k in r6_set), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": parse_sf(SF_DIR),
-                "runs_per_query": runs,
-                "aggregation": "median",
-                "r4_comparable_total": comparable,
-                "r4_comparable_n": sum(1 for k in timings if k in r4_set),
-                "r6_comparable_total": comparable_r6,
-                "r6_comparable_n": sum(1 for k in timings if k in r6_set),
-            }
-        )
+    # sf1 anchor (r7 verdict item #1): at sf0.1 17/24 headliners are
+    # overhead-dominated, so the bench mostly measures fixed cost and
+    # real regressions hide inside the noise floor. A small frozen set
+    # of the most scale-sensitive queries re-runs at the derived sf1
+    # fixture (.scaling/sf1, built by tools/make_scaled_fixture.py;
+    # gitignored but persistent in the working tree) whenever that
+    # directory exists — data-dependent cost is ~10× larger there, so
+    # a plan regression moves the number well past host noise.
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", str(Path(__file__).resolve().parent / ".scaling" / "sf1")
     )
+    sf1_set = (
+        "tpch_q5_local_supplier_volume", "tpch_q9_product_profit",
+        "tpch_q18_large_volume_customer", "dedup_minhash_signatures",
+        "dedup_minhash_lsh_pairs", "w1_topk_per_group",
+        "text_tfidf_top_terms",
+    )
+    sf1_timings: dict[str, float] = {}
+    if Path(sf1_dir).is_dir() and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        for name in sf1_set:
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                write_noop(specs[name].build(spark, sf1_dir))
+                samples.append(time.perf_counter() - t0)
+            sf1_timings[name] = round(statistics.median(samples), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": parse_sf(SF_DIR),
+        "runs_per_query": runs,
+        "aggregation": "median",
+        "r4_comparable_total": comparable,
+        "r4_comparable_n": sum(1 for k in timings if k in r4_set),
+        "r6_comparable_total": comparable_r6,
+        "r6_comparable_n": sum(1 for k in timings if k in r6_set),
+    }
+    if sf1_timings:
+        out["sf1_total"] = round(sum(sf1_timings.values()), 3)
+        out["sf1_queries"] = sf1_timings
+        out["sf1_n"] = len(sf1_timings)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
