@@ -285,6 +285,31 @@ def embedding_near_dup_pairs(
     )
 
 
+def _rank_cells_cosine(
+    q: DataFrame, centroid_list: list[list[float]], n_probe: int, query_id_col: str
+) -> DataFrame:
+    """Top-``n_probe`` cells per query by cosine — a pure PROJECTION
+    over the guarded query frame (the IVFPQ literal top-n trick applied
+    to the cosine-metric IVF paths): one ``transform`` over the nested
+    centroid literal, ``array_sort`` on (−cos, cell) structs (ties to
+    the lowest cell, identical to the old window ordering), slice,
+    explode. Replaces a broadcast-centroid crossJoin + per-query
+    row_number window — the same driver-side expression/broadcast cost
+    the IVFPQ probe shed (r8)."""
+    cent_lit = _double_lit(centroid_list)
+    dists = F.transform(cent_lit, lambda c: -cosine(F.col("q_emb"), c))
+    ranked = F.array_sort(
+        F.transform(
+            dists, lambda dist, i: F.struct(dist.alias("dist"), i.alias("cell"))
+        )
+    )
+    return q.select(
+        query_id_col,
+        "q_emb",
+        F.explode(F.slice(ranked, 1, n_probe)).alias("__rc"),
+    ).select(query_id_col, "q_emb", F.col("__rc.cell").alias("cell"))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -315,28 +340,14 @@ def ivf_topk(
     model = km.fit(vecs)
     assigned = model.transform(vecs).drop("__v")
 
-    # centroid table: tiny, broadcast for query->cell ranking
-    spark = corpus.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        ["cell", "centroid"],
-    )
+    # centroids are tiny and driver-known: cell ranking is a literal
+    # projection (see _rank_cells_cosine), no centroid broadcast
+    clist = [[float(x) for x in c] for c in model.clusterCenters()]
     q, n_q = _guard_query_side(
         queries.select(F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb")),
         "ivf_topk",
     )
-    q_cells = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("dist", -cosine(F.col("q_emb"), F.col("centroid")))
-        .withColumn(
-            "cell_rank",
-            F.row_number().over(
-                Window.partitionBy(query_id_col).orderBy(F.asc("dist"), F.asc("cell"))
-            ),
-        )
-        .where(F.col("cell_rank") <= n_probe)
-        .select(query_id_col, "q_emb", "cell")
-    )
+    q_cells = _rank_cells_cosine(q, clist, n_probe, query_id_col)
     # q_cells is |Q| × n_probe rows each carrying the full query vector
     # — n_probe× the guarded relation; hint only under the bound
     if n_q * n_probe <= MAX_BROADCAST_QUERIES:
@@ -409,24 +420,26 @@ def ivf_probe_topk(
     (Catalyst turns it into PartitionFilters — only those directories
     are listed/scanned), then exact cosine + top-k inside the probed
     cells. Driver traffic is ≤ n_cells ints; everything row-scale stays
-    distributed."""
-    centroids = spark.read.parquet(f"{path}/centroids")
+    distributed. Centroids load through the mtime-keyed quantizer cache
+    (immutable once written), and cell ranking is the literal top-n
+    projection — no centroid broadcast, no per-query window."""
+    key = (path, "ivf-centroids", _quantizer_key(path)[1])
+    hit = _QUANTIZER_CACHE.get(key)
+    if hit is None:
+        hit = [
+            [float(x) for x in r.centroid]
+            for r in sorted(
+                spark.read.parquet(f"{path}/centroids").collect(),
+                key=lambda r: r.cell,
+            )
+        ]
+        _QUANTIZER_CACHE[key] = hit
+    clist = hit
     q, n_q = _guard_query_side(
         queries.select(F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb")),
         "ivf_probe_topk",
     )
-    q_cells = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("dist", -cosine(F.col("q_emb"), F.col("centroid")))
-        .withColumn(
-            "cell_rank",
-            F.row_number().over(
-                Window.partitionBy(query_id_col).orderBy(F.asc("dist"), F.asc("cell"))
-            ),
-        )
-        .where(F.col("cell_rank") <= n_probe)
-        .select(query_id_col, "q_emb", "cell")
-    )
+    q_cells = _rank_cells_cosine(q, clist, n_probe, query_id_col)
     # The probed-cell set is tiny (≤ n_cells): collect it so the scan
     # carries a literal partition predicate and prunes directories.
     probe_cells = sorted({r.cell for r in q_cells.select("cell").distinct().collect()})
