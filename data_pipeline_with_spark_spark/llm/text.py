@@ -296,3 +296,68 @@ def redact_pii(
         )
         redacted = F.regexp_replace(redacted, PII_PATTERNS[k], f"[{k.upper()}]")
     return out.withColumn(out_col, redacted)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones, the Okapi
+    weighting): score = Σ_term idf(term) · tf·(k1+1) / (tf + k1·(1 − b
+    + b·dl/avgdl)), idf = ln((N − df + ½)/(df + ½) + 1) — the
+    Lucene-style always-positive form. Returns the top-``k`` docs as
+    (id, bm25) ordered by score desc with the id tiebreak.
+
+    Scale shape: the corpus tokenizes+explodes ONCE; ``dl`` (doc
+    length) aggregates that frame, ``tf`` is FILTERED to the query
+    terms before grouping (the only per-query work is O(matching
+    postings), the inverted-index access pattern), ``df`` derives from
+    tf, and (N, avgdl) is a one-row broadcast. N/avgdl are defined
+    over docs with ≥1 token (the dl frame), identically in the oracle.
+    Per-term weights round to 6 before the doc-level sum so the final
+    score is insensitive to partial-aggregation order up to the last
+    ulp of a 5-term sum."""
+    qt = sorted({t.lower() for t in query_terms})
+    toks = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("term").isin(qt))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf").cast("double") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        w.groupBy(id_col)
+        .agg(F.round(F.sum("w"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

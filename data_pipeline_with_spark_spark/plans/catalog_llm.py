@@ -1774,6 +1774,48 @@ register(
 )
 
 
+def _bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 ranked retrieval over the documents fixture — the classic
+    lexical-search scoring a training-data pipeline uses for corpus
+    querying and hard-negative mining. Full oracle: every arithmetic
+    step mirrors the DuckDB CTE exactly (same parenthesization, same
+    always-positive Lucene idf, per-term round-6 before the doc sum)."""
+    docs = read_testdata(spark, sf, "documents")
+    return text.bm25_topk(docs, ["spark", "query", "window", "merge"], k=10)
+
+
+_BM25_TERMS_SQL = "('merge', 'query', 'spark', 'window')"
+
+register(
+    QuerySpec(
+        name="text_bm25_search",
+        build=_bm25_search,
+        doc="BM25 top-10 retrieval (Okapi weighting, Lucene idf)",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM tok
+          WHERE term IN {_BM25_TERMS_SQL} GROUP BY doc_id, term),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        w AS (
+          SELECT tf.doc_id,
+                 round(ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                       * (CAST(tf.tf AS DOUBLE) * 2.2)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+                       6) AS w
+          FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+        SELECT doc_id, round(sum(w), 6) AS bm25
+        FROM w GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 10
+        """,
+    )
+)
+
+
 def embedding_quantize_frame(spark: SparkSession, sf: str) -> DataFrame:
     """Per-vector int8-style quantization of the embedding column — the
     standard 4× memory shrink before ANN indexing at corpus scale. Pure

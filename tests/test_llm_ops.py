@@ -105,6 +105,31 @@ def test_quality_score_orders_sensibly(spark):
     assert got[1] > got[2]
 
 
+def test_bm25_ranks_relevant_doc_first(spark):
+    # BM25 semantics on a planted corpus: the doc dense in the query
+    # terms outranks one mentioning a single term in passing; rare
+    # terms (high idf) outweigh common ones; docs with no query term
+    # never appear; output is bounded by k and ordered desc.
+    rows = [
+        (1, "spark query engine spark query optimizer spark"),
+        (2, "a long essay about gardening that says spark exactly once "
+            + "plus lots of other words " * 5),
+        (3, "completely unrelated text about cooking pasta"),
+        (4, "query planning notes"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [(r.doc_id, r.bm25) for r in text.bm25_topk(df, ["spark", "query"], k=3).collect()]
+    ids = [d for d, _ in got]
+    assert ids[0] == 1  # term-dense doc wins
+    assert 3 not in ids  # no query term -> never retrieved
+    assert len(got) <= 3
+    scores = [s for _, s in got]
+    assert scores == sorted(scores, reverse=True)
+    # doc 2 mentions 'spark' once in a LONG doc; doc 4 matches 'query'
+    # in a 3-token doc — length normalization must rank 4 above 2
+    assert ids.index(4) < ids.index(2)
+
+
 def test_ivf_recall_vs_brute_force(spark):
     from data_pipeline_with_spark_spark.sources.readers import read_testdata
 
