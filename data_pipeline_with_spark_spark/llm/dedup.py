@@ -175,6 +175,7 @@ def minhash_candidate_pairs(
     k_shingle: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing at least one band bucket.
     Shuffles only (band_idx, band_hash, id); returns distinct
@@ -193,11 +194,19 @@ def minhash_candidate_pairs(
     groupBy + final distinct). Peak memory is O(bucket) ids per row
     (the two-stage explode never materializes a bucket's B² pairs at
     once); the B² candidate OUTPUT is inherent to the all-pairs
-    contract, exactly as the join produced. At 100 TB a hot bucket
-    (boilerplate band) concentrates in one task either way — the
-    standard mitigation, capping pathological buckets as
-    too-common-to-be-informative, drops pairs and is left to callers
-    that can accept it."""
+    contract, exactly as the join produced.
+
+    ``max_bucket`` (default None = exact all-pairs, the oracle
+    contract) is the standard 100 TB mitigation for pathological
+    buckets: a band bucket holding more than that many docs is
+    boilerplate — a cookie banner, a license header — whose B² pairs
+    are uninformative for NEAR-dup detection (its members pair with
+    half the corpus) while concentrating quadratic work in one task.
+    Capped buckets are DROPPED ENTIRELY (no sampled subset: a biased
+    pair subset is worse than an explicit "too common" verdict —
+    FAISS/text-dedup practice); recall for genuinely-near docs is
+    preserved by the OTHER bands, which only collide on actual
+    signature agreement."""
     rows_per_band = num_hashes // bands
     sigs = with_minhash(df, text_col, k_shingle, num_hashes).select(
         F.col(id_col),
@@ -210,6 +219,8 @@ def minhash_candidate_pairs(
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket)
     return (
         buckets.select(F.posexplode("ids").alias("__i", "id_a"), "ids")
         .select(

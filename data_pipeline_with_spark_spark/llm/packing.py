@@ -328,3 +328,47 @@ def source_cap(
         .where(F.col("sample_rank") <= k)
         .withColumn("sample_rank", F.col("sample_rank").cast("bigint"))
     )
+
+
+def split_train_holdout(
+    df: DataFrame,
+    holdout_frac: float = 0.1,
+    salt: str = "split-v1",
+    by_col: str = "source",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic, contamination-safe train/holdout assignment.
+
+    The split hashes the GROUP key (``by_col``, default ``source``),
+    not the row id: near-duplicate documents overwhelmingly live
+    within a source/domain, so hashing per-row would leak eval
+    n-grams into training through a sibling copy — the standard
+    leakage trap group-aware splitting exists to avoid. Every row of
+    a group lands on the same side by construction.
+
+    Assignment is salted-md5 bucketed (10k buckets); the salt
+    versions the split — changing it reshuffles every group, keeping
+    it fixed reproduces the split on any engine (md5 is
+    cross-engine-identical, unlike xxhash64, which DuckDB lacks).
+    Pure projection: no shuffle, no driver state, resharding-stable
+    at any corpus size."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.lit(":"), F.col(by_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    cut = int(round(holdout_frac * 10000))
+    return df.withColumn(
+        out_col, F.when(bucket < cut, F.lit("holdout")).otherwise(F.lit("train"))
+    )

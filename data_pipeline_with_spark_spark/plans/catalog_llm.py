@@ -2290,3 +2290,42 @@ register(
         oracle=None,
     )
 )
+
+
+def _train_holdout_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-aware (source-hashed) train/holdout split summary: per
+    split and source, doc + char counts. Group-consistency is
+    structural — a source appears under exactly ONE split, which the
+    oracle verifies by recomputing the same salted-md5 bucket
+    arithmetic in DuckDB (CONV ↔ '0x' CAST hex parity)."""
+    from data_pipeline_with_spark_spark.llm import packing
+
+    docs = read_testdata(spark, sf, "documents")
+    return (
+        packing.split_train_holdout(docs, holdout_frac=0.25, by_col="source")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+register(
+    QuerySpec(
+        name="curation_train_holdout_split",
+        build=_train_holdout_split,
+        doc="contamination-safe train/holdout split (salted-md5 on source)",
+        oracle="""
+        SELECT CASE WHEN CAST(('0x' || substr(md5('split-v1:' || CAST(source AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 2500
+                    THEN 'holdout' ELSE 'train' END AS split,
+               source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        FROM documents
+        GROUP BY split, source
+        ORDER BY split, source
+        """,
+    )
+)

@@ -105,6 +105,71 @@ def test_quality_score_orders_sensibly(spark):
     assert got[1] > got[2]
 
 
+def test_train_holdout_split_is_group_consistent(spark):
+    # Contamination-safe split: every row of a source lands on ONE
+    # side (hashing the group key, not the row id), assignment is
+    # deterministic across calls, and the salt reshuffles it.
+    from data_pipeline_with_spark_spark.llm import packing
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, "/root/testdata/sf0.001", "documents")
+    s1 = packing.split_train_holdout(docs, holdout_frac=0.25)
+    sides = {
+        r.source: r.n
+        for r in s1.groupBy("source").agg(
+            F.countDistinct("split").alias("n")
+        ).collect()
+    }
+    assert set(sides.values()) == {1}  # no source straddles the split
+    assert {r.split for r in s1.select("split").distinct().collect()} == {
+        "train", "holdout",
+    }
+    a = {(r.doc_id, r.split) for r in s1.select("doc_id", "split").collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in packing.split_train_holdout(docs, holdout_frac=0.25)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b  # deterministic
+    c = {
+        (r.doc_id, r.split)
+        for r in packing.split_train_holdout(docs, holdout_frac=0.25, salt="v2")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a != c  # the salt genuinely reshuffles
+
+
+def test_lsh_max_bucket_drops_boilerplate_pairs(spark):
+    # A boilerplate band bucket (every doc shares a band) is dropped
+    # entirely under max_bucket, while genuinely-near pairs survive via
+    # their other, selective bands. No cap = exact all-pairs (the
+    # oracle contract) stays the default.
+    boiler = "all rights reserved copyright notice applies to this page"
+    rows = [(i, boiler + f" unique tail {i} {i*7} {i*13}") for i in range(1, 9)]
+    # a planted near-dup pair agreeing on far more than the boilerplate
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog again today"),
+        (101, "the quick brown fox jumps over the lazy dog again now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidate_pairs(
+            docs, num_hashes=16, bands=8
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidate_pairs(
+            docs, num_hashes=16, bands=8, max_bucket=4
+        ).collect()
+    }
+    assert (100, 101) in uncapped and (100, 101) in capped
+    assert capped <= uncapped  # the cap only ever drops pairs
+
+
 def test_bm25_ranks_relevant_doc_first(spark):
     # BM25 semantics on a planted corpus: the doc dense in the query
     # terms outranks one mentioning a single term in passing; rare
