@@ -390,11 +390,17 @@ def decontamination_overlap(
     flag corpus documents sharing any word k-gram with a benchmark
     ("probe") set. Returns (id, n_shared_grams) per contaminated doc.
 
-    Scale shape: the probe side — distinct benchmark k-grams — is tiny
-    relative to the corpus (benchmarks are MBs, corpora are TBs), so it
-    broadcasts; the corpus side streams through exploded shingles with
-    no shuffle until the per-doc count, which aggregates only the
-    matched (id, gram) pairs.
+    Scale shape: the probe side — distinct benchmark k-grams — is
+    usually tiny relative to the corpus (benchmarks are MBs, corpora
+    are TBs), so it broadcasts and the corpus side streams through
+    exploded shingles with no shuffle until the per-doc count, which
+    aggregates only the matched (id, gram) pairs. When the probe set
+    is NOT small (held-out corpora, multi-benchmark unions past the
+    broadcast threshold — ``util.too_big_to_broadcast``, the same
+    Catalyst-aligned check the other size-adaptive operators use),
+    the join falls back to a plain equi-join on the 8-byte gram key:
+    both sides are skinny (hash + id), AQE plans the shuffle, and no
+    executor ever has to hold the probe set in memory.
 
     Gram keys are 64-bit ``xxhash64`` values computed directly on the
     k-token slice array — no intermediate gram string, no md5: the
@@ -428,8 +434,10 @@ def decontamination_overlap(
     corpus_grams = corpus.withColumn("__toks", tokens(text_col)).select(
         F.col(id_col), gram_keys.alias("gram_key")
     )
+    if not too_big_to_broadcast(probe_grams):
+        probe_grams = F.broadcast(probe_grams)
     return (
-        corpus_grams.join(F.broadcast(probe_grams), on="gram_key")
+        corpus_grams.join(probe_grams, on="gram_key")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
     )

@@ -105,6 +105,30 @@ def test_quality_score_orders_sensibly(spark):
     assert got[1] > got[2]
 
 
+def test_decontamination_shuffle_fallback_past_broadcast_bound(spark):
+    # Probe sets past the broadcast threshold (multi-benchmark unions,
+    # held-out corpora) must fall back to a plain equi-join on the
+    # gram key — identical results, no broadcast of the probe grams.
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, "/root/testdata/sf0.001", "documents")
+    probe = docs.where("doc_id % 7 = 0").select("doc_id", "text")
+
+    def rows(df):
+        return sorted((r.doc_id, r.n_shared_grams) for r in df.collect())
+
+    small = rows(dedup.decontamination_overlap(docs, probe))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        forced_df = dedup.decontamination_overlap(docs, probe)
+        forced = rows(forced_df)
+        plan = forced_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan.split("== Initial Plan ==")[0]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert small == forced and small  # same verdicts either regime
+
+
 def test_train_holdout_split_is_group_consistent(spark):
     # Contamination-safe split: every row of a source lands on ONE
     # side (hashing the group key, not the row id), assignment is
