@@ -1129,6 +1129,54 @@ def ivfpq_probe_topk(
     )
 
 
+# Below this corpus size an exact scan beats an IVFPQ probe on wall
+# clock: the probe pays ~2-3 s of fixed cost (plan analysis, broadcast
+# builds, window shuffles) that a brute-force scan simply doesn't
+# have, while its per-row saving only amortizes over millions of rows
+# (measured at sf1 — SCALING.md §ANN; matches FAISS practice).
+AUTO_INDEX_MIN_ROWS = 1_000_000
+
+
+def ann_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 8,
+    shortlist_factor: int = 10,
+    mode: str = "auto",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Serve squared-L2 top-k from an IVFPQ index directory with
+    FAISS-style dispatch: ``mode="probe"`` forces the pruned ADC probe,
+    ``mode="exact"`` scans the index's stored embeddings brute-force
+    (exact answers, zero probe overhead), and ``mode="auto"`` (default)
+    picks by corpus size — a parquet COUNT over the index data (a
+    metadata-only job: row counts come from footers) against
+    ``AUTO_INDEX_MIN_ROWS``. This operationalizes the measured
+    crossover instead of leaving it as documentation: small indexes
+    answer exactly AND faster; large ones probe. Both paths return the
+    same schema (query id, neighbor_id, l2_dist, rnk)."""
+    if mode not in ("auto", "probe", "exact"):
+        raise ValueError(f"ann_topk mode must be auto|probe|exact, got {mode!r}")
+    if mode == "auto":
+        n_rows = spark.read.parquet(f"{path}/data").count()
+        mode = "exact" if n_rows < AUTO_INDEX_MIN_ROWS else "probe"
+    if mode == "probe":
+        return ivfpq_probe_topk(
+            spark, path, queries,
+            k=k, n_probe=n_probe, shortlist_factor=shortlist_factor,
+            id_col=id_col, emb_col=emb_col, query_id_col=query_id_col,
+        )
+    corpus = spark.read.parquet(f"{path}/data").select(id_col, emb_col)
+    return brute_force_l2_topk(
+        corpus, queries, k=k,
+        id_col=id_col, emb_col=emb_col, query_id_col=query_id_col,
+    ).select(query_id_col, "neighbor_id", F.col("l2_sq").alias("l2_dist"), "rnk")
+
+
 def _ivfpq_probe_core(
     centroid_list: list[list[float]],
     books: list[list[list[float]]],

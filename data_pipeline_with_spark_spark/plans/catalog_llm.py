@@ -2329,3 +2329,49 @@ register(
         """,
     )
 )
+
+
+_SQDIST_SQL = (
+    "(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))"
+    " + list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " - 2 * list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])))"
+)
+
+
+def _ann_auto_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """`ann_topk` FAISS-style auto dispatch as a driver-visible query:
+    at fixture scale the index is far below AUTO_INDEX_MIN_ROWS, so
+    auto serves the EXACT path (brute-force over the index's stored
+    vectors) — which is precisely why this entry CAN hash-match a SQL
+    oracle (the closed form |a|²+|b|²−2a·b agrees with Spark's
+    (a−b)² fold to ~1e-13; both round to 6 — same precedent as
+    sim_l2_normalized_topk). The probe path of the same index is
+    exercised by sim_l2_topk_ivfpq and the exact≡full-probe pytest."""
+    import tempfile
+
+    emb = read_testdata(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    idx = tempfile.mkdtemp(prefix="ann_auto_")
+    similarity.ivfpq_build_index(emb, idx, n_cells=8, m=8, k_codes=16, pq_iters=1)
+    return similarity.ann_topk(spark, idx, queries, k=5)
+
+
+register(
+    QuerySpec(
+        name="sim_l2_topk_auto",
+        build=_ann_auto_topk,
+        doc="ann_topk auto dispatch (small index -> exact scan; crossover-aware serving)",
+        oracle=f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.q_id, e.vec_id AS neighbor_id,
+                 round({_SQDIST_SQL.format(a='e.embedding', b='q.q_emb')}, 6) AS l2_dist
+          FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+        SELECT q_id, neighbor_id, l2_dist, CAST(rnk AS INT) AS rnk FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY l2_dist ASC, neighbor_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        """,
+    )
+)

@@ -105,6 +105,42 @@ def test_quality_score_orders_sensibly(spark):
     assert got[1] > got[2]
 
 
+def test_ann_topk_auto_dispatch(spark, tmp_path, monkeypatch):
+    # FAISS-style auto dispatch: small index -> exact scan (identical
+    # to brute force over the stored vectors); forced-large threshold
+    # -> the pruned probe; both share one output schema. A full-probe
+    # probe and the exact path must agree on this corpus.
+    from data_pipeline_with_spark_spark.llm import similarity as S
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where("vec_id < 4")
+    idx = str(tmp_path / "annidx")
+    S.ivfpq_build_index(emb, idx, n_cells=8, m=8, k_codes=16, pq_iters=1)
+
+    def rows(df):
+        return sorted((r.q_id, r.neighbor_id, r.l2_dist, r.rnk) for r in df.collect())
+
+    auto = S.ann_topk(spark, idx, queries, k=5)  # tiny corpus -> exact
+    assert auto.columns == ["q_id", "neighbor_id", "l2_dist", "rnk"]
+    exact = S.ann_topk(spark, idx, queries, k=5, mode="exact")
+    assert rows(auto) == rows(exact)
+
+    monkeypatch.setattr(S, "AUTO_INDEX_MIN_ROWS", 0)
+    n = emb.count()
+    probed = S.ann_topk(
+        spark, idx, queries, k=5, n_probe=8, shortlist_factor=(n // 5) + 1
+    )
+    assert probed.columns == ["q_id", "neighbor_id", "l2_dist", "rnk"]
+    # full probe + corpus-wide shortlist == exact ranking
+    assert rows(probed) == rows(exact)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        S.ann_topk(spark, idx, queries, mode="nope")
+
+
 def test_decontamination_shuffle_fallback_past_broadcast_bound(spark):
     # Probe sets past the broadcast threshold (multi-benchmark unions,
     # held-out corpora) must fall back to a plain equi-join on the
