@@ -550,13 +550,55 @@ class VersionedTable:
     def _schema_fields(schema: T.StructType) -> dict[str, str]:
         return {f.name: f.dataType.simpleString() for f in schema.fields}
 
+    # Safe type widenings (Delta's type-widening feature): every listed
+    # promotion is value-preserving AND supported by Spark's parquet
+    # reader as a read-time upcast under an explicit schema (verified
+    # on this Spark: int32 files read into bigint/double columns, float
+    # into double) — so widening the TABLE type never rewrites old
+    # files, and narrow files under a wide schema read correctly
+    # forever. bigint→double is deliberately absent (lossy past 2^53).
+    _WIDENINGS = {
+        "tinyint": ("smallint", "int", "bigint", "double"),
+        "smallint": ("int", "bigint", "double"),
+        "int": ("bigint", "double"),
+        "float": ("double",),
+    }
+
     def _enforce(self, incoming: T.StructType, merge_schema: bool) -> T.StructType:
+        """Schema enforcement/evolution (D7 + type widening):
+
+        - extra incoming columns: rejected unless ``merge_schema`` (the
+          classic mergeSchema evolution; old rows read NULL).
+        - incoming type WIDER than the table's (int data arriving for
+          an int column that now ships as bigint upstream): with
+          ``merge_schema`` the table type widens — existing narrow
+          files upcast at read under the explicit scan schema, no
+          rewrite; without it, rejected with the remedy.
+        - incoming type NARROWER than the table's: always accepted —
+          not a schema change; the file stores the narrow type and the
+          table-schema scan upcasts it like every other narrow file.
+        - anything else (string vs numeric, double→int, …): rejected.
+        """
         current = T.StructType.fromJson(json.loads(self._latest().schema_json))
         cur, new = self._schema_fields(current), self._schema_fields(incoming)
         mismatched = {k for k in cur.keys() & new.keys() if cur[k] != new[k]}
-        if mismatched:
+        widened = {
+            k for k in mismatched if new[k] in self._WIDENINGS.get(cur[k], ())
+        }
+        narrowed = {
+            k for k in mismatched if cur[k] in self._WIDENINGS.get(new[k], ())
+        }
+        bad = mismatched - widened - narrowed
+        if bad:
             raise SchemaEnforcementError(
-                f"type mismatch on {sorted(mismatched)}: table={cur} incoming={new}"
+                f"type mismatch on {sorted(bad)}: table={cur} incoming={new}"
+            )
+        if widened and not merge_schema:
+            raise SchemaEnforcementError(
+                f"incoming columns {sorted(widened)} are wider than the table "
+                f"types ({ {k: (cur[k], new[k]) for k in sorted(widened)} }); "
+                "pass merge_schema=True to widen the table schema (type "
+                "widening; existing files upcast at read, no rewrite)"
             )
         extra = new.keys() - cur.keys()
         if extra and not merge_schema:
@@ -564,12 +606,22 @@ class VersionedTable:
                 f"incoming columns {sorted(extra)} not in table schema; "
                 "pass merge_schema=True to evolve (D7)"
             )
-        if extra:
-            merged = list(current.fields) + [
-                f for f in incoming.fields if f.name in extra
-            ]
-            return T.StructType(merged)
-        return current
+        if not extra and not widened:
+            return current
+        by_name = {f.name: f for f in incoming.fields}
+        merged = [
+            (
+                T.StructField(
+                    f.name,
+                    by_name[f.name].dataType,
+                    f.nullable or by_name[f.name].nullable,
+                )
+                if f.name in widened
+                else f
+            )
+            for f in current.fields
+        ] + [f for f in incoming.fields if f.name in extra]
+        return T.StructType(merged)
 
     # ------------------------------------------------------------ writes
     def partition_columns(self) -> list[str]:

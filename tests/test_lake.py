@@ -120,6 +120,52 @@ def test_vacuum_sql_retain_hours_clause(spark, cars, tmp_path):
     assert str(orphan) in got and orphan.exists()  # dry run never deletes
 
 
+def test_type_widening_evolution(spark, tmp_path):
+    # Delta-style type widening: value-preserving promotions
+    # (int-chain, float->double) widen the TABLE schema under
+    # merge_schema — existing narrow files upcast at read under the
+    # explicit scan schema, nothing rewrites. Narrower incoming data is
+    # never a schema change. Lossy/incompatible stays rejected.
+    import pyspark.sql.types as T
+
+    t = VersionedTable(spark, str(tmp_path / "widen")).create(
+        spark.createDataFrame([(1, 1.5)], "id INT, v FLOAT")
+    )
+    # narrower incoming: accepted without merge_schema, schema unchanged
+    t.append(spark.createDataFrame([(2, 2.5)], "id SMALLINT, v FLOAT"))
+    assert dict(VersionedTable._schema_fields(t.read().schema)) == {
+        "id": "int", "v": "float",
+    }
+    # wider incoming without merge_schema: rejected with the remedy
+    wide = spark.createDataFrame([(3_000_000_000, 3.5)], "id BIGINT, v DOUBLE")
+    with pytest.raises(SchemaEnforcementError, match="widen"):
+        t.append(wide)
+    # with merge_schema the table widens; ALL rows (narrow v0/v1 files
+    # included) read under the new types with values intact
+    t.append(wide, merge_schema=True)
+    df = t.read()
+    assert dict(VersionedTable._schema_fields(df.schema)) == {
+        "id": "bigint", "v": "double",
+    }
+    got = {r.id: r.v for r in df.collect()}
+    assert got[1] == 1.5 and got[2] == 2.5 and got[3_000_000_000] == 3.5
+    # time travel reads v0 under its own (narrow) schema
+    assert dict(VersionedTable._schema_fields(t.read(version=0).schema)) == {
+        "id": "int", "v": "float",
+    }
+    # lossy promotion is NOT widening: bigint data for an int column
+    # would truncate — stays a hard mismatch even with merge_schema...
+    t2 = VersionedTable(spark, str(tmp_path / "nolossy")).create(
+        spark.createDataFrame([(1,)], "n BIGINT")
+    )
+    with pytest.raises(SchemaEnforcementError, match="type mismatch"):
+        t2.append(spark.createDataFrame([("x",)], "n STRING"), merge_schema=True)
+    # ...while bigint->double (past 2^53 precision) is excluded from
+    # the widening chains in BOTH directions of evolution
+    with pytest.raises(SchemaEnforcementError, match="type mismatch"):
+        t2.append(spark.createDataFrame([(1.0,)], "n DOUBLE"), merge_schema=True)
+
+
 def test_append_references_prior_files(spark, cars, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "app")).create(cars)
     t.append(cars)
