@@ -475,3 +475,59 @@ register(
         """,
     )
 )
+
+
+def _type_widening(spark: SparkSession, sf: str) -> DataFrame:
+    """Type widening end-to-end through the driver gate: a table
+    created (int key, float32 balance) receives a (bigint, double)
+    batch under merge_schema — the table schema widens, the narrow v0
+    files upcast at read, and the returned aggregate + schema string
+    hash-match a plain-SQL recompute (the float32 round-trip is
+    replicated in the oracle with CAST AS REAL; per-row round-2 before
+    the sum keeps cross-engine addition order irrelevant)."""
+    import tempfile
+
+    sup = read_testdata(spark, sf, "supplier")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="vtw_")).create(
+        sup.where("s_suppkey % 2 = 0").select(
+            F.col("s_suppkey").cast("int").alias("k"),
+            F.col("s_acctbal").cast("float").alias("bal"),
+        )
+    )
+    t.append(
+        sup.where("s_suppkey % 2 = 1").select(
+            F.col("s_suppkey").cast("bigint").alias("k"),
+            F.col("s_acctbal").cast("double").alias("bal"),
+        ),
+        merge_schema=True,
+    )
+    df = t.read()
+    schema_str = ",".join(
+        f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+        F.round(F.sum(F.round(F.col("bal"), 2)), 2).alias("bal_sum"),
+        F.lit(schema_str).alias("widened_schema"),
+    )
+
+
+register(
+    QuerySpec(
+        name="lakehouse_type_widening",
+        build=_type_widening,
+        doc="D7 type widening: (int,float) table + (bigint,double) batch -> "
+        "widened schema, narrow files upcast at read; aggregate hash-matched",
+        oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+               round(sum(round(
+                 CASE WHEN s_suppkey % 2 = 0
+                      THEN CAST(CAST(s_acctbal AS REAL) AS DOUBLE)
+                      ELSE s_acctbal END, 2)), 2) AS bal_sum,
+               'k:bigint,bal:double' AS widened_schema
+        FROM supplier
+        """,
+    )
+)
