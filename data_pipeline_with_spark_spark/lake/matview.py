@@ -234,12 +234,16 @@ class IncrementalAggView:
         # supports (each branch materializes its cached delta; r7
         # verdict nit — previously one count() action per support); the
         # merges themselves stay sequential commits.
-        prepared = [
-            prep
-            for c, support in self.supports.items()
-            if (prep := self._prepare_support(c, support, cur, window_changes))
-        ]
+        # prepared deltas persist as they build, so the list fills
+        # INSIDE the try — a later _prepare_support raising (e.g. a
+        # support that lost its watermark) must still unpersist the
+        # earlier ones (r8 review finding).
+        prepared: list[tuple[str, VersionedTable, DataFrame]] = []
         try:
+            for c, support in self.supports.items():
+                prep = self._prepare_support(c, support, cur, window_changes)
+                if prep:
+                    prepared.append(prep)
             if prepared:
                 from functools import reduce
 

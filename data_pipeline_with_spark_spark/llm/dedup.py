@@ -229,6 +229,10 @@ def minhash_candidate_pairs(
                 F.slice(F.col("ids"), F.col("__i") + 2, F.size("ids"))
             ).alias("id_b"),
         )
+        # duplicate ids in the INPUT put the same id twice in a bucket
+        # list (sorted adjacent), which would pair a doc with itself —
+        # the old self-join's strict < excluded that; keep the contract
+        .where(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
 

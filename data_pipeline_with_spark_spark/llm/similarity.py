@@ -28,6 +28,8 @@ stable across engines.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -433,7 +435,7 @@ def ivf_probe_topk(
                 key=lambda r: r.cell,
             )
         ]
-        _QUANTIZER_CACHE[key] = hit
+        _quantizer_cache_put(key, hit)
     clist = hit
     q, n_q = _guard_query_side(
         queries.select(F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb")),
@@ -572,13 +574,29 @@ def _double_lit(values) -> Column:
     the text form parses in milliseconds and yields bit-identical
     doubles (``repr`` round-trips, and the decimal→double cast rounds
     to nearest exactly like Python's float parser; verified
-    element-wise on the real quantizers)."""
+    element-wise on the real quantizers). Non-finite values and −0.0
+    need the string-cast spelling: ``repr(nan)`` would parse as a
+    column reference and the decimal route drops −0.0's sign bit
+    (r8 review)."""
+
+    def fmt(x) -> str:
+        x = float(x)
+        if x != x:
+            return "CAST('NaN' AS DOUBLE)"
+        if x == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if x == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        if x == 0.0 and math.copysign(1.0, x) < 0:
+            return "CAST('-0.0' AS DOUBLE)"
+        return repr(x)
+
     if values and isinstance(values[0], (list, tuple)):
         body = ",".join(
-            "array(" + ",".join(repr(float(x)) for x in c) + ")" for c in values
+            "array(" + ",".join(fmt(x) for x in c) + ")" for c in values
         )
         return F.expr(f"CAST(array({body}) AS ARRAY<ARRAY<DOUBLE>>)")
-    body = ",".join(repr(float(x)) for x in values)
+    body = ",".join(fmt(x) for x in values)
     return F.expr(f"CAST(array({body}) AS ARRAY<DOUBLE>)")
 
 
@@ -979,9 +997,14 @@ def _ivfpq_train(
         train_resid = assigned.where(
             F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(2**32)) < thresh
         )
+    # train_resid is ALREADY hash-sampled to the bound with THIS
+    # build's seed — pass None so pq_train's default bound doesn't run
+    # a redundant count job and, on sample overshoot, re-trim with its
+    # own fixed seed (two builds differing only in seed would share
+    # part of their sampling lattice; r8 review).
     books = pq_train(
         train_resid, m=m, k_codes=k_codes, iters=pq_iters,
-        id_col=id_col, emb_col="__resid",
+        id_col=id_col, emb_col="__resid", max_train_rows=None,
     )
     spark.createDataFrame(
         [(j, c, books[j][c]) for j in range(m) for c in range(k_codes)],
@@ -1042,29 +1065,40 @@ def _load_codebooks(spark, path: str) -> list[list[list[float]]]:
     return books
 
 
-# Warm-probe quantizer cache: (path, artifact mtimes) → (centroid rows,
-# codebooks). Quantizer artifacts are immutable once written (rebuilds
-# rewrite the files, changing mtime), so keying on mtime makes the
-# cache safely invalidate on rebuild while repeated probes against the
-# same index skip the two driver collects — part of the probe's fixed
-# overhead (r7 verdict item #4).
-_QUANTIZER_CACHE: dict[tuple, tuple] = {}
+# Warm-probe quantizer cache: (path, artifact mtimes) → driver-side
+# artifacts (centroid lists, codebooks, index row counts). Artifacts
+# are immutable once written (rebuilds rewrite the files, changing
+# mtime), so keying on mtime makes entries safely invalidate on
+# rebuild while repeated probes against the same index skip the
+# driver collects — part of the probe's fixed overhead (r7 verdict
+# item #4). ONE bounded insertion-order eviction policy for every
+# entry class (r8 review: the earlier clear-all on IVFPQ misses
+# thrashed the IVF entries, while the IVF path grew unboundedly).
+_QUANTIZER_CACHE: dict[tuple, object] = {}
+MAX_QUANTIZER_CACHE_ENTRIES = 8
+
+
+def _quantizer_cache_put(key: tuple, value) -> None:
+    while len(_QUANTIZER_CACHE) >= MAX_QUANTIZER_CACHE_ENTRIES:
+        _QUANTIZER_CACHE.pop(next(iter(_QUANTIZER_CACHE)))
+    _QUANTIZER_CACHE[key] = value
+
+
+def _artifact_sig(path: str, sub: str) -> tuple:
+    import os
+
+    d = os.path.join(path, sub)
+    try:
+        names = sorted(os.listdir(d))
+        return (sub,) + tuple(
+            (n, os.path.getmtime(os.path.join(d, n))) for n in names
+        )
+    except OSError:
+        return (sub, None)
 
 
 def _quantizer_key(path: str) -> tuple:
-    import os
-
-    def sig(sub: str) -> tuple:
-        d = os.path.join(path, sub)
-        try:
-            names = sorted(os.listdir(d))
-            return (sub,) + tuple(
-                (n, os.path.getmtime(os.path.join(d, n))) for n in names
-            )
-        except OSError:
-            return (sub, None)
-
-    return (path, sig("centroids"), sig("codebooks"))
+    return (path, _artifact_sig(path, "centroids"), _artifact_sig(path, "codebooks"))
 
 
 def _load_quantizer(spark, path: str):
@@ -1080,8 +1114,7 @@ def _load_quantizer(spark, path: str):
             )
         ]
         hit = (clist, _load_codebooks(spark, path))
-        _QUANTIZER_CACHE.clear()  # bound: keep only the latest index
-        _QUANTIZER_CACHE[key] = hit
+        _quantizer_cache_put(key, hit)
     return hit
 
 
@@ -1162,7 +1195,16 @@ def ann_topk(
     if mode not in ("auto", "probe", "exact"):
         raise ValueError(f"ann_topk mode must be auto|probe|exact, got {mode!r}")
     if mode == "auto":
-        n_rows = spark.read.parquet(f"{path}/data").count()
+        # row count cached on the data dir's mtime signature: the count
+        # is immutable until the index is rewritten, so warm auto
+        # dispatch pays no job (the un-cached form re-ran a listing +
+        # footer-read job per call — the per-probe fixed-cost class the
+        # r7-item-#4 work removed elsewhere; r8 review).
+        key = (path, "rowcount", _artifact_sig(path, "data"))
+        n_rows = _QUANTIZER_CACHE.get(key)
+        if n_rows is None:
+            n_rows = spark.read.parquet(f"{path}/data").count()
+            _quantizer_cache_put(key, n_rows)
         mode = "exact" if n_rows < AUTO_INDEX_MIN_ROWS else "probe"
     if mode == "probe":
         return ivfpq_probe_topk(

@@ -313,30 +313,60 @@ def bm25_topk(
     Lucene-style always-positive form. Returns the top-``k`` docs as
     (id, bm25) ordered by score desc with the id tiebreak.
 
-    Scale shape: the corpus tokenizes+explodes ONCE; ``dl`` (doc
-    length) aggregates that frame, ``tf`` is FILTERED to the query
-    terms before grouping (the only per-query work is O(matching
-    postings), the inverted-index access pattern), ``df`` derives from
-    tf, and (N, avgdl) is a one-row broadcast. N/avgdl are defined
-    over docs with ≥1 token (the dl frame), identically in the oracle.
-    Per-term weights round to 6 before the doc-level sum so the final
-    score is insensitive to partial-aggregation order up to the last
-    ulp of a 5-term sum."""
+    Scale shape: ONE tokenize+explode pass and ONE doc-keyed exchange
+    by construction — the per-doc frame carries (dl, tf per query
+    term as conditional counts) out of a single groupBy, then the
+    query-term tf columns unpivot to postings rows and everything
+    else (df per term, the N/avgdl one-row broadcast) derives from
+    that frame. The obvious three-branch formulation (tf / dl / stats
+    each aggregating the token frame differently) relies on AQE
+    exchange reuse to avoid re-tokenizing the corpus up to 3× — the
+    same fragile mechanism the LSH rework dropped (r8 review); here
+    the stats branch reads the IDENTICAL per-doc aggregate subtree,
+    which exchange reuse folds deterministically (exact plan match).
+    N/avgdl are defined over docs with ≥1 token, identically in the
+    oracle. Per-term weights round to 6 before the doc-level sum so
+    the final score is insensitive to aggregation order."""
     qt = sorted({t.lower() for t in query_terms})
     toks = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, F.lit(1))).alias(f"__tf_{i}")
+            for i, t in enumerate(qt)
+        ],
+    )
+    # Load-bearing always-true filters (the text_tfidf doctrine): each
+    # consumer branch must reference EVERY per_doc aggregate, else
+    # column pruning specializes its copy of the subtree (stats drops
+    # the __tf columns, df-per-term drops dl) and the exchange-reuse
+    # fold below can't match them — re-tokenizing the corpus per
+    # branch. Plan-pinned by test_bm25_single_pass_plan.
+    all_tf = sum(
+        (F.col(f"__tf_{i}") for i in range(len(qt))), F.lit(0)
+    )
+    stats = per_doc.where(all_tf >= 0).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     tf = (
-        toks.where(F.col("term").isin(qt))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        per_doc.select(
+            id_col,
+            "dl",
+            F.posexplode(F.array(*[f"__tf_{i}" for i in range(len(qt))])).alias(
+                "__ti", "tf"
+            ),
+        )
+        .where((F.col("tf") > 0) & (F.col("dl") >= 1))
+        .select(
+            id_col,
+            "dl",
+            F.element_at(F.lit(qt), F.col("__ti") + 1).alias("term"),
+            "tf",
+        )
     )
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = (
         tf.join(F.broadcast(dfq), "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "w",

@@ -201,6 +201,70 @@ def test_train_holdout_split_is_group_consistent(spark):
     assert a != c  # the salt genuinely reshuffles
 
 
+def test_lsh_duplicate_ids_never_self_pair(spark):
+    # Duplicate ids in the input land twice in a bucket list; the
+    # bucket-group pair generation must keep the old self-join's
+    # strict-inequality contract (no (x, x) pairs; r8 review finding).
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta epsilon"),  # duplicate id + text
+        (2, "alpha beta gamma delta epsilon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidate_pairs(
+            docs, num_hashes=16, bands=8
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_double_lit_specials_match_f_lit(spark):
+    # _double_lit must round-trip non-finite values and -0.0 exactly
+    # like F.lit (repr(nan) would parse as a column reference; the
+    # decimal route drops -0.0's sign bit; r8 review finding).
+    import math as m
+
+    from pyspark.sql import functions as SF
+
+    from data_pipeline_with_spark_spark.llm.similarity import _double_lit
+
+    vals = [1.5, float("nan"), float("inf"), float("-inf"), -0.0, 0.1]
+    row = (
+        spark.range(1)
+        .select(_double_lit(vals).alias("a"), SF.lit(vals).alias("b"))
+        .collect()[0]
+    )
+    for x, y in zip(row.a, row.b):
+        if m.isnan(x) or m.isnan(y):
+            assert m.isnan(x) and m.isnan(y)
+        else:
+            assert x == y and m.copysign(1.0, x) == m.copysign(1.0, y)
+    # nested form too
+    row2 = spark.range(1).select(_double_lit([vals, vals]).alias("a")).collect()[0]
+    assert len(row2.a) == 2 and m.isnan(row2.a[0][1])
+
+
+def test_bm25_single_pass_plan(spark):
+    # The per-doc aggregate is the ONE corpus-derived subtree; the
+    # stats branch reads the identical subtree, so the executed plan
+    # tokenizes once (exchange reuse on an exact plan match — not the
+    # fragile differing-aggregations shape; r8 review finding).
+    import re
+
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, "/root/testdata/sf0.001", "documents")
+    df = text.bm25_topk(docs, ["spark", "query"], k=5)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    gens = len(re.findall(r"Generate explode", final))
+    assert gens == 1, f"tokenize explode ran {gens}x (want 1):\n{final[:1500]}"
+
+
 def test_lsh_max_bucket_drops_boilerplate_pairs(spark):
     # A boilerplate band bucket (every doc shares a band) is dropped
     # entirely under max_bucket, while genuinely-near pairs survive via
