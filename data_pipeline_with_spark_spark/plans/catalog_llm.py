@@ -1790,6 +1790,7 @@ register(
     QuerySpec(
         name="text_bm25_search",
         build=_bm25_search,
+        headline=True,
         doc="BM25 top-10 retrieval (Okapi weighting, Lucene idf)",
         oracle=f"""
         WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
