@@ -71,9 +71,13 @@ _OPTIMIZE_RE = re.compile(
     r"(?:\s+ZORDER\s+BY\s*\(?(?P<zorder>[^();]+?)\)?)?\s*;?\s*$",
     _I,
 )
+# The two RETAIN clauses are accepted in EITHER order (r8 advice: the
+# fixed order silently rejected "RETAIN 48 HOURS RETAIN 2 VERSIONS").
+# A repeated alternation group keeps the last capture per branch, so
+# each clause still binds its own named group regardless of position.
 _VACUUM_RE = re.compile(
-    r"^\s*VACUUM\s+(?P<tbl>[\w.`]+)(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?"
-    r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?"
+    r"^\s*VACUUM\s+(?P<tbl>[\w.`]+)"
+    r"(?:\s+RETAIN\s+(?:(?P<n>\d+)\s+VERSIONS|(?P<hours>\d+(?:\.\d+)?)\s+HOURS)){0,2}"
     r"(?:\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
     _I,
 )
@@ -455,9 +459,10 @@ class LakehouseSQL:
         )
 
     def _vacuum(self, m: re.Match) -> DataFrame:
-        # RETAIN <h> HOURS is Delta's vacuum retention clause — here it
-        # bounds how young a never-committed orphan dir may be and still
-        # be collected (VersionedTable.vacuum's race guard); version
+        # RETAIN <h> HOURS is Delta's vacuum retention clause: it bounds
+        # both how young a never-committed orphan dir may be (in-flight
+        # writer guard) and how recently a dir may have been superseded
+        # (concurrent-reader guard) and still be collected; version
         # retention stays RETAIN <n> VERSIONS.
         hours = m.group("hours")
         removed = self.table(m.group("tbl"), allow_matview=True).vacuum(

@@ -49,6 +49,7 @@ import os
 import re
 import shutil
 import tempfile
+import threading
 import time
 import uuid
 from dataclasses import dataclass
@@ -158,6 +159,32 @@ class SchemaEnforcementError(ValueError):
     pass
 
 
+class CommitConflict(RuntimeError):
+    """Another writer won the put-if-absent race for a commit slot
+    (Delta's ConcurrentModificationException analogue). The losing
+    attempt applied NOTHING — its staged data dirs are unreferenced
+    orphans vacuum reclaims — so re-reading the snapshot and retrying
+    the whole operation is always safe; ``retry_on_conflict`` packages
+    that loop."""
+
+
+def retry_on_conflict(fn, attempts: int = 5, base_sleep: float = 0.05):
+    """Run ``fn()`` retrying on :class:`CommitConflict` with exponential
+    backoff. Each retry must RE-DERIVE from the table (call ``fn`` that
+    re-reads state internally — every VersionedTable op re-reads its
+    base snapshot per call, and a conflicted attempt may leave a stale
+    slot pin that the FIRST retry consumes by raising one more
+    conflict, which this loop also absorbs). Raises the last conflict
+    after ``attempts`` tries."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except CommitConflict:
+            if i == attempts - 1:
+                raise
+            time.sleep(base_sleep * (2**i))
+
+
 class ConstraintViolationError(ValueError):
     """A write contained rows failing a table CHECK constraint (Delta
     raises the same; NULL evaluations pass, per SQL CHECK semantics)."""
@@ -259,24 +286,50 @@ class VersionedTable:
         self.root = Path(path)
         self.log_dir = self.root / "_log"
         self.data_dir = self.root / "data"
-        # Optimistic-concurrency token: the last table version this
-        # instance read a snapshot at (recorded by _latest, reset to the
-        # committed version after each successful publish). _next_version
-        # refuses a slot that is not token+1, so a write whose base
-        # snapshot predates a concurrently-landed commit aborts with a
-        # conflict instead of silently excluding that commit from later
-        # snapshots (the r5-flagged lost-update window).
-        self._snapshot_version: int | None = None
-        # Pinned commit slot: the FIRST _next_version() call of an
-        # operation fixes the slot; every later call in the same
-        # operation (data-dir naming, DV-dir naming, the commit itself)
-        # returns the SAME slot even if _latest() re-armed the token in
-        # between (e.g. the dv='carry' / properties reads inside
-        # _commit_write). If a concurrent writer takes the pinned slot
-        # meanwhile, the put-if-absent publish fails LOUDLY with a
-        # conflict instead of silently committing past it. Cleared after
-        # every publish attempt.
-        self._pinned_slot: int | None = None
+        # Optimistic-concurrency tokens live in THREAD-LOCAL storage:
+        # each thread using this handle is an independent optimistic
+        # writer whose conflicts are arbitrated by the shared commit
+        # log (slot arithmetic + the O_EXCL publish), exactly as two
+        # separate handles would be. Instance-level tokens were the r9
+        # lost-update bug: a concurrent thread's successful publish
+        # cleared THIS thread's pin and re-armed its base token, so a
+        # stale write sailed past the conflict check and erased the
+        # other thread's commit (caught by
+        # tests/test_streaming.py::test_maintenance_beside_active_folds).
+        self._txn = threading.local()
+
+    # Thread-local accessors keep every existing call site unchanged.
+    @property
+    def _snapshot_version(self) -> int | None:
+        """Last table version THIS THREAD read a snapshot at (recorded
+        by _latest, reset to the committed version after each successful
+        publish). _next_version refuses a slot that is not token+1, so
+        a write whose base snapshot predates a concurrently-landed
+        commit aborts with a conflict instead of silently excluding
+        that commit from later snapshots (the r5-flagged lost-update
+        window)."""
+        return getattr(self._txn, "snapshot_version", None)
+
+    @_snapshot_version.setter
+    def _snapshot_version(self, v: int | None) -> None:
+        self._txn.snapshot_version = v
+
+    @property
+    def _pinned_slot(self) -> int | None:
+        """THIS THREAD's pinned commit slot: the FIRST _next_version()
+        call of an operation fixes the slot; every later call in the
+        same operation (data-dir naming, DV-dir naming, the commit
+        itself) returns the SAME slot even if _latest() re-armed the
+        token in between (e.g. the dv='carry' / properties reads inside
+        _commit_write). If a concurrent writer takes the pinned slot
+        meanwhile, the put-if-absent publish fails LOUDLY with a
+        conflict instead of silently committing past it. Cleared after
+        every publish attempt."""
+        return getattr(self._txn, "pinned_slot", None)
+
+    @_pinned_slot.setter
+    def _pinned_slot(self, v: int | None) -> None:
+        self._txn.pinned_slot = v
 
     # ---------------------------------------------------------------- log
     # Every commit record is SELF-CONTAINED (full snapshot state, not a
@@ -448,7 +501,7 @@ class VersionedTable:
             os.link(tmp, target)
             return
         except FileExistsError:
-            raise RuntimeError(f"concurrent commit conflict at v{version}") from None
+            raise CommitConflict(f"concurrent commit conflict at v{version}") from None
         except OSError as e:
             if e.errno not in cls._NO_HARDLINK_ERRNOS:
                 raise
@@ -463,7 +516,7 @@ class VersionedTable:
         try:
             out_fd = os.open(str(target), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            raise RuntimeError(f"concurrent commit conflict at v{version}") from None
+            raise CommitConflict(f"concurrent commit conflict at v{version}") from None
         with os.fdopen(out_fd, "wb") as out, open(tmp, "rb") as src:
             shutil.copyfileobj(src, out)
             out.flush()
@@ -528,7 +581,7 @@ class VersionedTable:
                 return self._pinned_slot
             stale = self._pinned_slot
             self._pinned_slot = None
-            raise RuntimeError(
+            raise CommitConflict(
                 f"concurrent commit conflict: operation pinned slot "
                 f"v{stale} but the log tail has moved to v{tail_next - 1}; "
                 "another writer committed (or a prior operation on this "
@@ -537,7 +590,7 @@ class VersionedTable:
         files = self._settle_log_tail()
         nxt = int(files[-1].stem) + 1 if files else 0
         if self._snapshot_version is not None and nxt != self._snapshot_version + 1:
-            raise RuntimeError(
+            raise CommitConflict(
                 f"concurrent commit conflict: base snapshot was read at "
                 f"v{self._snapshot_version} but the next free slot is v{nxt}; "
                 "another writer committed in between — re-read and retry"
@@ -2491,7 +2544,18 @@ class VersionedTable:
         from file footers (no data read). This is the knob that matters
         at 100 TB — compacting to ONE file is as wrong as a thousand
         shards; ~1 GiB files keep scans parallel and metadata small.
-        Explicit ``target_partitions`` wins when both are given."""
+        Explicit ``target_partitions`` wins when both are given.
+
+        **No-op when already optimal** (Delta's OPTIMIZE writes no
+        commit when no files qualify): if the current snapshot IS the
+        output of an equivalent full OPTIMIZE (same ``zorder_by``, no
+        data commit since, file count already within target), return
+        without committing. This is what keeps a maintenance loop
+        (``maintain_stream_dedup_state``) from flooding the log with
+        identical rewrites and starving a concurrent writer's
+        conflict retries — the starvation
+        tests/test_streaming.py::test_maintenance_beside_active_folds
+        exposed when every loop iteration burned a commit slot."""
         if target_partitions is None:
             if target_file_size_bytes:
                 files, _ = self._snapshot_files()
@@ -2499,6 +2563,17 @@ class VersionedTable:
                 target_partitions = max(1, -(-total // target_file_size_bytes))
             else:
                 target_partitions = 1
+        latest = self._latest()
+        if (
+            latest.operation == "OPTIMIZE"
+            and "where" not in latest.params  # partial compaction ≠ settled
+            and latest.params.get("zorder_by", []) == (zorder_by or [])
+            and (
+                self.partition_columns()
+                or len(self._snapshot_files()[0]) <= target_partitions
+            )
+        ):
+            return self
         cur = self.read()
         pcols = self.partition_columns()
         if pcols:
@@ -2853,22 +2928,30 @@ class VersionedTable:
         lists what WOULD be removed without touching anything —
         Delta's ``VACUUM … DRY RUN`` safety valve.
 
-        Two classes of dead directory are distinguished (r7 advice):
+        Two classes of dead directory are distinguished, and BOTH are
+        guarded by ``orphan_retention_seconds`` (default
+        ``ORPHAN_RETENTION_SECONDS``, 7 days — Delta's
+        ``deletedFileRetentionDuration`` default; tests pass 0 the way
+        Delta tests disable ``retentionDurationCheck``):
 
         - **superseded** — referenced by SOME log entry but not by the
-          kept versions. Published then replaced; always safe to
-          collect (nobody can be mid-write into a published dir: data
-          dirs are unique per attempt).
+          kept versions. Published then replaced; no writer can be
+          mid-write into one (data dirs are unique per attempt), but a
+          concurrent READER whose snapshot predates the replacement
+          still resolves these paths — collecting them immediately
+          yanks files out from under an in-flight query (the exact
+          failure Delta's tombstone retention exists to prevent, found
+          by tests/test_streaming.py::test_maintenance_beside_active_
+          folds). Collected only once the commit that superseded them
+          (the first commit AFTER their last referencing version) is
+          older than the retention window — age runs from supersede
+          time, not write time, mirroring Delta's deletion timestamp.
         - **never-committed orphans** — referenced by NO log entry.
           Usually a loser writer's staging dir, but indistinguishable
           from a LIVE in-flight attempt between its parquet write and
           its O_EXCL log publish — deleting one of those yields a
-          committed snapshot pointing at a vanished directory. These
-          are collected only when older than
-          ``orphan_retention_seconds`` (default
-          ``ORPHAN_RETENTION_SECONDS``, 7 days — Delta's
-          ``deletedFileRetentionDuration`` default; tests pass 0 the
-          way Delta tests disable ``retentionDurationCheck``)."""
+          committed snapshot pointing at a vanished directory.
+          Collected only when their mtime is older than the window."""
         retention = (
             self.ORPHAN_RETENTION_SECONDS
             if orphan_retention_seconds is None
@@ -2879,26 +2962,46 @@ class VersionedTable:
         ]
         keep = all_commits[-keep_versions:]
 
-        def refs(commits) -> set[str]:
+        def commit_refs(c) -> set[str]:
             out: set[str] = set()
-            for c in commits:
-                for d in c.dv_paths or []:  # tombstones are live metadata
-                    out.add(d)
-                for d in c.data_dirs:
-                    out.add(d)
-                    p = Path(d)
-                    if p.is_file():
-                        # loose-file ref pins every ancestor up to the
-                        # data root (hive trees nest k=v dirs under the
-                        # v-dir)
-                        for anc in p.parents:
-                            out.add(str(anc))
-                            if anc == self.data_dir:
-                                break
+            for d in c.dv_paths or []:  # tombstones are live metadata
+                out.add(d)
+            for d in c.data_dirs:
+                out.add(d)
+                p = Path(d)
+                if p.is_file():
+                    # loose-file ref pins every ancestor up to the
+                    # data root (hive trees nest k=v dirs under the
+                    # v-dir)
+                    for anc in p.parents:
+                        out.add(str(anc))
+                        if anc == self.data_dir:
+                            break
             return out
 
-        live = refs(keep)
-        ever_referenced = refs(all_commits)
+        live: set[str] = set()
+        for c in keep:
+            live |= commit_refs(c)
+        # last version referencing each path → its supersede time is
+        # the timestamp of the FIRST later commit (checkpoint-pruned
+        # logs degrade gracefully: a path whose only referents were
+        # pruned falls into the orphan class, which is mtime-guarded)
+        last_ref: dict[str, int] = {}
+        for c in all_commits:
+            for r in commit_refs(c):
+                if c.version > last_ref.get(r, -1):
+                    last_ref[r] = c.version
+        ever_referenced = set(last_ref)
+        ts_by_version = sorted((c.version, c.timestamp) for c in all_commits)
+
+        def superseded_ts(path: str) -> float | None:
+            """Timestamp of the commit that superseded ``path`` (None =
+            no successor exists, so never collect)."""
+            v = last_ref[path]
+            for ver, ts in ts_by_version:
+                if ver > v:
+                    return ts
+            return None
         live_cdf: set[str] = set()
         for c in keep:
             if (c.cdf or {}).get("mode") == "parquet":
@@ -2917,6 +3020,10 @@ class VersionedTable:
                         continue  # vanished mid-scan (racing writer cleanup)
                     if age < retention:
                         continue  # possibly a live in-flight staging dir
+                else:
+                    ts = superseded_ts(str(d))
+                    if ts is None or now - ts < retention:
+                        continue  # a concurrent reader may still hold it
                 if not dry_run:
                     shutil.rmtree(d)
                 removed.append(str(d))
@@ -2924,7 +3031,7 @@ class VersionedTable:
         # is written BEFORE its commit publishes, so never-committed
         # young dirs get the same retention benefit of the doubt.
         ever_cdf = {
-            c.cdf["path"]
+            c.cdf["path"]: c.version
             for c in all_commits
             if (c.cdf or {}).get("mode") == "parquet"
         }
@@ -2940,13 +3047,35 @@ class VersionedTable:
                         continue
                     if age < retention:
                         continue
+                else:
+                    # a recorded feed goes dead when its version leaves
+                    # the kept window; retention runs from the first
+                    # LATER commit, same as superseded data dirs (a
+                    # concurrent changes() reader may still stream it)
+                    v = ever_cdf[str(d)]
+                    ts = next(
+                        (t for ver, t in ts_by_version if ver > v), None
+                    )
+                    if ts is None or now - ts < retention:
+                        continue
                 if not dry_run:
                     shutil.rmtree(d)
                 removed.append(str(d))
         if dry_run:
             return removed
-        # stats files for vacuumed dirs are orphans — prune them too
-        live_refs = {n for c in keep for n in (c.stats_refs or {}).values()}
+        # stats files for vacuumed dirs are orphans — prune them too;
+        # a pruned-but-within-retention commit keeps its stats (a
+        # concurrent reader pinned to that version consults them)
+        kept_versions = {c.version for c in keep}
+        live_refs = set()
+        for c in all_commits:
+            if c.version not in kept_versions:
+                ts = next(
+                    (t for ver, t in ts_by_version if ver > c.version), None
+                )
+                if ts is not None and now - ts >= retention:
+                    continue
+            live_refs |= set((c.stats_refs or {}).values())
         if self._stats_dir().exists():
             for f in self._stats_dir().glob("*.json"):
                 if f.name not in live_refs:

@@ -168,6 +168,17 @@ def lsh_band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+# Scale-safe default for the LSH too-common-bucket cap (r8 verdict
+# item #2): a band bucket holding more docs than this is boilerplate
+# (cookie banner, license header) whose B² candidate pairs are
+# uninformative for near-dup detection while concentrating quadratic
+# output in one task. 1000 keeps the worst single bucket's output at
+# ~500k pairs (a normal task's worth) yet sits far above any bucket a
+# genuinely-near cluster produces. Pass ``max_bucket=None`` for the
+# exact all-pairs contract (the DuckDB oracle's semantics).
+DEFAULT_MAX_BUCKET = 1000
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -175,7 +186,8 @@ def minhash_candidate_pairs(
     k_shingle: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    bucket_metrics=None,
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing at least one band bucket.
     Shuffles only (band_idx, band_hash, id); returns distinct
@@ -196,17 +208,28 @@ def minhash_candidate_pairs(
     once); the B² candidate OUTPUT is inherent to the all-pairs
     contract, exactly as the join produced.
 
-    ``max_bucket`` (default None = exact all-pairs, the oracle
-    contract) is the standard 100 TB mitigation for pathological
-    buckets: a band bucket holding more than that many docs is
-    boilerplate — a cookie banner, a license header — whose B² pairs
-    are uninformative for NEAR-dup detection (its members pair with
-    half the corpus) while concentrating quadratic work in one task.
-    Capped buckets are DROPPED ENTIRELY (no sampled subset: a biased
-    pair subset is worse than an explicit "too common" verdict —
-    FAISS/text-dedup practice); recall for genuinely-near docs is
-    preserved by the OTHER bands, which only collide on actual
-    signature agreement."""
+    ``max_bucket`` (default ``DEFAULT_MAX_BUCKET``; ``None`` = exact
+    all-pairs, the oracle contract, now the explicit OPT-IN) is the
+    standard 100 TB mitigation for pathological buckets: a band bucket
+    holding more than that many docs is boilerplate — a cookie banner,
+    a license header — whose B² pairs are uninformative for NEAR-dup
+    detection (its members pair with half the corpus) while
+    concentrating quadratic work in one task. Capped buckets are
+    DROPPED ENTIRELY (no sampled subset: a biased pair subset is worse
+    than an explicit "too common" verdict — FAISS/text-dedup
+    practice); recall for genuinely-near docs is preserved by the
+    OTHER bands, which only collide on actual signature agreement.
+
+    ``bucket_metrics`` (a ``pyspark.sql.Observation``) is the loud
+    metric: when passed it is attached to the bucket frame and, after
+    the caller's first action, ``.get`` reports ``n_buckets``,
+    ``max_bucket_size`` and ``n_buckets_dropped`` (vs the effective
+    cap) — free (computed inside the same job), so a pipeline can
+    always see whether the cap fired and on how much. AQE caveat
+    (verified on this Spark): if the query's FINAL result is empty,
+    adaptive empty-relation propagation elides the CollectMetrics node
+    and ``.get`` raises — a corpus whose every candidate came from
+    capped buckets; treat that as "everything was dropped"."""
     rows_per_band = num_hashes // bands
     sigs = with_minhash(df, text_col, k_shingle, num_hashes).select(
         F.col(id_col),
@@ -219,6 +242,16 @@ def minhash_candidate_pairs(
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    if bucket_metrics is not None:
+        cap = F.lit(max_bucket) if max_bucket is not None else F.lit(None)
+        buckets = buckets.observe(
+            bucket_metrics,
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max(F.size("ids")).alias("max_bucket_size"),
+            F.sum(
+                F.when(F.size("ids") > cap, 1).otherwise(0)
+            ).alias("n_buckets_dropped"),
+        )
     if max_bucket is not None:
         buckets = buckets.where(F.size("ids") <= max_bucket)
     return (
@@ -286,10 +319,16 @@ def near_dup_pairs(
     k_shingle: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: LSH candidates → exact
-    Jaccard ≥ threshold."""
-    cands = minhash_candidate_pairs(df, id_col, text_col, k_shingle, num_hashes, bands)
+    Jaccard ≥ threshold. Scale-safe by default: boilerplate band
+    buckets past ``max_bucket`` are dropped whole (see
+    ``minhash_candidate_pairs``); pass ``max_bucket=None`` for the
+    exact all-pairs candidate contract."""
+    cands = minhash_candidate_pairs(
+        df, id_col, text_col, k_shingle, num_hashes, bands, max_bucket=max_bucket
+    )
     return jaccard_pairs(df, cands, id_col, text_col, k_shingle).where(
         F.col("jaccard") >= threshold
     )

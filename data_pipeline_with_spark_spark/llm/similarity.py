@@ -1085,14 +1085,21 @@ def _quantizer_cache_put(key: tuple, value) -> None:
 
 
 def _artifact_sig(path: str, sub: str) -> tuple:
+    # (name, st_mtime_ns, st_size) per file — not bare mtime: a rebuild
+    # landing inside filesystem mtime granularity, or artifacts copied
+    # with preserved mtimes, would collide on mtime alone; nanosecond
+    # resolution plus the byte size makes a stale-cache collision
+    # require same-instant same-length rewrites (r8 advice).
     import os
 
     d = os.path.join(path, sub)
     try:
         names = sorted(os.listdir(d))
-        return (sub,) + tuple(
-            (n, os.path.getmtime(os.path.join(d, n))) for n in names
-        )
+        sig = []
+        for n in names:
+            st = os.stat(os.path.join(d, n))
+            sig.append((n, st.st_mtime_ns, st.st_size))
+        return (sub,) + tuple(sig)
     except OSError:
         return (sub, None)
 

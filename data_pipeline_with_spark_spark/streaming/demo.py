@@ -727,15 +727,17 @@ def fold_dedup_batch(ledger, batch_df: DataFrame, epoch_id: int) -> bool:
     SAME commit as the merge (VersionedTable.extra_properties), so a
     foreachBatch replay of an already-folded epoch no-ops — the
     streaming-sink idempotency pattern shared with idempotent_append.
-    Returns whether the batch was applied."""
+    A lost O_EXCL race against concurrent maintenance (OPTIMIZE is
+    content-preserving) applied nothing, so the merge retries under
+    ``retry_on_conflict`` with the watermark re-checked inside the
+    closure — a retry can never double-fold. Returns whether the batch
+    was applied."""
     from data_pipeline_with_spark_spark.lake.versioned import (
         WhenMatched,
         WhenNotMatched,
+        retry_on_conflict,
     )
 
-    last = int(ledger.table_properties().get(DEDUP_BATCH_PROP, "-1"))
-    if epoch_id <= last:
-        return False
     delta = (
         batch_df.withColumn("text_hash", F.md5(F.col("text")))
         .groupBy("text_hash")
@@ -744,26 +746,34 @@ def fold_dedup_batch(ledger, batch_df: DataFrame, epoch_id: int) -> bool:
             F.count(F.lit(1)).cast("long").alias("n_copies"),
         )
     )
-    ledger.merge(
-        delta,
-        keys=["text_hash"],
-        matched=[
-            WhenMatched(
-                update={
-                    "keeper_id": "least(t.keeper_id, s.keeper_id)",
-                    "n_copies": "t.n_copies + s.n_copies",
-                }
-            )
-        ],
-        not_matched=[WhenNotMatched()],
-        extra_properties={DEDUP_BATCH_PROP: str(epoch_id)},
-        # md5(NULL) is NULL and groupBy folds NULL texts into ONE group
-        # (exactly like the batch aggregate / DuckDB oracle); plain
-        # MERGE equality would never match that ledger row and insert a
-        # fresh NULL-hash row per batch, so the key must be null-safe.
-        null_safe_keys=True,
-    )
-    return True
+
+    def attempt() -> bool:
+        last = int(ledger.table_properties().get(DEDUP_BATCH_PROP, "-1"))
+        if epoch_id <= last:
+            return False
+        ledger.merge(
+            delta,
+            keys=["text_hash"],
+            matched=[
+                WhenMatched(
+                    update={
+                        "keeper_id": "least(t.keeper_id, s.keeper_id)",
+                        "n_copies": "t.n_copies + s.n_copies",
+                    }
+                )
+            ],
+            not_matched=[WhenNotMatched()],
+            extra_properties={DEDUP_BATCH_PROP: str(epoch_id)},
+            # md5(NULL) is NULL and groupBy folds NULL texts into ONE
+            # group (exactly like the batch aggregate / DuckDB oracle);
+            # plain MERGE equality would never match that ledger row and
+            # insert a fresh NULL-hash row per batch, so the key must be
+            # null-safe.
+            null_safe_keys=True,
+        )
+        return True
+
+    return retry_on_conflict(attempt)
 
 
 def run_stream_dedup(spark: SparkSession, sf_dir: str, work_dir: str):
@@ -871,16 +881,28 @@ def fold_near_dup_batch(
     BEFORE bands: a replay after a crash between them re-skips the
     pairs append and re-applies only the missing bands append, never
     double-counting (pairs are derived from the PRE-batch ledger
-    state, which a pairs-applied/bands-missing crash preserves)."""
+    state, which a pairs-applied/bands-missing crash preserves).
+
+    Each append retries under ``retry_on_conflict``: the only
+    legitimate concurrent committer is maintenance (OPTIMIZE — content
+    preserving, so the pre-read candidate derivation stays valid), and
+    ``idempotent_append`` re-checks its batch watermark per call, so a
+    retry can never double-append."""
+    from data_pipeline_with_spark_spark.lake.versioned import retry_on_conflict
+
     new = _band_triples(
         batch_df.select("doc_id", "text"), k_shingle, num_hashes, bands
     )
     cand = _candidate_pairs(new, bands_ledger.read())
-    applied = pairs_table.idempotent_append(
-        cand, app_id="stream_near_dup_pairs", batch_id=epoch_id
+    applied = retry_on_conflict(
+        lambda: pairs_table.idempotent_append(
+            cand, app_id="stream_near_dup_pairs", batch_id=epoch_id
+        )
     )
-    bands_ledger.idempotent_append(
-        new, app_id="stream_near_dup_bands", batch_id=epoch_id
+    retry_on_conflict(
+        lambda: bands_ledger.idempotent_append(
+            new, app_id="stream_near_dup_bands", batch_id=epoch_id
+        )
     )
     return applied
 
@@ -955,14 +977,27 @@ def maintain_stream_dedup_state(
       from ``compact()``; and
     - ``vacuum(keep_versions, orphan_retention_seconds)``, reclaiming
       the superseded per-batch dirs while the retention guard spares
-      any in-flight writer's staging dir (safe to run BESIDE an active
-      stream, not just between batches).
+      any in-flight writer's staging dir AND any recently-superseded
+      dir a concurrent micro-batch's snapshot read may still hold.
+
+    Safe to run BESIDE an active stream: beyond the vacuum retention
+    guard, the OPTIMIZE commit races the micro-batch merge for the
+    next log slot — whoever loses the O_EXCL publish raises
+    ``CommitConflict`` having applied nothing, so this wraps each
+    ledger's OPTIMIZE in ``retry_on_conflict`` (re-reads the new
+    snapshot and re-compacts), and the fold functions carry the
+    mirror-image retry on their side (``fold_dedup_batch`` /
+    ``fold_near_dup_batch``). The interleaved-thread test
+    (tests/test_streaming.py::test_maintenance_beside_active_folds)
+    pins the composed result.
 
     Both steps are purely physical: folds before and after compose to
     the same answer and the exactly-once batch watermarks ride the
     property chain through the maintenance commits (pinned by
     tests/test_streaming.py). Returns per-ledger stats
     ``{files_before, files_after, vacuumed_dirs}``."""
+    from data_pipeline_with_spark_spark.lake.versioned import retry_on_conflict
+
     out: dict[str, dict] = {}
     for name, t, zkey in (
         ("ledger", ledger, "text_hash"),
@@ -972,8 +1007,10 @@ def maintain_stream_dedup_state(
         if t is None:
             continue
         before = len(t._snapshot_files()[0])
-        t.optimize(
-            zorder_by=[zkey], target_file_size_bytes=target_file_size_bytes
+        retry_on_conflict(
+            lambda t=t, zkey=zkey: t.optimize(
+                zorder_by=[zkey], target_file_size_bytes=target_file_size_bytes
+            )
         )
         removed = t.vacuum(
             keep_versions=keep_versions,

@@ -67,18 +67,23 @@ def test_schema_enforcement_and_evolution(spark, cars, tmp_path):
         t.append(bad, merge_schema=True)
 
 
-def test_vacuum_retention_spares_young_orphans(spark, cars, tmp_path):
-    # A never-committed dir can be a LIVE in-flight staging attempt
-    # (between its parquet write and its O_EXCL log publish) — vacuum
-    # must give it the retention benefit of the doubt (r7 advice;
-    # Delta's deletedFileRetentionDuration, default 7 days). Dirs
-    # referenced by pruned history were published-then-superseded and
-    # collect immediately regardless of age.
+def test_vacuum_retention_spares_young_orphans_and_recent_superseded(
+    spark, cars, tmp_path
+):
+    # Two retention classes (r7 advice + r9 concurrent-reader fix;
+    # Delta's deletedFileRetentionDuration, default 7 days):
+    # - a never-committed dir can be a LIVE in-flight staging attempt
+    #   (between its parquet write and its O_EXCL log publish) — mtime
+    #   within the window spares it;
+    # - a dir superseded by a RECENT commit can still be held by a
+    #   concurrent reader's snapshot — supersede time within the
+    #   window spares it too (collecting it immediately is the
+    #   FileNotFound race test_maintenance_beside_active_folds found).
     import os
     import time
 
     t = VersionedTable(spark, str(tmp_path / "ret")).create(cars)
-    t.optimize()  # supersedes v0's dir
+    t.optimize()  # supersedes v0's dir — JUST NOW, inside retention
 
     # fake in-flight staging attempts (never referenced by any commit)
     young = t.data_dir / "v99_aaaaaaaa"
@@ -91,13 +96,14 @@ def test_vacuum_retention_spares_young_orphans(spark, cars, tmp_path):
     os.utime(old, (stale, stale))
 
     removed = t.vacuum(keep_versions=1)
-    assert any("v0" in p for p in removed)  # superseded: age-exempt
+    assert not any("v0" in p for p in removed)  # superseded recently: spared
     assert str(old) in removed  # past retention: collected
     assert str(young) not in removed and young.exists()  # spared
 
-    # retention 0 restores the old eager behavior explicitly
+    # retention 0 opts into eager collection for BOTH classes
     removed2 = t.vacuum(keep_versions=1, orphan_retention_seconds=0)
     assert str(young) in removed2 and not young.exists()
+    assert any("v0" in p for p in removed2)
 
 
 def test_vacuum_sql_retain_hours_clause(spark, cars, tmp_path):
@@ -193,7 +199,7 @@ def test_delete_and_vacuum(spark, cars, tmp_path):
     # parts of v0 stay live; OPTIMIZE rewrites the snapshot, after which
     # vacuum can drop every older directory.
     t.optimize()
-    removed = t.vacuum(keep_versions=1)
+    removed = t.vacuum(keep_versions=1, orphan_retention_seconds=0)
     assert removed  # pre-optimize dirs no longer referenced
     assert t.read().count() == 2  # live snapshot intact
 
@@ -356,7 +362,7 @@ def test_optimize_where_partial_compaction(spark, tmp_path):
     # time travel still reads the pre-compaction snapshot
     assert {tuple(r) for r in t.read(version=1).collect()} == before
     # vacuum keeps directories pinned by loose-file references
-    t.vacuum(keep_versions=1)
+    t.vacuum(keep_versions=1, orphan_retention_seconds=0)
     assert {tuple(r) for r in t.read().collect()} == before
 
 
@@ -407,7 +413,7 @@ def test_partitioned_table_lifecycle(spark, tmp_path):
     # time travel reaches the pre-update partitioned snapshot
     assert {r.v for r in t.read(version=1).where("k = 0").collect()} == {0.0}
     # vacuum never breaks the live snapshot (loose refs pin ancestors)
-    t.vacuum(keep_versions=1)
+    t.vacuum(keep_versions=1, orphan_retention_seconds=0)
     assert {tuple(r) for r in t.read().collect()} == before
 
 
@@ -1338,7 +1344,7 @@ def test_reorg_purge_rewrites_only_affected_files(spark, tmp_path):
     # idempotent when no DVs remain
     assert t.purge_deletion_vectors() is t
     # vacuum after purge reclaims the tombstone directory
-    removed = t.vacuum(keep_versions=1)
+    removed = t.vacuum(keep_versions=1, orphan_retention_seconds=0)
     assert any("_dv" in p for p in removed)
     assert t.read().count() == 99
 
@@ -1350,7 +1356,7 @@ def test_deletion_vectors_with_vacuum_and_rename(spark, tmp_path):
     t.delete("score >= 30", use_dv=True)  # logical name through the mapping
     assert t.read().count() == 30
     # vacuum keeps the live DV files: reads must still apply tombstones
-    t.vacuum(keep_versions=1)
+    t.vacuum(keep_versions=1, orphan_retention_seconds=0)
     assert t.read().count() == 30 and "score" in t.read().columns
     d = t.detail()
     assert d["num_deletion_vectors"] == 1
@@ -2269,7 +2275,7 @@ def test_recorded_cdf_dv_delete_and_vacuum(spark, tmp_path):
     assert ch == {(1, "delete"), (6, "delete"), (11, "delete"), (16, "delete")}
     # feed survives a vacuum that keeps this version
     t.append(spark.createDataFrame([(100, 0.5)], ["id", "v"]))              # v2
-    t.vacuum(keep_versions=2)
+    t.vacuum(keep_versions=2, orphan_retention_seconds=0)
     assert {(r.id, r._change_type) for r in t.changes(1, 2).collect()} == {
         (100, "insert")
     }
@@ -2278,7 +2284,7 @@ def test_recorded_cdf_dv_delete_and_vacuum(spark, tmp_path):
     # table's real root); the old window then falls back to the snapshot
     # diff — which still works because v2's commit carries v0's data dir
     # and v1's DV tombstone by reference — with identical rows.
-    t.vacuum(keep_versions=1)
+    t.vacuum(keep_versions=1, orphan_retention_seconds=0)
     import pathlib
 
     assert list((pathlib.Path(t.root) / "_change_data").glob("v1_*")) == []
@@ -2395,7 +2401,7 @@ def test_recorded_cdf_insert_dirs_vacuumed_falls_back(spark, tmp_path):
     t.create(spark.createDataFrame([(1, "a")], "id INT, tag STRING"))
     t.append(spark.createDataFrame([(2, "b")], "id INT, tag STRING"))   # v1
     t.optimize()                                                        # v2
-    t.vacuum(keep_versions=1)
+    t.vacuum(keep_versions=1, orphan_retention_seconds=0)
     try:
         t.changes(0, 1).collect()
     except Exception:
@@ -2505,3 +2511,31 @@ def test_matview_minmax_new_key_churn_within_window(spark, tmp_path):
     view.refresh()
     w = {r.k: (r.n_rows, r.min_v, r.max_v) for r in view.read().collect()}["w"]
     assert w == (1, 8, 8)
+
+
+def test_vacuum_sql_retain_clauses_either_order(spark, cars, tmp_path):
+    # r8 advice: the grammar was clause-order-sensitive — RETAIN n
+    # VERSIONS had to precede RETAIN h HOURS and the reverse order fell
+    # through to unsupported-statement. Both orders must now parse and
+    # bind both clauses.
+    from data_pipeline_with_spark_spark.lake.sql_router import LakehouseSQL
+
+    t = VersionedTable(spark, str(tmp_path / "sqlord")).create(cars)
+    orphan = t.data_dir / "v88_dddddddd"
+    orphan.mkdir()
+    (orphan / "part-0.parquet").write_bytes(b"x")
+    router = LakehouseSQL(spark, str(tmp_path / "ws"))
+    router.register_table("sqlord", t)
+    a = {
+        r.removed_path
+        for r in router.sql(
+            "VACUUM sqlord RETAIN 1 VERSIONS RETAIN 0 HOURS DRY RUN"
+        ).collect()
+    }
+    b = {
+        r.removed_path
+        for r in router.sql(
+            "VACUUM sqlord RETAIN 0 HOURS RETAIN 1 VERSIONS DRY RUN"
+        ).collect()
+    }
+    assert a == b and str(orphan) in a and orphan.exists()  # dry run

@@ -322,3 +322,25 @@ def test_aqe_skew_join_fires_on_hot_key(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
         spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+
+
+def test_artifact_sig_detects_same_mtime_rewrite(tmp_path):
+    # r8 advice: the quantizer cache keyed on (name, mtime) alone — a
+    # rebuild preserving mtimes (copy --preserve, or sub-granularity
+    # rewrites) served stale centroids. The signature now carries
+    # st_mtime_ns AND st_size, so a same-mtime different-length rewrite
+    # changes the key.
+    import os
+
+    from data_pipeline_with_spark_spark.llm.similarity import _artifact_sig
+
+    d = tmp_path / "idx" / "centroids"
+    d.mkdir(parents=True)
+    f = d / "part-0.parquet"
+    f.write_bytes(b"aaaa")
+    st = os.stat(f)
+    sig1 = _artifact_sig(str(tmp_path / "idx"), "centroids")
+    f.write_bytes(b"bbbbbbbb")  # different content AND length
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))  # restore mtime
+    sig2 = _artifact_sig(str(tmp_path / "idx"), "centroids")
+    assert sig1 != sig2

@@ -586,3 +586,149 @@ def test_stream_near_dup_survives_ledger_compaction(spark, tmp_path):
         is False
     )
     assert {(r.id_a, r.id_b) for r in pt.read().collect()} == want
+
+
+def test_maintenance_retries_lost_publish_race(spark, tmp_path, monkeypatch):
+    # Deterministic O_EXCL-race simulation: the FIRST publish attempt of
+    # the maintenance OPTIMIZE loses the slot race (CommitConflict); the
+    # retry_on_conflict wrapper inside maintain_stream_dedup_state must
+    # absorb it, re-commit, and leave state + accounting intact.
+    from data_pipeline_with_spark_spark.lake.versioned import (
+        CommitConflict,
+        VersionedTable,
+    )
+    from data_pipeline_with_spark_spark.llm.dedup import exact_dedup_groups
+    from data_pipeline_with_spark_spark.streaming.demo import (
+        DEDUP_LEDGER_SCHEMA,
+        fold_dedup_batch,
+        maintain_stream_dedup_state,
+    )
+
+    rows = [(1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "ccc")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    ledger = VersionedTable(spark, str(tmp_path / "led")).create(
+        spark.createDataFrame([], DEDUP_LEDGER_SCHEMA)
+    )
+    assert fold_dedup_batch(ledger, docs, 0)
+
+    real = VersionedTable._publish_commit.__func__
+    calls = {"n": 0}
+
+    def flaky(cls, tmp, target, version):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise CommitConflict(f"concurrent commit conflict at v{version}")
+        return real(cls, tmp, target, version)
+
+    monkeypatch.setattr(
+        VersionedTable, "_publish_commit", classmethod(flaky)
+    )
+    stats = maintain_stream_dedup_state(
+        ledger=ledger, orphan_retention_seconds=0
+    )["ledger"]
+    assert calls["n"] >= 2  # the conflict really fired and was retried
+    got = {(r.text_hash, r.keeper_id, r.n_copies) for r in ledger.read().collect()}
+    want = {
+        (r.text_hash, r.keeper_id, r.n_copies)
+        for r in exact_dedup_groups(docs).collect()
+    }
+    assert got == want and stats["files_after"] >= 1
+
+
+def test_fold_retries_lost_publish_race(spark, tmp_path, monkeypatch):
+    # Mirror image: the FOLD's merge loses the publish race once (as if
+    # concurrent maintenance grabbed the slot); fold_dedup_batch retries
+    # and the batch is applied exactly once.
+    from data_pipeline_with_spark_spark.lake.versioned import (
+        CommitConflict,
+        VersionedTable,
+    )
+    from data_pipeline_with_spark_spark.streaming.demo import (
+        DEDUP_LEDGER_SCHEMA,
+        fold_dedup_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb")], "doc_id LONG, text STRING"
+    )
+    ledger = VersionedTable(spark, str(tmp_path / "led")).create(
+        spark.createDataFrame([], DEDUP_LEDGER_SCHEMA)
+    )
+    real = VersionedTable._publish_commit.__func__
+    calls = {"n": 0}
+
+    def flaky(cls, tmp, target, version):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise CommitConflict(f"concurrent commit conflict at v{version}")
+        return real(cls, tmp, target, version)
+
+    monkeypatch.setattr(VersionedTable, "_publish_commit", classmethod(flaky))
+    assert fold_dedup_batch(ledger, docs, 0) is True
+    assert calls["n"] >= 2
+    got = {(r.text_hash, r.n_copies) for r in ledger.read().collect()}
+    assert got == {
+        (r.text_hash, r.n_copies)
+        for r in docs.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash").count()
+        .select("text_hash", F.col("count").alias("n_copies")).collect()
+    }
+
+
+def test_maintenance_beside_active_folds(spark, tmp_path):
+    # The docstring's "safe to run BESIDE an active stream" claim, run
+    # for real: one thread folds micro-batches while the main thread
+    # loops maintenance. Both sides retry lost publish races, so the
+    # composed run must end with the exact batch-aggregate ledger and
+    # every epoch applied exactly once.
+    import threading
+
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+    from data_pipeline_with_spark_spark.llm.dedup import exact_dedup_groups
+    from data_pipeline_with_spark_spark.streaming.demo import (
+        DEDUP_LEDGER_SCHEMA,
+        fold_dedup_batch,
+        maintain_stream_dedup_state,
+    )
+
+    rows = [(i, ["aaa", "bbb", "ccc"][i % 3]) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    ledger = VersionedTable(spark, str(tmp_path / "led")).create(
+        spark.createDataFrame([], DEDUP_LEDGER_SCHEMA)
+    )
+    batches = [rows[i : i + 3] for i in range(0, 12, 3)]
+    applied: list[bool] = []
+    errs: list[BaseException] = []
+
+    def fold_all():
+        try:
+            for epoch, b in enumerate(batches):
+                applied.append(
+                    fold_dedup_batch(
+                        ledger,
+                        spark.createDataFrame(b, "doc_id LONG, text STRING"),
+                        epoch,
+                    )
+                )
+        except BaseException as e:  # surfaced to the main thread
+            errs.append(e)
+
+    t = threading.Thread(target=fold_all)
+    t.start()
+    # Maintenance loops until the folds finish. NB: default retention —
+    # beside a live writer, retention 0 would collect the fold's
+    # just-staged (not yet published) data dir AND rip superseded dirs
+    # out from under the fold's in-flight snapshot reads (the
+    # FileNotFound race this test originally caught, fixed by giving
+    # superseded dirs the same retention window Delta's tombstones get).
+    while t.is_alive():
+        maintain_stream_dedup_state(ledger=ledger)
+    t.join()
+    assert not errs, errs
+    assert applied == [True] * 4
+    got = {(r.text_hash, r.keeper_id, r.n_copies) for r in ledger.read().collect()}
+    want = {
+        (r.text_hash, r.keeper_id, r.n_copies)
+        for r in exact_dedup_groups(docs).collect()
+    }
+    assert got == want
