@@ -9,13 +9,13 @@ The pattern for a 100 TB multimodal lakehouse:
   JVM→Python once per Arrow batch, not per row, and the operator
   composes with Catalyst like any other plan node.
 
-Decode is REAL for uncompressed containers: ``llm/codecs.py`` is a
-pure-numpy BMP (24-bit BI_RGB) and PPM (binary P6) codec, so payloads
-in those containers flow through genuine decode → grayscale →
-histogram / resize / DCT pixel math. Compressed formats (JPEG/PNG)
-would need PIL/libvips, which this container lacks — for payloads in an
-unrecognized container the codec boundary falls back to the
-clearly-marked deterministic fake (``fake=True``) or raises
+Decode is REAL for BMP (24-bit BI_RGB), PPM (binary P6), and PNG
+(stdlib-zlib IDAT, 8-bit, all five scanline filters) via the pure-numpy
+``llm/codecs.py``, so payloads in those containers flow through genuine
+decode → grayscale → histogram / resize / DCT pixel math. JPEG (lossy
+DCT + Huffman) would need PIL/libvips, which this container lacks — for
+payloads in an unrecognized container the codec boundary falls back to
+the clearly-marked deterministic fake (``fake=True``) or raises
 NotImplementedError, exercising the identical Spark plumbing either way.
 """
 
@@ -65,7 +65,7 @@ def attach_image_payload(
     fmt: str = "bmp",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Attach a REAL image payload (BMP or PPM container, decodable by
+    """Attach a REAL image payload (BMP, PPM, or PNG container, decodable by
     ``llm/codecs.py``) derived deterministically from the id column:
     grayscale pixel at flat index i is ``(doc_id*177 + i*55) % 256``.
     The formula is SQL-replayable, so downstream pixel statistics are
@@ -84,7 +84,11 @@ def attach_image_payload(
             out.append(codecs.encode_image(gray, fmt))
         return pd.Series(out)
 
-    mime = "image/bmp" if fmt == "bmp" else "image/x-portable-pixmap"
+    mime = {
+        "bmp": "image/bmp",
+        "ppm": "image/x-portable-pixmap",
+        "png": "image/png",
+    }[fmt]
     with_payload = df.withColumn("payload", gen(F.col(id_col).cast("long")))
     return with_payload.withColumn(
         "meta",
@@ -99,12 +103,12 @@ def attach_image_payload(
 
 
 def decode_image_stub(payload: bytes, fake: bool = False) -> dict:
-    """Codec boundary. REAL decode for uncompressed containers (BMP /
-    P6 PPM via the pure-numpy ``llm/codecs.py``): features are the
-    16-bin grayscale-luma histogram, checksum the pixel-value sum.
-    Compressed formats would need PIL/libvips (absent here): for an
-    unrecognized container, ``fake=True`` produces the deterministic
-    byte-histogram fake decode, else NotImplementedError."""
+    """Codec boundary. REAL decode for BMP / P6 PPM / PNG (pure-numpy
+    + stdlib-zlib ``llm/codecs.py``): features are the 16-bin
+    grayscale-luma histogram, checksum the pixel-value sum. JPEG would
+    need PIL/libvips (absent here): for an unrecognized container,
+    ``fake=True`` produces the deterministic byte-histogram fake
+    decode, else NotImplementedError."""
     data = bytes(payload)
     if codecs.sniff_format(data) is not None:
         try:
@@ -128,8 +132,8 @@ def decode_image_stub(payload: bytes, fake: bool = False) -> dict:
                 raise
     if not fake:
         raise NotImplementedError(
-            "compressed image/audio codecs not available in this environment; "
-            "supply BMP/PPM payloads or use fake=True for the deterministic "
+            "JPEG/other codecs not available in this environment; supply "
+            "BMP/PPM/PNG payloads or use fake=True for the deterministic "
             "test decoder"
         )
     n = len(data)
@@ -179,7 +183,7 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_image_stub(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
-    """Resize codec boundary. REAL for BMP/PPM payloads: decode with
+    """Resize codec boundary. REAL for BMP/PPM/PNG payloads: decode with
     the pure-numpy codec, nearest-neighbor resample, re-encode in the
     same container. For unrecognized containers ``fake=True``
     deterministically truncates/pads the byte stream to width*height
@@ -203,8 +207,8 @@ def payload_to_grid_bytes(data: bytes, target: int, fake: bool) -> bytes:
     contract shared by resize_image_stub and perceptual_hash."""
     if not fake:
         raise NotImplementedError(
-            "compressed image codecs not available in this environment; "
-            "supply BMP/PPM payloads or use fake=True"
+            "JPEG/other codecs not available in this environment; "
+            "supply BMP/PPM/PNG payloads or use fake=True"
         )
     return data[:target].ljust(target, b"\0")
 
@@ -293,7 +297,7 @@ def perceptual_hash(
     fake: bool = True,
 ) -> DataFrame:
     """Perceptual hash (pHash) for image-shaped payloads: decode to a
-    ``size``×``size`` grayscale grid (REAL decode for BMP/PPM via the
+    ``size``×``size`` grayscale grid (REAL decode for BMP/PPM/PNG via the
     pure-numpy codec; byte-grid fake for unrecognized containers), 2-D
     DCT-II (matmul with the cosine basis), keep the 8×8 low-frequency
     block, threshold the 63 AC coefficients at their median → 63-bit

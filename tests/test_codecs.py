@@ -1,5 +1,8 @@
-"""Pixel-exact tests for the pure-numpy image codecs (BMP / PPM) and
-the real multimodal decode path built on them."""
+"""Pixel-exact tests for the pure-numpy image codecs (BMP / PPM / PNG)
+and the real multimodal decode path built on them."""
+
+import struct
+import zlib
 
 import numpy as np
 import pytest
@@ -54,6 +57,151 @@ def test_ppm_round_trip_and_handwritten():
         codecs.decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))
 
 
+def _png_with_rows(h, w, rows_filtered, color_type=2, extra=b""):
+    """Assemble a PNG from pre-filtered scanlines (handwritten-bytes
+    harness mirroring the BMP suite: exercises the DECODER against
+    spec-authored streams, not just our own encoder's output)."""
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        codecs._PNG_SIG
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + extra
+        + codecs._png_chunk(b"IDAT", zlib.compress(b"".join(rows_filtered)))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_row(img, y, ft, bpp=3):
+    """Apply PNG filter ``ft`` to row ``y`` exactly as the W3C spec
+    defines it (independent reimplementation the decoder must invert)."""
+    row = img[y].reshape(-1).astype(np.int32)
+    prior = (
+        img[y - 1].reshape(-1).astype(np.int32)
+        if y > 0
+        else np.zeros_like(row)
+    )
+    out = np.zeros_like(row)
+    for x in range(len(row)):
+        a = int(row[x - bpp]) if x >= bpp else 0
+        b = int(prior[x])
+        c = int(prior[x - bpp]) if x >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[x] = (int(row[x]) - pred) & 0xFF
+    return bytes([ft]) + bytes(out.astype(np.uint8))
+
+
+def test_png_round_trip_exact():
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (2, 3), (5, 4), (16, 24), (7, 13)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_png(codecs.encode_png(arr)), arr)
+    # grayscale encodes color type 0 and decodes replicated, like BMP
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    out = codecs.decode_png(codecs.encode_png(gray))
+    assert np.array_equal(out[:, :, 0], gray)
+    assert np.array_equal(out[:, :, 1], gray)
+
+
+def test_png_all_filters_decode():
+    # One stream exercising every filter type (None/Sub/Up/Average/
+    # Paeth) across rows — the decoder must invert each against the
+    # reconstructed (not filtered) prior row, per spec.
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)
+    rows = [_png_filter_row(img, y, ft) for y, ft in enumerate([0, 1, 2, 3, 4])]
+    assert np.array_equal(codecs.decode_png(_png_with_rows(5, 3, rows)), img)
+    rows = [_png_filter_row(img, y, ft) for y, ft in enumerate([4, 3, 4, 1, 2])]
+    assert np.array_equal(codecs.decode_png(_png_with_rows(5, 3, rows)), img)
+
+
+def test_png_palette_alpha_variants():
+    rng = np.random.default_rng(5)
+    # color type 3: palette lookup through PLTE
+    pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, (3, 4), dtype=np.uint8)
+    rows = [bytes([0]) + bytes(idx[y]) for y in range(3)]
+    png3 = _png_with_rows(
+        3, 4, rows, color_type=3, extra=codecs._png_chunk(b"PLTE", pal.tobytes())
+    )
+    assert np.array_equal(codecs.decode_png(png3), pal[idx])
+    # color type 6 (RGBA): alpha dropped
+    rgba = rng.integers(0, 256, (2, 3, 4), dtype=np.uint8)
+    rows = [bytes([0]) + bytes(rgba[y].reshape(-1)) for y in range(2)]
+    assert np.array_equal(
+        codecs.decode_png(_png_with_rows(2, 3, rows, 6)), rgba[:, :, :3]
+    )
+    # color type 4 (gray+alpha): luma replicated, alpha dropped
+    ga = rng.integers(0, 256, (2, 3, 2), dtype=np.uint8)
+    rows = [bytes([0]) + bytes(ga[y].reshape(-1)) for y in range(2)]
+    assert np.array_equal(
+        codecs.decode_png(_png_with_rows(2, 3, rows, 4)),
+        np.repeat(ga[:, :, :1], 3, axis=2),
+    )
+
+
+def test_png_errors_and_validation():
+    arr = np.full((2, 2, 3), 7, dtype=np.uint8)
+    good = codecs.encode_png(arr)
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.decode_png(b"not a png")
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.decode_png(good[:30])  # truncated chunk
+    corrupt = bytearray(good)
+    corrupt[20] ^= 0xFF  # flip an IHDR byte -> CRC mismatch
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.decode_png(bytes(corrupt))
+    # 16-bit depth raises honestly
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    p16 = (
+        codecs._PNG_SIG
+        + codecs._png_chunk(b"IHDR", ihdr16)
+        + codecs._png_chunk(b"IDAT", zlib.compress(bytes(2 * (1 + 12))))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.decode_png(p16)
+    # Adam7 interlace raises honestly
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    pi = (
+        codecs._PNG_SIG
+        + codecs._png_chunk(b"IHDR", ihdr_i)
+        + codecs._png_chunk(b"IDAT", zlib.compress(bytes(14)))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.decode_png(pi)
+    # palette index past PLTE raises
+    rows = [bytes([0, 9, 0]), bytes([0, 0, 0])]
+    bad_pal = _png_with_rows(
+        2, 2, rows, color_type=3, extra=codecs._png_chunk(b"PLTE", bytes(9))
+    )
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.decode_png(bad_pal)
+
+
+def test_png_through_multimodal_decode_path():
+    # The PNG container flows through the SAME real-decode boundary as
+    # BMP: pixel-sum checksum, luma histogram, resize re-encode.
+    gray = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    out = multimodal.decode_image_stub(codecs.encode_png(gray), fake=False)
+    assert out["checksum"] == int(gray.sum())
+    resized = multimodal.resize_image_stub(codecs.encode_png(gray), 4, 4, fake=False)
+    assert codecs.sniff_format(resized) == "png"
+    dec = codecs.to_grayscale(codecs.decode_image(resized))
+    assert np.array_equal(dec, codecs.resize_nearest(gray, 4, 4))
+
+
 def test_grayscale_luma_exact():
     rgb = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 10, 10]]], dtype=np.uint8)
     gray = codecs.to_grayscale(rgb)
@@ -82,9 +230,15 @@ def test_decode_image_dispatch():
     arr = np.full((2, 2, 3), 9, dtype=np.uint8)
     assert np.array_equal(codecs.decode_image(codecs.encode_image(arr, "bmp")), arr)
     assert np.array_equal(codecs.decode_image(codecs.encode_image(arr, "ppm")), arr)
-    assert codecs.sniff_format(b"\x89PNG\r\n") is None
+    assert np.array_equal(codecs.decode_image(codecs.encode_image(arr, "png")), arr)
+    assert codecs.sniff_format(codecs.encode_png(arr)) == "png"
+    # JPEG (SOI marker) stays honestly unsupported
+    assert codecs.sniff_format(b"\xff\xd8\xff\xe0" + bytes(16)) is None
     with pytest.raises(codecs.UnsupportedImageError):
-        codecs.decode_image(b"\x89PNG\r\n....")
+        codecs.decode_image(b"\xff\xd8\xff\xe0" + bytes(16))
+    # a PNG signature with a garbage body is not silently accepted
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.decode_image(b"\x89PNG\r\n\x1a\n....")
 
 
 def test_decode_asset_real_pixels_no_fake_needed():
