@@ -964,6 +964,52 @@ register(
 )
 
 
+def _mm_png_features(spark: SparkSession, sf: str) -> DataFrame:
+    # Same real-decode contract as multimodal_extract_features but the
+    # container is PNG: the payload round-trips encode_png (zlib-
+    # compressed filtered scanlines) -> decode_png (CRC check, inflate,
+    # unfilter), so a single wrong byte anywhere in the PNG path breaks
+    # the checksum/histogram hash match. n_bytes is omitted — a
+    # compressed container's size is not SQL-replayable (and is the
+    # point: the bytes differ per doc while the PIXELS match the
+    # generator formula the oracle replays).
+    docs = read_testdata(spark, sf, "documents")
+    assets = multimodal.attach_image_payload(docs, width=24, height=16, fmt="png")
+    feats = multimodal.extract_features(assets, fake=False)
+    hist_int = F.transform(
+        "features", lambda x: F.floor(x * F.lit(384.0) + F.lit(0.5)).cast("int")
+    )
+    return feats.select(
+        "doc_id",
+        F.col("checksum").cast("bigint").alias("checksum"),
+        F.md5(F.concat_ws(",", hist_int)).alias("hist_digest"),
+    )
+
+
+register(
+    QuerySpec(
+        name="multimodal_png_features",
+        build=_mm_png_features,
+        doc="Arrow-batched mapInPandas over REAL PNG decode (stdlib-zlib IDAT, "
+        "llm/codecs.py); oracle replays the deterministic pixel generator in SQL "
+        "— the hash only matches if the zlib round-trip is pixel-exact",
+        oracle="""
+        WITH px AS (
+          SELECT doc_id,
+                 list_transform(range(0, 384), i -> (doc_id*177 + i*55) % 256) AS p
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(list_sum(p) AS BIGINT) AS checksum,
+               md5(array_to_string(
+                 list_transform(range(0, 16), b ->
+                   len(list_filter(p, v -> v // 16 = b))), ',')) AS hist_digest
+        FROM px
+        """,
+    )
+)
+
+
 def _audio_features(spark: SparkSession, sf: str) -> DataFrame:
     # REAL WAV decode path: payloads are genuine PCM16 RIFF/WAVE
     # containers (pure-struct parser, llm/codecs.py); sample i of doc d
