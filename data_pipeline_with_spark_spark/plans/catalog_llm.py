@@ -137,17 +137,19 @@ register(
 )
 
 
+_BPE_N_MERGES = 30
+
+
 def _bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     """Train-and-apply BPE over the documents table. Train reduces the
     corpus to a word histogram (one digest-only shuffle) and learns
     merges driver-side on it; apply is the Arrow-batch escape hatch
-    with a per-batch memo. Iterative merge order is not
-    SQL-expressible, so this is rows-only for the driver; exact merge
-    and encoding semantics are pinned by a pure-Python replay test."""
+    with a per-batch memo. The oracle replays BOTH steps in pure SQL
+    (``_bpe_oracle``), so the entry is fully hash-matched."""
     from data_pipeline_with_spark_spark.llm import bpe
 
     docs = read_testdata(spark, sf, "documents")
-    merges = bpe.bpe_train(docs, n_merges=30)
+    merges = bpe.bpe_train(docs, n_merges=_BPE_N_MERGES)
     out = bpe.apply_bpe(docs, merges)
     return out.select(
         "doc_id",
@@ -156,12 +158,116 @@ def _bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bpe_oracle(n_merges: int = _BPE_N_MERGES) -> str:
+    """Generate the DuckDB replay of the WHOLE BPE pipeline — training
+    AND apply — as one static SQL statement (r8 verdict item #6,
+    upgraded from the suggested frozen-merge-table replay to a fully
+    independent one: the SQL learns its own merges from the corpus).
+
+    Training: the ``n_merges`` rounds unroll as chained CTEs. Each
+    word's piece state is a STRING with every piece wrapped in single
+    spaces (``' p  q '``): merging pair (a, b) is then exactly
+    ``replace(s, ' a  b ', ' ab ')`` — SQL replace is leftmost
+    non-overlapping, which IS BPE's left-to-right single-round
+    application (piece wrapping makes whole-piece matches structural;
+    the a==b run case works because each replacement consumes its
+    trailing delimiter). Winner per round = max summed count, then
+    lexicographically smallest (a, b) — the exact Python tiebreak.
+
+    Apply: rank-ordered iteration (a recursive CTE joining rank r at
+    step r). Applying each merge exhaustively in RANK order equals
+    ``encode_word``'s greedy lowest-rank-first because trained merge
+    lists are closed under construction: any pair involving a merged
+    token (x, ab) can only have been learned AFTER (a, b), so by-rank
+    application never misses a lower-rank opportunity, and merging
+    (a, b) can never create a new (a, b) occurrence (|ab| > |a|, |b|).
+
+    Every CTE referenced more than once is MATERIALIZED — without it
+    DuckDB inlines the round chain and the plan explodes
+    exponentially."""
+    toks = _TOKS_SQL
+    w0 = (
+        "' ' || array_to_string(list_append("
+        "list_transform(range(1, length(word)+1), i -> word[i]), '</w>'), '  ') || ' '"
+    )
+    parts = [
+        f"""
+hist AS MATERIALIZED (
+  SELECT w AS word, count(*) AS cnt FROM (
+    SELECT unnest({toks}) AS w FROM documents
+  ) GROUP BY w ORDER BY cnt DESC, word ASC LIMIT 100000
+),
+w0 AS MATERIALIZED (SELECT {w0} AS s, cnt FROM hist)"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""
+p{r} AS MATERIALIZED (
+  SELECT pcs[i] AS a, pcs[i+1] AS b, sum(cnt) AS w FROM (
+    SELECT pcs, cnt, unnest(range(1, len(pcs))) AS i FROM (
+      SELECT list_filter(string_split(s, ' '), x -> x <> '') AS pcs, cnt FROM w{r})
+  ) GROUP BY 1, 2
+),
+b{r} AS MATERIALIZED (
+  SELECT max(a) AS a, max(b) AS b
+  FROM (SELECT a, b FROM p{r} ORDER BY w DESC, a ASC, b ASC LIMIT 1)
+),
+w{r + 1} AS MATERIALIZED (
+  SELECT CASE WHEN b.a IS NULL THEN w.s
+         ELSE replace(w.s, ' ' || b.a || '  ' || b.b || ' ', ' ' || b.a || b.b || ' ') END AS s,
+         w.cnt
+  FROM w{r} w, b{r} b
+)"""
+        )
+    merges_union = "\n  UNION ALL ".join(
+        f"SELECT {r} AS r, a, b FROM b{r} WHERE a IS NOT NULL"
+        for r in range(n_merges)
+    )
+    parts.append(
+        f"""
+merges AS MATERIALIZED ({merges_union}),
+doc_words AS MATERIALIZED (
+  SELECT doc_id, i AS pos, ws[i] AS word FROM (
+    SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS i FROM (
+      SELECT doc_id, {toks} AS ws FROM documents))
+),
+dw AS (SELECT DISTINCT word FROM doc_words),
+enc AS (
+  SELECT word, {w0} AS s, 0 AS r FROM dw
+  UNION ALL
+  SELECT e.word,
+         CASE WHEN m.a IS NULL THEN e.s
+              ELSE replace(e.s, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.a || m.b || ' ') END,
+         e.r + 1
+  FROM enc e LEFT JOIN merges m ON m.r = e.r
+  WHERE e.r < {n_merges}
+),
+encoded AS MATERIALIZED (
+  SELECT word, list_filter(string_split(s, ' '), x -> x <> '') AS pieces
+  FROM enc WHERE r = {n_merges}
+),
+doc_tokens AS (
+  SELECT doc_id, flatten(list(pieces ORDER BY pos)) AS toks
+  FROM (SELECT d.doc_id, d.pos, e.pieces FROM doc_words d JOIN encoded e USING (word))
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(len(t.toks), 0) AS BIGINT) AS n_bpe_tokens,
+       md5(coalesce(array_to_string(t.toks, ' '), '')) AS bpe_digest
+FROM documents d LEFT JOIN doc_tokens t USING (doc_id)"""
+    )
+    return "WITH RECURSIVE " + ",".join(parts)
+
+
 register(
     QuerySpec(
         name="text_bpe_tokenize",
         build=_bpe_tokenize,
-        doc="BPE subword tokenization: histogram-train (driver learns on word counts) + memoized Arrow-batch apply",
-        oracle=None,  # iterative merge order not SQL-expressible; replay test covers values
+        doc="BPE subword tokenization: histogram-train (driver learns on word "
+        "counts) + memoized Arrow-batch apply; oracle replays training AND "
+        "apply in pure SQL (unrolled merge rounds + rank-ordered recursive "
+        "apply)",
+        oracle=_bpe_oracle(),
     )
 )
 
