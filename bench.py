@@ -35,6 +35,20 @@ def parse_sf(path: str) -> float:
         return -1.0
 
 
+def check_sf1_regressions(sf1_timings: dict, baseline: dict) -> dict:
+    """Compare fresh sf1 medians against the committed baseline
+    (SF1_BASELINE.json); a query is a regression when it exceeds
+    ``baseline * regression_factor``. Pure so the guard is unit-testable
+    without running the bench."""
+    factor = float(baseline.get("regression_factor", 1.5))
+    refs = baseline.get("queries", {})
+    return {
+        name: {"sec": sec, "baseline": refs[name]}
+        for name, sec in sf1_timings.items()
+        if name in refs and sec > refs[name] * factor
+    }
+
+
 def main() -> None:
     spark = get_spark("bench")
     specs = headline_queries()
@@ -128,6 +142,28 @@ def main() -> None:
         out["sf1_total"] = round(sum(sf1_timings.values()), 3)
         out["sf1_queries"] = sf1_timings
         out["sf1_n"] = len(sf1_timings)
+        # Machine-detectable regression guard (r8 verdict item #5): each
+        # sf1 median compares against the committed SF1_BASELINE.json;
+        # exceeding baseline * regression_factor emits a loud
+        # "regression:" line on STDERR (stdout stays the one JSON line
+        # the driver contract requires) and lands in the JSON under
+        # "regressions". Rerun protocol lives in the baseline file's
+        # _doc: reproduce across two quiet-box runs before believing it;
+        # accept deliberate changes by updating the baseline in the same
+        # commit as the plan change.
+        base_path = Path(__file__).resolve().parent / "SF1_BASELINE.json"
+        if base_path.is_file():
+            base = json.loads(base_path.read_text())
+            regressions = check_sf1_regressions(sf1_timings, base)
+            for name, r in regressions.items():
+                print(
+                    f"regression: {name} {r['sec']:.3f}s > "
+                    f"{base.get('regression_factor', 1.5)}x baseline "
+                    f"{r['baseline']:.3f}s (see SF1_BASELINE.json rerun protocol)",
+                    file=sys.stderr,
+                )
+            if regressions:
+                out["regressions"] = regressions
     print(json.dumps(out))
 
 

@@ -71,3 +71,33 @@ def test_registry_rotation_policy():
         # least-recently-sampled: round numbers non-decreasing in tier 2
         rounds = [hist[n][0] for n in rotated if n in hist and not hist[n][1]]
         assert rounds == sorted(rounds)
+
+
+def test_sf1_regression_guard_logic():
+    # The bench's machine-detectable regression guard (SF1_BASELINE.json
+    # + bench.check_sf1_regressions): flags only entries past
+    # baseline * factor, ignores unknown queries, honors a custom factor.
+    import json
+    from pathlib import Path
+
+    from bench import check_sf1_regressions
+
+    base = {
+        "regression_factor": 1.5,
+        "queries": {"q_fast": 1.0, "q_slow": 2.0},
+    }
+    # within budget: 1.5x exactly is NOT a regression (strict >)
+    assert check_sf1_regressions({"q_fast": 1.5, "q_slow": 2.9}, base) == {}
+    flagged = check_sf1_regressions(
+        {"q_fast": 1.51, "q_slow": 1.0, "q_unknown": 99.0}, base
+    )
+    assert flagged == {"q_fast": {"sec": 1.51, "baseline": 1.0}}
+    # custom factor honored
+    tight = dict(base, regression_factor=1.1)
+    assert "q_slow" in check_sf1_regressions({"q_slow": 2.3}, tight)
+    # the committed baseline file parses and covers the frozen sf1 set
+    committed = json.loads(
+        (Path(__file__).resolve().parent.parent / "SF1_BASELINE.json").read_text()
+    )
+    assert committed["regression_factor"] == 1.5
+    assert "dedup_minhash_lsh_pairs" in committed["queries"]
