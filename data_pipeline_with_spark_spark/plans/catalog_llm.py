@@ -2222,20 +2222,88 @@ register(
 
 # --------------------------------------------------------------------------
 # Iterative algorithm surface: pure-DataFrame Lloyd's k-means over the
-# embedding table (genuinely non-SQL-expressible per the driver
-# contract: iterative driver loop → rows-only check; correctness is
-# pinned by test_kmeans_lloyd_matches_numpy's exact cross-check).
+# embedding table. The Spark side is a driver loop; the oracle unrolls
+# the SAME fixed iteration count as chained materialized CTEs (the BPE
+# technique), so the entry is hash-matched, not rows-only.
 def _kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     emb = read_testdata(spark, sf, "embeddings")
     assigned, _ = similarity.kmeans_lloyd(emb, k=8, iters=5)
     return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
 
 
+def _kmeans_cte(k: int, iters: int) -> str:
+    """CTE chain replaying ``similarity.kmeans_lloyd`` in DuckDB:
+    deterministic init (k lowest-id vectors), per-round nearest-centroid
+    assignment (squared-euclid as the SAME left fold Spark's
+    ``aggregate`` runs — ``list_reduce`` starts from the first element,
+    and ``0.0 + x == x`` exactly) with Spark's first-index-of-min
+    tiebreak (ORDER BY dist, cluster), then per-dimension means with
+    empty clusters keeping their previous centroid (LEFT JOIN
+    coalesce). Integer outputs (assignments/counts) make the replay
+    robust: ``avg`` summation order may differ between engines by an
+    ulp, but assignment flips would need inter-centroid margins at
+    1e-15 relative, and the fixture margins are ~1e-6 at worst.
+    MATERIALIZED everywhere a CTE is referenced twice — DuckDB
+    otherwise inlines the round chain exponentially. Yields the final
+    assignment as ``a{iters - 1}`` (Spark returns the assignment made
+    with the LAST updated centroids; its trailing recompute is
+    unused)."""
+    parts = [
+        """
+pts AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cluster, v AS c
+  FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT %d)
+)"""
+        % k
+    ]
+    for r in range(iters):
+        parts.append(
+            f"""
+a{r} AS MATERIALIZED (
+  SELECT vec_id, v, CAST(cluster AS INT) AS cluster FROM (
+    SELECT vec_id, v, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+    FROM (
+      SELECT p.vec_id, p.v, c.cluster,
+             list_reduce(list_transform(range(1, len(p.v)+1),
+                                        i -> (p.v[i]-c.c[i])*(p.v[i]-c.c[i])),
+                         (x, y) -> x + y) AS d
+      FROM pts p, c{r} c))
+  WHERE rn = 1
+)"""
+        )
+        if r + 1 < iters:
+            parts.append(
+                f"""
+m{r} AS (
+  SELECT cluster, pos, avg(x) AS m FROM (
+    SELECT cluster, unnest(v) AS x, unnest(range(1, len(v)+1)) AS pos FROM a{r})
+  GROUP BY cluster, pos
+),
+c{r + 1} AS MATERIALIZED (
+  SELECT c.cluster, coalesce(n.c, c.c) AS c
+  FROM c{r} c LEFT JOIN
+       (SELECT cluster, list(m ORDER BY pos) AS c FROM m{r} GROUP BY cluster) n
+       USING (cluster)
+)"""
+            )
+    return ",".join(parts)
+
+
 register(
     QuerySpec(
         name="cluster_kmeans_lloyd",
         build=_kmeans_clusters,
-        doc="pure-DataFrame Lloyd's k-means (deterministic init, 5 iters): cluster sizes",
+        doc="pure-DataFrame Lloyd's k-means (deterministic init, 5 iters): "
+        "cluster sizes; oracle unrolls the same 5 Lloyd rounds in SQL",
+        oracle="WITH "
+        + _kmeans_cte(k=8, iters=5)
+        + """
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+FROM a4 GROUP BY cluster""",
     )
 )
 
@@ -2453,20 +2521,60 @@ register(
 )
 
 
+# Threshold 0.35, not SemDeDup's literature 0.95: the synthetic
+# embedding fixtures top out at cos~0.48-0.60, so 0.95 never dropped a
+# vector and the entry was checking plumbing only. At 0.35 hundreds of
+# pairs fire at every SF while the nearest pair to the threshold sits
+# ~1e-6 away — nine orders of magnitude above any cross-engine float
+# divergence, and the oracle replicates Spark's exact left-fold
+# dot-product anyway.
+_SEMDEDUP_THRESHOLD = 0.35
+
+# Spark's dot() is aggregate(zip_with(a, b, *), 0.0, +): a sequential
+# left fold in doubles. This replays it term-for-term (list_reduce
+# starts from the first element; 0.0 + x == x), so cosines are
+# bit-identical across engines, not merely close.
+_FOLD_DOT = (
+    "list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]),"
+    " (x, y) -> x + y)"
+)
+_FOLD_COS = (
+    f"({_FOLD_DOT.format(a='{a}', b='{b}')}"
+    f" / (sqrt({_FOLD_DOT.format(a='{a}', b='{a}')})"
+    f" * sqrt({_FOLD_DOT.format(a='{b}', b='{b}')})))"
+)
+
+
 def _semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     emb = read_testdata(spark, sf, "embeddings")
-    kept = similarity.semantic_dedup(emb, k=8, iters=3, threshold=0.95)
-    return kept.agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.count_distinct("label").alias("n_labels_surviving"),
+    kept = similarity.semantic_dedup(
+        emb, k=8, iters=3, threshold=_SEMDEDUP_THRESHOLD
     )
+    return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
 register(
     QuerySpec(
         name="sim_semantic_dedup",
         build=_semantic_dedup,
-        doc="SemDeDup: k-means cells + within-cell cosine>=0.95 min-id keeper (iterative -> rows-only; pytest pins semantics)",
+        doc="SemDeDup: k-means cells + within-cell cosine-threshold min-id "
+        "keeper; oracle unrolls the 3 Lloyd rounds and replays the exact "
+        "fold cosine",
+        oracle="WITH "
+        + _kmeans_cte(k=8, iters=3)
+        + f""",
+assigned AS MATERIALIZED (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, e.label, a.cluster
+  FROM embeddings e JOIN a2 a USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_FOLD_COS.format(a='a.emb', b='b.emb')} >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_kept
+FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+GROUP BY label""",
     )
 )
 
