@@ -2597,12 +2597,70 @@ def _ffd_pack(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# First-fit index as a pure list expression (no aggregate in the
+# recursive term): flag each bin's fitness, take the first TRUE.
+# NB DuckDB's list_position returns 0 (not NULL) when absent, so
+# "found" is tested as > 0, never IS NOT NULL.
+_FFD_FIT = "list_position(list_transform(p.caps, c -> c >= i.tok), true)"
+
 register(
     QuerySpec(
         name="curation_ffd_bin_pack",
         build=_ffd_pack,
-        doc="first-fit-decreasing whole-document bin packing per source (seq_len 256); applyInPandas per shard",
-        oracle=None,
+        doc="first-fit-decreasing whole-document bin packing per source "
+        "(seq_len 256); applyInPandas per shard; oracle replays the "
+        "sequential FFD loop as a recursive CTE carrying per-source bin "
+        "capacities",
+        oracle=rf"""
+        WITH RECURSIVE
+        pcs AS MATERIALIZED (
+          SELECT doc_id, source,
+                 regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS pieces
+          FROM documents
+        ),
+        toks AS MATERIALIZED (
+          SELECT doc_id, source, CAST({_TOK_SQL} AS BIGINT) AS tok FROM pcs
+        ),
+        -- FFD item order: tokens desc, id asc (ffd_pack's exact sort)
+        items AS MATERIALIZED (
+          SELECT doc_id, source, tok,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY tok DESC, doc_id ASC) AS rnk
+          FROM toks
+        ),
+        -- one recursion step per item rank; caps = remaining capacity
+        -- per bin in creation order; -1 sentinel closes oversize bins
+        -- (matches ffd_pack: a plain 0 would still admit 0-token docs)
+        pk AS (
+          SELECT source, 0 AS step, CAST(NULL AS BIGINT) AS doc_id,
+                 CAST(NULL AS BIGINT) AS bin_idx,
+                 CAST(NULL AS BOOLEAN) AS oversize,
+                 CAST(NULL AS BIGINT) AS tok,
+                 CAST([] AS BIGINT[]) AS caps
+          FROM (SELECT DISTINCT source FROM items)
+          UNION ALL
+          SELECT p.source, p.step + 1, i.doc_id,
+                 CASE WHEN i.tok > 256 THEN len(p.caps)
+                      WHEN coalesce({_FFD_FIT}, 0) > 0 THEN {_FFD_FIT} - 1
+                      ELSE len(p.caps) END,
+                 i.tok > 256,
+                 i.tok,
+                 CASE WHEN i.tok > 256 THEN list_append(p.caps, -1)
+                      WHEN coalesce({_FFD_FIT}, 0) > 0
+                        THEN list_transform(range(1, len(p.caps)+1),
+                               x -> CASE WHEN x = {_FFD_FIT}
+                                         THEN p.caps[x] - i.tok
+                                         ELSE p.caps[x] END)
+                      ELSE list_append(p.caps, 256 - i.tok) END
+          FROM pk p JOIN items i ON i.source = p.source AND i.rnk = p.step + 1
+        )
+        SELECT source, CAST(bin_idx AS BIGINT) AS bin_idx,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS fill_tokens,
+               bool_or(oversize) AS oversize
+        FROM pk WHERE step > 0
+        GROUP BY source, bin_idx
+        """,
     )
 )
 
