@@ -4,6 +4,8 @@ sf0.001, every oracle key has a matching query."""
 from __future__ import annotations
 
 import sys
+
+import pytest
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -17,6 +19,7 @@ def test_entry_smoke(spark):
     assert len(df.columns) > 0
 
 
+@pytest.mark.slow
 def test_queries_build_at_smoke_sf(spark, sf_dir):
     qs = se.queries()
     assert len(qs) >= 25
@@ -31,6 +34,7 @@ def test_oracle_keys_subset_of_queries():
     assert all(isinstance(v, str) and v.strip() for v in oracles.values())
 
 
+@pytest.mark.slow
 def test_oracle_canonicalizer_hazards(spark, sf_dir):
     # Every oracle pair must survive the driver's pandas canonicalizer:
     # no list/struct output columns, no HUGEINT/DECIMAL on the DuckDB

@@ -1667,6 +1667,7 @@ def test_settled_provenance_matches_legacy_unsuffixed_dirs(spark, tmp_path):
     assert t2._latest().version == v
 
 
+@pytest.mark.slow
 def test_incremental_clustering_multicolumn_box_health(spark, tmp_path):
     # CLUSTER BY (a, b): files that overlap on a but are range-disjoint
     # on b have disjoint bounding boxes — a correct multi-column health

@@ -105,6 +105,7 @@ def test_quality_score_orders_sensibly(spark):
     assert got[1] > got[2]
 
 
+@pytest.mark.slow
 def test_ann_topk_auto_dispatch(spark, tmp_path, monkeypatch):
     # FAISS-style auto dispatch: small index -> exact scan (identical
     # to brute force over the stored vectors); forced-large threshold
@@ -1026,6 +1027,7 @@ def test_broadcast_query_guard_fails_fast(spark):
         similarity.MAX_BROADCAST_QUERIES = orig
 
 
+@pytest.mark.slow
 def test_pq_train_encode_matches_numpy(spark):
     import numpy as np
 
@@ -1071,6 +1073,7 @@ def test_pq_train_encode_matches_numpy(spark):
     )
 
 
+@pytest.mark.slow
 def test_pq_refined_recall_and_exactness(spark):
     import numpy as np
 
@@ -1186,6 +1189,7 @@ def test_session_cache_registry_levels_and_release(spark):
     assert fp_cached.storageLevel == StorageLevel.NONE
 
 
+@pytest.mark.slow
 def test_ivfpq_exactness_recall_and_plan_shape(spark, tmp_path):
     import numpy as np
 
@@ -1253,6 +1257,7 @@ def test_ivfpq_exactness_recall_and_plan_shape(spark, tmp_path):
     assert fetch_scans and all("PartitionFilters: [cell" in ln for ln in fetch_scans)
 
 
+@pytest.mark.slow
 def test_versioned_ivfpq_incremental_ingest_and_time_travel(spark, tmp_path):
     from data_pipeline_with_spark_spark.llm import similarity as S
     from data_pipeline_with_spark_spark.sources.readers import read_testdata
@@ -1321,6 +1326,7 @@ def test_read_where_in_op_skips_files(spark, tmp_path):
     assert {r.id for r in t.read_where(("id", "in", [7, 999])).collect()} == {7}
 
 
+@pytest.mark.slow
 def test_versioned_ivfpq_compact_and_forget(spark, tmp_path):
     # OPTIMIZE ZORDER(cell) after many small ingests: results identical,
     # probes still skip files (footer min/max replaces hive paths).
@@ -1375,6 +1381,7 @@ def test_versioned_ivfpq_compact_and_forget(spark, tmp_path):
     assert got == {q: exact(q) for q in got} and len(got) == 3
 
 
+@pytest.mark.slow
 def test_ivfpq_sampled_training_exact_and_deterministic(spark, tmp_path):
     # Quantizers train on a bounded deterministic hash-sample (the
     # 100 TB shape: training cost is O(sample), only assign+encode
@@ -1426,6 +1433,7 @@ def test_ivfpq_sampled_training_exact_and_deterministic(spark, tmp_path):
     assert got == {q: exact(q) for q in got} and len(got) == 3
 
 
+@pytest.mark.slow
 def test_ann_probe_broadcast_fallbacks_preserve_results(spark, tmp_path, monkeypatch):
     # q_cells/q_lut are |Q| x n_probe rows; past the bound the hint is
     # dropped and the join re-plans — results must be identical. Bound
@@ -1472,6 +1480,7 @@ def test_l2_normalize_zero_vectors_and_cosine_identity(spark):
     assert math.isclose(l2, 2 - 2 * cos, rel_tol=1e-12)
 
 
+@pytest.mark.slow
 def test_ivfpq_on_normalized_embeddings_serves_cosine(spark, tmp_path):
     # The full cosine-serving path: normalize -> IVFPQ (L2 metric) ->
     # probe. Under a full probe + corpus-wide shortlist the neighbor
@@ -1618,6 +1627,7 @@ def test_pq_topk_refined_guards_query_side_once(spark):
     util.release_session_caches()
 
 
+@pytest.mark.slow
 def test_versioned_ivfpq_concurrent_ingest_serializes_or_conflicts(spark, tmp_path):
     # Two independent writers (one table handle each, like two jobs)
     # racing increments into the same index: every attempt must either

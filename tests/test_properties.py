@@ -45,6 +45,7 @@ def test_melt_inverts_pivot(spark, rows):
 
 @given(rows=st.lists(st.tuples(keys, vals), min_size=1, max_size=20))
 @_settings
+@pytest.mark.slow
 def test_union_by_name_column_order_invariant(spark, rows):
     df = spark.createDataFrame(rows, ["k", "v"])
     swapped = df.select("v", "k")
@@ -139,6 +140,7 @@ _thresholds = st.integers(min_value=0, max_value=9)
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_versioned_table_matches_model_under_random_dml(spark, tmp_path_factory, seq):
     from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
 

@@ -281,6 +281,7 @@ def test_stream_dedup_equals_batch_and_replay_noop(spark, sf_dir, tmp_path):
         assert n == base[th][1] + (1 if th in replayed else 0)
 
 
+@pytest.mark.slow
 def test_stream_dedup_order_independent(spark, tmp_path):
     # least/+ fold: folding batches in any order yields the same ledger.
     import itertools
@@ -309,6 +310,7 @@ def test_stream_dedup_order_independent(spark, tmp_path):
     assert any(n == 3 for _, _, n in results[0])  # "aa" counted thrice
 
 
+@pytest.mark.slow
 def test_stream_near_dup_order_independent_and_crash_safe(spark, tmp_path):
     from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
     from data_pipeline_with_spark_spark.llm.dedup import minhash_candidate_pairs
@@ -413,6 +415,7 @@ def test_stream_dedup_null_text_folds_into_one_group(spark, tmp_path):
     assert (None, 1, 3) in got  # the single NULL group, folded across batches
 
 
+@pytest.mark.slow
 def test_stream_ivfpq_ingest_equals_batch_built_index(spark, sf_dir, tmp_path):
     # Streamed index (4 micro-batch increments under frozen quantizers)
     # must probe identically to the same base index with the arriving
