@@ -646,6 +646,35 @@ def _adc_lut_cols(
     return out
 
 
+def _adc_lut_cols_from_col(
+    resid: Column, books_col: Column, m: int, d: int
+) -> list[Column]:
+    """`_adc_lut_cols` with the codebooks as a COLUMN (of a broadcast
+    1-row constants frame) instead of literal trees: same math, but the
+    probe plan that embeds these is a handful of nodes for the analyzer
+    instead of ~1k literals per codebook (see ``_probe_const_df``)."""
+    # NB: the per-entry lambda must be UNARY — a second (default-arg)
+    # parameter flips F.transform into its (element, index) form and
+    # binds the codebook entry to the index slot. Close over `sub` via
+    # a factory instead.
+    def entry_dist(sub: Column):
+        return lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    out = []
+    for j in range(m):
+        sub = F.slice(resid, j * d + 1, d)
+        out.append(
+            F.transform(
+                F.element_at(books_col, j + 1), entry_dist(sub)
+            ).alias(f"__lut{j}")
+        )
+    return out
+
+
 def _adc_dist(m: int) -> Column:
     """Approximate squared-L2 distance of a candidate: m 1-based array
     lookups (codes are 0-based) + adds — no vector math."""
@@ -1108,6 +1137,59 @@ def _quantizer_key(path: str) -> tuple:
     return (path, _artifact_sig(path, "centroids"), _artifact_sig(path, "codebooks"))
 
 
+def _probe_plan_sig(centroid_list, books) -> str:
+    """Content fingerprint of the quantizer values for the probe's
+    Column-fragment cache: md5 over the exact float reprs (repr
+    round-trips doubles, so distinct quantizers can't collide short of
+    an md5 collision). ~100 KB hashed in well under a millisecond —
+    noise next to the ~1.8 s of Column construction it gates."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(repr(centroid_list).encode())
+    h.update(repr(books).encode())
+    return h.hexdigest()
+
+
+def _probe_const_df(spark, centroid_list, books) -> DataFrame:
+    """ONE-row persisted frame carrying the probe constants
+    (``__cents`` = cell-indexed centroids, ``__books`` = PQ codebooks).
+
+    Why a frame and not literals: a 64×64 centroid + 8×16×8 codebook
+    literal tree is ~5k Catalyst nodes that the analyzer re-walks on
+    EVERY probe's plan (~1.3 s of the warm probe's fixed cost, profiled
+    r9). Referencing the constants as columns of a broadcast 1-row
+    relation shrinks each probe plan to a handful of nodes; the
+    CacheManager substitutes the persisted InMemoryRelation, so the
+    per-probe execution cost is one 1-row broadcast — the BM25
+    corpus-stats pattern. Session-keyed (applicationId): the persisted
+    plan dies with the JVM."""
+    from pyspark.sql import types as T
+
+    key = (
+        "probe_consts",
+        spark.sparkContext.applicationId,
+        _probe_plan_sig(centroid_list, books),
+    )
+    df = _QUANTIZER_CACHE.get(key)
+    if df is None:
+        schema = T.StructType(
+            [
+                T.StructField(
+                    "__cents", T.ArrayType(T.ArrayType(T.DoubleType()))
+                ),
+                T.StructField(
+                    "__books",
+                    T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))),
+                ),
+            ]
+        )
+        df = spark.createDataFrame([(centroid_list, books)], schema).persist()
+        df.count()  # materialize once; later probes only broadcast it
+        _quantizer_cache_put(key, df)
+    return df
+
+
 def _load_quantizer(spark, path: str):
     """(cell-indexed centroid list, codebooks) with mtime-keyed caching."""
     key = _quantizer_key(path)
@@ -1265,15 +1347,18 @@ def _ivfpq_probe_core(
         ),
         spill=True,
     )
-    cent_lit = _double_lit(centroid_list)
-    # ONE transform over the nested centroid literal, not n_cells
-    # unrolled fold expressions: the unrolled form cost ~7 s of
-    # driver-side analysis/codegen per probe at 64 cells × D=64 (the
-    # same expression-tree bloat r7 fixed for the ADC LUTs). The
-    # interpreted per-row cost is irrelevant here — this projects the
-    # guarded QUERY rows, never the corpus.
+    # The probe's dominant fixed cost was JVM-side RE-ANALYSIS of the
+    # quantizer literal trees (~5k Catalyst nodes walked per probe,
+    # ~1.3 s warm at 64 cells × m=8 — r9 profile). The constants now
+    # ride `_probe_const_df` — a persisted, broadcast 1-row frame — so
+    # every expression below references the `__cents` / `__books`
+    # COLUMNS and each probe's plan is a handful of nodes. The
+    # interpreted per-row cost is irrelevant: these project the guarded
+    # QUERY rows (|Q| × n_probe), never the corpus.
+    const_df = _probe_const_df(queries.sparkSession, centroid_list, books)
+    cents = F.col("__cents")
     dists = F.transform(
-        cent_lit,
+        cents,
         lambda c: F.aggregate(
             F.zip_with(F.col("__q"), c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
@@ -1286,20 +1371,30 @@ def _ivfpq_probe_core(
             lambda dist, i: F.struct(dist.alias("cdist"), i.alias("cell")),
         )
     )
+    resid = F.zip_with(
+        F.col("__q"),
+        F.element_at(cents, F.col("__rc.cell") + 1),
+        lambda a, b: a - b,
+    ).alias("__resid")
+    d_sub = len(books[0][0])
+    lut_cols = _adc_lut_cols_from_col(
+        F.col("__resid"), F.col("__books"), m, d_sub
+    )
+    adc = F.round(_adc_dist(m), 6)
     q_cells = (
-        q.select(
+        q.crossJoin(F.broadcast(const_df))  # 1-row constants side
+        .select(
             query_id_col,
             "__q",
+            "__cents",
+            "__books",
             F.explode(F.slice(ranked, 1, n_probe)).alias("__rc"),
         )
         .select(
             query_id_col,
             F.col("__rc.cell").alias("cell"),
-            F.zip_with(
-                F.col("__q"),
-                F.element_at(cent_lit, F.col("__rc.cell") + 1),
-                lambda a, b: a - b,
-            ).alias("__resid"),
+            resid,
+            "__books",
         )
     )
     # ONE driver job replaces the old guard-count + probe-cell collect
@@ -1332,9 +1427,7 @@ def _ivfpq_probe_core(
     # embedding fetch) — two scan_for() calls paid the parquet
     # footer/schema resolution twice per probe.
     pruned = scan_for(probe_cells)
-    q_lut = q_cells.select(
-        query_id_col, "cell", *_adc_lut_cols(F.col("__resid"), books)
-    )
+    q_lut = q_cells.select(query_id_col, "cell", *lut_cols)
     # q_lut is |Q| × n_probe rows of m × k_codes doubles — n_probe×
     # BIGGER than the guarded query relation, so the broadcast hint is
     # conditional on the inflated row count; past the bound the band
@@ -1345,7 +1438,7 @@ def _ivfpq_probe_core(
     shortlist = (
         codes_scan.join(q_lut, on="cell")
         .where(F.col(id_col) != F.col(query_id_col))
-        .withColumn("adc_dist", F.round(_adc_dist(m), 6))
+        .withColumn("adc_dist", adc)
         .withColumn(
             "srnk",
             F.row_number().over(
