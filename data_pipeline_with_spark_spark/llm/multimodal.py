@@ -287,6 +287,22 @@ PHASH_SCHEMA = T.StructType(
     ]
 )
 _PHASH_BITS = 63  # 8x8 DCT block minus the DC coefficient; stays in int64
+_PHASH_SCALE = 14  # basis = round(cos * 2^14): int64-exact, engine-portable
+
+
+def _phash_basis(n: int):
+    """Scaled-integer DCT-II basis: ``round(cos(pi*(2k+1)u/(2n)) * 2^14)``
+    as int64. One float->int rounding at table build; everything after
+    is exact integer math (|dct| <= n^2 * 255 * 2^28 ~ 2^46 at n=32).
+    The same table is embedded literally in the DuckDB oracle, so the
+    Spark pipeline and the SQL replay compute identical bits."""
+    import numpy as np
+
+    k = np.arange(n)
+    return np.round(
+        np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        * (1 << _PHASH_SCALE)
+    ).astype(np.int64)
 
 
 def perceptual_hash(
@@ -303,12 +319,23 @@ def perceptual_hash(
     block, threshold the 63 AC coefficients at their median → 63-bit
     fingerprint. Near-identical images differ in a few bits;
     resized/re-encoded copies usually in none — the standard image-dedup
-    fingerprint, one Arrow batch per Python call."""
+    fingerprint, one Arrow batch per Python call.
+
+    The DCT runs in EXACT integer arithmetic: the cosine basis is
+    scaled by 2^14 and rounded once (`_phash_basis`), every later step
+    is int64 multiply-add (bounded ≪ 2^63), and the median is the
+    sorted block's middle element — so the fingerprint is
+    bit-reproducible on any engine, which is what lets
+    `multimodal_phash_near_dups` hash-match a DuckDB replay instead of
+    staying rows-only (a float DCT's cross-engine sum-order ulps could
+    flip bits at the median boundary). Scaling by 2^14 perturbs each
+    coefficient by < 2^-14 relative — pHash thresholds at the median,
+    so ranking-preserving perturbations of this size leave the bits of
+    any non-degenerate image unchanged."""
     import numpy as np
 
     n = size
-    k = np.arange(n)
-    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    basis = _phash_basis(n)
 
     def gray_grid(payload: bytes) -> "np.ndarray":
         data = bytes(payload)
@@ -326,10 +353,10 @@ def perceptual_hash(
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                grid = gray_grid(payload).astype(np.float64)
-                dct = basis @ grid @ basis.T
+                grid = gray_grid(payload).astype(np.int64)
+                dct = basis @ grid @ basis.T  # exact int64 throughout
                 block = dct[:8, :8].flatten()[1:]  # drop DC
-                med = float(np.median(block))
+                med = int(np.sort(block)[31])  # middle of 63 — exact
                 h = 0
                 for i, v in enumerate(block):
                     if v > med:

@@ -2090,8 +2090,7 @@ register(
 def _phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # REAL pixels: 64 image classes (doc_id % 64) so same-class docs
     # carry byte-identical BMP payloads -> pHash hamming 0; the DCT runs
-    # on genuinely decoded pixel grids. DCT thresholds are not
-    # SQL-expressible -> rows-only; pixel-exact pytest covers the codec.
+    # on genuinely decoded pixel grids.
     docs = read_testdata(spark, sf, "documents").withColumn(
         "img_class", F.col("doc_id") % 64
     )
@@ -2100,15 +2099,77 @@ def _phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.phash_near_dup_pairs(hashed, max_hamming=4)
 
 
+def _phash_oracle() -> str:
+    """DuckDB replay of the WHOLE pHash near-dup pipeline. Possible
+    because the r9 pHash is EXACT integer arithmetic end to end: the
+    scaled cosine basis (``multimodal._phash_basis``, cos × 2^14
+    rounded once at table build) is embedded below as a literal, the
+    pixel generator / nearest-neighbor resize are integer formulas, the
+    median is the sorted block's middle element, and banding is
+    complete for hamming ≤ 4 by pigeonhole (63 bits, 9 bands of 7: ≤ 4
+    differing bits leave ≥ 5 bands equal), so the banded LSH equals a
+    direct hamming filter. The BMP round-trip the Spark side performs
+    is lossless (pinned by multimodal_extract_features' hash match), so
+    replaying the generator formula replays the decoded pixels."""
+    basis = multimodal._phash_basis(32)[:8]  # only rows 0..7 feed the 8x8 block
+    b8 = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(int(v)) for v in row) + "]" for row in basis
+        )
+        + "]"
+    )
+    return f"""
+    WITH b8 AS (SELECT {b8} AS b),
+    cls AS (SELECT unnest(range(0, 64)) AS img_class),
+    -- generator pixels through the integer nearest-neighbor resize:
+    -- source is 16 rows x 24 cols, pixel i = (class*177 + i*55) % 256
+    g AS (
+      SELECT img_class,
+             list_transform(range(0, 32), y ->
+               list_transform(range(0, 32), x ->
+                 (img_class*177 + (((y*16)//32)*24 + (x*24)//32)*55) % 256)) AS grid
+      FROM cls
+    ),
+    gv AS (  -- gv[i][v] = sum_j grid[i][j] * b[v][j]
+      SELECT img_class,
+             list_transform(grid, row ->
+               list_transform(b.b, bv ->
+                 list_sum(list_transform(range(1, 33), j -> row[j] * bv[j])))) AS gv
+      FROM g, b8 b
+    ),
+    dct AS (  -- flat[u*8+v+1] = sum_i b[u][i] * gv[i][v], u,v in 0..7
+      SELECT img_class,
+             flatten(list_transform(b.b, bu ->
+               list_transform(range(1, 9), v ->
+                 list_sum(list_transform(range(1, 33), i -> bu[i] * gv[i][v]))))) AS flat
+      FROM gv, b8 b
+    ),
+    ph AS (
+      SELECT img_class,
+             list_sum(list_transform(range(0, 63), i ->
+               CASE WHEN flat[i + 2] > med THEN (1::BIGINT << i) ELSE 0 END)) AS phash
+      FROM (SELECT img_class, flat, list_sort(flat[2:64])[32] AS med FROM dct)
+    ),
+    dh AS (
+      SELECT d.doc_id, p.phash FROM documents d JOIN ph p ON p.img_class = d.doc_id % 64
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 4
+    """
+
+
 register(
     QuerySpec(
         name="multimodal_phash_near_dups",
         build=_phash_pairs,
         headline=True,
         doc="image near-dup pairs via perceptual hash over REAL decoded BMP "
-        "pixels (DCT pHash + banded LSH); numpy DCT not SQL-expressible → "
-        "rows-only, pytest-verified",
-        oracle=None,
+        "pixels (integer-exact DCT pHash + banded LSH); oracle replays the "
+        "full pixel→DCT→median→bits→hamming pipeline in SQL",
+        oracle=_phash_oracle(),
     )
 )
 
