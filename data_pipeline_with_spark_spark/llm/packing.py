@@ -372,3 +372,122 @@ def split_train_holdout(
     return df.withColumn(
         out_col, F.when(bucket < cut, F.lit("holdout")).otherwise(F.lit("train"))
     )
+
+
+def _md5_bucket(col, salt: str, n: int):
+    """Salted-md5 bucket in [0, n) — the cross-engine hash primitive
+    shared with split_train_holdout (md5 is engine-identical; xxhash64
+    is not portable to the DuckDB oracle)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), col)), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % n
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 128,
+    top_k: int | None = None,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how target-like its hashed n-gram distribution is, then sample
+    without replacement proportionally to the importance weights via
+    Gumbel-top-k.
+
+    - **Features**: unigrams + bigrams of the whitespace tokens, hashed
+      into ``n_buckets`` buckets with the salted-md5 primitive (so the
+      bag-of-hashed-ngrams model — DSIR's exact feature space — is
+      engine-portable).
+    - **Weights**: per bucket, add-one-smoothed log ratio
+      ``ln((t_k+1)/(T+B)) − ln((q_k+1)/(Q+B))`` between the TARGET
+      (rows matching ``target_pred``) and the RAW (all rows)
+      distributions; a document's ``logweight`` is the sum of its
+      features' ratios (rounded to 4, the cross-engine log-sum
+      precedent from the bigram-LM entry).
+    - **Resampling**: Gumbel-top-k — ``score = logweight + g`` where
+      ``g = −ln(−ln(u))`` and ``u`` derives from a salted md5 of the
+      id, so the "randomness" is deterministic, versioned by the salt,
+      and replayable in SQL. Top-k by score IS sampling without
+      replacement with probability ∝ softmax(logweight) (Gumbel-max);
+      ``top_k=None`` returns everything with scores.
+
+    Scale shape: the feature explode aggregates map-side into at most
+    ``n_buckets`` partial rows per task (the ratio table is B rows,
+    broadcast); the per-doc sum is ONE shuffle keyed by id; the
+    selection window is a global top-k (WindowGroupLimit at rank≤k).
+    Nothing row-scale crosses the driver."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = df.select(
+        id_col,
+        F.when(target_pred, F.lit(1)).otherwise(F.lit(0)).alias("__is_target"),
+        F.explode_outer(F.concat(toks, bigrams)).alias("__feat"),
+    ).withColumn("__bucket", _md5_bucket(F.col("__feat"), salt, n_buckets))
+    counts = (
+        feats.where(F.col("__feat").isNotNull())
+        .groupBy("__bucket")
+        .agg(
+            F.sum("__is_target").cast("double").alias("t_k"),
+            F.count(F.lit(1)).cast("double").alias("q_k"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("t_k").alias("t_total"), F.sum("q_k").alias("q_total")
+    )
+    ratios = F.broadcast(
+        counts.crossJoin(F.broadcast(tot)).select(
+            "__bucket",
+            (
+                F.log((F.col("t_k") + 1) / (F.col("t_total") + n_buckets))
+                - F.log((F.col("q_k") + 1) / (F.col("q_total") + n_buckets))
+            ).alias("__ratio"),
+        )
+    )
+    per_doc = (
+        feats.join(ratios, on="__bucket", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("__feat")).alias("n_feats"),
+            F.round(F.coalesce(F.sum("__ratio"), F.lit(0.0)), 4).alias(
+                "logweight"
+            ),
+        )
+    )
+    # deterministic Gumbel noise from the id hash: u in (0, 1) from the
+    # first 8 md5 hex chars (+0.5 keeps u strictly inside the interval)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(2**32))
+    scored = df.join(per_doc, on=id_col).withColumn(
+        "score", F.round(F.col("logweight") - F.log(-F.log(u)), 4)
+    )
+    if top_k is None:
+        return scored
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("sel_rank", F.row_number().over(w))
+        .where(F.col("sel_rank") <= top_k)
+    )

@@ -2726,6 +2726,83 @@ register(
 )
 
 
+def _dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling toward the src0 domain: hashed
+    unigram+bigram log-ratio weights (target = src0 docs, raw = all),
+    Gumbel-top-100 deterministic sampling. Everything — md5 feature
+    buckets, add-one-smoothed ratios, the salted Gumbel noise — is
+    engine-portable, so the oracle replays the WHOLE selection."""
+    from data_pipeline_with_spark_spark.llm import packing
+
+    docs = read_testdata(spark, sf, "documents")
+    out = packing.dsir_select(
+        docs, F.col("source") == "src0", n_buckets=64, top_k=100
+    )
+    return out.select(
+        "doc_id", "source", "n_feats", "logweight", "score",
+        F.col("sel_rank").cast("bigint").alias("sel_rank"),
+    )
+
+
+_DSIR_HEX = "CAST(('0x' || substr(md5('dsir-v1:' || feat), 1, 8)) AS BIGINT)"
+
+register(
+    QuerySpec(
+        name="curation_dsir_select",
+        build=_dsir_select,
+        doc="DSIR data selection: hashed-ngram importance log-ratios toward "
+        "src0 + deterministic Gumbel-top-k resampling; fully SQL-replayed",
+        oracle=rf"""
+        WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+        f AS (
+          SELECT doc_id,
+                 CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_t,
+                 unnest(list_concat(toks,
+                   list_transform(range(1, greatest(len(toks), 1)),
+                                  i -> toks[i] || ' ' || toks[i+1]))) AS feat
+          FROM t
+        ),
+        b AS (SELECT doc_id, is_t, {_DSIR_HEX} % 64 AS bucket FROM f),
+        counts AS (
+          SELECT bucket,
+                 CAST(sum(is_t) AS DOUBLE) AS t_k,
+                 CAST(count(*) AS DOUBLE) AS q_k
+          FROM b GROUP BY bucket
+        ),
+        tot AS (SELECT sum(t_k) AS t_total, sum(q_k) AS q_total FROM counts),
+        ratios AS (
+          SELECT bucket,
+                 ln((t_k + 1) / (t_total + 64)) - ln((q_k + 1) / (q_total + 64))
+                   AS ratio
+          FROM counts, tot
+        ),
+        per_doc AS (
+          SELECT b.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_feats,
+                 round(sum(r.ratio), 4) AS logweight
+          FROM b JOIN ratios r USING (bucket)
+          GROUP BY b.doc_id
+        ),
+        scored AS (
+          SELECT d.doc_id, d.source,
+                 coalesce(p.n_feats, 0) AS n_feats,
+                 coalesce(p.logweight, 0.0) AS logweight,
+                 round(coalesce(p.logweight, 0.0)
+                       - ln(-ln((CAST(('0x' || substr(
+                             md5('dsir-v1|' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) + 0.5) / 4294967296.0)), 4) AS score
+          FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        )
+        SELECT doc_id, source, n_feats, logweight, score, sel_rank
+        FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS sel_rank
+              FROM scored)
+        WHERE sel_rank <= 100
+        """,
+    )
+)
+
+
 def _train_holdout_split(spark: SparkSession, sf: str) -> DataFrame:
     """Group-aware (source-hashed) train/holdout split summary: per
     split and source, doc + char counts. Group-consistency is

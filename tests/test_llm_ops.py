@@ -1759,3 +1759,54 @@ def test_near_dup_pairs_cap_passthrough(spark):
         docs, threshold=0.5, num_hashes=16, bands=8, max_bucket=None
     ).count()
     assert capped == 0 and exact == 10
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    # Planted signal: docs sharing the target domain's vocabulary must
+    # out-weigh noise docs; Gumbel-top-k is deterministic per salt.
+    from data_pipeline_with_spark_spark.llm import packing
+
+    target = [(i, "tgt", "quantum flux capacitor resonance theory") for i in range(5)]
+    like = [(10 + i, "raw", "quantum resonance theory of flux") for i in range(3)]
+    noise = [
+        (20 + i, "raw", f"mundane shopping list item {i} bread milk eggs")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(target + like + noise, ["doc_id", "source", "text"])
+    scored = packing.dsir_select(df, F.col("source") == "tgt", n_buckets=32)
+    lw = {r.doc_id: r.logweight for r in scored.collect()}
+    # every target-vocab doc beats every noise doc on raw logweight
+    assert min(lw[d] for d, *_ in target + like) > max(lw[d] for d, *_ in noise)
+
+    sel = packing.dsir_select(df, F.col("source") == "tgt", n_buckets=32, top_k=6)
+    picked = sorted(r.doc_id for r in sel.collect())
+    assert len(picked) == 6
+    # deterministic: the same salt reproduces the same selection
+    again = sorted(
+        r.doc_id
+        for r in packing.dsir_select(
+            df, F.col("source") == "tgt", n_buckets=32, top_k=6
+        ).collect()
+    )
+    assert picked == again
+    # a different salt reshuffles the Gumbel noise (scores change)
+    other = packing.dsir_select(
+        df, F.col("source") == "tgt", n_buckets=32, salt="dsir-v2"
+    )
+    s1 = {r.doc_id: r.score for r in scored.collect()}
+    s2 = {r.doc_id: r.score for r in other.collect()}
+    assert any(s1[d] != s2[d] for d in s1)
+
+
+def test_dsir_select_handles_empty_text(spark):
+    from data_pipeline_with_spark_spark.llm import packing
+
+    df = spark.createDataFrame(
+        [(1, "tgt", "alpha beta"), (2, "raw", ""), (3, "raw", "alpha beta")],
+        ["doc_id", "source", "text"],
+    )
+    rows = {r.doc_id: r for r in
+            packing.dsir_select(df, F.col("source") == "tgt").collect()}
+    assert rows[2].n_feats == 0 and rows[2].logweight == 0.0
+    assert rows[3].n_feats == 3  # 2 unigrams + 1 bigram
+    assert len(rows) == 3
