@@ -711,3 +711,71 @@ def duplicated_spans(
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated k-token spans — the k-gram-granular form
+    of exact-substring training-data dedup (Lee et al. '21,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    span is DUPLICATED when the same k consecutive tokens appear in at
+    least ``min_docs`` distinct documents. Returns per document
+    ``n_grams`` (k-gram windows), ``n_dup_spans`` (windows whose gram
+    is duplicated), and ``dup_span_ratio`` — the per-doc knob a
+    pipeline thresholds on to drop or trim boilerplate-heavy docs.
+
+    Scale shape (the dedup doctrine): the gram explode shuffles ONLY
+    (md5 digest, doc_id) pairs — never span text; the duplicated-gram
+    set comes from one digest-keyed aggregate with map-side combine
+    and flows back through a digest equi-join (AQE broadcasts it when
+    small). Two digest-keyed shuffles total, both O(corpus grams), no
+    pairwise blowup — duplication is detected by GROUPING, not by
+    joining documents against each other."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(
+        id_col, F.explode_outer(grams).alias("__digest")
+    )
+    dup = (
+        g.where(F.col("__digest").isNotNull())
+        .groupBy("__digest")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__digest")
+    )
+    flagged = g.join(dup, on="__digest", how="left_semi").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans")
+    )
+    per_doc = g.groupBy(id_col).agg(
+        F.count(F.col("__digest")).alias("n_grams")
+    )
+    return (
+        per_doc.join(flagged, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias(
+                "n_dup_spans"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce(F.col("n_dup_spans"), F.lit(0))
+                    / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_span_ratio"),
+        )
+    )

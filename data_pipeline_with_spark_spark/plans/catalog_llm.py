@@ -797,6 +797,52 @@ register(
 )
 
 
+def _repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-doc repeated 8-token SLIDING spans (Lee et al. '21 style
+    exact-substring dedup; distinct from dedup_paragraphs' disjoint
+    blocks — sliding windows catch repeats at ANY offset)."""
+    docs = read_testdata(spark, sf, "documents")
+    return dedup.repeated_spans(docs, k=8)
+
+
+register(
+    QuerySpec(
+        name="dedup_repeated_spans",
+        build=_repeated_spans,
+        doc="cross-document repeated k-token sliding spans (exact-substring "
+        "dedup signal): per-doc duplicated-window counts/ratio; only md5 "
+        "digests shuffle",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        g AS (
+          SELECT doc_id, array_to_string(toks[i : i + 7], ' ') AS gram
+          FROM (SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 6, 1))) AS i
+                FROM t)
+        ),
+        dup AS (
+          SELECT gram FROM g GROUP BY gram
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        per AS (
+          SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dup_spans
+          FROM g LEFT JOIN dup d USING (gram) GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_grams, 0) AS n_grams,
+               coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+               round(CASE WHEN coalesce(p.n_grams, 0) > 0
+                          THEN coalesce(p.n_dup_spans, 0)
+                               / CAST(p.n_grams AS DOUBLE)
+                          ELSE 0.0 END, 6) AS dup_span_ratio
+        FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+    )
+)
+
+
 def _boilerplate_rate(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source boilerplate rate: the fraction of a source's
     paragraphs that are duplicates of an earlier occurrence anywhere in

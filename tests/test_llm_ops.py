@@ -1810,3 +1810,24 @@ def test_dsir_select_handles_empty_text(spark):
     assert rows[2].n_feats == 0 and rows[2].logweight == 0.0
     assert rows[3].n_feats == 3  # 2 unigrams + 1 bigram
     assert len(rows) == 3
+
+
+def test_repeated_spans_detects_cross_doc_substring(spark):
+    # A 10-token sentence shared VERBATIM by two docs at different
+    # offsets must flag its sliding 8-gram windows in both; a doc with
+    # unique text flags nothing; short docs (< k tokens) get 0 grams.
+    shared = "the quick brown fox jumps over the lazy sleeping dog"
+    rows = [
+        (1, "intro words then " + shared),
+        (2, shared + " and a different tail entirely here"),
+        (3, "totally unique content nothing repeated anywhere in corpus at all"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.repeated_spans(df, k=8).collect()}
+    # 10 shared tokens -> 3 shared 8-gram windows in each carrier
+    assert out[1].n_dup_spans == 3 and out[2].n_dup_spans == 3
+    assert out[3].n_dup_spans == 0
+    assert out[4].n_grams == 0 and out[4].dup_span_ratio == 0.0
+    # window counts: doc1 has 13 tokens -> 6 windows
+    assert out[1].n_grams == 6
