@@ -2849,6 +2849,119 @@ register(
 )
 
 
+_QC_B = 64       # hashed feature buckets (bias rides as bucket B)
+_QC_ITERS = 5    # full-batch GD rounds (unrolled in the oracle)
+
+
+def _quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Train the hashed-LR quality classifier toward src0 in-engine,
+    score the whole corpus. Training is 5 full-batch GD rounds with
+    the round-6 quantization doctrine, so the oracle replays the
+    entire optimization, not just the scoring. (The fixture sources
+    share one 31-word vocabulary, so src0 is genuinely inseparable
+    here — the entry verifies the OPTIMIZATION MACHINERY bit-for-bit
+    [406 distinct scores at sf0.01, weights evolve every round];
+    test_quality_classifier_separates_planted_domains pins real
+    separation on a separable corpus.)"""
+    from data_pipeline_with_spark_spark.llm import classifier
+
+    docs = read_testdata(spark, sf, "documents")
+    w = classifier.train_quality_classifier(
+        docs, F.col("source") == "src0", n_buckets=_QC_B, iters=_QC_ITERS
+    )
+    return classifier.score_quality(docs, w).select(
+        "doc_id", "source", "quality_score"
+    )
+
+
+def _qc_oracle(n_buckets: int = _QC_B, iters: int = _QC_ITERS) -> str:
+    """DuckDB replay of classifier training AND scoring: the GD rounds
+    unroll as chained MATERIALIZED CTEs (the BPE/Lloyd technique); the
+    weight vector lives in a 1-row list column, gradients densify via a
+    bucket-range LEFT JOIN (lambdas cannot hold subqueries), and every
+    quantization point (tf, probabilities, weights) matches the Spark
+    side's round-6 doctrine."""
+    hexb = f"CAST(('0x' || substr(md5('qc-v1:' || feat), 1, 8)) AS BIGINT) % {n_buckets}"
+    nb1 = n_buckets + 1
+    parts = [
+        f"""
+t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+f0 AS (
+  SELECT doc_id,
+         unnest(list_concat(toks,
+           list_transform(range(1, greatest(len(toks), 1)),
+                          i -> toks[i] || ' ' || toks[i+1]))) AS feat
+  FROM t
+),
+fx AS MATERIALIZED (
+  SELECT doc_id, bucket, round(sum(x), 6) AS x FROM (
+    SELECT doc_id, {hexb} AS bucket,
+           round(cnt / CAST(n AS DOUBLE), 6) AS x
+    FROM (SELECT doc_id, feat, count(*) AS cnt,
+                 sum(count(*)) OVER (PARTITION BY doc_id) AS n
+          FROM f0 GROUP BY doc_id, feat))
+  GROUP BY doc_id, bucket
+  UNION ALL
+  SELECT doc_id, {n_buckets} AS bucket, 1.0 AS x FROM documents
+),
+yv AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+w0 AS (SELECT list_transform(range(0, {nb1}), i -> 0.0) AS w)"""
+    ]
+    for r in range(iters):
+        parts.append(
+            f"""
+m{r} AS (
+  SELECT f.doc_id, sum(w.w[f.bucket + 1] * f.x) AS m
+  FROM fx f, w{r} w GROUP BY f.doc_id
+),
+p{r} AS MATERIALIZED (
+  SELECT m.doc_id, round(1.0 / (1.0 + exp(-m.m)), 6) - yv.y AS r
+  FROM m{r} m JOIN yv USING (doc_id)
+),
+g{r} AS (
+  SELECT f.bucket, sum(p.r * f.x) AS g
+  FROM fx f JOIN p{r} p USING (doc_id) GROUP BY f.bucket
+),
+gl{r} AS (
+  SELECT list(coalesce(g.g, 0.0) ORDER BY b.bucket) AS gl
+  FROM (SELECT unnest(range(0, {nb1})) AS bucket) b
+  LEFT JOIN g{r} g USING (bucket)
+),
+w{r + 1} AS MATERIALIZED (
+  SELECT list_transform(range(1, {nb1 + 1}),
+                        k -> round(w.w[k] - gl.gl[k] / nd.n, 6)) AS w
+  FROM w{r} w, gl{r} gl, nd
+)"""
+        )
+    parts.append(
+        f"""
+mf AS (
+  SELECT f.doc_id, sum(w.w[f.bucket + 1] * f.x) AS m
+  FROM fx f, w{iters} w GROUP BY f.doc_id
+)
+SELECT d.doc_id, d.source,
+       round(1.0 / (1.0 + exp(-m.m)), 6) AS quality_score
+FROM documents d JOIN mf m USING (doc_id)"""
+    )
+    return "WITH " + ",".join(parts)
+
+
+register(
+    QuerySpec(
+        name="curation_quality_classifier",
+        build=_quality_classifier,
+        doc="in-engine hashed-LR quality classifier (full-batch GD, round-6 "
+        "quantization doctrine): trained toward src0 and scored corpus-wide; "
+        "oracle replays the whole optimization as unrolled CTE rounds",
+        oracle=_qc_oracle(),
+    )
+)
+
+
 def _train_holdout_split(spark: SparkSession, sf: str) -> DataFrame:
     """Group-aware (source-hashed) train/holdout split summary: per
     split and source, doc + char counts. Group-consistency is

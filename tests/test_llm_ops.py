@@ -1831,3 +1831,50 @@ def test_repeated_spans_detects_cross_doc_substring(spark):
     assert out[4].n_grams == 0 and out[4].dup_span_ratio == 0.0
     # window counts: doc1 has 13 tokens -> 6 windows
     assert out[1].n_grams == 6
+
+
+def test_quality_classifier_separates_planted_domains(spark):
+    # On a separable corpus the in-engine LR must rank every target-
+    # domain doc above every noise doc, generalize to unseen
+    # target-like docs, and be deterministic run-to-run (the round-6
+    # quantization doctrine makes every GD round's inputs exact).
+    from data_pipeline_with_spark_spark.llm import classifier as C
+
+    target = [
+        (i, "tgt", "elegant mathematical prose about theorems and lemmas today")
+        for i in range(8)
+    ]
+    noise = [
+        (20 + i, "raw", f"buy cheap pills now click here winner {i} prize")
+        for i in range(12)
+    ]
+    unseen = [(40 + i, "raw", "elegant prose about mathematical theorems") for i in range(3)]
+    df = spark.createDataFrame(target + noise + unseen, ["doc_id", "source", "text"])
+    w = C.train_quality_classifier(df, F.col("source") == "tgt", n_buckets=64, iters=5)
+    assert len(w) == 65 and all(x == round(x, 6) for x in w)  # quantized
+    w2 = C.train_quality_classifier(df, F.col("source") == "tgt", n_buckets=64, iters=5)
+    assert w == w2  # deterministic
+    s = {r.doc_id: r.quality_score for r in C.score_quality(df, w).collect()}
+    t_min = min(s[d] for d, *_ in target)
+    n_max = max(s[d] for d, *_ in noise)
+    assert t_min > n_max
+    # unseen target-vocab docs score above the noise ceiling too
+    assert all(s[d] > n_max for d, *_ in unseen)
+
+
+def test_quality_classifier_featurize_is_quantized(spark):
+    # tf values and collision-folded sums are round-6 exact, and the
+    # bias row rides every doc (bucket == n_buckets, x == 1.0).
+    from data_pipeline_with_spark_spark.llm import classifier as C
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "")], ["doc_id", "text"]
+    )
+    rows = C.featurize(df, n_buckets=16).collect()
+    bias = [(r.doc_id, r.x) for r in rows if r.bucket == 16]
+    assert sorted(bias) == [(1, 1.0), (2, 1.0)]
+    feats = [r for r in rows if r.bucket < 16]
+    assert all(r.doc_id == 1 for r in feats)  # empty doc: bias only
+    # doc 1 features: unigrams a(2) b(1), bigrams "a b"(1) "b a"(1) -> n=5
+    assert abs(sum(r.x for r in feats) - 1.0) < 1e-6
+    assert all(r.x == round(r.x, 6) for r in feats)
