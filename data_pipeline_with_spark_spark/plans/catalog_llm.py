@@ -1860,6 +1860,106 @@ def _bigram_backoff_logprob(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DOREMI_T = 0.05  # softmax temperature over per-domain excess loss
+
+
+def _doremi_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. '23, simplified to
+    its composable core): per-source token-weighted mean NLL under the
+    bigram reference LM, excess over the corpus mean, and a softmax of
+    excess/T as the next-epoch mixture weight — domains the reference
+    model finds HARD get upweighted, the published recipe's direction.
+    Composes the bigram-backoff scorer; only (source, partials)
+    aggregate after the per-doc scoring pass. Docs with no tokens never
+    scored and are excluded on both engines by construction."""
+    per_doc = _bigram_backoff_logprob(spark, sf)
+    docs = read_testdata(spark, sf, "documents").select("doc_id", "source")
+    j = per_doc.join(docs, "doc_id")
+    src = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("mean_nll") * F.col("n_tokens")) / F.sum("n_tokens"), 6
+        ).alias("mean_nll"),
+    )
+    ref = j.agg(
+        F.round(
+            F.sum(F.col("mean_nll") * F.col("n_tokens")) / F.sum("n_tokens"), 6
+        ).alias("corpus_nll")
+    )
+    with_excess = src.crossJoin(F.broadcast(ref)).withColumn(
+        "excess_nll", F.round(F.col("mean_nll") - F.col("corpus_nll"), 6)
+    )
+    expo = with_excess.withColumn(
+        "__e", F.exp(F.col("excess_nll") / F.lit(_DOREMI_T))
+    )
+    z = expo.agg(F.sum("__e").alias("__z"))
+    return (
+        expo.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "mean_nll",
+            "excess_nll",
+            F.round(F.col("__e") / F.col("__z"), 6).alias("weight"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="curation_doremi_weights",
+        build=_doremi_weights,
+        doc="DoReMi-style domain mixture reweighting: softmax of per-source "
+        "excess NLL under the bigram reference LM (hard domains upweighted)",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        pair AS (SELECT doc_id,
+                        CASE WHEN g = 1 THEN NULL ELSE toks[g-1] END AS prev,
+                        toks[g] AS cur
+                 FROM t, unnest(range(1, len(toks) + 1)) AS u(g)),
+        uni AS (SELECT cur, count(*) AS c_cur FROM pair WHERE doc_id % 5 = 0 GROUP BY cur),
+        bi AS (SELECT prev, cur, count(*) AS c_bi FROM pair
+               WHERE doc_id % 5 = 0 AND prev IS NOT NULL GROUP BY prev, cur),
+        tot AS (SELECT sum(c_cur) AS n_total, count(*) AS v_size FROM uni),
+        scored AS (
+          SELECT p.doc_id, p.prev,
+                 CASE WHEN p.prev IS NOT NULL AND bi.c_bi IS NOT NULL
+                      THEN CAST(bi.c_bi AS DOUBLE) / CAST(pu.c_cur AS DOUBLE)
+                      ELSE (CASE WHEN p.prev IS NULL THEN 1.0 ELSE 0.4 END)
+                           * (CAST(coalesce(cu.c_cur, 0) + 1 AS DOUBLE)
+                              / CAST(tot.n_total + tot.v_size AS DOUBLE))
+                 END AS p
+          FROM pair p
+          LEFT JOIN uni cu ON p.cur = cu.cur
+          LEFT JOIN uni pu ON p.prev = pu.cur
+          LEFT JOIN bi ON p.prev = bi.prev AND p.cur = bi.cur
+          CROSS JOIN tot),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 round(sum(-ln(p)) / count(*), 4) AS mean_nll
+          FROM scored GROUP BY doc_id),
+        jd AS (SELECT d.source, p.n_tokens, p.mean_nll
+               FROM per_doc p JOIN documents d USING (doc_id)),
+        src AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 round(sum(mean_nll * n_tokens) / sum(n_tokens), 6) AS mean_nll
+          FROM jd GROUP BY source),
+        ref AS (SELECT round(sum(mean_nll * n_tokens) / sum(n_tokens), 6)
+                       AS corpus_nll FROM jd),
+        ex AS (
+          SELECT source, n_docs, mean_nll,
+                 round(mean_nll - corpus_nll, 6) AS excess_nll,
+                 exp(round(mean_nll - corpus_nll, 6) / {_DOREMI_T}) AS e
+          FROM src, ref),
+        z AS (SELECT sum(e) AS z FROM ex)
+        SELECT source, n_docs, mean_nll, excess_nll,
+               round(e / z, 6) AS weight
+        FROM ex, z
+        """,
+    )
+)
+
+
 register(
     QuerySpec(
         name="text_bigram_backoff_logprob",

@@ -1878,3 +1878,25 @@ def test_quality_classifier_featurize_is_quantized(spark):
     # doc 1 features: unigrams a(2) b(1), bigrams "a b"(1) "b a"(1) -> n=5
     assert abs(sum(r.x for r in feats) - 1.0) < 1e-6
     assert all(r.x == round(r.x, 6) for r in feats)
+
+
+def test_doremi_weights_upweight_hard_domain(spark, tmp_path):
+    # A domain whose text the reference LM cannot predict (tokens absent
+    # from the training slice) must receive the highest mixture weight;
+    # weights are a softmax (positive, sum ~ 1).
+    from data_pipeline_with_spark_spark.plans import all_queries
+
+    easy = [(i, "srcA", "alpha beta gamma delta " * 5) for i in range(0, 40, 2)]
+    also = [(i, "srcB", "alpha beta gamma delta epsilon " * 4) for i in range(1, 40, 2)]
+    hard = [(100 + i, "srcC", f"zxq{i} wvut{i*3} qqqq{i*7} mmm{i} nn{i}") for i in range(10)]
+    df = spark.createDataFrame(easy + also + hard, ["doc_id", "source", "text"])
+    # route through the catalog entry by staging a documents.parquet
+    # (the entry reads only the documents table)
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.write.parquet(str(d / "documents.parquet"))
+    out = all_queries()["curation_doremi_weights"].build(spark, str(d))
+    rows = {r.source: r for r in out.collect()}
+    assert rows["srcC"].excess_nll > 0 > min(rows["srcA"].excess_nll, rows["srcB"].excess_nll)
+    assert rows["srcC"].weight == max(r.weight for r in rows.values())
+    assert abs(sum(r.weight for r in rows.values()) - 1.0) < 1e-4
