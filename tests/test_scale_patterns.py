@@ -344,3 +344,47 @@ def test_artifact_sig_detects_same_mtime_rewrite(tmp_path):
     os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))  # restore mtime
     sig2 = _artifact_sig(str(tmp_path / "idx"), "centroids")
     assert sig1 != sig2
+
+
+def test_dsir_plan_broadcasts_ratio_table(spark):
+    # The B-row log-ratio table must reach the per-feature join as a
+    # BROADCAST: the exploded feature stream never sorts/shuffle-joins
+    # on the bucket key for that join (the per-doc join-back on the id
+    # is the designed one shuffle and may legitimately sort-merge).
+    from data_pipeline_with_spark_spark.llm import packing
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "tgt" if i % 3 == 0 else "raw", f"alpha beta gamma {i} delta")
+         for i in range(30)],
+        ["doc_id", "source", "text"],
+    )
+    out = packing.dsir_select(df, F.col("source") == "tgt", n_buckets=32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "__bucket" in ln
+    ]
+    assert join_lines, "expected a bucket-keyed join in the plan"
+    assert all("BroadcastHashJoin" in ln for ln in join_lines), join_lines
+
+
+def test_quality_scoring_applies_weights_without_a_join(spark):
+    # Frozen weights ride an element_at over a literal array — scoring
+    # must contain NO bucket-keyed join at all (the only join is the
+    # id-keyed attach back to the docs).
+    from data_pipeline_with_spark_spark.llm import classifier as C
+
+    df = spark.createDataFrame(
+        [(i, "s", f"some text body {i} tokens here") for i in range(20)],
+        ["doc_id", "source", "text"],
+    )
+    w = [0.01] * 33
+    plan = (
+        C.score_quality(df, w)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert not [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "bucket" in ln
+    ]
