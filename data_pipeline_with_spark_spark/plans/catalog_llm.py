@@ -2974,7 +2974,9 @@ def _quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _qc_oracle(n_buckets: int = _QC_B, iters: int = _QC_ITERS) -> str:
+def _qc_oracle(
+    n_buckets: int = _QC_B, iters: int = _QC_ITERS, final: str | None = None
+) -> str:
     """DuckDB replay of classifier training AND scoring: the GD rounds
     unroll as chained MATERIALIZED CTEs (the BPE/Lloyd technique); the
     weight vector lives in a 1-row list column, gradients densify via a
@@ -3042,10 +3044,14 @@ w{r + 1} AS MATERIALIZED (
 mf AS (
   SELECT f.doc_id, sum(w.w[f.bucket + 1] * f.x) AS m
   FROM fx f, w{iters} w GROUP BY f.doc_id
+),
+sc AS (
+  SELECT d.doc_id, d.source,
+         round(1.0 / (1.0 + exp(-m.m)), 6) AS quality_score
+  FROM documents d JOIN mf m USING (doc_id)
 )
-SELECT d.doc_id, d.source,
-       round(1.0 / (1.0 + exp(-m.m)), 6) AS quality_score
-FROM documents d JOIN mf m USING (doc_id)"""
+"""
+        + (final or "SELECT doc_id, source, quality_score FROM sc")
     )
     return "WITH " + ",".join(parts)
 

@@ -325,3 +325,48 @@ register(
         oracle=None,
     )
 )
+
+
+def _stream_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING quality curation (see demo.run_stream_quality_filter):
+    the hashed-LR classifier trains once and FREEZES, 4 real
+    micro-batches score under the frozen weights and rows above the
+    corpus-mean threshold append exactly-once into the curated
+    versioned table. Frozen weights + batch-independent scores mean the
+    drained table equals the batch score-and-filter, which the oracle
+    recomputes from scratch — unrolled-GD training included."""
+    import tempfile
+
+    from data_pipeline_with_spark_spark.streaming.demo import (
+        run_stream_quality_filter,
+    )
+
+    curated, _ = run_stream_quality_filter(
+        spark, sf, tempfile.mkdtemp(prefix="stream_qc_")
+    )
+    return curated.read().select("doc_id", "source", "quality_score")
+
+
+def _stream_quality_oracle() -> str:
+    from data_pipeline_with_spark_spark.plans.catalog_llm import _qc_oracle
+
+    return _qc_oracle(
+        n_buckets=64,
+        iters=3,
+        final="""
+, thr AS (SELECT round(avg(quality_score), 6) AS t FROM sc)
+SELECT doc_id, source, quality_score FROM sc, thr WHERE quality_score > t
+""",
+    )
+
+
+register(
+    QuerySpec(
+        name="stream_quality_filter_ingest",
+        build=_stream_quality_filter,
+        doc="streaming quality curation: train-once/freeze hashed-LR filter, "
+        "micro-batches score + threshold + exactly-once append; oracle "
+        "replays training (unrolled GD) and the batch filter",
+        oracle=_stream_quality_oracle(),
+    )
+)

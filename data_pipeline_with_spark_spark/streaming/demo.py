@@ -1075,3 +1075,77 @@ def run_stream_ivfpq_ingest(
     )
     query.awaitTermination()
     return idx
+
+
+QUALITY_CURATED_SCHEMA = "doc_id BIGINT, source STRING, quality_score DOUBLE"
+
+
+def run_stream_quality_filter(
+    spark: SparkSession, sf_dir: str, work_dir: str
+):
+    """STREAMING quality curation — the filter an LLM ingestion
+    pipeline runs in front of its curated store: the hashed-LR quality
+    classifier trains ONCE up front (production shape: train offline,
+    FREEZE, filter the stream), documents then arrive in micro-batches,
+    score under the frozen weights (a pure broadcast projection — no
+    state), and rows above the corpus-mean threshold append
+    exactly-once (``idempotent_append`` + ``retry_on_conflict``) into a
+    versioned curated table.
+
+    Because the weights and threshold are frozen before the stream and
+    per-doc scores are batch-independent, the drained curated table
+    equals the batch score-and-filter — which is exactly what the
+    DuckDB oracle recomputes (training replayed via the unrolled-GD
+    CTE chain). Scale shape: per batch O(batch) scoring + one append;
+    nothing global is recomputed per batch."""
+    from pathlib import Path
+
+    from data_pipeline_with_spark_spark.lake.versioned import (
+        VersionedTable,
+        retry_on_conflict,
+    )
+    from data_pipeline_with_spark_spark.llm import classifier
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    work = Path(work_dir)
+    docs = read_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    w = classifier.train_quality_classifier(
+        docs, F.col("source") == "src0", n_buckets=64, iters=3
+    )
+    # frozen threshold: corpus mean of round-6 scores (round-6 again —
+    # a sum of quantized values is ulp-stable across engines)
+    thr = float(
+        classifier.score_quality(docs, w)
+        .agg(F.round(F.avg("quality_score"), 6))
+        .collect()[0][0]
+    )
+    staging = str(work / "staging")
+    docs.repartition(4).write.parquet(staging)
+    curated = VersionedTable(spark, str(work / "curated")).create(
+        spark.createDataFrame([], QUALITY_CURATED_SCHEMA)
+    )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        kept = (
+            classifier.score_quality(batch_df, w)
+            .where(F.col("quality_score") > thr)
+            .select("doc_id", "source", "quality_score")
+        )
+        retry_on_conflict(
+            lambda: curated.idempotent_append(
+                kept, app_id="stream_quality_filter", batch_id=epoch_id
+            )
+        )
+
+    query = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return curated, thr

@@ -735,3 +735,33 @@ def test_maintenance_beside_active_folds(spark, tmp_path):
         for r in exact_dedup_groups(docs).collect()
     }
     assert got == want
+
+
+def test_stream_quality_filter_equals_batch(spark, tmp_path):
+    # The streamed curated table must equal the batch score-and-filter
+    # under the same frozen weights/threshold, and every kept row
+    # clears the threshold.
+    from data_pipeline_with_spark_spark.llm import classifier
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+    from data_pipeline_with_spark_spark.streaming.demo import (
+        run_stream_quality_filter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    curated, thr = run_stream_quality_filter(spark, sf, str(tmp_path / "qc"))
+    got = {
+        (r.doc_id, r.source, r.quality_score) for r in curated.read().collect()
+    }
+    docs = read_testdata(spark, sf, "documents").select("doc_id", "source", "text")
+    w = classifier.train_quality_classifier(
+        docs, F.col("source") == "src0", n_buckets=64, iters=3
+    )
+    want = {
+        (r.doc_id, r.source, r.quality_score)
+        for r in classifier.score_quality(docs, w)
+        .where(F.col("quality_score") > thr)
+        .select("doc_id", "source", "quality_score")
+        .collect()
+    }
+    assert got == want and got  # non-empty and exactly the batch result
+    assert all(s > thr for _, _, s in got)
