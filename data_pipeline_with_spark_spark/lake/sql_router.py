@@ -464,6 +464,21 @@ class LakehouseSQL:
         # writer guard) and how recently a dir may have been superseded
         # (concurrent-reader guard) and still be collected; version
         # retention stays RETAIN <n> VERSIONS.
+        # The {0,2} repetition in _VACUUM_RE would also match the SAME
+        # clause twice ("RETAIN 1 VERSIONS RETAIN 5 VERSIONS"), silently
+        # binding the last occurrence (r9 advice) — reject duplicates
+        # post-match so the statement errs loudly instead.
+        kinds = [
+            k.upper()
+            for k in re.findall(
+                r"RETAIN\s+\d+(?:\.\d+)?\s+(VERSIONS|HOURS)", m.string, _I
+            )
+        ]
+        for kind in ("VERSIONS", "HOURS"):
+            if kinds.count(kind) > 1:
+                raise ValueError(
+                    f"VACUUM: RETAIN ... {kind} specified more than once"
+                )
         hours = m.group("hours")
         removed = self.table(m.group("tbl"), allow_matview=True).vacuum(
             keep_versions=int(m.group("n") or 1),

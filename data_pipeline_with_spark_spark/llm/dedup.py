@@ -217,8 +217,15 @@ def minhash_candidate_pairs(
     concentrating quadratic work in one task. Capped buckets are
     DROPPED ENTIRELY (no sampled subset: a biased pair subset is worse
     than an explicit "too common" verdict — FAISS/text-dedup
-    practice); recall for genuinely-near docs is preserved by the
-    OTHER bands, which only collide on actual signature agreement.
+    practice). Recall for a genuinely-near PAIR embedded in a normal
+    corpus is preserved by the OTHER bands (they collide only on
+    actual signature agreement) — but note the cliff: a duplicate
+    CLUSTER larger than the cap overflows EVERY band bucket it
+    touches, so all of its pairs are dropped at once (r9 advice).
+    That is the intended verdict for boilerplate, and it is visible:
+    ``bucket_metrics`` reports ``n_buckets_dropped`` in-job, and
+    near-exact mega-clusters are the domain of ``exact_dedup_groups``
+    (hash-group, linear) rather than pairwise LSH.
 
     ``bucket_metrics`` (a ``pyspark.sql.Observation``) is the loud
     metric: when passed it is attached to the bucket frame and, after
@@ -325,7 +332,20 @@ def near_dup_pairs(
     Jaccard ≥ threshold. Scale-safe by default: boilerplate band
     buckets past ``max_bucket`` are dropped whole (see
     ``minhash_candidate_pairs``); pass ``max_bucket=None`` for the
-    exact all-pairs candidate contract."""
+    exact all-pairs candidate contract.
+
+    Recall cliff at the cap (r9 advice, explicit): for a duplicate
+    CLUSTER of more than ``max_bucket`` documents, every band bucket
+    the cluster occupies exceeds the cap, so ALL of that cluster's
+    pairs are dropped — "other bands preserve recall" does not apply
+    above the cap, because the cluster saturates those too. Callers
+    that must enumerate mega-cluster membership should route
+    near-exact duplicates through ``exact_dedup_groups`` (linear
+    hash-group, no pairs) and reserve this pipeline for sub-cap
+    near-dups, or pass ``max_bucket=None`` and accept the quadratic
+    task. Pass a ``pyspark.sql.Observation`` through
+    ``minhash_candidate_pairs(bucket_metrics=...)`` to observe drops
+    in-job."""
     cands = minhash_candidate_pairs(
         df, id_col, text_col, k_shingle, num_hashes, bands, max_bucket=max_bucket
     )

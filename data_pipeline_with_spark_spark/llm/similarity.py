@@ -1109,7 +1109,14 @@ MAX_QUANTIZER_CACHE_ENTRIES = 8
 
 def _quantizer_cache_put(key: tuple, value) -> None:
     while len(_QUANTIZER_CACHE) >= MAX_QUANTIZER_CACHE_ENTRIES:
-        _QUANTIZER_CACHE.pop(next(iter(_QUANTIZER_CACHE)))
+        evicted = _QUANTIZER_CACHE.pop(next(iter(_QUANTIZER_CACHE)))
+        # _probe_const_df entries are PERSISTED DataFrames; dropping the
+        # dict reference alone leaks the InMemoryRelation in Spark's
+        # CacheManager for the life of the session (r9 advice). A live
+        # probe that lost its entry mid-flight just recomputes the
+        # 1-row constant frame — cheap and correct.
+        if hasattr(evicted, "unpersist"):
+            evicted.unpersist()
     _QUANTIZER_CACHE[key] = value
 
 

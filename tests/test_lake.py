@@ -2540,3 +2540,21 @@ def test_vacuum_sql_retain_clauses_either_order(spark, cars, tmp_path):
         ).collect()
     }
     assert a == b and str(orphan) in a and orphan.exists()  # dry run
+
+
+def test_vacuum_sql_rejects_duplicate_retain_clause(spark, cars, tmp_path):
+    # r9 advice: the {0,2} clause repetition also matched the SAME
+    # clause twice, silently binding the last occurrence. Duplicates
+    # must now be rejected loudly; the valid either-order forms stay.
+    from data_pipeline_with_spark_spark.lake.sql_router import LakehouseSQL
+
+    t = VersionedTable(spark, str(tmp_path / "sqldup")).create(cars)
+    router = LakehouseSQL(spark, str(tmp_path / "ws"))
+    router.register_table("sqldup", t)
+    with pytest.raises(ValueError, match="VERSIONS specified more than once"):
+        router.sql("VACUUM sqldup RETAIN 1 VERSIONS RETAIN 5 VERSIONS DRY RUN")
+    with pytest.raises(ValueError, match="HOURS specified more than once"):
+        router.sql("VACUUM sqldup RETAIN 1 HOURS RETAIN 2 HOURS DRY RUN")
+    # single and mixed clauses still parse
+    router.sql("VACUUM sqldup RETAIN 1 VERSIONS DRY RUN")
+    router.sql("VACUUM sqldup RETAIN 0 HOURS RETAIN 1 VERSIONS DRY RUN")

@@ -1900,3 +1900,25 @@ def test_doremi_weights_upweight_hard_domain(spark, tmp_path):
     assert rows["srcC"].excess_nll > 0 > min(rows["srcA"].excess_nll, rows["srcB"].excess_nll)
     assert rows["srcC"].weight == max(r.weight for r in rows.values())
     assert abs(sum(r.weight for r in rows.values()) - 1.0) < 1e-4
+
+
+def test_quantizer_cache_eviction_unpersists_dataframes(spark):
+    # r9 advice: evicting a persisted _probe_const_df without
+    # unpersist() leaked the InMemoryRelation in Spark's CacheManager
+    # for the life of the session. Eviction must release it.
+    from data_pipeline_with_spark_spark.llm import similarity as S
+
+    saved = dict(S._QUANTIZER_CACHE)
+    S._QUANTIZER_CACHE.clear()
+    try:
+        df = spark.range(1).persist()
+        df.count()  # materialize the cache entry
+        assert df.storageLevel.useMemory
+        S._quantizer_cache_put(("k0",), df)
+        for i in range(S.MAX_QUANTIZER_CACHE_ENTRIES):
+            S._quantizer_cache_put((f"filler{i}",), i)  # evicts k0 first
+        assert ("k0",) not in S._QUANTIZER_CACHE
+        assert not df.storageLevel.useMemory  # unpersisted on eviction
+    finally:
+        S._QUANTIZER_CACHE.clear()
+        S._QUANTIZER_CACHE.update(saved)
