@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_pipeline_with_spark_spark.llm import codecs
-from data_pipeline_with_spark_spark.util import ensure_min_partitions, session_cache
+from data_pipeline_with_spark_spark.util import (
+    ensure_min_partitions,
+    session_cache,
+    too_big_to_broadcast,
+)
 
 FEATURE_DIM = 16
 
@@ -335,7 +339,15 @@ def perceptual_hash(
     import numpy as np
 
     n = size
-    basis = _phash_basis(n)
+    # float64 basis for the matmul: int64 matmul has no BLAS kernel
+    # (numpy falls back to a scalar loop — the source of the r9 +19%
+    # regression), while every intermediate here is an integer that
+    # float64 represents EXACTLY (first product ≤ 255·2^14, row sum
+    # ≤ 2^27; second product ≤ 2^41, sum ≤ 2^46 ≪ 2^53), so the BLAS
+    # path returns bit-identical coefficients ~3× faster.
+    assert n * n * 255 * (1 << (2 * _PHASH_SCALE)) < (1 << 53)
+    basis_f = _phash_basis(n).astype(np.float64)
+    bit_weights = (np.int64(1) << np.arange(_PHASH_BITS, dtype=np.int64))
 
     def gray_grid(payload: bytes) -> "np.ndarray":
         data = bytes(payload)
@@ -349,18 +361,24 @@ def perceptual_hash(
         raw = payload_to_grid_bytes(data, n * n, fake)
         return np.frombuffer(raw, dtype=np.uint8).reshape(n, n)
 
+    def one_hash(payload: bytes) -> int:
+        dct = basis_f @ gray_grid(payload).astype(np.float64) @ basis_f.T
+        block = dct[:8, :8].reshape(-1)[1:].astype(np.int64)  # drop DC; exact
+        med = np.sort(block)[31]  # middle of 63 — exact
+        return int(bit_weights[block > med].sum())
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # memoize identical payloads within the batch: duplicate
+            # images ARE the near-dup workload, and decode+DCT per COPY
+            # is wasted — hash each distinct payload once per batch
+            seen: dict[bytes, int] = {}
             ids, hashes = [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                grid = gray_grid(payload).astype(np.int64)
-                dct = basis @ grid @ basis.T  # exact int64 throughout
-                block = dct[:8, :8].flatten()[1:]  # drop DC
-                med = int(np.sort(block)[31])  # middle of 63 — exact
-                h = 0
-                for i, v in enumerate(block):
-                    if v > med:
-                        h |= 1 << i
+                key = bytes(payload)
+                h = seen.get(key)
+                if h is None:
+                    h = seen[key] = one_hash(key)
                 ids.append(int(doc_id))
                 hashes.append(h)
             yield pd.DataFrame({"doc_id": ids, "phash": hashes})
@@ -589,7 +607,20 @@ def phash_near_dup_pairs(
     (63 bits → 9 bands of 7; ≤ max_hamming differing bits ⇒ some band
     equal) → bucket self-join → exact Hamming verify. Only (id, band,
     hash) triples shuffle — same LSH shape as the text SimHash pipeline,
-    applied to the image modality."""
+    applied to the image modality.
+
+    Size-adaptive (r10 perf, the same dispatch as jaccard_pairs /
+    sim_l2_topk_auto): below the broadcast threshold the banding is
+    pure overhead — each band bucket re-emits the same duplicate-class
+    pairs, so 9 bands explode ~9× the output rows only for distinct()
+    to collapse them through a wide exchange. A broadcast self-join
+    with the bit_count hamming predicate evaluates each pair ONCE,
+    JVM-side, with zero wide shuffles; pigeonhole guarantees the
+    banded plan returns exactly the same pairs, so results are
+    identical (the oracle replays this direct-filter form already).
+    Past the threshold the banded LSH remains the scale path — a
+    broadcast N² hamming scan is quadratic in corpus size, banding is
+    quadratic only per bucket."""
     n_bands = _PHASH_BITS // band_bits
     # Persist the TINY fingerprint frame (id, 8-byte phash) so the
     # expensive decode→DCT subtree upstream executes ONCE for the
@@ -603,6 +634,16 @@ def phash_near_dup_pairs(
     # bytes), MEMORY_ONLY via session_cache (LRU-evictable, releasable
     # with util.release_session_caches), and never the decoded pixels.
     hashed = session_cache(hashed.select(id_col, hash_col))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
+    if not too_big_to_broadcast(hashed):
+        a = hashed.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"))
+        b = hashed.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"))
+        return (
+            a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
     banded = hashed.select(
         id_col,
         hash_col,
@@ -629,7 +670,6 @@ def phash_near_dup_pairs(
         .select("id_a", "id_b", "h_a", "h_b")
         .distinct()
     )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
     return (
         pairs.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)

@@ -1922,3 +1922,31 @@ def test_quantizer_cache_eviction_unpersists_dataframes(spark):
     finally:
         S._QUANTIZER_CACHE.clear()
         S._QUANTIZER_CACHE.update(saved)
+
+
+def test_phash_pairs_banded_path_matches_broadcast_path(spark):
+    # r10: phash_near_dup_pairs dispatches on broadcast-ability — small
+    # fingerprint frames take a broadcast hamming self-join, large ones
+    # the banded LSH. Pigeonhole (63 bits, 9 bands of 7, hamming <= 4)
+    # says the two must return EXACTLY the same pairs; pin that by
+    # forcing the banded path with broadcasting disabled.
+    df = spark.createDataFrame(
+        [(i, i % 8) for i in range(64)], ["doc_id", "img_class"]
+    )
+    assets = multimodal.attach_image_payload(df, id_col="img_class")
+    hashed = multimodal.perceptual_hash(assets)
+
+    def pairs():
+        return sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in multimodal.phash_near_dup_pairs(hashed, max_hamming=4).collect()
+        )
+
+    fast = pairs()
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        banded = pairs()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert fast == banded and len(fast) > 0
