@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_spark.util import (
+    arrow_local_df,
     ensure_min_partitions,
     session_cache,
     session_cache_forget,
@@ -529,20 +530,30 @@ def kmeans_lloyd(
         [float(x) for x in r["__v"]]
         for r in vecs.orderBy(id_col).limit(k).collect()
     ]
-
-    def dist_sq(c: list[float]) -> Column:
-        lit = F.array(*[F.lit(x) for x in c])
-        return F.aggregate(
-            F.zip_with(F.col("__v"), lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    spark = df.sparkSession
 
     assigned = None
     for _ in range(iters):
-        dists = F.array(*[dist_sq(c) for c in centroids])
-        assigned = vecs.withColumn(
-            "cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        # per-round centroids as a broadcast 1-row frame (not k × D
+        # literals): same fold, same array order, same lowest-index
+        # tiebreak — bit-identical assignments, ~4× less per-round
+        # fixed plan-analysis cost (r10; see _pq_codes_expr_from_col)
+        cdf = _nested_const_df(spark, "__tcents", centroids, 2)
+        dists = F.transform(
+            F.col("__tcents"),
+            lambda c: F.aggregate(
+                F.zip_with(F.col("__v"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        assigned = (
+            vecs.crossJoin(F.broadcast(cdf))
+            .withColumn(
+                "cluster",
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+            )
+            .drop("__tcents")
         )
         new_rows = (
             assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
@@ -698,6 +709,44 @@ def _pq_codes_expr(v: Column, codebooks: list[list[list[float]]], d: int) -> Col
     return F.array(*out)
 
 
+def _pq_codes_expr_from_col(v: Column, books_col: Column, m: int, d: int) -> Column:
+    """``_pq_codes_expr`` with the codebooks as a COLUMN of a broadcast
+    1-row constants frame: bit-identical math (the same zip_with fold,
+    the same array order, the same lowest-index tiebreak) but the plan
+    the analyzer walks is a handful of nodes instead of m × k_codes × d
+    literals — the per-PLAN analysis cost that made each training round
+    and encode pass pay seconds of fixed overhead (r10 profile: 3.9 s →
+    0.9 s per pq_train round at sf0.01). Lambdas stay unary (the
+    (element, index) trap — see _adc_lut_cols_from_col)."""
+
+    def entry_dist(sub: Column):
+        return lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    out = []
+    for j in range(m):
+        sub = F.slice(v, j * d + 1, d)
+        dists = F.transform(F.element_at(books_col, j + 1), entry_dist(sub))
+        out.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*out)
+
+
+def _nested_const_df(spark, name: str, value, depth: int) -> DataFrame:
+    """Fresh (non-persisted) 1-row frame carrying one nested
+    array<...array<double>> constant under column ``name``. For
+    constants that CHANGE per round (training loops) — the immutable
+    probe constants ride the persisted, content-keyed
+    ``_probe_const_df`` instead. createDataFrame ships the values as
+    DATA (one Arrow batch → JVM doubles, exact), so plans crossJoin a
+    broadcast 1-row side and reference a column instead of
+    re-analyzing a thousand-literal tree per round."""
+    schema = f"{name}: " + "array<" * depth + "double" + ">" * depth
+    return arrow_local_df(spark, {name: [value]}, schema)
+
+
 # Quantizer training is bounded: k-means and PQ codebooks fit on a
 # deterministic hash-sample of at most this many vectors (FAISS's rule
 # of thumb is ~39-256 training points per centroid — 100k rows train
@@ -767,8 +816,15 @@ def pq_train(
         [[float(x) for x in r["__v"][j * d : (j + 1) * d]] for r in seed_rows]
         for j in range(m)
     ]
+    spark = df.sparkSession
     for _ in range(iters):
-        assigned = vecs.withColumn("__codes", _pq_codes_expr(F.col("__v"), books, d))
+        # per-round codebooks ride a fresh broadcast 1-row frame — the
+        # literal-tree form re-paid ~3 s of plan analysis PER ROUND
+        # (same cost class _probe_const_df removed from probes; r10)
+        bdf = _nested_const_df(spark, "__tbooks", books, 3)
+        assigned = vecs.crossJoin(F.broadcast(bdf)).withColumn(
+            "__codes", _pq_codes_expr_from_col(F.col("__v"), F.col("__tbooks"), m, d)
+        )
         # one pass: explode (subspace, code), then the subvector coords
         per_sub = assigned.select(
             "__v", F.posexplode("__codes").alias("sub", "code")
@@ -813,9 +869,17 @@ def pq_encode(
     uniform with ``_ivfpq_assign``: a NULL-codes row would score a
     NULL ADC distance and poison ascending rankings downstream."""
     d = len(codebooks[0][0])
-    return df.where(F.col(emb_col).isNotNull()).select(
-        F.col(id_col),
-        _pq_codes_expr(_as_double(F.col(emb_col)), codebooks, d).alias("pq_codes"),
+    m = len(codebooks)
+    bdf = _nested_const_df(df.sparkSession, "__ebooks", codebooks, 3)
+    return (
+        df.where(F.col(emb_col).isNotNull())
+        .crossJoin(F.broadcast(bdf))
+        .select(
+            F.col(id_col),
+            _pq_codes_expr_from_col(
+                _as_double(F.col(emb_col)), F.col("__ebooks"), m, d
+            ).alias("pq_codes"),
+        )
     )
 
 
@@ -1008,15 +1072,37 @@ def _ivfpq_train(
         )
     else:
         train = corpus
-    vecs = train.withColumn(
-        "__v", array_to_vector(F.col(emb_col).cast("array<double>"))
+    # The train frame is BOUNDED (≤ max_train_rows ≈ 50 MB at D=64), so
+    # CANONICALIZE it before MLlib: project to (id, vector) only,
+    # hash-repartition on the id to a fixed small count, and sort
+    # within partitions — kmeans||'s seeded sampling depends on
+    # partition CONTENTS and ORDER, so without this two builds over
+    # the same vectors but different upstream plans (e.g. a
+    # column-pruned vs full scan) trained different quantizers
+    # (caught by the stream-vs-twin probe test). The canonical frame
+    # is also persisted and 8 partitions: ~20 Lloyd jobs at 32
+    # tasks/job over a bounded sample were scheduler-overhead-bound
+    # (r10 profile: 5.0 s → 1.6 s at sf0.01).
+    vecs = (
+        train.select(
+            F.col(id_col).alias("__tid"),
+            array_to_vector(F.col(emb_col).cast("array<double>")).alias("__v"),
+        )
+        .repartition(8, "__tid")
+        .sortWithinPartitions("__tid")
+        .persist()
     )
-    model = KMeans(
-        k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell_unused"
-    ).fit(vecs)
+    try:
+        model = KMeans(
+            k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell_unused"
+        ).fit(vecs)
+    finally:
+        vecs.unpersist()
     centroid_list = [[float(x) for x in c] for c in model.clusterCenters()]
-    centroids = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroid_list)], ["cell", "centroid"]
+    centroids = arrow_local_df(
+        spark,
+        {"cell": list(range(len(centroid_list))), "centroid": centroid_list},
+        "cell INT, centroid ARRAY<DOUBLE>",
     )
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = _ivfpq_assign(corpus, centroid_list, id_col, emb_col).persist()
@@ -1035,14 +1121,25 @@ def _ivfpq_train(
         train_resid, m=m, k_codes=k_codes, iters=pq_iters,
         id_col=id_col, emb_col="__resid", max_train_rows=None,
     )
-    spark.createDataFrame(
-        [(j, c, books[j][c]) for j in range(m) for c in range(k_codes)],
+    arrow_local_df(
+        spark,
+        {
+            "sub": [j for j in range(m) for _ in range(k_codes)],
+            "code": [c for _ in range(m) for c in range(k_codes)],
+            "centroid": [books[j][c] for j in range(m) for c in range(k_codes)],
+        },
         "sub INT, code INT, centroid ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     d = len(books[0][0])
-    encoded = assigned.withColumn(
-        "pq_codes", _pq_codes_expr(F.col("__resid"), books, d)
-    ).select(id_col, emb_col, "pq_codes", "cell")
+    bdf = _nested_const_df(spark, "__ebooks", books, 3)
+    encoded = (
+        assigned.crossJoin(F.broadcast(bdf))
+        .withColumn(
+            "pq_codes",
+            _pq_codes_expr_from_col(F.col("__resid"), F.col("__ebooks"), m, d),
+        )
+        .select(id_col, emb_col, "pq_codes", "cell")
+    )
     return centroids, books, encoded, assigned
 
 
@@ -1171,8 +1268,6 @@ def _probe_const_df(spark, centroid_list, books) -> DataFrame:
     per-probe execution cost is one 1-row broadcast — the BM25
     corpus-stats pattern. Session-keyed (applicationId): the persisted
     plan dies with the JVM."""
-    from pyspark.sql import types as T
-
     key = (
         "probe_consts",
         spark.sparkContext.applicationId,
@@ -1180,18 +1275,12 @@ def _probe_const_df(spark, centroid_list, books) -> DataFrame:
     )
     df = _QUANTIZER_CACHE.get(key)
     if df is None:
-        schema = T.StructType(
-            [
-                T.StructField(
-                    "__cents", T.ArrayType(T.ArrayType(T.DoubleType()))
-                ),
-                T.StructField(
-                    "__books",
-                    T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))),
-                ),
-            ]
-        )
-        df = spark.createDataFrame([(centroid_list, books)], schema).persist()
+        df = arrow_local_df(
+            spark,
+            {"__cents": [centroid_list], "__books": [books]},
+            "__cents array<array<double>>, "
+            "__books array<array<array<double>>>",
+        ).persist()
         df.count()  # materialize once; later probes only broadcast it
         _quantizer_cache_put(key, df)
     return df
@@ -1487,9 +1576,11 @@ def _ivfpq_assign(
     """Assign each vector to its exact nearest centroid (squared L2,
     lowest-cell-on-tie, matching numpy argmin) and attach the PQ
     residual — a ZERO-SHUFFLE projection: centroids are tiny and
-    driver-known, so the argmin is an expression over literal centroid
-    arrays (the `_pq_codes_expr` trick), and the chosen centroid for
-    the residual subtraction is one `element_at` into a nested literal.
+    driver-known, riding a broadcast 1-row constants frame (r10: the
+    earlier literal-tree form re-paid ~1 s of plan analysis per call —
+    per micro-batch on the streaming ingest path), so the argmin is an
+    expression over the centroid column and the residual subtraction
+    one `element_at` into it.
     The earlier cross-join + per-id window shape shuffled the whole
     corpus on its UNIQUE id just to rank ≤ n_cells rows — a full-corpus
     exchange this projection never pays, which at 100 TB is the
@@ -1500,23 +1591,31 @@ def _ivfpq_assign(
     direction) are unindexable: they are filtered here, uniformly
     across build, append and ingest, rather than silently landing in a
     NULL cell partition no probe would ever read."""
-    dists = F.array(*[_sq_dist_lit(F.col("__e"), c) for c in centroid_list])
+    cdf = _nested_const_df(vectors.sparkSession, "__acents", centroid_list, 2)
+    dists = F.transform(
+        F.col("__acents"),
+        lambda c: F.aggregate(
+            F.zip_with(F.col("__e"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
     cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    cent_lit = _double_lit(centroid_list)
     return (
         ensure_min_partitions(vectors)
         .where(F.col(emb_col).isNotNull())
         .select(F.col(id_col), F.col(emb_col), _as_double(F.col(emb_col)).alias("__e"))
+        .crossJoin(F.broadcast(cdf))
         .withColumn("cell", cell)
         .withColumn(
             "__resid",
             F.zip_with(
                 F.col("__e"),
-                F.element_at(cent_lit, F.col("cell") + 1),
+                F.element_at(F.col("__acents"), F.col("cell") + 1),
                 lambda a, b: a - b,
             ),
         )
-        .drop("__e")
+        .drop("__e", "__acents")
     )
 
 
@@ -1615,9 +1714,16 @@ class VersionedIvfPqIndex:
         index's frozen quantizers."""
         _, clist, books = self._quantizers()
         d = len(books[0][0])
+        bdf = _nested_const_df(vectors.sparkSession, "__ebooks", books, 3)
         return (
             _ivfpq_assign(vectors, clist, id_col, emb_col)
-            .withColumn("pq_codes", _pq_codes_expr(F.col("__resid"), books, d))
+            .crossJoin(F.broadcast(bdf))
+            .withColumn(
+                "pq_codes",
+                _pq_codes_expr_from_col(
+                    F.col("__resid"), F.col("__ebooks"), len(books), d
+                ),
+            )
             .select(id_col, emb_col, "pq_codes", "cell")
         )
 

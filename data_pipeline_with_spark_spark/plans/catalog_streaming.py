@@ -370,3 +370,42 @@ register(
         oracle=_stream_quality_oracle(),
     )
 )
+
+
+def _stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING-executed stream-stream inner join (see
+    demo.run_stream_stream_join): clicks join purchases by user within
+    1 hour AFTER the click; watermarks on BOTH sides + the time-range
+    condition bound the join state. Inner-join results emit as matches
+    arrive (no watermark-expiry dependence), so the drained sink equals
+    the batch time-bounded join the oracle computes."""
+    from data_pipeline_with_spark_spark.streaming.demo import run_stream_stream_join
+
+    out = run_stream_stream_join(spark, sf, sink_table=f"ssj_{abs(hash(sf)) % 10**8}")
+    return out.select(
+        "click_id", "user_id", "click_epoch", "purchase_epoch", "p_value"
+    )
+
+
+register(
+    QuerySpec(
+        name="stream_stream_join",
+        build=_stream_stream_join,
+        doc="stream-stream inner join (clicks x purchases within 1 h, "
+        "watermark-bounded state); streaming-executed, oracle = the batch "
+        "time-bounded join",
+        oracle="""
+        SELECT c.event_id AS click_id,
+               c.user_id,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+               CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+               p.value AS p_value
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND p.ts > c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        """,
+    )
+)
