@@ -15,14 +15,21 @@ image containers need no external compression library:
   scanline filters (None/Sub/Up/Average/Paeth), non-interlaced. The
   encoder emits spec-valid grayscale or truecolor PNGs any viewer
   opens.
+- **JPEG** (baseline sequential DCT, ITU-T T.81) — the Huffman coder,
+  quantizer and 8x8 DCT are spec math implementable in numpy alone:
+  the decoder handles any 8-bit baseline JPEG (arbitrary sampling
+  factors incl. 4:2:0, multiple DQT/DHT, DRI/RSTn restart markers);
+  the encoder emits grayscale or YCbCr 4:4:4 with Annex K tables
+  scaled by the libjpeg quality formula. Progressive (SOF2),
+  arithmetic coding and 12-bit raise UnsupportedImageError honestly.
 
 These are *real* codecs for those formats (byte-exact round-trip for
-BMP/PPM, pixel-exact for PNG, header + CRC validation), not fakes: any
-external 24-bit uncompressed BMP, binary PPM, or 8-bit non-interlaced
-PNG decodes correctly. They give the multimodal pipeline
-(``llm/multimodal.py``) genuine pixels end-to-end without any native
-image library. JPEG (lossy DCT + Huffman) still requires a codec lib
-and raises ``UnsupportedImageError``.
+BMP/PPM, pixel-exact for PNG, lossy-but-in-tolerance for JPEG — and
+bit-exact for block-constant images at quality=100, where the
+quantizer is unit), not fakes: any external 24-bit uncompressed BMP,
+binary PPM, 8-bit non-interlaced PNG, or 8-bit baseline JPEG decodes
+correctly. They give the multimodal pipeline (``llm/multimodal.py``)
+genuine pixels end-to-end without any native image library.
 
 North-star capability (multimodal columns over binary payloads); no
 reference counterpart — the reference (elliemci/data-pipeline-with-spark)
@@ -465,6 +472,8 @@ def sniff_format(data: bytes) -> str | None:
         return "ppm"
     if data[:8] == _PNG_SIG:
         return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -487,8 +496,10 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_ppm(bytes(data))
     if fmt == "png":
         return decode_png(bytes(data))
+    if fmt == "jpeg":
+        return decode_jpeg(bytes(data))
     raise UnsupportedImageError(
-        "unrecognized image container (expected BMP, P6 PPM, or PNG)"
+        "unrecognized image container (expected BMP, P6 PPM, PNG, or JPEG)"
     )
 
 
@@ -499,6 +510,8 @@ def encode_image(rgb: np.ndarray, fmt: str = "bmp") -> bytes:
         return encode_ppm(rgb)
     if fmt == "png":
         return encode_png(rgb)
+    if fmt == "jpeg":
+        return encode_jpeg(rgb)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -523,3 +536,496 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     xs = (np.arange(width) * src_w) // width
     # np.ix_ indexes the first two axes; a trailing channel axis rides
     return img[np.ix_(ys, xs)]
+
+
+# --------------------------------------------------------------------------
+# JPEG: baseline sequential DCT (ITU-T T.81). Pure numpy + stdlib — the
+# Huffman coder, quantizer and IDCT are spec math, no codec library.
+# Encoder: grayscale or RGB (4:4:4, no subsampling), Annex K quant
+# tables scaled by the libjpeg quality formula, Annex K Huffman tables.
+# Decoder: any baseline JPEG — 8-bit, SOF0, arbitrary sampling factors
+# (4:4:4 and 4:2:0 included; replication upsample), DRI/RSTn restart
+# markers, APPn/COM skipped. Progressive (SOF2), arithmetic coding and
+# 12-bit depth raise UnsupportedImageError honestly.
+
+_JPEG_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_JPEG_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+_JPEG_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# Annex K Huffman specs: (BITS counts per code length 1..16, HUFFVAL)
+_JPEG_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    # Orthonormal 8x8 DCT-II basis: M[u,x] = 0.5*C(u)*cos((2x+1)u*pi/16);
+    # FDCT = M @ block @ M.T, IDCT = M.T @ coeffs @ M (T.81 scaling:
+    # a constant block c transforms to DC = 8c).
+    u = np.arange(8)
+    m = 0.5 * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    m[0, :] *= 1 / np.sqrt(2)
+    return m
+
+
+_JPEG_DCT_M = _jpeg_dct_matrix()
+
+
+def _jpeg_quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg quality scaling: 50 → Annex K tables verbatim, 100 → all
+    ones (unit quantizer — what makes flat blocks round-trip exactly)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_JPEG_QUANT_LUMA, _JPEG_QUANT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _huffman_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) canonical Huffman assignment (T.81 C.2)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huffman_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value, for the bit-at-a-time decoder."""
+    return {(l, c): v for v, (c, l) in _huffman_canonical(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec)
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _jpeg_magnitude_bits(v: int, cat: int) -> int:
+    # T.81 F.1.2.1: negative values are sent as v - 1 in cat bits
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def _jpeg_dht_segment(tclass: int, tid: int, spec) -> bytes:
+    bits, vals = spec
+    body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _jpeg_dqt_segment(tid: int, qtab: np.ndarray) -> bytes:
+    body = bytes([tid]) + bytes(int(x) for x in qtab.reshape(-1)[_JPEG_ZIGZAG])
+    return b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _pad_to_blocks(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge") if ph or pw else plane
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """Baseline sequential JPEG. 2-D input → single-component
+    (grayscale) JFIF; H×W×3 input → YCbCr 4:4:4. At ``quality=100``
+    every quantizer entry is 1, so an image whose 8×8 blocks are each
+    CONSTANT round-trips bit-exactly (DC-only blocks, unit quantizer —
+    the property the oracle-checked multimodal entry pins)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    qluma, qchroma = _jpeg_quality_tables(quality)
+    if gray:
+        planes = [_pad_to_blocks(img.astype(np.float64))]
+    else:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+        planes = [
+            _pad_to_blocks(np.clip(np.round(p), 0, 255)) for p in (y, cb, cr)
+        ]
+    h, w = img.shape[:2]
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _jpeg_dqt_segment(0, qluma)
+    if not gray:
+        out += _jpeg_dqt_segment(1, qchroma)
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for cid in range(ncomp):
+        sof += bytes([cid + 1, 0x11, 0 if cid == 0 else 1])  # h=v=1, qtab id
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _jpeg_dht_segment(0, 0, _JPEG_DC_LUMA)
+    out += _jpeg_dht_segment(1, 0, _JPEG_AC_LUMA)
+    if not gray:
+        out += _jpeg_dht_segment(0, 1, _JPEG_DC_CHROMA)
+        out += _jpeg_dht_segment(1, 1, _JPEG_AC_CHROMA)
+    sos = bytes([ncomp])
+    for cid in range(ncomp):
+        sos += bytes([cid + 1, 0x00 if cid == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    bw = _BitWriter()
+    # 4:4:4 non-interleaved-per-block MCU order: one block of each
+    # component per MCU position, matching the SOF sampling of 1x1
+    nby, nbx = planes[0].shape[0] // 8, planes[0].shape[1] // 8
+    preds = [0] * ncomp
+    specs = [
+        (qluma, _JPEG_DC_LUMA, _JPEG_AC_LUMA),
+        (qchroma, _JPEG_DC_CHROMA, _JPEG_AC_CHROMA),
+        (qchroma, _JPEG_DC_CHROMA, _JPEG_AC_CHROMA),
+    ]
+    dc_codes = [_huffman_canonical(*specs[c][1]) for c in range(ncomp)]
+    ac_codes = [_huffman_canonical(*specs[c][2]) for c in range(ncomp)]
+    for by in range(nby):
+        for bx in range(nbx):
+            for c in range(ncomp):
+                qtab = specs[c][0]
+                block = planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coeffs = _JPEG_DCT_M @ block @ _JPEG_DCT_M.T
+                quant = np.round(coeffs / qtab).astype(np.int64)
+                zz = quant.reshape(-1)[_JPEG_ZIGZAG]
+                diff = int(zz[0]) - preds[c]
+                preds[c] = int(zz[0])
+                cat = _jpeg_category(diff)
+                code, length = dc_codes[c][cat]
+                bw.write(code, length)
+                if cat:
+                    bw.write(_jpeg_magnitude_bits(diff, cat), cat)
+                nz = np.nonzero(zz[1:])[0]
+                last_nz = int(nz[-1]) + 1 if len(nz) else 0
+                run = 0
+                for i in range(1, last_nz + 1):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[c][0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                    cat = _jpeg_category(v)
+                    code, length = ac_codes[c][(run << 4) | cat]
+                    bw.write(code, length)
+                    bw.write(_jpeg_magnitude_bits(v, cat), cat)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_codes[c][0x00]
+                    bw.write(code, length)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing
+    and RSTn awareness."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise UnsupportedImageError("truncated JPEG entropy stream")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker()
+            else:
+                raise UnsupportedImageError("unexpected marker in entropy stream")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Consume an RSTn marker and byte-align."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        # skip any fill bytes then the marker itself
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        if self.pos + 1 >= len(d):
+            raise UnsupportedImageError("missing JPEG restart marker")
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    pass
+
+
+def _jpeg_extend(v: int, cat: int) -> int:
+    # T.81 F.2.1.3.1: magnitude bits back to signed value
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _decode_huffman(br: _BitReader, dmap: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        v = dmap.get((length, code))
+        if v is not None:
+            return v
+    raise UnsupportedImageError("invalid JPEG Huffman code")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to H×W×3 uint8 RGB (grayscale
+    replicates to 3 channels). Supports arbitrary h/v sampling factors
+    (replication upsample), multiple DQT/DHT segments, DRI/RSTn.
+    Progressive/arithmetic/12-bit raise UnsupportedImageError."""
+    if data[:3] != b"\xff\xd8\xff":
+        raise UnsupportedImageError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_maps: dict[int, dict] = {}
+    ac_maps: dict[int, dict] = {}
+    comps = None  # list of (cid, h, v, tq)
+    h = w = 0
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise UnsupportedImageError("malformed JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise UnsupportedImageError("16-bit JPEG quant tables unsupported")
+                zz = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
+                t = np.zeros(64, dtype=np.int64)
+                t[_JPEG_ZIGZAG] = zz
+                qtabs[tq] = t.reshape(8, 8)
+                i += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline + extended sequential)
+            if body[0] != 8:
+                raise UnsupportedImageError("only 8-bit JPEG supported")
+            h, w = struct.unpack(">HH", body[1:5])
+            n = body[5]
+            comps = []
+            for ci in range(n):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedImageError(
+                "only baseline sequential JPEG supported (got SOF%x)" % (marker - 0xC0)
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tclass, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                if len(bits) < 16 or i + 17 + nv > len(body):
+                    raise UnsupportedImageError("truncated JPEG DHT segment")
+                vals = list(body[i + 17 : i + 17 + nv])
+                (dc_maps if tclass == 0 else ac_maps)[tid] = _huffman_decode_map(
+                    bits, vals
+                )
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scomps = []
+            for ci in range(ns):
+                cs, tt = body[1 + 2 * ci], body[2 + 2 * ci]
+                scomps.append((cs, tt >> 4, tt & 0xF))
+            pos = pos + 2 + seglen
+            return _jpeg_decode_scan(
+                data, pos, h, w, comps, scomps, qtabs, dc_maps, ac_maps,
+                restart_interval,
+            )
+        # APPn, COM, anything else: skip
+        pos = pos + 2 + seglen
+    raise UnsupportedImageError("JPEG has no SOS scan")
+
+
+def _jpeg_decode_scan(
+    data, pos, h, w, comps, scomps, qtabs, dc_maps, ac_maps, restart_interval
+) -> np.ndarray:
+    if comps is None or not h or not w:
+        raise UnsupportedImageError("JPEG SOS before SOF")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    planes = {}
+    order = []
+    for cs, td, ta in scomps:
+        cid, ch, cv, tq = by_id[cs]
+        planes[cs] = np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
+        order.append((cs, ch, cv, qtabs[tq], dc_maps[td], ac_maps[ta]))
+    br = _BitReader(data, pos)
+    preds = {cs: 0 for cs, *_ in order}
+    m = _JPEG_DCT_M
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.sync_restart()
+                preds = {cs: 0 for cs in preds}
+            mcu_count += 1
+            for cs, ch, cv, qtab, dmap, amap in order:
+                for v_i in range(cv):
+                    for h_i in range(ch):
+                        zz = np.zeros(64, dtype=np.int64)
+                        cat = _decode_huffman(br, dmap)
+                        diff = _jpeg_extend(br.read_bits(cat), cat) if cat else 0
+                        preds[cs] += diff
+                        zz[0] = preds[cs]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huffman(br, amap)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise UnsupportedImageError("JPEG AC index overflow")
+                            cat = rs & 0xF
+                            zz[k] = _jpeg_extend(br.read_bits(cat), cat)
+                            k += 1
+                        coeffs = np.zeros(64, dtype=np.float64)
+                        coeffs[_JPEG_ZIGZAG] = zz * qtab.reshape(-1)[_JPEG_ZIGZAG]
+                        block = m.T @ coeffs.reshape(8, 8) @ m
+                        block = np.clip(np.round(block + 128.0), 0, 255)
+                        py = (my * cv + v_i) * 8
+                        px = (mx * ch + h_i) * 8
+                        planes[cs][py : py + 8, px : px + 8] = block
+    # upsample each component to full padded resolution by replication
+    full = []
+    for cs, ch, cv, *_ in order:
+        p = planes[cs]
+        if ch < hmax or cv < vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        gray = full[0].astype(np.uint8)
+        return np.stack([gray] * 3, axis=2)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -9,13 +9,13 @@ The pattern for a 100 TB multimodal lakehouse:
   JVM→Python once per Arrow batch, not per row, and the operator
   composes with Catalyst like any other plan node.
 
-Decode is REAL for BMP (24-bit BI_RGB), PPM (binary P6), and PNG
-(stdlib-zlib IDAT, 8-bit, all five scanline filters) via the pure-numpy
+Decode is REAL for BMP (24-bit BI_RGB), PPM (binary P6), PNG
+(stdlib-zlib IDAT, 8-bit, all five scanline filters), and JPEG
+(baseline sequential T.81: Huffman + dequant + IDCT in pure numpy) via
 ``llm/codecs.py``, so payloads in those containers flow through genuine
-decode → grayscale → histogram / resize / DCT pixel math. JPEG (lossy
-DCT + Huffman) would need PIL/libvips, which this container lacks — for
-payloads in an unrecognized container the codec boundary falls back to
-the clearly-marked deterministic fake (``fake=True``) or raises
+decode → grayscale → histogram / resize / DCT pixel math. For payloads
+in an unrecognized container the codec boundary falls back to the
+clearly-marked deterministic fake (``fake=True``) or raises
 NotImplementedError, exercising the identical Spark plumbing either way.
 """
 
@@ -106,13 +106,60 @@ def attach_image_payload(
     )
 
 
+def attach_jpeg_payload(
+    df: DataFrame,
+    width: int = 24,
+    height: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Attach a REAL baseline-JPEG payload whose decode is BIT-EXACT and
+    SQL-replayable despite JPEG being lossy: the image is 8×8
+    BLOCK-CONSTANT (block (by,bx) carries gray value ``(doc_id*177 +
+    (by*(width/8)+bx)*55) % 256``) and encoded at quality=100, where
+    every quantizer entry is 1 — a constant block is DC-only, the DC
+    coefficient is an exact integer, and the IDCT of a DC-only block is
+    flat, so decode(encode(img)) == img exactly (pinned in
+    test_codecs). The oracle replays the block formula; the Spark side
+    round-trips genuine Huffman entropy coding either way."""
+    import numpy as np
+
+    bx_n, by_n = width // 8, height // 8
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for d in ids:
+            blocks = np.array(
+                [
+                    [(int(d) * 177 + (by * bx_n + bx) * 55) % 256 for bx in range(bx_n)]
+                    for by in range(by_n)
+                ],
+                dtype=np.uint8,
+            )
+            gray = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+            out.append(codecs.encode_jpeg(gray, quality=100))
+        return pd.Series(out)
+
+    with_payload = df.withColumn("payload", gen(F.col(id_col).cast("long")))
+    return with_payload.withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.octet_length(F.col("payload")).alias("n_bytes"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(1).alias("version"),
+        ),
+    )
+
+
 def decode_image_stub(payload: bytes, fake: bool = False) -> dict:
     """Codec boundary. REAL decode for BMP / P6 PPM / PNG (pure-numpy
     + stdlib-zlib ``llm/codecs.py``): features are the 16-bin
-    grayscale-luma histogram, checksum the pixel-value sum. JPEG would
-    need PIL/libvips (absent here): for an unrecognized container,
-    ``fake=True`` produces the deterministic byte-histogram fake
-    decode, else NotImplementedError."""
+    grayscale-luma histogram, checksum the pixel-value sum. JPEG
+    (baseline) decodes for real too (r10); for an unrecognized
+    container ``fake=True`` produces the deterministic byte-histogram
+    fake decode, else NotImplementedError."""
     data = bytes(payload)
     if codecs.sniff_format(data) is not None:
         try:
@@ -136,9 +183,9 @@ def decode_image_stub(payload: bytes, fake: bool = False) -> dict:
                 raise
     if not fake:
         raise NotImplementedError(
-            "JPEG/other codecs not available in this environment; supply "
-            "BMP/PPM/PNG payloads or use fake=True for the deterministic "
-            "test decoder"
+            "unrecognized container (progressive JPEG?); supply "
+            "BMP/PPM/PNG/baseline-JPEG payloads or use fake=True for "
+            "the deterministic test decoder"
         )
     n = len(data)
     checksum = sum(data) % (2**32)
@@ -211,8 +258,8 @@ def payload_to_grid_bytes(data: bytes, target: int, fake: bool) -> bytes:
     contract shared by resize_image_stub and perceptual_hash."""
     if not fake:
         raise NotImplementedError(
-            "JPEG/other codecs not available in this environment; "
-            "supply BMP/PPM/PNG payloads or use fake=True"
+            "unrecognized media container; supply BMP/PPM/PNG/JPEG "
+            "payloads or use fake=True"
         )
     return data[:target].ljust(target, b"\0")
 

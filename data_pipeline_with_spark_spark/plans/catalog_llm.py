@@ -1162,6 +1162,55 @@ register(
 )
 
 
+def _mm_jpeg_features(spark: SparkSession, sf: str) -> DataFrame:
+    # Real-decode contract for the LOSSY container: the payload
+    # round-trips encode_jpeg(quality=100) -> decode_jpeg (Huffman
+    # entropy decode, dequant, IDCT). The image is 8x8 BLOCK-CONSTANT,
+    # so at unit quantizer the round trip is BIT-EXACT (DC-only blocks
+    # — see multimodal.attach_jpeg_payload) and the oracle can replay
+    # the block-value formula; any slip in the Huffman coder, zigzag,
+    # DPCM predictor or IDCT rounding breaks the hash match.
+    docs = read_testdata(spark, sf, "documents")
+    assets = multimodal.attach_jpeg_payload(docs, width=24, height=16)
+    feats = multimodal.extract_features(assets, fake=False)
+    hist_int = F.transform(
+        "features", lambda x: F.floor(x * F.lit(384.0) + F.lit(0.5)).cast("int")
+    )
+    return feats.select(
+        "doc_id",
+        F.col("checksum").cast("bigint").alias("checksum"),
+        F.md5(F.concat_ws(",", hist_int)).alias("hist_digest"),
+    )
+
+
+register(
+    QuerySpec(
+        name="multimodal_jpeg_features",
+        build=_mm_jpeg_features,
+        doc="Arrow-batched mapInPandas over REAL baseline-JPEG decode (pure-"
+        "numpy T.81 Huffman+IDCT, llm/codecs.py); block-constant images at "
+        "quality=100 make the lossy codec bit-exact, so the oracle replays "
+        "the block-value generator in SQL",
+        oracle="""
+        WITH px AS (
+          -- 24x16 grid of 8x8 constant blocks, 3 blocks per row:
+          -- pixel i sits in block (i//24//8)*3 + (i%24)//8
+          SELECT doc_id,
+                 list_transform(range(0, 384), i ->
+                   (doc_id*177 + ((i // 192) * 3 + (i % 24) // 8) * 55) % 256) AS p
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(list_sum(p) AS BIGINT) AS checksum,
+               md5(array_to_string(
+                 list_transform(range(0, 16), b ->
+                   len(list_filter(p, v -> v // 16 = b))), ',')) AS hist_digest
+        FROM px
+        """,
+    )
+)
+
+
 def _audio_features(spark: SparkSession, sf: str) -> DataFrame:
     # REAL WAV decode path: payloads are genuine PCM16 RIFF/WAVE
     # containers (pure-struct parser, llm/codecs.py); sample i of doc d

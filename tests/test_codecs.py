@@ -232,8 +232,8 @@ def test_decode_image_dispatch():
     assert np.array_equal(codecs.decode_image(codecs.encode_image(arr, "ppm")), arr)
     assert np.array_equal(codecs.decode_image(codecs.encode_image(arr, "png")), arr)
     assert codecs.sniff_format(codecs.encode_png(arr)) == "png"
-    # JPEG (SOI marker) stays honestly unsupported
-    assert codecs.sniff_format(b"\xff\xd8\xff\xe0" + bytes(16)) is None
+    # JPEG sniffs too since r10 (real baseline codec)
+    assert codecs.sniff_format(b"\xff\xd8\xff\xe0" + bytes(16)) == "jpeg"
     with pytest.raises(codecs.UnsupportedImageError):
         codecs.decode_image(b"\xff\xd8\xff\xe0" + bytes(16))
     # a PNG signature with a garbage body is not silently accepted
@@ -399,3 +399,166 @@ def test_fake_path_survives_missniffed_payloads():
             multimodal.decode_image_stub(payload, fake=False)
         resized = multimodal.resize_image_stub(payload, 4, 4, fake=True)
         assert len(resized) == 16
+
+
+# --------------------------------------------------------------------------
+# JPEG (baseline sequential, pure-numpy T.81 codec — r10)
+
+
+def test_jpeg_flat_blocks_quality100_bit_exact():
+    # The property the oracle-checked entry rests on: block-constant
+    # image + unit quantizer (q=100) -> DC-only blocks -> exact decode.
+    rng = np.random.RandomState(3)
+    blocks = rng.randint(0, 256, (2, 3))
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=100))
+    assert out.shape == (16, 24, 3)
+    for c in range(3):  # grayscale replicates to 3 channels
+        assert np.array_equal(out[:, :, c], img)
+
+
+def test_jpeg_gray_gradient_tolerance_and_quality_ordering():
+    g = np.tile((np.arange(48, dtype=np.int64) * 5 % 256).astype(np.uint8), (16, 1))
+    errs = []
+    for q in (50, 90, 100):
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(g, quality=q))[:, :, 0]
+        errs.append(int(np.abs(dec.astype(int) - g.astype(int)).max()))
+    # error shrinks (weakly) as quality rises, and q>=90 is near-exact
+    assert errs[0] >= errs[1] >= errs[2] and errs[1] <= 2
+
+
+def test_jpeg_rgb_color_round_trip_tolerance():
+    rng = np.random.RandomState(11)
+    base = np.array([120, 60, 200])
+    rgb = np.clip(base[None, None, :] + rng.randint(-15, 15, (24, 40, 3)), 0, 255).astype(np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(rgb, quality=95)).astype(int)
+    assert dec.shape == rgb.shape
+    assert np.abs(dec - rgb.astype(int)).mean() < 6  # lossy but faithful
+
+
+def test_jpeg_odd_dimensions_edge_padding():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (13, 21)).astype(np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=100))
+    assert dec.shape == (13, 21, 3)
+    # q=100 on arbitrary content is not exact, but must be very close
+    assert np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_dc_extremes_and_dpcm_chain():
+    # black and white blocks exercise the largest DC categories and the
+    # DPCM predictor across blocks (diff = +/- 2040 at q=100)
+    img = np.repeat(np.repeat(np.array([[0, 255, 0], [255, 0, 255]]), 8, 0), 8, 1).astype(np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=100))
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_jpeg_sniff_and_dispatch():
+    img = np.repeat(np.repeat(np.arange(6, dtype=np.uint8).reshape(2, 3) * 40, 8, 0), 8, 1)
+    rgb = np.stack([img] * 3, 2)
+    data = codecs.encode_image(rgb, "jpeg")
+    assert data[:3] == b"\xff\xd8\xff" and data[-2:] == b"\xff\xd9"
+    assert codecs.sniff_format(data) == "jpeg"
+    assert codecs.sniff_media(data) == "jpeg"
+    assert np.array_equal(codecs.decode_image(data), rgb)
+
+
+def test_jpeg_handwritten_single_block_dc_only():
+    # Hand-author a minimal 8x8 gray JPEG: unit quantizer, Annex K
+    # tables, one DC-only block of value 130 (diff=+16 after the level
+    # shift: DC = 8*(130-128) = 16, category 5, bits 10000).
+    import struct as st
+
+    out = bytearray(b"\xff\xd8")
+    qtab = np.ones((8, 8), dtype=np.int64)
+    out += codecs._jpeg_dqt_segment(0, qtab)
+    sof = bytes([8]) + st.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    out += b"\xff\xc0" + st.pack(">H", 2 + len(sof)) + sof
+    out += codecs._jpeg_dht_segment(0, 0, codecs._JPEG_DC_LUMA)
+    out += codecs._jpeg_dht_segment(1, 0, codecs._JPEG_AC_LUMA)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + st.pack(">H", 2 + len(sos)) + sos
+    bw = codecs._BitWriter()
+    dc = codecs._huffman_canonical(*codecs._JPEG_DC_LUMA)
+    ac = codecs._huffman_canonical(*codecs._JPEG_AC_LUMA)
+    code, ln = dc[5]
+    bw.write(code, ln)
+    bw.write(16, 5)  # magnitude bits of +16
+    code, ln = ac[0x00]  # EOB
+    bw.write(code, ln)
+    out += bw.flush() + b"\xff\xd9"
+    dec = codecs.decode_jpeg(bytes(out))
+    assert dec.shape == (8, 8, 3) and (dec == 130).all()
+
+
+def test_jpeg_handwritten_420_subsampled_decodes():
+    # Hand-author a 4:2:0 stream: 16x16, Y sampled 2x2 (4 Y blocks per
+    # MCU), Cb/Cr 1x1 — flat gray 100 (Cb=Cr=128 -> DC diff 0).
+    import struct as st
+
+    out = bytearray(b"\xff\xd8")
+    out += codecs._jpeg_dqt_segment(0, np.ones((8, 8), dtype=np.int64))
+    sof = bytes([8]) + st.pack(">HH", 16, 16) + bytes(
+        [3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    out += b"\xff\xc0" + st.pack(">H", 2 + len(sof)) + sof
+    out += codecs._jpeg_dht_segment(0, 0, codecs._JPEG_DC_LUMA)
+    out += codecs._jpeg_dht_segment(1, 0, codecs._JPEG_AC_LUMA)
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + st.pack(">H", 2 + len(sos)) + sos
+    bw = codecs._BitWriter()
+    dc = codecs._huffman_canonical(*codecs._JPEG_DC_LUMA)
+    ac = codecs._huffman_canonical(*codecs._JPEG_AC_LUMA)
+
+    def dc_only(diff):
+        cat = codecs._jpeg_category(diff)
+        code, ln = dc[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(codecs._jpeg_magnitude_bits(diff, cat), cat)
+        code, ln = ac[0x00]
+        bw.write(code, ln)
+
+    # one MCU: 4 Y blocks (first diff -224 = 8*(100-128), rest 0),
+    # then Cb (diff 0 from pred 0? no: DC = 8*(128-128) = 0), Cr
+    dc_only(8 * (100 - 128))
+    for _ in range(3):
+        dc_only(0)
+    dc_only(0)  # Cb
+    dc_only(0)  # Cr
+    out += bw.flush() + b"\xff\xd9"
+    dec = codecs.decode_jpeg(bytes(out))
+    assert dec.shape == (16, 16, 3) and (dec == 100).all()
+
+
+def test_jpeg_rejects_progressive_truncated_and_garbage():
+    img = np.full((8, 8), 90, dtype=np.uint8)
+    data = bytearray(codecs.encode_jpeg(img, quality=100))
+    # flip SOF0 -> SOF2 (progressive): honest rejection
+    i = bytes(data).index(b"\xff\xc0")
+    prog = bytes(data[:i]) + b"\xff\xc2" + bytes(data[i + 2 :])
+    with pytest.raises(codecs.UnsupportedImageError, match="baseline"):
+        codecs.decode_jpeg(prog)
+    # truncated entropy stream
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.decode_jpeg(bytes(data[: len(data) // 2]))
+    # not a JPEG at all
+    with pytest.raises(codecs.UnsupportedImageError, match="not a JPEG"):
+        codecs.decode_jpeg(b"\xff\xd9 nope")
+
+
+def test_jpeg_payload_entry_pipeline(spark):
+    # The catalog entry's Spark side: block-constant payloads decode
+    # through the REAL entropy decoder to exactly the generator formula.
+    df = spark.range(7).withColumnRenamed("id", "doc_id")
+    assets = multimodal.attach_jpeg_payload(df)
+    rows = assets.select("doc_id", "payload", "meta").collect()
+    for r in rows:
+        img = codecs.decode_image(bytes(r.payload))
+        gray = codecs.to_grayscale(img)
+        for by in range(2):
+            for bx in range(3):
+                expect = (r.doc_id * 177 + (by * 3 + bx) * 55) % 256
+                block = gray[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (block == expect).all()
+        assert r.meta.mime == "image/jpeg"
