@@ -799,3 +799,110 @@ def repeated_spans(
             ).alias("dup_span_ratio"),
         )
     )
+
+
+def longest_dup_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """MAXIMAL cross-document duplicated token regions — the
+    variable-length upgrade of ``repeated_spans`` toward Lee et al.
+    '21's longest-match semantics (r9 verdict lead #9). A token
+    position is duplicated when some k-gram covering it appears in ≥
+    ``min_docs`` distinct documents; a REGION is a maximal run of
+    consecutive duplicated k-gram start positions, covering ``run + k
+    - 1`` tokens. The union-of-duplicated-k-grams formulation is
+    EXACT for the paper's contract ("every substring of length ≥ k
+    occurring more than once"): a position lies inside some
+    duplicated substring of length ≥ k iff one of the k-grams through
+    it is duplicated, so maximal duplicated substrings = maximal
+    duplicated-k-gram runs — no suffix array needed, and the
+    distributed shape stays digest-grouping (never doc-pairwise).
+
+    Per doc: ``n_dup_regions``, ``max_dup_span`` (tokens; the longest
+    duplicated substring length), ``dup_tokens`` (total tokens inside
+    duplicated regions — what exact-substring dedup would REMOVE) and
+    ``dup_token_ratio``. Shuffles: the digest explode (digest, id,
+    pos) triples and one digest aggregate — same two wide shuffles as
+    ``repeated_spans``; the run detection is a per-doc groupBy whose
+    value is a sorted position array transformed expression-side (no
+    window pass)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), n.alias("__nt"), grams.alias("__grams"))
+    g = base.select(
+        id_col, F.posexplode_outer("__grams").alias("__pos", "__digest")
+    )
+    dup = (
+        g.where(F.col("__digest").isNotNull())
+        .groupBy("__digest")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__digest")
+    )
+    runs = (
+        g.join(dup, on="__digest", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("__pos")).alias("__ps"))
+    )
+    ps = F.col("__ps")
+    # maximal runs: start indices where the position doesn't continue
+    # its predecessor (0-based idx i over ps; element_at is 1-based)
+    # try_element_at: i==0 probes index 0 (invalid under ANSI
+    # element_at — SQL | does not short-circuit); NULL != x is NULL,
+    # so wrap in coalesce to keep the first index a start
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size(ps) - 1),
+        lambda i: (i == 0)
+        | F.coalesce(
+            F.try_element_at(ps, i + 1) != F.try_element_at(ps, i) + 1,
+            F.lit(True),
+        ),
+    )
+    runs = runs.withColumn("__starts", starts)
+    st = F.col("__starts")
+    # run j spans ps indices [starts[j], next_start); tokens = run+k-1.
+    # NB the (s, j) two-arg lambda is the (element, index) transform —
+    # deliberate here (the unary-lambda trap works in reverse).
+    span_lens = F.transform(
+        st,
+        lambda s, j: F.coalesce(F.try_element_at(st, j + 2), F.size(ps))
+        - s
+        + F.lit(k - 1),
+    )
+    per = runs.select(
+        id_col,
+        F.size(st).cast("bigint").alias("n_dup_regions"),
+        F.array_max(span_lens).cast("bigint").alias("max_dup_span"),
+        F.aggregate(span_lens, F.lit(0), lambda a, x: a + x)
+        .cast("bigint")
+        .alias("dup_tokens"),
+    )
+    return (
+        base.select(id_col, "__nt")
+        .join(per, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("__nt").cast("bigint").alias("n_tokens"),
+            F.coalesce("n_dup_regions", F.lit(0)).alias("n_dup_regions"),
+            F.coalesce("max_dup_span", F.lit(0)).alias("max_dup_span"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.when(
+                    F.col("__nt") > 0,
+                    F.coalesce("dup_tokens", F.lit(0)) / F.col("__nt"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_token_ratio"),
+        )
+    )

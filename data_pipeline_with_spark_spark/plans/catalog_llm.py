@@ -843,6 +843,64 @@ register(
 )
 
 
+def _longest_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Variable-length exact-substring dedup signal (Lee et al. '21
+    longest-match semantics): maximal cross-doc duplicated token
+    regions from maximal duplicated-k-gram runs (exact for the
+    "every substring of length >= k occurring in >= 2 docs" contract;
+    see dedup.longest_dup_spans)."""
+    docs = read_testdata(spark, sf, "documents")
+    return dedup.longest_dup_spans(docs, k=8)
+
+
+register(
+    QuerySpec(
+        name="dedup_longest_dup_spans",
+        build=_longest_dup_spans,
+        doc="maximal cross-document duplicated token regions (variable-length "
+        "exact-substring dedup): per-doc region count, longest span, dup-token "
+        "total/ratio; digest-grouping shuffles, run detection expression-side",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        g AS MATERIALIZED (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(toks[i : i + 7], ' ') AS gram
+          FROM (SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 6, 1))) AS i
+                FROM t)
+        ),
+        dup AS (
+          SELECT gram FROM g GROUP BY gram
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        isl AS (
+          SELECT g.doc_id, g.pos,
+                 g.pos - row_number() OVER (PARTITION BY g.doc_id
+                                            ORDER BY g.pos) AS grp
+          FROM g JOIN dup USING (gram)
+        ),
+        r AS (SELECT doc_id, count(*) + 7 AS span FROM isl GROUP BY doc_id, grp),
+        per AS (
+          SELECT doc_id, count(*) AS n_dup_regions,
+                 max(span) AS max_dup_span, sum(span) AS dup_tokens
+          FROM r GROUP BY doc_id
+        ),
+        nt AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+        SELECT nt.doc_id,
+               CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_dup_regions, 0) AS BIGINT) AS n_dup_regions,
+               CAST(coalesce(p.max_dup_span, 0) AS BIGINT) AS max_dup_span,
+               CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               round(CASE WHEN nt.n_tokens > 0
+                          THEN coalesce(p.dup_tokens, 0)
+                               / CAST(nt.n_tokens AS DOUBLE)
+                          ELSE 0.0 END, 6) AS dup_token_ratio
+        FROM nt LEFT JOIN per p USING (doc_id)
+        """,
+    )
+)
+
+
 def _boilerplate_rate(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source boilerplate rate: the fraction of a source's
     paragraphs that are duplicates of an earlier occurrence anywhere in

@@ -1950,3 +1950,44 @@ def test_phash_pairs_banded_path_matches_broadcast_path(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     assert fast == banded and len(fast) > 0
+
+
+def test_longest_dup_spans_planted_two_lengths(spark):
+    # r9 verdict lead #9: variable-length exact-substring dedup must
+    # recover PLANTED cross-doc substrings at two different lengths
+    # exactly (12 and 20 tokens, k=8), report docs without duplication
+    # as zero, and merge overlapping duplicated k-grams into ONE region.
+    common12 = " ".join(f"c{i}" for i in range(12))
+    common20 = " ".join(f"d{i}" for i in range(20))
+    rows = [
+        (1, "alpha beta " + common12 + " gamma delta epsilon zeta eta theta"),
+        (2, "one two three " + common12 + " four five six seven eight nine"),
+        (3, common20 + " unique tail here now ok yes no maybe"),
+        (4, "start words " + common20),
+        (5, "totally unrelated text with no duplicated spans at all whatsoever indeed"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.longest_dup_spans(df, k=8).collect()}
+    assert (out[1].n_dup_regions, out[1].max_dup_span, out[1].dup_tokens) == (1, 12, 12)
+    assert (out[2].n_dup_regions, out[2].max_dup_span, out[2].dup_tokens) == (1, 12, 12)
+    assert (out[3].n_dup_regions, out[3].max_dup_span, out[3].dup_tokens) == (1, 20, 20)
+    assert (out[4].n_dup_regions, out[4].max_dup_span, out[4].dup_tokens) == (1, 20, 20)
+    assert (out[5].n_dup_regions, out[5].max_dup_span, out[5].dup_tokens) == (0, 0, 0)
+    assert out[4].dup_token_ratio == round(20 / 22, 6)
+
+
+def test_longest_dup_spans_two_separate_regions(spark):
+    # two disjoint duplicated substrings in one doc -> two regions, and
+    # the doc-level totals add up
+    a = " ".join(f"x{i}" for i in range(9))
+    b = " ".join(f"y{i}" for i in range(10))
+    rows = [
+        (1, a + " filler one two three four five six seven " + b),
+        (2, a + " completely different middle content here again " + b),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.longest_dup_spans(df, k=8).collect()}
+    for d in (1, 2):
+        assert out[d].n_dup_regions == 2
+        assert out[d].max_dup_span == 10
+        assert out[d].dup_tokens == 19
