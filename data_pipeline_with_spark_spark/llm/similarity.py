@@ -32,6 +32,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_pipeline_with_spark_spark.util import (
     arrow_local_df,
@@ -1404,6 +1405,134 @@ def ann_topk(
     ).select(query_id_col, "neighbor_id", F.col("l2_sq").alias("l2_dist"), "rnk")
 
 
+# Below this many queries the probe computes cell ranking + ADC LUTs
+# DRIVER-SIDE (numpy over the already-driver-known quantizers) and
+# ships them as one Arrow frame: the executor-side LUT pipeline's
+# stats job (collect_set of probed cells + guard count) was ~1.0 s of
+# the warm probe's 1.7 s fixed cost at sf1 — for a serving-sized
+# query batch that job computes 160 rows. Past the bound the SQL
+# pipeline takes over (LUT bytes grow as |Q| × n_probe × m × k_codes;
+# at the 100k guard that is ~800 MB, which belongs on executors).
+PROBE_DRIVER_LUT_MAX_QUERIES = 1024
+
+
+def _probe_with_driver_luts(
+    centroid_list,
+    books,
+    scan_for,
+    q_rows,
+    spark,
+    k: int,
+    n_probe: int,
+    shortlist_factor: int,
+    id_col: str,
+    emb_col: str,
+    query_id_col: str,
+    qid_type,
+) -> DataFrame:
+    """Fast path of ``_ivfpq_probe_core`` for serving-sized query sets:
+    steps 1–2 (cell ranking, residual ADC LUTs) run in numpy on the
+    driver — the quantizers already live there — and the LUT relation
+    arrives as ONE broadcast Arrow frame, removing the stats job and
+    the crossJoin/explode subtree. Steps 3–4 (pruned codes scan, ADC
+    shortlist, exact re-rank) are the same SQL as the big path, so
+    plan pins (PartitionFilters, codes-only ReadSchema) hold.
+
+    Numeric note: numpy's pairwise summation may differ from the SQL
+    fold by ulps in LUT entries; the shortlist is a superset selector
+    and the RE-RANK distance is computed SQL-side either way, so
+    returned distances are bit-identical to the big path and top-k
+    membership can only differ where ADC scores tie at the shortlist
+    boundary — the documented approx-ANN contract."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    d = len(books[0][0])
+    C = np.asarray(centroid_list, dtype=np.float64)
+    B = np.asarray(books, dtype=np.float64)  # m × k_codes × d
+    take = min(n_probe, len(centroid_list))
+    qids, luts = [], {f"__lut{j}": [] for j in range(m)}
+    cells_col = []
+    probe_cells = set()
+    qv_by_id = []
+    for r in q_rows:
+        qv = np.asarray(r["__q"], dtype=np.float64)
+        qv_by_id.append((r[query_id_col], [float(x) for x in qv]))
+        d2 = ((C - qv[None, :]) ** 2).sum(axis=1)
+        order = np.argsort(d2, kind="stable")[:take]  # stable = low cell on tie
+        for cell in order:
+            cell = int(cell)
+            probe_cells.add(cell)
+            resid = qv - C[cell]
+            qids.append(r[query_id_col])
+            cells_col.append(cell)
+            for j in range(m):
+                sub = resid[j * d : (j + 1) * d]
+                luts[f"__lut{j}"].append(
+                    [float(((sub - B[j, c]) ** 2).sum()) for c in range(len(B[j]))]
+                )
+    lut_schema = T.StructType(
+        [
+            T.StructField(query_id_col, qid_type),
+            T.StructField("cell", T.IntegerType()),
+            *[T.StructField(f"__lut{j}", T.ArrayType(T.DoubleType())) for j in range(m)],
+        ]
+    )
+    q_lut = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame({query_id_col: qids, "cell": cells_col, **luts}),
+            schema=lut_schema,
+        )
+    )
+    q_schema = T.StructType(
+        [
+            T.StructField(query_id_col, qid_type),
+            T.StructField("__q", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {query_id_col: [i for i, _ in qv_by_id], "__q": [v for _, v in qv_by_id]}
+        ),
+        schema=q_schema,
+    )
+    pruned = scan_for(sorted(probe_cells))
+    adc = F.round(_adc_dist(m), 6)
+    shortlist = (
+        pruned.select("cell", id_col, "pq_codes")
+        .join(q_lut, on="cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .withColumn("adc_dist", adc)
+        .withColumn(
+            "srnk",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.asc_nulls_last("adc_dist"), F.asc(id_col)
+                )
+            ),
+        )
+        .where(F.col("srnk") <= k * shortlist_factor)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"))
+    )
+    if len(q_rows) * k * shortlist_factor <= SHORTLIST_BROADCAST_MAX_ROWS:
+        shortlist = F.broadcast(shortlist)
+    fetched = pruned.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(emb_col)).alias("__n")
+    ).join(shortlist, on="neighbor_id")
+    scored = fetched.join(F.broadcast(qdf), on=query_id_col).withColumn(
+        "l2_dist", F.round(_sq_dist_cols(F.col("__n"), F.col("__q")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc_nulls_last("l2_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, "neighbor_id", "l2_dist", "rnk")
+    )
+
+
 def _ivfpq_probe_core(
     centroid_list: list[list[float]],
     books: list[list[list[float]]],
@@ -1434,6 +1563,21 @@ def _ivfpq_probe_core(
     jobs (r7 verdict item #4)."""
     m = len(books)
     d = len(books[0][0])
+    # Serving-sized query sets take the driver-LUT fast path: ONE
+    # bounded collect decides the dispatch AND, under the bound,
+    # already delivers the query vectors the LUT build needs
+    # (limit(N+1): > N rows back means big path, nothing wasted).
+    probe_q = queries.where(F.col(emb_col).isNotNull()).select(
+        F.col(id_col).alias(query_id_col), _as_double(F.col(emb_col)).alias("__q")
+    )
+    q_rows = probe_q.limit(PROBE_DRIVER_LUT_MAX_QUERIES + 1).collect()
+    if len(q_rows) <= PROBE_DRIVER_LUT_MAX_QUERIES:
+        return _probe_with_driver_luts(
+            centroid_list, books, scan_for, q_rows, queries.sparkSession,
+            k=k, n_probe=n_probe, shortlist_factor=shortlist_factor,
+            id_col=id_col, emb_col=emb_col, query_id_col=query_id_col,
+            qid_type=queries.schema[id_col].dataType,
+        )
     # NULL query embeddings have no cell distance (cdist would be NULL
     # for every centroid) — excluded at the guard, uniform with
     # _ivfpq_assign's index-side exclusion.

@@ -1991,3 +1991,34 @@ def test_longest_dup_spans_two_separate_regions(spark):
         assert out[d].n_dup_regions == 2
         assert out[d].max_dup_span == 10
         assert out[d].dup_tokens == 19
+
+
+def test_ivfpq_probe_driver_lut_path_matches_sql_path(spark, tmp_path):
+    # r10: serving-sized query sets compute cell ranking + ADC LUTs
+    # driver-side (numpy) and ship one Arrow frame; past the bound the
+    # SQL pipeline runs. Both paths must return identical rows here
+    # (same shortlist membership, re-rank distance computed SQL-side
+    # in both).
+    from data_pipeline_with_spark_spark.llm import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    S.ivfpq_build_index(emb, idx, n_cells=8, m=8, k_codes=16, pq_iters=1)
+    q = emb.where("vec_id < 7")
+
+    def probe():
+        return sorted(
+            tuple(r)
+            for r in S.ivfpq_probe_topk(
+                spark, idx, q, k=5, n_probe=3, shortlist_factor=10
+            ).collect()
+        )
+
+    fast = probe()
+    saved = S.PROBE_DRIVER_LUT_MAX_QUERIES
+    S.PROBE_DRIVER_LUT_MAX_QUERIES = 0
+    try:
+        big = probe()
+    finally:
+        S.PROBE_DRIVER_LUT_MAX_QUERIES = saved
+    assert fast == big and len(fast) == 35
