@@ -506,6 +506,98 @@ def decontamination_overlap(
     )
 
 
+BLOOM_BITS = 1 << 20  # 128 KB filter; ~2.6 bits/gram at 400k probe grams
+BLOOM_HASHES = 3
+
+
+def _bloom_positions(key: Column) -> list[Column]:
+    """BLOOM_HASHES bit positions for a 64-bit gram key: re-hash with a
+    seed column per probe (xxhash64 is seedable via an extra literal
+    arg) and fold into [0, BLOOM_BITS). pmod keeps positions
+    non-negative (xxhash64 is signed)."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(BLOOM_BITS)).cast("int")
+        for i in range(BLOOM_HASHES)
+    ]
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 5,
+) -> DataFrame:
+    """``decontamination_overlap`` with a Bloom-filter PREFILTER — the
+    shape that survives a 100 TB corpus against a probe set too big to
+    broadcast as raw grams: the probe's k-gram keys fold into a
+    BLOOM_BITS-bit filter (fixed ~1 MB boolean array regardless of
+    probe size, vs 8 bytes/gram for the raw key set), the corpus side
+    drops every
+    gram whose ``BLOOM_HASHES`` bits aren't all set in a map-only
+    pass, and only the surviving sliver takes the exact gram join.
+    Bloom filters have NO false negatives, and the exact join removes
+    the false positives, so the result EQUALS the exact
+    decontamination — the oracle is the plain exact-join SQL, and a
+    pytest pins prefilter-superset + post-verify equality.
+
+    The filter is engine-portable by construction (no opaque native
+    bloom blob): membership = ``bits[pos + 1]`` for BLOOM_HASHES
+    seeded-xxhash64 positions — the same arithmetic replays in DuckDB.
+    Build cost: one distinct over probe gram positions, capped at
+    BLOOM_BITS ints of driver traffic no matter how large the probe
+    corpus grows; the densified array rides a broadcast 1-row frame."""
+    from data_pipeline_with_spark_spark.util import arrow_local_df
+
+    toks = F.col("__toks")
+    seq = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k_shingle - 1), F.lit(1)))
+    gram_keys = F.explode(
+        F.array_distinct(
+            F.transform(seq, lambda i: F.xxhash64(F.slice(toks, i, k_shingle)))
+        )
+    )
+    probe_grams = (
+        probe.withColumn("__toks", tokens(text_col))
+        .select(gram_keys.alias("gram_key"))
+        .distinct()
+    )
+    # distributed filter build: DISTINCT set positions (≤ BLOOM_BITS
+    # ints reach the driver no matter the probe size), densified into
+    # a boolean array on a broadcast 1-row frame. Booleans, not packed
+    # words: element_at(bits, pos+1) is one array load — no
+    # column-valued shifts (PySpark's shift fns take literal shifts
+    # only) and the identical arithmetic replays anywhere.
+    pos = F.explode(F.array(*_bloom_positions(F.col("gram_key")))).alias("__pos")
+    set_positions = {
+        r["__pos"] for r in probe_grams.select(pos).distinct().collect()
+    }
+    bits = [i in set_positions for i in range(BLOOM_BITS)]
+    spark = corpus.sparkSession
+    wdf = arrow_local_df(spark, {"__bits": [bits]}, "__bits array<boolean>")
+
+    def bloom_hit(key: Column) -> Column:
+        cond = None
+        for p in _bloom_positions(key):
+            c = F.element_at(F.col("__bits"), p + 1)
+            cond = c if cond is None else cond & c
+        return cond
+
+    corpus_grams = (
+        corpus.withColumn("__toks", tokens(text_col))
+        .select(F.col(id_col), gram_keys.alias("gram_key"))
+        .crossJoin(F.broadcast(wdf))
+        .where(bloom_hit(F.col("gram_key")))
+        .drop("__bits")
+    )
+    if not too_big_to_broadcast(probe_grams):
+        probe_grams = F.broadcast(probe_grams)
+    return (
+        corpus_grams.join(probe_grams, on="gram_key")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Duplicate-cluster resolution: connected components over near-dup pairs
 def connected_components(

@@ -463,6 +463,106 @@ def ivf_probe_topk(
     )
 
 
+def power_iteration_top_component(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    iters: int = 3,
+) -> tuple[list[float], list[float], float]:
+    """Top principal component of an embedding column by POWER
+    ITERATION — the iterative-algorithm pattern applied to dimension
+    reduction (the standard pre-ANN/whitening step): per round ONE
+    distributed pass computes ``w = Σ_i ((x_i - μ)·v) (x_i - μ)``
+    (covariance-matrix action on v without materializing the D×D
+    matrix), only D doubles reach the driver, and v renormalizes
+    driver-side. Deterministic: v₀ = e₀ and every round's v is
+    quantized to 6 decimals (the classifier recipe), so each round's
+    INPUT is engine-exact and a DuckDB oracle can replay the unrolled
+    rounds. Returns (mu, v, eigenvalue_estimate); mu and all outputs
+    round-6.
+
+    Scale: iters × one corpus scan, no shuffle wider than the D-row
+    per-dimension partial aggregate — the same lineage shape as
+    kmeans_lloyd, bounded driver traffic."""
+    vecs = df.where(F.col(emb_col).isNotNull()).select(
+        _as_double(F.col(emb_col)).alias("__x")
+    )
+    first = vecs.select(F.size("__x").alias("n")).limit(1).collect()
+    if not first:
+        raise ValueError("power_iteration_top_component: empty input")
+    d = int(first[0]["n"])
+    # per-dim mean, quantized
+    mu_rows = (
+        vecs.select(F.posexplode("__x").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .collect()
+    )
+    mu = [0.0] * d
+    for r in mu_rows:
+        mu[r.pos] = float(r.m)
+    v = [1.0] + [0.0] * (d - 1)  # e0: exact, deterministic
+    eig = 0.0
+    for _ in range(iters):
+        mu_lit = _double_lit(mu)
+        v_lit = _double_lit(v)
+        cent = F.zip_with(F.col("__x"), mu_lit, lambda a, b: a - b)
+        proj = F.aggregate(
+            F.zip_with(cent, v_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w_rows = (
+            vecs.select(cent.alias("__c"), proj.alias("__s"))
+            .select("__s", F.posexplode("__c").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(F.round(F.sum(F.col("__s") * F.col("val")), 6).alias("w"))
+            .collect()
+        )
+        w = [0.0] * d
+        for r in w_rows:
+            w[r.pos] = float(r.w)
+        norm = math.sqrt(sum(x * x for x in w))
+        if norm == 0.0:  # degenerate input: keep current direction
+            break
+        eig = round(norm, 6)
+        v = [round(x / norm, 6) for x in w]
+    return mu, v, eig
+
+
+def label_projection_stats(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    iters: int = 3,
+) -> DataFrame:
+    """Per-label statistics of the projection onto the corpus's top
+    principal component (``power_iteration_top_component``): how the
+    labeled clusters separate along the dominant variance direction —
+    the one-number-per-cluster diagnostic a curation pipeline reads
+    before trusting label-stratified sampling. One extra corpus pass
+    after training; all outputs round-6."""
+    mu, v, _ = power_iteration_top_component(df, emb_col, iters)
+    mu_lit = _double_lit(mu)
+    v_lit = _double_lit(v)
+    cent = F.zip_with(_as_double(F.col(emb_col)), mu_lit, lambda a, b: a - b)
+    proj = F.aggregate(
+        F.zip_with(cent, v_lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.where(F.col(emb_col).isNotNull())
+        .select(F.col(label_col), proj.alias("__p"))
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.avg("__p"), 6).alias("mean_proj"),
+            F.round(F.min("__p"), 6).alias("min_proj"),
+            F.round(F.max("__p"), 6).alias("max_proj"),
+        )
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     k: int = 8,
@@ -485,25 +585,111 @@ def semantic_dedup(
     labels, _ = kmeans_lloyd(emb, k=k, iters=iters, id_col=id_col, emb_col=emb_col)
     # labels carry only (id, cluster); rejoin for the vectors — one
     # id-keyed shuffle, no vector duplication beyond the cell join.
-    assigned = emb.join(labels.select(id_col, "cluster"), on=id_col)
+    # The double cast and the norm are computed ONCE PER ROW before the
+    # self-join (r10: the per-pair cosine() recomputed both sides'
+    # norms per PAIR — O(cell²) sqrt-folds instead of O(n); same IEEE
+    # ops in the same order, so the filter is bit-identical and the
+    # oracle hash is unaffected).
+    assigned = emb.join(labels.select(id_col, "cluster"), on=id_col).select(
+        id_col, "cluster", _as_double(F.col(emb_col)).alias("__d")
+    )
+    assigned = assigned.withColumn("__n", norm(F.col("__d")))
     a = assigned.select(
         F.col(id_col).alias("__id_a"),
         F.col("cluster"),
-        F.col(emb_col).alias("__emb_a"),
+        F.col("__d").alias("__d_a"),
+        F.col("__n").alias("__n_a"),
     )
     b = assigned.select(
         F.col(id_col).alias("__id_b"),
         F.col("cluster"),
-        F.col(emb_col).alias("__emb_b"),
+        F.col("__d").alias("__d_b"),
+        F.col("__n").alias("__n_b"),
     )
+    cos = dot(F.col("__d_a"), F.col("__d_b")) / (F.col("__n_a") * F.col("__n_b"))
     dropped = (
         a.join(b, on="cluster")
         .where(F.col("__id_a") < F.col("__id_b"))
-        .where(cosine(F.col("__emb_a"), F.col("__emb_b")) >= threshold)
+        .where(cos >= threshold)
         .select(F.col("__id_b").alias(id_col))
         .distinct()
     )
     return emb.join(dropped, on=id_col, how="left_anti")
+
+
+def semantic_dedup_auto(
+    emb: DataFrame,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_cells: int = 4096,
+) -> DataFrame:
+    """The SCALE path of SemDeDup (fixed-k ``semantic_dedup`` is
+    quadratic BY CONTRACT — cell population n/k grows with the corpus,
+    which the r10 scaling probe measured as exp 1.77). Two changes make
+    it survive growth:
+
+    - **k scales with the corpus**: k = ⌈√n⌉ (capped) balances the
+      kmeans assign cost O(n·k) against the in-cell pairwise cost
+      O(n²/k) — both ~O(n^1.5) of cheap work instead of O(n²). The
+      coarse model is MLlib KMeans (JVM, seeded) — at √n cells the
+      expression-unrolled Lloyd used by the oracle-checked twin would
+      itself become the bottleneck.
+    - **in-cell pairwise goes vectorized**: each cell's cosine matrix
+      is one numpy gram matrix inside ``applyInPandas`` (Arrow batch
+      per cell) instead of per-pair interpreted folds — the documented
+      escape hatch for semantics built-ins can't express efficiently.
+
+    Same keeper contract as the twin: drop every vector whose cosine
+    to a LOWER-ID cell-mate ≥ threshold. Rows-only entry (MLlib
+    internals + numpy sum order aren't SQL-replayable); a pytest pins
+    the planted-duplicate behavior and the twin-agreement on a
+    fixture where both resolve the same cells."""
+    import pandas as pd
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import types as _T
+
+    vecs = emb.where(F.col(emb_col).isNotNull())
+    n = vecs.count()
+    if n == 0:
+        return emb.limit(0)
+    k = max(2, min(max_cells, int(math.isqrt(n))))
+    feats = vecs.select(
+        F.col(id_col),
+        F.col(emb_col),
+        array_to_vector(F.col(emb_col).cast("array<double>")).alias("__f"),
+    ).repartition(8, id_col).sortWithinPartitions(id_col)
+    model = KMeans(k=k, seed=42, featuresCol="__f", predictionCol="__cell").fit(feats)
+    assigned = model.transform(feats).select(id_col, emb_col, "__cell")
+
+    # Keeper rule matches the TWIN: drop j when ANY earlier (lower-id)
+    # cell-mate is >= threshold — compare vs all earlier rows, dropped
+    # or not (SemDeDup's representative-per-group rule would compare
+    # only vs kept rows; the twin's rule is the pinned contract).
+    def drop_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
+        norms = np.sqrt((X * X).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        Xn = X / norms[:, None]
+        sims = Xn @ Xn.T
+        keep = [
+            j
+            for j in range(len(pdf))
+            if j == 0 or not (sims[j, :j] >= threshold).any()
+        ]
+        return pdf.iloc[keep][[id_col]]
+
+    survivors = assigned.groupBy("__cell").applyInPandas(
+        drop_dups,
+        _T.StructType([emb.schema[id_col]]),
+    )
+    return emb.join(survivors, on=id_col, how="left_semi")
 
 
 def kmeans_lloyd(

@@ -2867,6 +2867,29 @@ def _semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def _semantic_dedup_auto(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale variant (r10): k = ceil(sqrt(n)) MLlib cells + per-cell
+    numpy cosine matrix via applyInPandas — the fixed-k twin is
+    quadratic by contract (exp 1.77 in the r10 scaling probe; this
+    variant measured 323 s -> 5 s at sf1). MLlib + numpy sum order
+    aren't SQL-replayable -> rows-only; the twin pins the exact
+    keeper semantics, pytest pins planted-duplicate behavior here."""
+    emb = read_testdata(spark, sf, "embeddings")
+    kept = similarity.semantic_dedup_auto(emb, threshold=_SEMDEDUP_THRESHOLD)
+    return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+register(
+    QuerySpec(
+        name="sim_semantic_dedup_auto",
+        build=_semantic_dedup_auto,
+        doc="SemDeDup scale path: sqrt(n) MLlib cells + vectorized per-cell "
+        "cosine dedup (applyInPandas); rows-only (MLlib/numpy internals)",
+        oracle=None,
+    )
+)
+
+
 register(
     QuerySpec(
         name="sim_semantic_dedup",
@@ -3256,5 +3279,124 @@ register(
           FROM scored)
         WHERE rnk <= 5
         """,
+    )
+)
+
+
+def _decontam_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (dedup.decontaminate_bloom):
+    identical output to the exact-join entry by construction (no false
+    negatives + exact verify), so the oracle IS the exact-join SQL —
+    the prefilter can only break the hash match by dropping a true
+    overlap."""
+    docs = read_testdata(spark, sf, "documents")
+    probe = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return dedup.decontaminate_bloom(corpus, probe, k_shingle=5)
+
+
+register(
+    QuerySpec(
+        name="decontam_bloom_prefilter",
+        build=_decontam_bloom,
+        doc="Bloom-filter decontamination: probe grams fold into a fixed "
+        "128 KB portable bit array (broadcast 1-row frame), corpus grams "
+        "prefilter map-only, exact join verifies — equals exact "
+        "decontamination, survives probe sets too big to broadcast raw",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 4, 1) + 1),
+                   i -> list_aggregate(toks[i:i+4], 'string_agg', ' ')))) AS gram
+          FROM t),
+        probe AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+        FROM g
+        WHERE doc_id % 10 <> 0 AND gram IN (SELECT gram FROM probe)
+        GROUP BY doc_id
+        """,
+    )
+)
+
+
+_PCA_D = 64
+_PCA_ITERS = 3
+
+
+def _pca_label_projections(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label projection stats onto the corpus's top principal
+    component (power iteration, rounds unrolled; every round's v is
+    round-6 quantized so the oracle replays the whole optimization —
+    the kmeans/classifier iterative-oracle recipe)."""
+    emb = read_testdata(spark, sf, "embeddings")
+    return similarity.label_projection_stats(emb, iters=_PCA_ITERS)
+
+
+def _pca_oracle() -> str:
+    d = _PCA_D
+    # v0 = e0; each round r: w = round6(Σ s·cent) per dim, v_r =
+    # round6(w / ||w||) with the norm's sum folded in pos order (the
+    # sequential list_reduce ≡ the Spark driver's Python sum).
+    # DuckDB forbids subqueries inside lambdas: each round's v arrives
+    # as a cross-joined 1-row CTE column, referenced as v[i]
+    v0 = (
+        "SELECT list_transform(range(1, %d + 1), i -> CASE WHEN i = 1 "
+        "THEN 1.0 ELSE 0.0 END) AS v" % d
+    )
+    rounds = [f"v0 AS MATERIALIZED ({v0})"]
+    for r in range(1, _PCA_ITERS + 1):
+        rounds.append(f"""
+        w{r} AS (
+          SELECT pos, round(sum(s * (e[pos] - mu[pos])), 6) AS w
+          FROM (
+            SELECT e, mu, pos,
+                   list_reduce(list_transform(range(1, {d} + 1),
+                     i -> (e[i] - mu[i]) * v[i]), (a, b) -> a + b) AS s
+            FROM x, mua, v{r-1}, (SELECT unnest(range(1, {d} + 1)) AS pos)
+          ) GROUP BY pos
+        ),
+        v{r} AS MATERIALIZED (
+          SELECT list_transform(wl, y -> round(y / sqrt(
+                   list_reduce(list_transform(wl, z -> z * z),
+                               (a, b) -> a + b)), 6)) AS v
+          FROM (SELECT list(w ORDER BY pos) AS wl FROM w{r})
+        )""")
+    return f"""
+        WITH x AS MATERIALIZED (
+          SELECT label, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        mu0 AS (
+          SELECT pos, round(avg(val), 6) AS m
+          FROM (SELECT unnest(e) AS val,
+                       unnest(range(1, len(e) + 1)) AS pos FROM x)
+          GROUP BY pos
+        ),
+        mua AS MATERIALIZED (SELECT list(m ORDER BY pos) AS mu FROM mu0),
+        {",".join(rounds)}
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               round(avg(p), 6) AS mean_proj,
+               round(min(p), 6) AS min_proj,
+               round(max(p), 6) AS max_proj
+        FROM (
+          SELECT label,
+                 list_reduce(list_transform(range(1, {d} + 1),
+                   i -> (e[i] - mu[i]) * v[i]),
+                   (a, b) -> a + b) AS p
+          FROM x, mua, v{_PCA_ITERS}
+        ) GROUP BY label
+        """
+
+
+register(
+    QuerySpec(
+        name="sim_pca_label_projections",
+        build=_pca_label_projections,
+        doc="top principal component by power iteration (one corpus pass per "
+        "round, D doubles to the driver, round-6 quantized v per round) + "
+        "per-label projection stats; oracle replays the unrolled rounds",
+        oracle=_pca_oracle(),
     )
 )

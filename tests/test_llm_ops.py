@@ -2022,3 +2022,72 @@ def test_ivfpq_probe_driver_lut_path_matches_sql_path(spark, tmp_path):
     finally:
         S.PROBE_DRIVER_LUT_MAX_QUERIES = saved
     assert fast == big and len(fast) == 35
+
+
+def test_semantic_dedup_auto_planted_duplicates(spark):
+    # the scale variant must drop planted near-identical vectors (keep
+    # min id) and keep well-separated ones, same contract as the twin
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    base = rng.randn(30, 16)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # plant: ids 100..104 duplicate id 0's direction (tiny jitter)
+    for j in range(5):
+        rows.append((100 + j, [float(x) for x in base[0] + rng.randn(16) * 1e-4]))
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    from data_pipeline_with_spark_spark.llm import similarity as S
+
+    kept = {r.vec_id for r in S.semantic_dedup_auto(emb, threshold=0.95).collect()}
+    assert 0 in kept  # min-id keeper survives
+    assert not (kept & {100, 101, 102, 103, 104})  # clones dropped
+    assert len(kept & set(range(1, 30))) >= 25  # separated vectors kept
+
+
+def test_semantic_dedup_auto_agrees_with_twin_single_cell(spark):
+    # when everything lands in the same comparison scope, the numpy
+    # path and the expression-fold twin must pick identical survivors
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(12)]
+    rows += [(50 + j, [x * 1.001 for x in rows[j][1]]) for j in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    from data_pipeline_with_spark_spark.llm import similarity as S
+
+    twin = {r.vec_id for r in S.semantic_dedup(emb, k=2, iters=2, threshold=0.999).collect()}
+    auto = {
+        r.vec_id
+        for r in S.semantic_dedup_auto(emb, threshold=0.999, max_cells=2).collect()
+    }
+    # scaled copies have cosine 1.0 to their source: dropped by both
+    assert not ({50, 51, 52} & twin) and not ({50, 51, 52} & auto)
+    assert set(range(12)) <= twin and set(range(12)) <= auto
+
+
+def test_decontaminate_bloom_equals_exact_and_prefilter_fires(spark):
+    # Bloom prefilter + exact verify must EQUAL the exact join (no
+    # false negatives by construction), and the prefilter must actually
+    # drop the bulk of clean-corpus grams before the join.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    probe = docs.where("doc_id % 10 = 0")
+    corpus = docs.where("doc_id % 10 <> 0")
+    exact = {
+        (r.doc_id, r.n_shared_grams)
+        for r in dedup.decontamination_overlap(corpus, probe, k_shingle=5).collect()
+    }
+    bloom = {
+        (r.doc_id, r.n_shared_grams)
+        for r in dedup.decontaminate_bloom(corpus, probe, k_shingle=5).collect()
+    }
+    assert bloom == exact and exact  # identical result, non-degenerate
+
+    # FP behavior: a disjoint-vocabulary corpus passes ~0 grams (the
+    # 1M-bit filter at this probe density keeps the FP rate tiny)
+    clean = spark.createDataFrame(
+        [(900 + i, " ".join(f"zz{i}w{j}" for j in range(40))) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    assert dedup.decontaminate_bloom(clean, probe, k_shingle=5).count() == 0
