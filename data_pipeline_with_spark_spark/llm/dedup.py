@@ -998,3 +998,95 @@ def longest_dup_spans(
             ).alias("dup_token_ratio"),
         )
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """The ACTION to ``longest_dup_spans``'s signal: rebuild each
+    document with every token covered by a cross-document duplicated
+    k-gram REMOVED (Lee et al. '21 cut exact-substring duplicates from
+    the training set; this is the both-copies-cut contract — pair it
+    with ``exact_dedup`` when one canonical copy should survive).
+
+    Returns (id, n_tokens, n_kept, dedup_digest) — the digest is
+    md5 of the space-joined kept tokens, so an oracle replay must
+    reconstruct the EXACT cleaned text. Shape: the same two
+    digest-keyed shuffles as longest_dup_spans; coverage testing is
+    expression-side against the per-doc duplicated-run INTERVALS
+    (a handful per doc), never a token-position explode — document
+    token arrays are touched only in their own row's projection."""
+    toks_expr = tokens(text_col)
+    n = F.size(toks_expr)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks_expr, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), toks_expr.alias("__toks"), grams.alias("__grams"))
+    g = base.select(id_col, F.posexplode_outer("__grams").alias("__pos", "__digest"))
+    dup = (
+        g.where(F.col("__digest").isNotNull())
+        .groupBy("__digest")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__digest")
+    )
+    # per-doc maximal covered INTERVALS from sorted duplicated
+    # positions (same run detection as longest_dup_spans): interval j
+    # covers tokens [ps[starts[j]], ps[next_start - 1] + k - 1]
+    runs = (
+        g.join(dup, on="__digest", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("__pos")).alias("__ps"))
+    )
+    ps = F.col("__ps")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size(ps) - 1),
+        lambda i: (i == 0)
+        | F.coalesce(
+            F.try_element_at(ps, i + 1) != F.try_element_at(ps, i) + 1,
+            F.lit(True),
+        ),
+    )
+    runs = runs.withColumn("__starts", starts)
+    st = F.col("__starts")
+    intervals = F.transform(
+        st,
+        lambda s, j: F.struct(
+            F.element_at(ps, s + 1).alias("lo"),
+            (
+                F.element_at(
+                    ps,
+                    F.coalesce(F.try_element_at(st, j + 2), F.size(ps)),
+                )
+                + F.lit(k - 1)
+            ).alias("hi"),
+        ),
+    )
+    cov = runs.select(id_col, intervals.alias("__iv"))
+    joined = base.join(cov, on=id_col, how="left").withColumn(
+        "__kept",
+        F.filter(
+            F.col("__toks"),
+            lambda t, idx: ~F.coalesce(
+                F.exists(
+                    F.col("__iv"),
+                    lambda iv: (iv.lo <= idx) & (idx <= iv.hi),
+                ),
+                F.lit(False),
+            ),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.size("__kept").cast("bigint").alias("n_kept"),
+        F.md5(F.array_join("__kept", " ")).alias("dedup_digest"),
+    )

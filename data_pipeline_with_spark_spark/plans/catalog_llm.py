@@ -843,6 +843,66 @@ register(
 )
 
 
+def _remove_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring dedup ACTION (dedup.remove_dup_spans): cut every
+    token covered by a cross-doc duplicated 8-gram and rebuild; the
+    oracle reconstructs the exact cleaned text (md5 must match)."""
+    docs = read_testdata(spark, sf, "documents")
+    return dedup.remove_dup_spans(docs, k=8)
+
+
+register(
+    QuerySpec(
+        name="dedup_remove_dup_spans",
+        build=_remove_dup_spans,
+        doc="cut cross-document duplicated spans from the corpus (Lee et al. "
+        "exact-substring removal): per-doc kept-token count + md5 of the "
+        "rebuilt text; digest shuffles + expression-side interval masking",
+        oracle=f"""
+        WITH t AS MATERIALIZED (
+          SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        ),
+        g AS MATERIALIZED (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(toks[i : i + 7], ' ') AS gram
+          FROM (SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 6, 1))) AS i
+                FROM t)
+        ),
+        dup AS (
+          SELECT gram FROM g GROUP BY gram
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        covered AS MATERIALIZED (
+          SELECT DISTINCT d.doc_id, d.pos + o.off AS ti
+          FROM (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)) d,
+               (SELECT unnest(range(0, 8)) AS off) o
+        ),
+        tok AS (
+          SELECT doc_id, tk, idx - 1 AS ti
+          FROM (SELECT doc_id, unnest(toks) AS tk,
+                       unnest(range(1, len(toks) + 1)) AS idx
+                FROM t)
+        ),
+        kept AS (
+          SELECT tok.doc_id,
+                 count(*) AS n_kept,
+                 string_agg(tk, ' ' ORDER BY tok.ti) AS cleaned
+          FROM tok LEFT JOIN covered c
+            ON tok.doc_id = c.doc_id AND tok.ti = c.ti
+          WHERE c.ti IS NULL
+          GROUP BY tok.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+               md5(coalesce(k.cleaned, '')) AS dedup_digest
+        FROM t LEFT JOIN kept k USING (doc_id)
+        """,
+    )
+)
+
+
 def _longest_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Variable-length exact-substring dedup signal (Lee et al. '21
     longest-match semantics): maximal cross-doc duplicated token

@@ -2091,3 +2091,23 @@ def test_decontaminate_bloom_equals_exact_and_prefilter_fires(spark):
         ["doc_id", "text"],
     )
     assert dedup.decontaminate_bloom(clean, probe, k_shingle=5).count() == 0
+
+
+def test_remove_dup_spans_cuts_planted_substring(spark):
+    # the cleaned text is exactly the original minus the planted common
+    # substring (both copies cut); untouched docs keep their digest
+    import hashlib
+
+    common = " ".join(f"c{i}" for i in range(12))
+    rows = [
+        (1, "alpha beta " + common + " gamma delta"),
+        (2, "one two three " + common + " four"),
+        (3, "nothing shared in this document at all whatsoever really truly"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.remove_dup_spans(df, k=8).collect()}
+    assert out[1].n_kept == 4
+    assert out[1].dedup_digest == hashlib.md5(b"alpha beta gamma delta").hexdigest()
+    assert out[2].dedup_digest == hashlib.md5(b"one two three four").hexdigest()
+    assert out[3].n_kept == out[3].n_tokens == 10
+    assert out[3].dedup_digest == hashlib.md5(rows[2][1].encode()).hexdigest()
