@@ -45,7 +45,57 @@ def norm_rows(cols, rows):
     return out
 
 
+def check_one(spark, con, name, spec) -> tuple[bool, str]:
+    """(passed, message) for one entry. ``con`` must be private to the
+    calling thread (a duckdb cursor)."""
+    t0 = time.time()
+    try:
+        sdf = spec.build(spark, SF_DIR)
+        s_cols = sdf.columns
+        s_rows = sdf.collect()
+    except Exception as e:
+        return False, f"FAIL {name}: spark error: {e}"
+    if spec.oracle is None:
+        return True, (
+            f"ok   {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)"
+        )
+    try:
+        res = con.execute(spec.oracle)
+        d_cols = [d[0] for d in res.description]
+        d_rows = res.fetchall()
+    except Exception as e:
+        return False, f"FAIL {name}: duckdb error: {e}"
+
+    problems = []
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+    if len(s_rows) != len(d_rows):
+        problems.append(f"rowcount: spark={len(s_rows)} duck={len(d_rows)}")
+    if not problems:
+        sn = norm_rows(s_cols, [tuple(r) for r in s_rows])
+        dn = norm_rows(d_cols, d_rows)
+        if sn != dn:
+            diff_i = next((i for i, (a, b) in enumerate(zip(sn, dn)) if a != b), None)
+            problems.append(
+                f"values differ at sorted-row {diff_i}:\n  spark={sn[diff_i] if diff_i is not None else '?'}\n  duck ={dn[diff_i] if diff_i is not None else '?'}"
+            )
+    if problems:
+        return False, f"FAIL {name}: " + "; ".join(problems)
+    return True, f"ok   {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)"
+
+
+# Entries that mutate named session/filesystem state (memory-sink
+# stream names, lakehouse tempview registrations) run SEQUENTIALLY;
+# everything else is a pure read→compare and fans out across threads
+# (Spark schedules concurrent jobs from multiple Python threads fine;
+# collect() releases the GIL during JVM execution).
+_STATEFUL_PREFIXES = ("stream_", "lakehouse_")
+POOL_WORKERS = 6
+
+
 def main() -> int:
+    from concurrent.futures import ThreadPoolExecutor
+
     only = set(sys.argv[2:])
     spark = get_spark("check_oracle")
     con = duckdb.connect()
@@ -53,54 +103,36 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     specs = all_queries()
+    todo = [
+        (name, spec)
+        for name, spec in specs.items()
+        if not only or name in only
+    ]
+    pure = [(n, s) for n, s in todo if not n.startswith(_STATEFUL_PREFIXES)]
+    stateful = [(n, s) for n, s in todo if n.startswith(_STATEFUL_PREFIXES)]
+
+    results: dict[str, tuple[bool, str]] = {}
+
+    def run(pair):
+        name, spec = pair
+        cur = con.cursor()  # duckdb connections are not thread-safe
+        try:
+            results[name] = check_one(spark, cur, name, spec)
+        finally:
+            cur.close()
+
+    with ThreadPoolExecutor(max_workers=POOL_WORKERS) as pool:
+        list(pool.map(run, pure))
+    for pair in stateful:
+        run(pair)
+
     failures = []
-    n_run = 0
-    for name, spec in specs.items():
-        if only and name not in only:
-            continue
-        n_run += 1
-        t0 = time.time()
-        try:
-            sdf = spec.build(spark, SF_DIR)
-            s_cols = sdf.columns
-            s_rows = sdf.collect()
-        except Exception as e:
+    for name, _ in todo:
+        passed, msg = results[name]
+        print(msg)
+        if not passed:
             failures.append(name)
-            print(f"FAIL {name}: spark error: {e}")
-            continue
-        if spec.oracle is None:
-            print(f"ok   {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
-            continue
-        try:
-            res = con.execute(spec.oracle)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
-        except Exception as e:
-            failures.append(name)
-            print(f"FAIL {name}: duckdb error: {e}")
-            continue
-
-        problems = []
-        if sorted(s_cols) != sorted(d_cols):
-            problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rowcount: spark={len(s_rows)} duck={len(d_rows)}")
-        if not problems:
-            sn = norm_rows(s_cols, [tuple(r) for r in s_rows])
-            dn = norm_rows(d_cols, d_rows)
-            if sn != dn:
-                diff_i = next(
-                    (i for i, (a, b) in enumerate(zip(sn, dn)) if a != b), None
-                )
-                problems.append(
-                    f"values differ at sorted-row {diff_i}:\n  spark={sn[diff_i] if diff_i is not None else '?'}\n  duck ={dn[diff_i] if diff_i is not None else '?'}"
-                )
-        if problems:
-            failures.append(name)
-            print(f"FAIL {name}: " + "; ".join(problems))
-        else:
-            print(f"ok   {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)")
-
+    n_run = len(todo)
     print(f"\n{n_run - len(failures)}/{n_run} queries run match"
           + (f" (of {len(specs)} registered)" if n_run < len(specs) else ""))
     return 1 if failures else 0
