@@ -1,0 +1,178 @@
+"""Mergeable sketches: HyperLogLog distinct-count registers and a
+Count-Min frequency sketch — the bounded-memory summaries a 100 TB
+pipeline ships between stages instead of raw keys.
+
+Both are pure Catalyst expressions over the portable md5 primitive (the
+same hash doctrine as `llm/dedup.py`), so the sketch CONTENTS — not just
+the estimates — are bit-identical on any engine and every entry is
+DuckDB-oracle-checkable:
+
+- HyperLogLog (Flajolet et al. '07, the classic 32-bit variant): bucket
+  = first 2 md5 hex chars (p=8, m=256), rho = leading-zero count of the
+  next 24 bits + 1 (capped at 25). Registers are per-bucket MAX — an
+  integer, commutative, idempotent aggregate, so partial registers from
+  any partitioning / micro-batch MERGE by max to exactly the registers
+  of the union (pinned by `test_hll_registers_merge_by_max`). The
+  estimator sums 2^(25-reg) as BIGINT — exact integer arithmetic, no
+  float-order sensitivity — and divides once at the end.
+- Count-Min (Cormode & Muthukrishnan '05): d=4 rows, w=4096 buckets
+  keyed by the 3-hex-char prefix of md5(row || ':' || token). Counters
+  are integer sums → mergeable across partitions by +, and map-side
+  partial aggregation builds per-partition sub-sketches for free.
+  Estimate = min over rows; overestimate-only by construction.
+
+Scale shape: the sketch tables are O(m) / O(d·w) rows regardless of
+input size — the only full-data pass is one scan + one grouped integer
+aggregate; probes broadcast-join against the tiny sketch.
+
+Extension surface beyond the reference (no counterpart in
+/root/reference — its notebooks stop at exact aggregates); included as
+first-class LLM-pipeline operators per SURVEY §2.14.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (p=8, 32-bit hash domain)
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 buckets
+HLL_RHO_MAX = 25  # 24 rho bits + 1
+_TWO_P25 = 1 << HLL_RHO_MAX  # scale for exact integer 2^(25-reg) sums
+# alpha_m * m^2 * 2^25 precomputed once so BOTH engines inline the same
+# decimal literal (keeps the estimate a single division at runtime).
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUMERATOR = HLL_ALPHA * HLL_M * HLL_M * _TWO_P25
+
+
+def _rho_expr(rest: str) -> str:
+    """SQL text for rho = #leading zero bits of the 24-bit tail + 1.
+
+    `rest` must be a 6-hex-char column expression. Counted nibble-wise:
+    whole leading '0' nibbles contribute 4 zeros each, then the first
+    non-zero hex digit contributes its within-nibble leading zeros
+    (8-f -> 0, 4-7 -> 1, 2-3 -> 2, 1 -> 3; hex chars order correctly
+    lexicographically). All-zero tail caps at 25. Identical text runs
+    in Spark and DuckDB.
+    """
+    nz = f"length(regexp_extract({rest}, '^0*', 0))"
+    c = f"substring({rest}, {nz} + 1, 1)"
+    nlz = (
+        f"(CASE WHEN {c} >= '8' THEN 0 WHEN {c} >= '4' THEN 1 "
+        f"WHEN {c} >= '2' THEN 2 ELSE 3 END)"
+    )
+    return (
+        f"CAST(CASE WHEN {nz} = 6 THEN {HLL_RHO_MAX} "
+        f"ELSE 4 * {nz} + {nlz} + 1 END AS INT)"
+    )
+
+
+def hll_bucket(key: Column) -> Column:
+    """Bucket id = first 2 md5 hex chars (256 buckets). Kept as the hex
+    STRING: bucket identity is equality-only, so no radix conversion —
+    the same trick as the md5-banded LSH join in `dedup.py`."""
+    return F.substring(F.md5(key.cast("string")), 1, 2)
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL registers: (group..., bucket hex, reg int).
+
+    One scan + one grouped integer MAX — the register table is at most
+    m=256 rows per group whatever the input size, and partial registers
+    from disjoint slices merge to the union's registers by max.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    out = df.select(
+        *group_cols,
+        F.substring(h, 1, 2).alias("bucket"),
+        F.expr(_rho_expr("substring(md5(CAST(%s AS STRING)), 3, 6)" % key_col)).alias(
+            "rho"
+        ),
+    )
+    return out.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("reg"))
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register tables (e.g. per-source or per-micro-batch partials)
+    down to `group_cols`: max per bucket — associative and idempotent."""
+    return registers.groupBy(*group_cols, "bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Cardinality estimate per group from a register table.
+
+    sum(2^(25-reg)) accumulates as BIGINT (every term exact, addition
+    order-free); empty buckets contribute 2^25 each. Exactly one double
+    division + the standard small-range linear-counting correction.
+    """
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(f"CAST(pow(2.0, {HLL_RHO_MAX} - reg) AS BIGINT)")
+        ).alias("sum_present"),
+    )
+    zeros = F.lit(HLL_M) - F.col("n_present")
+    sum_total = F.col("sum_present") + zeros * F.lit(_TWO_P25)
+    raw = F.lit(HLL_NUMERATOR) / sum_total.cast("double")
+    small = (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0)
+    linear = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double"))
+    return agg.select(
+        *group_cols,
+        F.round(F.when(small, linear).otherwise(raw), 4).alias("hll_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (d=4 rows, w=4096 hex-prefix buckets)
+
+CMS_DEPTH = 4
+CMS_KEY_HEX = 3  # 3 hex chars -> 4096 buckets per row
+
+
+def cms_key(row: int, token: Column | str) -> Column:
+    """Bucket key for sketch row `row`: 3-hex-char prefix of the salted
+    md5 — string-keyed like `hll_bucket` (equality-only identity)."""
+    t = F.col(token) if isinstance(token, str) else token
+    return F.substring(F.md5(F.concat(F.lit(f"{row}:"), t)), 1, CMS_KEY_HEX)
+
+
+def cms_sketch(token_counts: DataFrame, token_col: str = "token",
+               count_col: str = "cnt") -> DataFrame:
+    """Build the (row, key, c) sketch from exact per-token counts.
+
+    Input is the per-token count table (one shuffle upstream); the
+    sketch itself is <= d*w rows. posexplode of the d salted keys keeps
+    this a single projection + one grouped integer sum, and map-side
+    partial aggregation means each partition contributes a sub-sketch
+    that merges by + — the mergeability that makes CMS shippable from
+    100 TB of shards.
+    """
+    keys = F.array(*[cms_key(i, token_col) for i in range(CMS_DEPTH)])
+    exploded = token_counts.select(
+        F.col(count_col).alias("__c"), F.posexplode(keys).alias("row", "key")
+    )
+    return exploded.groupBy("row", "key").agg(F.sum("__c").alias("c"))
+
+
+def cms_lookup(sketch: DataFrame, probes: DataFrame,
+               token_col: str = "token") -> DataFrame:
+    """Point-query the sketch for each probe token: min over the d rows.
+
+    The probe side precomputes its d keys and joins the tiny sketch on
+    (row, key) — broadcast-able from either side; estimates only ever
+    overcount (collisions add, never subtract).
+    """
+    keys = F.array(*[cms_key(i, token_col) for i in range(CMS_DEPTH)])
+    p = probes.withColumn("__keys", keys).select(
+        "*", F.posexplode("__keys").alias("row", "key")
+    )
+    return (
+        p.join(F.broadcast(sketch), ["row", "key"], "inner")
+        .groupBy(token_col)
+        .agg(F.min("c").alias("cms_est"))
+    )

@@ -1,0 +1,91 @@
+"""Distributed graph centrality: integer-arithmetic PageRank.
+
+Companion to the min-label-propagation connected components in
+`llm/dedup.py` — CC resolves WHICH documents form a duplicate cluster;
+PageRank ranks nodes so a pipeline can pick the most-connected canonical
+representative (or, on an event-transition graph, score user-journey
+states).
+
+Determinism doctrine (the k-means / quality-classifier trick applied to
+graphs): ranks live as BIGINTs scaled by 10^12, every round is
+  contrib(u->v) = rank[u] div deg[u]          (integer division)
+  rank'[v]      = (0.15*SCALE div n) + (0.85 * insum[v]) div 100-style
+                 integer ops — addition of BIGINTs is exact and
+                 order-free, so there is NO float-accumulation-order
+                 hazard anywhere and a DuckDB oracle replays all rounds
+                 bit-exactly as unrolled materialized CTEs.
+
+Scale shape: each round is one equi-join (rank × edges, both partitioned
+by src) + one grouped BIGINT sum — the classic iterative-join PageRank;
+rounds are fixed (power iteration converges geometrically at d=0.85), no
+driver-side per-node state. The only collect() is the node count (one
+scalar). Caching `edges`+`deg` keeps the scan subtree from re-executing
+per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12  # rank fixed-point scale; sum(rank) ~ SCALE << BIGINT max
+PR_DAMP_NUM = 85  # d = 0.85 as the exact rational 85/100
+PR_BASE_NUM = PR_SCALE * (100 - PR_DAMP_NUM) // 100  # (1-d)*SCALE, exact
+
+
+def pagerank(
+    pairs: DataFrame,
+    rounds: int = 5,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """PageRank over an undirected pair list (each pair symmetrized).
+
+    Returns (node, degree, rank) with rank the BIGINT fixed-point value
+    after `rounds` power iterations from the uniform start. All nodes
+    come from the pair list, so degree >= 1 and no dangling-mass term is
+    needed; integer truncation leaks a deterministic whisker of mass per
+    round (documented, replayed identically by the oracle).
+    """
+    a = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    edges = a.unionByName(
+        a.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).cache()
+    n = deg.count()  # single scalar; the one driver-side value
+    if n == 0:
+        return deg.select(
+            F.col("src").alias("node"),
+            "degree",
+            F.lit(0).cast("bigint").alias("rank"),
+        )
+    base = PR_BASE_NUM // n
+    r = deg.select(
+        F.col("src").alias("node"),
+        "degree",
+        F.lit(PR_SCALE // n).cast("bigint").alias("rank"),
+    )
+    for _ in range(rounds):
+        insum = (
+            r.join(edges, r["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div degree").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("insum"))
+        )
+        r = (
+            deg.join(insum, deg["src"] == insum["node"], "left")
+            .select(
+                deg["src"].alias("node"),
+                "degree",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(insum, 0L)) div 100"
+                    )
+                ).cast("bigint").alias("rank"),
+            )
+        )
+    return r

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_spark.llm import dedup, multimodal, similarity, text
+from data_pipeline_with_spark_spark.operators import graph
 from data_pipeline_with_spark_spark.plans.registry import QuerySpec, register
 from data_pipeline_with_spark_spark.sources.readers import read_testdata
 
@@ -3458,5 +3459,90 @@ register(
         "round, D doubles to the driver, round-6 quantized v per round) + "
         "per-label projection stats; oracle replays the unrolled rounds",
         oracle=_pca_oracle(),
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Graph centrality over the duplicate graph: integer-arithmetic PageRank
+# (operators/graph.py). CC (dedup_connected_components) answers WHICH docs
+# cluster; PageRank ranks nodes inside the dup graph so curation can keep
+# the most-connected canonical copy. Ranks are BIGINT fixed-point, every
+# round pure integer ops, so the oracle replays all 5 power iterations
+# bit-exactly as unrolled materialized CTEs over the same verified edge
+# set as the CC entry.
+def _pagerank_dup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    pairs = dedup.near_dup_pairs(
+        docs,
+        threshold=0.7,
+        k_shingle=_K_SHINGLE,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+    ).select("id_a", "id_b")
+    pr = graph.pagerank(pairs, rounds=5)
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.col("degree").cast("bigint").alias("degree"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def _pagerank_oracle() -> str:
+    scale, base_num, damp = graph.PR_SCALE, graph.PR_BASE_NUM, graph.PR_DAMP_NUM
+    rounds = []
+    for k in range(1, 6):
+        prev = "r0" if k == 1 else f"r{k - 1}"
+        rounds.append(f"""
+        r{k} AS MATERIALIZED (
+          SELECT d.src AS node, d.degree,
+                 CAST({base_num} // nn.n
+                      + ({damp} * coalesce(s.insum, 0)) // 100 AS BIGINT) AS rank
+          FROM deg d CROSS JOIN nn
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank // r.degree) AS insum
+            FROM {prev} r JOIN e ON e.src = r.node GROUP BY e.dst
+          ) s ON s.node = d.src
+        )""")
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+    sig AS (SELECT doc_id, {_MINHASH_SQL} AS minhash FROM sh),
+    bands AS (
+      SELECT doc_id, j AS band_idx, ({_BANDS_SQL})[j] AS band_hash
+      FROM sig, (SELECT unnest(generate_series(1, {_BANDS})) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE),
+            6) >= 0.7
+    ),
+    e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ver
+          UNION SELECT id_b AS src, id_a AS dst FROM ver),
+    deg AS MATERIALIZED (SELECT src, count(*) AS degree FROM e GROUP BY src),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+    r0 AS MATERIALIZED (
+      SELECT src AS node, degree, CAST({scale} // nn.n AS BIGINT) AS rank
+      FROM deg CROSS JOIN nn
+    ),{",".join(rounds)}
+    SELECT node AS doc_id, CAST(degree AS BIGINT) AS degree, rank FROM r5
+    """
+
+
+register(
+    QuerySpec(
+        name="graph_pagerank_dup_docs",
+        build=_pagerank_dup_docs,
+        doc="integer fixed-point PageRank (5 unrolled power iterations) over "
+        "the verified near-dup graph; oracle replays every round bit-exactly",
+        oracle=_pagerank_oracle(),
     )
 )

@@ -1,0 +1,154 @@
+"""Sketch catalog entries: HyperLogLog distinct counts and Count-Min
+frequency estimates, both hash-matched — the md5-based sketches in
+`llm/sketches.py` are bit-reproducible, so the DuckDB oracle replays the
+SKETCH ITSELF (buckets, registers, counters), not just the final number.
+
+Determinism doctrine (registry docstring): all sketch state is integer
+(register max, counter sums, BIGINT 2^(25-reg) sums), so no
+float-accumulation-order hazard exists anywhere before the single
+final division; ln() appears once, on already-deterministic inputs,
+and the result rounds to 4 dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_spark.llm import sketches, text
+from data_pipeline_with_spark_spark.plans.registry import QuerySpec, register
+from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: distinct users per event type, estimate vs exact.
+
+def _hll_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_testdata(spark, sf, "events")
+    regs = sketches.hll_registers(ev, "user_id", ["event_type"])
+    est = sketches.hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        "hll_est",
+        F.round(
+            F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+def _hll_oracle() -> str:
+    rho = sketches._rho_expr("substring(hx, 3, 6)")
+    num = repr(sketches.HLL_NUMERATOR)
+    two_p25 = 1 << sketches.HLL_RHO_MAX
+    m = sketches.HLL_M
+    raw = (
+        f"{num} / CAST(sum_present + ({m} - n_present) * {two_p25} AS DOUBLE)"
+    )
+    return f"""
+    WITH h AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+    ), r AS (
+      SELECT event_type, substring(hx, 1, 2) AS bucket, {rho} AS rho FROM h
+    ), reg AS (
+      SELECT event_type, bucket, max(rho) AS reg
+      FROM r GROUP BY event_type, bucket
+    ), agg AS (
+      SELECT event_type, count(*) AS n_present,
+             sum(CAST(pow(2.0, {sketches.HLL_RHO_MAX} - reg) AS BIGINT)) AS sum_present
+      FROM reg GROUP BY event_type
+    ), ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type
+    ), est AS (
+      SELECT agg.event_type,
+             round(CASE WHEN {raw} <= {2.5 * m} AND {m} - n_present > 0
+                        THEN {float(m)} * ln({float(m)} / CAST({m} - n_present AS DOUBLE))
+                        ELSE {raw} END, 4) AS hll_est
+      FROM agg
+    )
+    SELECT ex.event_type, CAST(ex.n_exact AS BIGINT) AS n_exact, est.hll_est,
+           round(abs(est.hll_est - ex.n_exact) / ex.n_exact, 4) AS rel_err
+    FROM ex JOIN est ON ex.event_type = est.event_type
+    """
+
+
+register(
+    QuerySpec(
+        name="sketch_hll_distinct_users",
+        build=_hll_distinct_users,
+        doc=(
+            "HyperLogLog (p=8) distinct users per event type vs exact — "
+            "register table replayed bit-exactly by the oracle"
+        ),
+        oracle=_hll_oracle(),
+        tags=("sketch",),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min: frequency estimates for the 20 most common tokens.
+
+def _cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    cnt = (
+        docs.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    sketch = sketches.cms_sketch(cnt, count_col="exact_cnt")
+    probes = cnt.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(20)
+    est = sketches.cms_lookup(sketch, probes.select("token"))
+    return probes.join(est, "token").select(
+        "token",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({_TOKS_SQL}) AS token FROM documents
+), cnt AS (
+  SELECT token, count(*) AS exact_cnt FROM tok GROUP BY token
+), rows_ AS (
+  SELECT unnest([0, 1, 2, 3]) AS i
+), sk AS (
+  SELECT i, substring(md5(CAST(i AS VARCHAR) || ':' || token), 1, 3) AS key,
+         sum(exact_cnt) AS c
+  FROM cnt CROSS JOIN rows_ GROUP BY i, key
+), probe AS (
+  SELECT token, exact_cnt FROM cnt ORDER BY exact_cnt DESC, token LIMIT 20
+), est AS (
+  SELECT p.token, min(sk.c) AS cms_est
+  FROM probe p JOIN sk
+    ON sk.key = substring(md5(CAST(sk.i AS VARCHAR) || ':' || p.token), 1, 3)
+  GROUP BY p.token
+)
+SELECT p.token, CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(e.cms_est AS BIGINT) AS cms_est,
+       CAST(e.cms_est - p.exact_cnt AS BIGINT) AS overcount
+FROM probe p JOIN est e ON p.token = e.token
+"""
+
+
+register(
+    QuerySpec(
+        name="sketch_cms_token_counts",
+        build=_cms_token_counts,
+        doc=(
+            "Count-Min (d=4, w=4096) token-frequency estimates for the top-20 "
+            "tokens — counters replayed bit-exactly; overcount >= 0 by "
+            "construction"
+        ),
+        oracle=_CMS_ORACLE,
+        tags=("sketch",),
+    )
+)

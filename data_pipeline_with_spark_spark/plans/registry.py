@@ -63,6 +63,7 @@ _ORDER_PREFIXES = (
     "sim_",
     "stream_",
     "lake",
+    "sketch_",
     "text_",
     "multimodal",
 )
@@ -152,6 +153,7 @@ def all_queries(rotate: bool | None = None) -> dict[str, QuerySpec]:
         catalog_extended,
         catalog_lake,
         catalog_llm,
+        catalog_sketches,
         catalog_sources,
         catalog_streaming,
         catalog_tpch,

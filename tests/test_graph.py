@@ -1,0 +1,42 @@
+"""Integer PageRank (operators/graph.py): planted-structure checks —
+hub dominance on a star, symmetry on a clique, mass conservation up to
+the documented integer-truncation leak. The bit-exact cross-engine
+replay is the oracle's job (graph_pagerank_dup_docs)."""
+
+from __future__ import annotations
+
+from data_pipeline_with_spark_spark.operators.graph import PR_SCALE, pagerank
+
+
+def _pr(spark, pairs, rounds=5):
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    return {r.node: (r.degree, r.rank) for r in pagerank(df, rounds=rounds).collect()}
+
+
+def test_star_hub_outranks_leaves(spark):
+    # 0 at the center of a 6-leaf star: hub rank far above any leaf,
+    # leaves all identical (exact integer arithmetic -> exactly equal).
+    got = _pr(spark, [(0, i) for i in range(1, 7)])
+    hub = got[0][1]
+    leaves = {got[i][1] for i in range(1, 7)}
+    assert len(leaves) == 1
+    assert hub > 3 * leaves.pop()
+
+
+def test_clique_is_uniform_and_conserves_mass(spark):
+    n = 5
+    got = _pr(spark, [(a, b) for a in range(n) for b in range(a + 1, n)])
+    ranks = [v for _, v in got.values()]
+    assert len(set(ranks)) == 1  # symmetry -> identical integer ranks
+    total = sum(ranks)
+    # mass conserved up to deterministic truncation leak (< n per round
+    # per term; generous bound here).
+    assert PR_SCALE * 0.99 < total <= PR_SCALE
+
+
+def test_bridge_node_outranks_periphery(spark):
+    # two triangles joined through node 2: the bridge gets extra mass.
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)]
+    got = _pr(spark, pairs)
+    assert got[2][1] > got[0][1]
+    assert got[2][0] == 4  # bridge degree

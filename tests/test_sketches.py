@@ -1,0 +1,98 @@
+"""Sketch operators: HLL register mergeability + estimate accuracy,
+CMS overcount-only + mergeability, and the catalog entries' planted
+invariants. The bit-level cross-engine replay is the oracle's job
+(`sketch_hll_distinct_users`, `sketch_cms_token_counts`); here we pin
+the algebraic properties that make the sketches safe to ship between
+pipeline stages."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_spark.llm import sketches
+from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+from tests.conftest import SF_SMOKE
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Registers built from two disjoint halves, merged by max, must
+    equal the registers of the whole — the property that lets partial
+    sketches ship from every partition / micro-batch."""
+    ev = read_testdata(spark, SF_SMOKE, "events")
+    whole = sketches.hll_registers(ev, "user_id", ["event_type"])
+    lo = sketches.hll_registers(ev.where("user_id % 2 = 0"), "user_id", ["event_type"])
+    hi = sketches.hll_registers(ev.where("user_id % 2 = 1"), "user_id", ["event_type"])
+    merged = sketches.hll_merge(lo.unionByName(hi), ["event_type"])
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_estimate_within_rel_error(spark):
+    """p=8 gives ~1.04/sqrt(256) = 6.5% standard error; assert a loose
+    3-sigma bound per event type against the exact distinct count."""
+    ev = read_testdata(spark, SF_SMOKE, "events")
+    est = sketches.hll_estimate(
+        sketches.hll_registers(ev, "user_id", ["event_type"]), ["event_type"]
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n"))
+    rows = exact.join(est, "event_type").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.hll_est - r.n) / r.n < 0.20, (r.event_type, r.n, r.hll_est)
+
+
+def test_hll_estimate_small_range_exactish(spark):
+    """A 3-distinct-key input lands in the linear-counting branch and
+    must come out within a whisker of 3 (256*ln(256/253) ~ 3.01)."""
+    df = spark.createDataFrame([(k,) for k in ("a", "b", "c")], ["k"])
+    est = sketches.hll_estimate(
+        sketches.hll_registers(df.withColumn("g", F.lit(1)), "k", ["g"]), ["g"]
+    ).collect()[0]
+    assert 2.5 < est.hll_est < 3.6
+
+
+def test_cms_overcounts_only_and_merges(spark):
+    """CMS estimates never undercount, and sketches built from two
+    disjoint count tables sum to the whole-corpus sketch."""
+    docs = read_testdata(spark, SF_SMOKE, "documents")
+    from data_pipeline_with_spark_spark.llm.text import tokens
+
+    cnt = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    ).cache()
+    sketch = sketches.cms_sketch(cnt)
+    probes = cnt.orderBy(F.desc("cnt"), F.asc("token")).limit(50)
+    got = (
+        sketches.cms_lookup(sketch, probes.select("token"))
+        .join(probes, "token")
+        .collect()
+    )
+    # sf0.001 has fewer than 50 distinct tokens; every probe must answer.
+    assert len(got) == probes.count() > 0
+    assert all(r.cms_est >= r.cnt for r in got)
+
+    lo = sketches.cms_sketch(cnt.where("cnt % 2 = 0"))
+    hi = sketches.cms_sketch(cnt.where("cnt % 2 = 1"))
+    merged = (
+        lo.unionByName(hi).groupBy("row", "key").agg(F.sum("c").alias("c"))
+    )
+    assert merged.exceptAll(sketch).count() == 0
+    assert sketch.exceptAll(merged).count() == 0
+    cnt.unpersist()
+
+
+def test_cms_sketch_is_bounded(spark):
+    """The sketch table never exceeds d*w rows no matter the corpus."""
+    docs = read_testdata(spark, SF_SMOKE, "documents")
+    from data_pipeline_with_spark_spark.llm.text import tokens
+
+    cnt = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = sketches.cms_sketch(cnt).count()
+    assert n <= sketches.CMS_DEPTH * (16 ** sketches.CMS_KEY_HEX)
