@@ -77,6 +77,22 @@ def hll_bucket(key: Column) -> Column:
     return F.substring(F.md5(key.cast("string")), 1, 2)
 
 
+def hll_project(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFrame:
+    """The pre-aggregation projection: (group..., bucket hex, rho int)
+    per input row. Shared verbatim by the batch face (`hll_registers`)
+    and the streaming face (`streaming.demo.run_streaming_hll`), so the
+    incremental register state is the same expression tree Catalyst
+    aggregates in batch."""
+    h = F.md5(F.col(key_col).cast("string"))
+    return df.select(
+        *group_cols,
+        F.substring(h, 1, 2).alias("bucket"),
+        F.expr(_rho_expr("substring(md5(CAST(%s AS STRING)), 3, 6)" % key_col)).alias(
+            "rho"
+        ),
+    )
+
+
 def hll_registers(
     df: DataFrame, key_col: str, group_cols: list[str]
 ) -> DataFrame:
@@ -86,14 +102,7 @@ def hll_registers(
     m=256 rows per group whatever the input size, and partial registers
     from disjoint slices merge to the union's registers by max.
     """
-    h = F.md5(F.col(key_col).cast("string"))
-    out = df.select(
-        *group_cols,
-        F.substring(h, 1, 2).alias("bucket"),
-        F.expr(_rho_expr("substring(md5(CAST(%s AS STRING)), 3, 6)" % key_col)).alias(
-            "rho"
-        ),
-    )
+    out = hll_project(df, key_col, group_cols)
     return out.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("reg"))
 
 
@@ -103,12 +112,19 @@ def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     return registers.groupBy(*group_cols, "bucket").agg(F.max("reg").alias("reg"))
 
 
-def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    include_register_count: bool = False,
+) -> DataFrame:
     """Cardinality estimate per group from a register table.
 
     sum(2^(25-reg)) accumulates as BIGINT (every term exact, addition
     order-free); empty buckets contribute 2^25 each. Exactly one double
     division + the standard small-range linear-counting correction.
+    ``include_register_count`` adds the populated-bucket count as
+    ``n_buckets`` (one aggregate, no self-join on the register table —
+    a memory-sink view can't self-join without attribute conflicts).
     """
     agg = registers.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_present"),
@@ -121,8 +137,12 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     raw = F.lit(HLL_NUMERATOR) / sum_total.cast("double")
     small = (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0)
     linear = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double"))
+    extra = (
+        [F.col("n_present").alias("n_buckets")] if include_register_count else []
+    )
     return agg.select(
         *group_cols,
+        *extra,
         F.round(F.when(small, linear).otherwise(raw), 4).alias("hll_est"),
     )
 

@@ -409,3 +409,60 @@ register(
         """,
     )
 )
+
+
+def _stream_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING-executed HyperLogLog: registers fold as incremental
+    aggregation state across 4 real micro-batches (the mergeable-sketch
+    property IS streaming-agg compatibility); the drained register table
+    equals the batch registers bit-for-bit, so the batch HLL SQL is the
+    oracle for a genuinely streaming-executed sketch."""
+    import tempfile
+
+    from data_pipeline_with_spark_spark.llm import sketches
+    from data_pipeline_with_spark_spark.streaming.demo import run_streaming_hll
+
+    regs = run_streaming_hll(spark, sf, tempfile.mkdtemp(prefix="hll_stream_"))
+    return sketches.hll_estimate(
+        regs, ["event_type"], include_register_count=True
+    ).select("event_type", "n_buckets", "hll_est")
+
+
+def _stream_hll_oracle() -> str:
+    from data_pipeline_with_spark_spark.llm import sketches
+
+    rho = sketches._rho_expr("substring(hx, 3, 6)")
+    num = repr(sketches.HLL_NUMERATOR)
+    m, two_p25 = sketches.HLL_M, 1 << sketches.HLL_RHO_MAX
+    raw = f"{num} / CAST(sum_present + ({m} - n_present) * {two_p25} AS DOUBLE)"
+    return f"""
+    WITH h AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+    ), r AS (
+      SELECT event_type, substring(hx, 1, 2) AS bucket, {rho} AS rho FROM h
+    ), reg AS (
+      SELECT event_type, bucket, max(rho) AS reg
+      FROM r GROUP BY event_type, bucket
+    )
+    SELECT event_type, CAST(n_present AS BIGINT) AS n_buckets,
+           round(CASE WHEN {raw} <= {2.5 * m} AND {m} - n_present > 0
+                      THEN {float(m)} * ln({float(m)} / CAST({m} - n_present AS DOUBLE))
+                      ELSE {raw} END, 4) AS hll_est
+    FROM (
+      SELECT event_type, count(*) AS n_present,
+             sum(CAST(pow(2.0, {sketches.HLL_RHO_MAX} - reg) AS BIGINT)) AS sum_present
+      FROM reg GROUP BY event_type
+    ) GROUP BY event_type, n_present, sum_present
+    """
+
+
+register(
+    QuerySpec(
+        name="stream_hll_ingest",
+        build=_stream_hll,
+        doc="streaming HyperLogLog distinct-user registers as incremental "
+        "aggregation state (4 micro-batches, complete mode); drained "
+        "registers equal batch bit-for-bit -> batch SQL oracle",
+        oracle=_stream_hll_oracle(),
+    )
+)

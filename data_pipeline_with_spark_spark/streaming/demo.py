@@ -712,6 +712,55 @@ def run_streaming_psi_drift(
     )
 
 
+def run_streaming_hll(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    sink_table: str = "hll_stream_sink",
+) -> DataFrame:
+    """Streaming HyperLogLog: distinct-user registers maintained as
+    INCREMENTAL AGGREGATION STATE — the mergeable-sketch property
+    (register = per-bucket max) is exactly what lets Spark's streaming
+    groupBy fold micro-batches without reprocessing, so the operator is
+    the native streaming agg itself, no custom state handler.
+
+    The events fixture stages as 4 files → 4 real micro-batches; state
+    is O(types × 256) rows forever (bounded, no watermark needed);
+    complete-mode memory sink holds the drained register table, which by
+    the max-merge property equals the batch `sketches.hll_registers`
+    output bit-for-bit — how the driver oracle checks this
+    streaming-executed query against batch SQL.
+    """
+    from pathlib import Path
+
+    from data_pipeline_with_spark_spark.llm import sketches
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select("event_type", "user_id")
+    staging = str(Path(work_dir) / "hll_live")
+    ev.repartition(4).write.parquet(staging)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    regs = (
+        sketches.hll_project(stream, "user_id", ["event_type"])
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    query = (
+        regs.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_table)
+
+
 DEDUP_LEDGER_SCHEMA = "text_hash STRING, keeper_id BIGINT, n_copies BIGINT"
 DEDUP_BATCH_PROP = "stream_dedup.last_batch"
 

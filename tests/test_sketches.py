@@ -96,3 +96,18 @@ def test_cms_sketch_is_bounded(spark):
     )
     n = sketches.cms_sketch(cnt).count()
     assert n <= sketches.CMS_DEPTH * (16 ** sketches.CMS_KEY_HEX)
+
+
+def test_streaming_hll_registers_equal_batch(spark, tmp_path):
+    """The drained streaming register table (4 micro-batches of
+    incremental agg state) must equal the batch registers bit-for-bit —
+    the mergeable-sketch property under real streaming execution."""
+    from data_pipeline_with_spark_spark.streaming.demo import run_streaming_hll
+
+    ev = read_testdata(spark, SF_SMOKE, "events")
+    batch = sketches.hll_registers(ev, "user_id", ["event_type"])
+    streamed = run_streaming_hll(
+        spark, SF_SMOKE, str(tmp_path), sink_table="hll_stream_sink_test"
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
