@@ -35,6 +35,31 @@ def parse_sf(path: str) -> float:
         return -1.0
 
 
+def cpu_reference_seconds(reps: int = 200, size: int = 1_000_000) -> float:
+    """Median-of-3 wall time of a FIXED single-thread md5 workload — a
+    box-speed anchor recorded alongside the query timings.
+
+    Rationale (measured r10): the host's effective CPU speed swings up
+    to ~1.8× between minutes (shared-host contention that does NOT show
+    up as steal time), which shows up as across-the-board "regressions"
+    in cross-round comparisons. The same fixed workload measured in the
+    same process lets a reader normalize: if cpu_ref_sec is 1.6× the
+    previous round's, a uniform 1.6× query inflation is the box, not
+    the plans. Pre/post values bracket the run so a mid-run noise
+    window is visible too.
+    """
+    import hashlib
+
+    blob = b"x" * size
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            hashlib.md5(blob)
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
+
 def check_sf1_regressions(sf1_timings: dict, baseline: dict) -> dict:
     """Compare fresh sf1 medians against the committed baseline
     (SF1_BASELINE.json); a query is a regression when it exceeds
@@ -50,6 +75,7 @@ def check_sf1_regressions(sf1_timings: dict, baseline: dict) -> dict:
 
 
 def main() -> None:
+    cpu_ref_pre = cpu_reference_seconds()
     spark = get_spark("bench")
     specs = headline_queries()
     # JVM/codegen warmup outside the measured path: steady-state numbers,
@@ -137,6 +163,10 @@ def main() -> None:
         "r4_comparable_n": sum(1 for k in timings if k in r4_set),
         "r6_comparable_total": comparable_r6,
         "r6_comparable_n": sum(1 for k in timings if k in r6_set),
+        # Box-speed anchors (see cpu_reference_seconds): compare across
+        # rounds before reading query deltas as plan changes.
+        "cpu_ref_pre": cpu_ref_pre,
+        "cpu_ref_post": cpu_reference_seconds(),
     }
     if sf1_timings:
         out["sf1_total"] = round(sum(sf1_timings.values()), 3)

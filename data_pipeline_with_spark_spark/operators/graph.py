@@ -38,6 +38,7 @@ def pagerank(
     rounds: int = 5,
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """PageRank over an undirected pair list (each pair symmetrized).
 
@@ -65,7 +66,13 @@ def pagerank(
         "degree",
         F.lit(PR_SCALE // n).cast("bigint").alias("rank"),
     )
-    for _ in range(rounds):
+    for i in range(rounds):
+        # Iterative DataFrame loops grow the logical plan linearly; past
+        # a handful of rounds Catalyst re-analysis dominates. Truncate
+        # lineage periodically — the rank frame is O(nodes), cheap to
+        # materialize, and the loop then scales to any round count.
+        if i and i % checkpoint_every == 0:
+            r = r.localCheckpoint(eager=True)
         insum = (
             r.join(edges, r["node"] == edges["src"])
             .select(
@@ -84,6 +91,83 @@ def pagerank(
                     F.lit(base)
                     + F.expr(
                         f"({PR_DAMP_NUM} * coalesce(insum, 0L)) div 100"
+                    )
+                ).cast("bigint").alias("rank"),
+            )
+        )
+    return r
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    rounds: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Directed WEIGHTED PageRank with uniform dangling-mass
+    redistribution — the Markov-steady-state shape for transition
+    graphs (event-type journey flow, link graphs with click counts).
+
+    Same integer doctrine as `pagerank`: contrib(u->v) =
+    (rank[u] * w(u,v)) div outw[u]; a node with no outgoing edges is
+    DANGLING — its whole rank joins a per-round 1-row aggregate and
+    redistributes uniformly as dang_mass div n to every node (the
+    standard stochastic-matrix patch), keeping total mass conserved up
+    to deterministic truncation. The per-round dangling sum is the only
+    driver-side value (a bounded 1-row collect, same doctrine as the
+    k-means centroid pull).
+
+    Overflow note: rank*w <= 10^12 * w must stay under 2^63; for
+    weights beyond ~9*10^6 split via the exact identity
+    (a*w) div b = (a div b)*w + ((a mod b)*w) div b.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    ).cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("bigint"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw")).cache()
+    base = PR_BASE_NUM // n
+    r = nodes.withColumn("rank", F.lit(PR_SCALE // n).cast("bigint"))
+    for i in range(rounds):
+        if i and i % checkpoint_every == 0:
+            r = r.localCheckpoint(eager=True)
+        rr = r.join(outw, r["node"] == outw["src"], "left").select(
+            "node", "rank", "outw"
+        )
+        dang = (
+            rr.where(F.col("outw").isNull()).agg(F.sum("rank")).collect()[0][0]
+            or 0
+        )
+        dshare = dang // n
+        contrib = (
+            rr.where(F.col("outw").isNotNull())
+            .join(e, rr["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank * w) div outw").alias("contrib"),
+            )
+        )
+        insum = contrib.groupBy("node").agg(F.sum("contrib").alias("insum"))
+        r = (
+            nodes.join(insum, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * (coalesce(insum, 0L) + {dshare}L)) div 100"
                     )
                 ).cast("bigint").alias("rank"),
             )

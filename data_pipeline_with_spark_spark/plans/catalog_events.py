@@ -327,3 +327,107 @@ register(
         oracle=_ks_drift_sql("CAST(floor(epoch(ts)) AS BIGINT)"),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Weighted directed PageRank over the event-type transition graph — the
+# Markov-steady-state companion of events_type_transitions (which counts
+# the edges this query propagates over). Integer fixed-point doctrine from
+# operators/graph.py: the oracle replays all 5 rounds bit-exactly,
+# including the per-round dangling-mass redistribution CTE.
+def _pagerank_event_flow(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_spark_spark.operators import graph
+
+    register_testdata_views(spark, sf)
+    edges = spark.sql("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+          FROM events
+        )
+        SELECT prev_type AS src, event_type AS dst, count(*) AS w
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    """)
+    pr = graph.pagerank_weighted(edges, rounds=5)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    return (
+        pr.join(outw, pr["node"] == outw["src"], "left")
+        .select(
+            pr["node"].alias("event_type"),
+            F.coalesce(F.col("outw"), F.lit(0)).cast("bigint").alias("out_weight"),
+            "rank",
+        )
+    )
+
+
+def _pagerank_flow_oracle() -> str:
+    from data_pipeline_with_spark_spark.operators.graph import (
+        PR_BASE_NUM,
+        PR_DAMP_NUM,
+        PR_SCALE,
+    )
+
+    rounds = []
+    for k in range(1, 6):
+        prev = f"r{k - 1}"
+        rounds.append(f"""
+        d{k} AS MATERIALIZED (
+          SELECT coalesce(sum(r.rank), 0) AS dm
+          FROM {prev} r LEFT JOIN outw o ON o.src = r.node
+          WHERE o.src IS NULL
+        ),
+        i{k} AS MATERIALIZED (
+          SELECT e.dst AS node, sum((r.rank * e.w) // o.outw) AS insum
+          FROM {prev} r JOIN outw o ON o.src = r.node JOIN e ON e.src = r.node
+          GROUP BY e.dst
+        ),
+        r{k} AS MATERIALIZED (
+          SELECT nodes.node,
+                 CAST({PR_BASE_NUM} // nn.n
+                      + ({PR_DAMP_NUM} * (coalesce(i.insum, 0) + d{k}.dm // nn.n)) // 100
+                   AS BIGINT) AS rank
+          FROM nodes CROSS JOIN nn CROSS JOIN d{k}
+          LEFT JOIN i{k} i ON i.node = nodes.node
+        )""")
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    e AS MATERIALIZED (
+      SELECT prev_type AS src, event_type AS dst, count(*) AS w
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+    ),
+    outw AS MATERIALIZED (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (
+      SELECT node, CAST({PR_SCALE} // nn.n AS BIGINT) AS rank
+      FROM nodes CROSS JOIN nn
+    ),{",".join(rounds)}
+    SELECT r.node AS event_type,
+           CAST(coalesce(o.outw, 0) AS BIGINT) AS out_weight,
+           r.rank
+    FROM r5 r LEFT JOIN outw o ON o.src = r.node
+    """
+
+
+register(
+    QuerySpec(
+        name="graph_pagerank_event_flow",
+        build=_pagerank_event_flow,
+        doc="weighted directed PageRank over event-type transitions "
+        "(integer fixed-point, per-round dangling-mass redistribution; "
+        "oracle replays all 5 rounds bit-exactly)",
+        oracle=_pagerank_flow_oracle(),
+    )
+)

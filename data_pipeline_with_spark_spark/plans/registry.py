@@ -64,6 +64,7 @@ _ORDER_PREFIXES = (
     "stream_",
     "lake",
     "sketch_",
+    "graph_",
     "text_",
     "multimodal",
 )

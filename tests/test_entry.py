@@ -105,3 +105,13 @@ def test_sf1_regression_guard_logic():
     )
     assert committed["regression_factor"] == 1.5
     assert "dedup_minhash_lsh_pairs" in committed["queries"]
+
+
+def test_cpu_reference_probe_is_fast_and_positive():
+    # the box-speed anchor must stay cheap (sub-second per call on any
+    # sane host) and deterministic in shape — it brackets every bench
+    # run, so a slow probe would distort the thing it measures.
+    from bench import cpu_reference_seconds
+
+    v = cpu_reference_seconds(reps=20)
+    assert 0 < v < 10

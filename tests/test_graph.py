@@ -40,3 +40,35 @@ def test_bridge_node_outranks_periphery(spark):
     got = _pr(spark, pairs)
     assert got[2][1] > got[0][1]
     assert got[2][0] == 4  # bridge degree
+
+
+def test_weighted_pagerank_prefers_heavy_edge(spark):
+    from data_pipeline_with_spark_spark.operators.graph import pagerank_weighted
+
+    # 0 sends 9x more weight to 1 than to 2; both return all mass to 0.
+    df = spark.createDataFrame(
+        [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)], ["src", "dst", "w"]
+    )
+    got = {r.node: r.rank for r in pagerank_weighted(df, rounds=10).collect()}
+    assert got[1] > 3 * got[2]
+    assert got[0] > got[1]
+
+
+def test_weighted_pagerank_dangling_mass_redistributes(spark):
+    from data_pipeline_with_spark_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_weighted,
+    )
+
+    # 2 is dangling (no outgoing edges): without redistribution its
+    # inflow would drain from the system; with it, total mass stays
+    # within the truncation leak and 2 still outranks the feeders'
+    # uniform share (it receives from both 0 and 1).
+    df = spark.createDataFrame(
+        [(0, 2, 1), (1, 2, 1), (0, 1, 1), (1, 0, 1)], ["src", "dst", "w"]
+    )
+    rows = pagerank_weighted(df, rounds=10).collect()
+    got = {r.node: r.rank for r in rows}
+    total = sum(got.values())
+    assert PR_SCALE * 0.98 < total <= PR_SCALE
+    assert got[2] == max(got.values())
