@@ -152,3 +152,151 @@ register(
         tags=("sketch",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Sketch ALGEBRA faces: the point of mergeable summaries is computing on
+# the SKETCHES, never rescanning the data.
+
+def _hll_union_types(spark: SparkSession, sf: str) -> DataFrame:
+    """Union via register max: per-type register tables merge to the
+    global registers WITHOUT touching the events table again — the
+    distributed-set-union idiom (per-shard sketches -> tiny merge). By
+    the max-merge identity the result equals a direct global HLL, which
+    is exactly what the oracle computes."""
+    ev = read_testdata(spark, sf, "events")
+    per_type = sketches.hll_registers(ev, "user_id", ["event_type"])
+    merged = sketches.hll_merge(
+        per_type.withColumn("g", F.lit(1)), ["g"]
+    )
+    est = sketches.hll_estimate(merged, ["g"])
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("n_exact_total"), F.lit(1).alias("g")
+    )
+    return exact.join(est, "g").select(
+        "n_exact_total",
+        F.col("hll_est").alias("hll_union_est"),
+        F.round(
+            F.abs(F.col("hll_est") - F.col("n_exact_total"))
+            / F.col("n_exact_total"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def _hll_union_oracle() -> str:
+    rho = sketches._rho_expr("substring(hx, 3, 6)")
+    num = repr(sketches.HLL_NUMERATOR)
+    m, two_p25 = sketches.HLL_M, 1 << sketches.HLL_RHO_MAX
+    raw = f"{num} / CAST(sum_present + ({m} - n_present) * {two_p25} AS DOUBLE)"
+    return f"""
+    WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+    r AS (SELECT substring(hx, 1, 2) AS bucket, {rho} AS rho FROM h),
+    reg AS (SELECT bucket, max(rho) AS reg FROM r GROUP BY bucket),
+    agg AS (
+      SELECT count(*) AS n_present,
+             sum(CAST(pow(2.0, {sketches.HLL_RHO_MAX} - reg) AS BIGINT)) AS sum_present
+      FROM reg
+    ),
+    est AS (
+      SELECT round(CASE WHEN {raw} <= {2.5 * m} AND {m} - n_present > 0
+                        THEN {float(m)} * ln({float(m)} / CAST({m} - n_present AS DOUBLE))
+                        ELSE {raw} END, 4) AS hll_union_est
+      FROM agg
+    ),
+    ex AS (SELECT count(DISTINCT user_id) AS n_exact_total FROM events)
+    SELECT CAST(ex.n_exact_total AS BIGINT) AS n_exact_total,
+           est.hll_union_est,
+           round(abs(est.hll_union_est - ex.n_exact_total) / ex.n_exact_total, 4)
+             AS rel_err
+    FROM ex CROSS JOIN est
+    """
+
+
+register(
+    QuerySpec(
+        name="sketch_hll_union_types",
+        build=_hll_union_types,
+        doc="HLL set-union algebra: per-type registers merged by max == "
+        "global registers (no rescan); oracle computes the direct global HLL",
+        oracle=_hll_union_oracle(),
+        tags=("sketch",),
+    )
+)
+
+
+def _cms_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-size estimation from sketches alone (AMS/CMS inner product,
+    Cormode & Muthukrishnan '05 §4.2): |A JOIN B on k| = sum_k
+    cntA(k)*cntB(k), estimated per CMS row as the bucket-wise product
+    sum, taking min over the d rows — overestimate-only. The planner
+    use-case at 100 TB: both sketches are O(d*w), so join cardinality
+    comes from two tiny tables instead of executing the join."""
+    orders = read_testdata(spark, sf, "orders")
+    lineitem = read_testdata(spark, sf, "lineitem")
+    ca = sketches.cms_sketch(
+        orders.groupBy(F.col("o_orderkey").cast("string").alias("token"))
+        .agg(F.count(F.lit(1)).alias("cnt")),
+    )
+    cb = sketches.cms_sketch(
+        lineitem.groupBy(F.col("l_orderkey").cast("string").alias("token"))
+        .agg(F.count(F.lit(1)).alias("cnt")),
+    )
+    per_row = (
+        ca.alias("a")
+        .join(cb.alias("b"), ["row", "key"])
+        .groupBy("row")
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("est"))
+    )
+    est = per_row.agg(F.min("est").alias("cms_join_est"))
+    exact = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .agg(F.count(F.lit(1)).alias("exact_join_rows"))
+    )
+    return exact.crossJoin(est).select(
+        "exact_join_rows",
+        F.col("cms_join_est").cast("bigint").alias("cms_join_est"),
+        (F.col("cms_join_est") - F.col("exact_join_rows"))
+        .cast("bigint")
+        .alias("overcount"),
+    )
+
+
+_CMS_JOIN_ORACLE = """
+WITH ca AS (
+  SELECT i, substring(md5(CAST(i AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 3) AS key,
+         count(*) AS c
+  FROM orders CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+  GROUP BY i, key
+), cb AS (
+  SELECT i, substring(md5(CAST(i AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)), 1, 3) AS key,
+         count(*) AS c
+  FROM lineitem CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+  GROUP BY i, key
+), per_row AS (
+  SELECT ca.i, sum(ca.c * cb.c) AS est
+  FROM ca JOIN cb ON ca.i = cb.i AND ca.key = cb.key
+  GROUP BY ca.i
+), est AS (SELECT min(est) AS cms_join_est FROM per_row),
+ex AS (
+  SELECT count(*) AS exact_join_rows
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT CAST(ex.exact_join_rows AS BIGINT) AS exact_join_rows,
+       CAST(est.cms_join_est AS BIGINT) AS cms_join_est,
+       CAST(est.cms_join_est - ex.exact_join_rows AS BIGINT) AS overcount
+FROM ex CROSS JOIN est
+"""
+
+
+register(
+    QuerySpec(
+        name="sketch_cms_join_cardinality",
+        build=_cms_join_cardinality,
+        doc="join-size estimation from CMS sketches alone (bucket-wise "
+        "inner product, min over rows; overcount >= 0) vs the exact join "
+        "count — the planner-side use of mergeable counters",
+        oracle=_CMS_JOIN_ORACLE,
+        tags=("sketch",),
+    )
+)

@@ -111,3 +111,27 @@ def test_streaming_hll_registers_equal_batch(spark, tmp_path):
     )
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_cms_join_estimate_never_undercounts(spark):
+    """AMS/CMS inner-product join-size estimate >= the exact join size
+    (collisions only ADD cross terms), and equals it exactly when the
+    key domain is collision-free at w=4096."""
+    import __spark_entry__ as se
+
+    row = se.queries()["sketch_cms_join_cardinality"](spark, SF_SMOKE).collect()[0]
+    assert row.cms_join_est >= row.exact_join_rows > 0
+    assert row.overcount == row.cms_join_est - row.exact_join_rows
+
+
+def test_hll_union_of_disjoint_slices_estimates_total(spark):
+    """Register-max union of two disjoint key ranges estimates the total
+    domain, not the per-slice sizes — set algebra on sketches alone."""
+    df = spark.createDataFrame([(k,) for k in range(2000)], ["k"]).withColumn(
+        "g", F.lit(1)
+    )
+    lo = sketches.hll_registers(df.where("k < 1000"), "k", ["g"])
+    hi = sketches.hll_registers(df.where("k >= 1000"), "k", ["g"])
+    merged = sketches.hll_merge(lo.unionByName(hi), ["g"])
+    est = sketches.hll_estimate(merged, ["g"]).collect()[0].hll_est
+    assert abs(est - 2000) / 2000 < 0.20
