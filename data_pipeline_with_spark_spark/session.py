@@ -81,6 +81,14 @@ def _builder(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Broadcast threshold sized for big-memory executors: the 10 MiB
+        # default demotes a ~15 MiB dimension (sf1 customer in TPC-H q5)
+        # to sort-merge — measured 0.63 s → 9 s across the sf0.1 → sf1
+        # decade (r10 scaling probe). 64 MiB is standard practice on
+        # multi-GiB executors; genuinely big tables (100 TB fact sides)
+        # still exceed any threshold and AQE re-plans from runtime stats
+        # either way.
+        "spark.sql.autoBroadcastJoinThreshold": "67108864",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Files: pack small files, split large ones. 128 MiB default is
