@@ -90,14 +90,22 @@ def main() -> None:
     # The median is robust to one bad run; per-query medians are what
     # lands in the report, and the headline total is their sum.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name, spec in specs.items():
-        samples = []
-        for _ in range(runs):
+    # INTERLEAVED sweeps (r10): the host's contention windows last
+    # minutes, so back-to-back repeats of one query all land in the same
+    # window and even the median inherits it. Sweeping the whole set
+    # `runs` times separates a query's samples by the full sweep length.
+    # The median stays the headline number (comparable with r4–r9); the
+    # MIN is also reported (one-sided noise ⇒ min estimates uncontended
+    # cost) and drives the regression guard — a regression that survives
+    # the min is real, a median-only one is a noise window.
+    sweep: dict[str, list[float]] = {name: [] for name in specs}
+    for _ in range(runs):
+        for name, spec in specs.items():
             t0 = time.perf_counter()
             write_noop(spec.build(spark, SF_DIR))
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+            sweep[name].append(time.perf_counter() - t0)
+    timings = {n: round(statistics.median(s), 3) for n, s in sweep.items()}
+    timings_min = {n: round(min(s), 3) for n, s in sweep.items()}
     total = round(sum(timings.values()), 3)
     # Round-over-round attribution: the headline set grows as operators
     # land (19 queries in r4 -> 22 in r5 -> ...), so the full-set total
@@ -143,14 +151,18 @@ def main() -> None:
         "text_tfidf_top_terms",
     )
     sf1_timings: dict[str, float] = {}
+    sf1_timings_min: dict[str, float] = {}
     if Path(sf1_dir).is_dir() and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
-        for name in sf1_set:
-            samples = []
-            for _ in range(runs):
+        sf1_sweep: dict[str, list[float]] = {name: [] for name in sf1_set}
+        for _ in range(runs):
+            for name in sf1_set:
                 t0 = time.perf_counter()
                 write_noop(specs[name].build(spark, sf1_dir))
-                samples.append(time.perf_counter() - t0)
-            sf1_timings[name] = round(statistics.median(samples), 3)
+                sf1_sweep[name].append(time.perf_counter() - t0)
+        sf1_timings = {
+            n: round(statistics.median(s), 3) for n, s in sf1_sweep.items()
+        }
+        sf1_timings_min = {n: round(min(s), 3) for n, s in sf1_sweep.items()}
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -167,24 +179,38 @@ def main() -> None:
         # rounds before reading query deltas as plan changes.
         "cpu_ref_pre": cpu_ref_pre,
         "cpu_ref_post": cpu_reference_seconds(),
+        # Noise-robust view: min over the interleaved sweeps.
+        "queries_min": timings_min,
+        "headline_min_total": round(sum(timings_min.values()), 3),
+        "r4_comparable_min_total": round(
+            sum(v for k, v in timings_min.items() if k in r4_set), 3
+        ),
+        "r6_comparable_min_total": round(
+            sum(v for k, v in timings_min.items() if k in r6_set), 3
+        ),
     }
     if sf1_timings:
         out["sf1_total"] = round(sum(sf1_timings.values()), 3)
         out["sf1_queries"] = sf1_timings
         out["sf1_n"] = len(sf1_timings)
+        out["sf1_queries_min"] = sf1_timings_min
+        out["sf1_min_total"] = round(sum(sf1_timings_min.values()), 3)
         # Machine-detectable regression guard (r8 verdict item #5): each
-        # sf1 median compares against the committed SF1_BASELINE.json;
+        # sf1 timing compares against the committed SF1_BASELINE.json;
         # exceeding baseline * regression_factor emits a loud
         # "regression:" line on STDERR (stdout stays the one JSON line
         # the driver contract requires) and lands in the JSON under
-        # "regressions". Rerun protocol lives in the baseline file's
-        # _doc: reproduce across two quiet-box runs before believing it;
-        # accept deliberate changes by updating the baseline in the same
-        # commit as the plan change.
+        # "regressions". r10: the guard reads the MIN over interleaved
+        # sweeps, not the median — host contention windows are one-sided
+        # noise lasting minutes, and a regression that survives the min
+        # is a real plan change. Rerun protocol lives in the baseline
+        # file's _doc: reproduce across two quiet-box runs before
+        # believing it; accept deliberate changes by updating the
+        # baseline in the same commit as the plan change.
         base_path = Path(__file__).resolve().parent / "SF1_BASELINE.json"
         if base_path.is_file():
             base = json.loads(base_path.read_text())
-            regressions = check_sf1_regressions(sf1_timings, base)
+            regressions = check_sf1_regressions(sf1_timings_min, base)
             for name, r in regressions.items():
                 print(
                     f"regression: {name} {r['sec']:.3f}s > "

@@ -78,24 +78,34 @@ def main() -> None:
     # warm every query once so measured runs are steady-state
     for spec in specs.values():
         write_noop(spec.build(spark, SFS[0]))
-    results: dict[str, list[float]] = {}
-    for sf in SFS:
-        for name, spec in specs.items():
-            samples = []
-            for _ in range(RUNS):
+    # Noise discipline (r10): the shared host's effective CPU speed
+    # swings up to ~2x in MULTI-MINUTE contention windows that don't
+    # register as steal time (measured via bench.cpu_reference_seconds).
+    # Two consequences for the probe:
+    #   1. MIN, not median — contamination is strictly one-sided (noise
+    #      only ever ADDS time), so the minimum is the consistent
+    #      estimator of uncontended cost (the timeit doctrine); a median
+    #      straddling a window fabricates SUPERLINEAR flags on linear
+    #      plans (observed: minhash signatures sf1 84 s mid-window vs
+    #      1.9-2.5 s quiet).
+    #   2. INTERLEAVED sweeps, not back-to-back repeats — consecutive
+    #      runs land in the same window, so min-of-consecutive inherits
+    #      the contamination. Sweeping the whole (sf x query) grid RUNS
+    #      times separates a cell's samples by many minutes; one of them
+    #      lands quiet with high probability.
+    samples: dict[tuple[str, str], list[float]] = {}
+    for _ in range(RUNS):
+        for sf in SFS:
+            for name, spec in specs.items():
                 t0 = time.perf_counter()
                 write_noop(spec.build(spark, sf))
-                samples.append(time.perf_counter() - t0)
-            # MIN, not median (r10 change): the shared host's effective
-            # CPU speed swings up to ~2x in multi-minute contention
-            # windows that don't register as steal time (measured via
-            # bench.cpu_reference_seconds). Contamination is strictly
-            # one-sided — noise only ever ADDS time — so the minimum is
-            # the consistent estimator of uncontended cost (the timeit
-            # doctrine); a median can straddle a window and fabricate a
-            # SUPERLINEAR flag on a linear plan (observed: minhash
-            # signatures sf1 84 s mid-window vs 1.9-2.5 s quiet).
-            results.setdefault(name, []).append(min(samples))
+                samples.setdefault((name, sf), []).append(
+                    time.perf_counter() - t0
+                )
+    results: dict[str, list[float]] = {}
+    for sf in SFS:
+        for name in specs:
+            results.setdefault(name, []).append(min(samples[(name, sf)]))
 
     n = len(SFS)
     col_names = [Path(sf).name for sf in SFS]
