@@ -300,3 +300,112 @@ register(
         tags=("sketch",),
     )
 )
+
+
+def _hll_intersection(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-count INTERSECTION via inclusion-exclusion over three
+    HLL estimates (|A∩B| ≈ est(A) + est(B) - est(A∪B)) — computed from
+    registers alone. The classic sketch-algebra answer to "how many
+    users did both X and Y" without a distinct-pair scan; error grows
+    when the true intersection is small relative to the union (reported
+    alongside the exact number so the entry shows the trade honestly).
+    All three inputs are the deterministic rounded HLL estimates, so the
+    subtraction is bit-exact cross-engine."""
+    ev = read_testdata(spark, sf, "events")
+    # deterministic pair: the two lexicographically-first event types
+    types = [
+        r.event_type
+        for r in ev.select("event_type").distinct().orderBy("event_type").limit(2).collect()
+    ]
+    ta, tb = types[0], types[1]
+    a = ev.where(F.col("event_type") == ta)
+    b = ev.where(F.col("event_type") == tb)
+    u = ev.where(F.col("event_type").isin(ta, tb))
+
+    def est_of(df, gname):
+        regs = sketches.hll_registers(df.withColumn("g", F.lit(1)), "user_id", ["g"])
+        return sketches.hll_estimate(regs, ["g"]).select(
+            F.col("hll_est").alias(gname), F.lit(1).alias("j")
+        )
+
+    exact = (
+        a.select("user_id").intersect(b.select("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_exact_overlap"))
+        .withColumn("j", F.lit(1))
+    )
+    out = (
+        est_of(a, "est_a")
+        .join(est_of(b, "est_b"), "j")
+        .join(est_of(u, "est_union"), "j")
+        .join(exact, "j")
+    )
+    return out.select(
+        F.lit(ta).alias("type_a"),
+        F.lit(tb).alias("type_b"),
+        "n_exact_overlap",
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4).alias(
+            "hll_overlap_est"
+        ),
+    )
+
+
+def _hll_intersection_oracle() -> str:
+    rho = sketches._rho_expr("substring(hx, 3, 6)")
+    num = repr(sketches.HLL_NUMERATOR)
+    m, two_p25 = sketches.HLL_M, 1 << sketches.HLL_RHO_MAX
+    raw = f"{num} / CAST(sum_present + ({m} - n_present) * {two_p25} AS DOUBLE)"
+
+    def est_cte(tag: str, where: str) -> str:
+        return f"""
+    h_{tag} AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events WHERE {where}),
+    r_{tag} AS (SELECT substring(hx, 1, 2) AS bucket, {rho} AS rho FROM h_{tag}),
+    reg_{tag} AS (SELECT bucket, max(rho) AS reg FROM r_{tag} GROUP BY bucket),
+    agg_{tag} AS (
+      SELECT count(*) AS n_present,
+             sum(CAST(pow(2.0, {sketches.HLL_RHO_MAX} - reg) AS BIGINT)) AS sum_present
+      FROM reg_{tag}
+    ),
+    est_{tag} AS (
+      SELECT round(CASE WHEN {raw} <= {2.5 * m} AND {m} - n_present > 0
+                        THEN {float(m)} * ln({float(m)} / CAST({m} - n_present AS DOUBLE))
+                        ELSE {raw} END, 4) AS e
+      FROM agg_{tag}
+    )"""
+
+    return f"""
+    WITH tt AS MATERIALIZED (
+      SELECT event_type, row_number() OVER (ORDER BY event_type) AS rn
+      FROM (SELECT DISTINCT event_type FROM events)
+      QUALIFY rn <= 2
+    ),
+    ta AS (SELECT event_type AS t FROM tt WHERE rn = 1),
+    tb AS (SELECT event_type AS t FROM tt WHERE rn = 2),
+    {est_cte("a", "event_type = (SELECT t FROM ta)")},
+    {est_cte("b", "event_type = (SELECT t FROM tb)")},
+    {est_cte("u", "event_type IN (SELECT t FROM ta UNION ALL SELECT t FROM tb)")},
+    ex AS (
+      SELECT count(*) AS n_exact_overlap FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = (SELECT t FROM ta)
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = (SELECT t FROM tb)
+      )
+    )
+    SELECT (SELECT t FROM ta) AS type_a,
+           (SELECT t FROM tb) AS type_b,
+           CAST(ex.n_exact_overlap AS BIGINT) AS n_exact_overlap,
+           round(est_a.e + est_b.e - est_u.e, 4) AS hll_overlap_est
+    FROM ex CROSS JOIN est_a CROSS JOIN est_b CROSS JOIN est_u
+    """
+
+
+register(
+    QuerySpec(
+        name="sketch_hll_intersection",
+        build=_hll_intersection,
+        doc="distinct-user overlap between two event types via HLL "
+        "inclusion-exclusion (est_a + est_b - est_union, registers only) "
+        "vs the exact intersect",
+        oracle=_hll_intersection_oracle(),
+        tags=("sketch",),
+    )
+)

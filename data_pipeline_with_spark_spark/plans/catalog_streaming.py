@@ -466,3 +466,48 @@ register(
         oracle=_stream_hll_oracle(),
     )
 )
+
+
+def _stream_cms(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING-executed Count-Min: counters fold as incremental agg
+    state across 4 micro-batches; the drained sketch answers the same
+    top-20 probes as the batch entry, so the batch CMS SQL is the
+    oracle (counter merge = +, exact under any micro-batch split)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_spark_spark.llm import sketches, text
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+    from data_pipeline_with_spark_spark.streaming.demo import run_streaming_cms
+
+    sketch = run_streaming_cms(spark, sf, tempfile.mkdtemp(prefix="cms_stream_"))
+    docs = read_testdata(spark, sf, "documents")
+    cnt = (
+        docs.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    probes = cnt.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(20)
+    est = sketches.cms_lookup(sketch, probes.select("token"))
+    return probes.join(est, "token").select(
+        "token",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+register(
+    QuerySpec(
+        name="stream_cms_ingest",
+        build=_stream_cms,
+        doc="streaming Count-Min token counters as incremental aggregation "
+        "state (4 micro-batches, complete mode); drained counters equal "
+        "batch bit-for-bit -> the batch CMS oracle",
+        oracle=__import__(
+            "data_pipeline_with_spark_spark.plans.catalog_sketches",
+            fromlist=["_CMS_ORACLE"],
+        )._CMS_ORACLE,
+    )
+)

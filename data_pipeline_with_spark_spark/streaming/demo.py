@@ -761,6 +761,54 @@ def run_streaming_hll(
     return spark.table(sink_table)
 
 
+def run_streaming_cms(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    sink_table: str = "cms_stream_sink",
+) -> DataFrame:
+    """Streaming Count-Min: token counters fold as incremental
+    aggregation state (counter merge = +, the other half of the
+    mergeable-sketch pair next to `run_streaming_hll`'s max). The
+    documents fixture stages as 4 files → 4 real micro-batches; state is
+    O(d·w) rows forever; the drained complete-mode sink equals the batch
+    `sketches.cms_sketch` counters bit-for-bit because per-instance
+    counting distributes over any micro-batch split."""
+    from pathlib import Path
+
+    from data_pipeline_with_spark_spark.llm import sketches
+    from data_pipeline_with_spark_spark.llm.text import tokens
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    staging = str(Path(work_dir) / "cms_live")
+    docs.repartition(4).write.parquet(staging)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    toks = stream.select(F.explode(tokens("text")).alias("token"))
+    keys = F.array(
+        *[sketches.cms_key(i, "token") for i in range(sketches.CMS_DEPTH)]
+    )
+    counters = (
+        toks.select(F.posexplode(keys).alias("row", "key"))
+        .groupBy("row", "key")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    query = (
+        counters.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_table)
+
+
 DEDUP_LEDGER_SCHEMA = "text_hash STRING, keeper_id BIGINT, n_copies BIGINT"
 DEDUP_BATCH_PROP = "stream_dedup.last_batch"
 

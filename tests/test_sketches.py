@@ -135,3 +135,39 @@ def test_hll_union_of_disjoint_slices_estimates_total(spark):
     merged = sketches.hll_merge(lo.unionByName(hi), ["g"])
     est = sketches.hll_estimate(merged, ["g"]).collect()[0].hll_est
     assert abs(est - 2000) / 2000 < 0.20
+
+
+def test_streaming_cms_counters_equal_batch(spark, tmp_path):
+    """Drained streaming CMS counters (4 micro-batches of incremental
+    agg state) equal the batch sketch bit-for-bit — counter merge is +,
+    exact under any micro-batch split."""
+    from data_pipeline_with_spark_spark.llm.text import tokens
+    from data_pipeline_with_spark_spark.streaming.demo import run_streaming_cms
+
+    docs = read_testdata(spark, SF_SMOKE, "documents")
+    cnt = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    batch = sketches.cms_sketch(cnt)
+    streamed = run_streaming_cms(
+        spark, SF_SMOKE, str(tmp_path), sink_table="cms_stream_sink_test"
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_hll_intersection_entry_sane(spark):
+    """Inclusion-exclusion overlap estimate lands within HLL error of
+    the exact intersection (loose bound: union/intersection estimates
+    each carry ~6.5% standard error and they subtract)."""
+    import __spark_entry__ as se
+
+    row = se.queries()["sketch_hll_intersection"](spark, SF_SMOKE).collect()[0]
+    assert row.type_a < row.type_b
+    assert row.n_exact_overlap > 0
+    # |est - exact| bounded by a generous multiple of the union's error
+    assert abs(row.hll_overlap_est - row.n_exact_overlap) < max(
+        60.0, 0.5 * row.n_exact_overlap
+    )
