@@ -81,14 +81,27 @@ def _builder(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        # Broadcast threshold sized for big-memory executors: the 10 MiB
-        # default demotes a ~15 MiB dimension (sf1 customer in TPC-H q5)
-        # to sort-merge — measured 0.63 s → 9 s across the sf0.1 → sf1
-        # decade (r10 scaling probe). 64 MiB is standard practice on
-        # multi-GiB executors; genuinely big tables (100 TB fact sides)
-        # still exceed any threshold and AQE re-plans from runtime stats
-        # either way.
-        "spark.sql.autoBroadcastJoinThreshold": "67108864",
+        # autoBroadcastJoinThreshold stays at the 10 MiB DEFAULT — r10
+        # measured both sides of this carefully. A mid-round A/B under
+        # codegen-cache eviction + host noise suggested raising it to
+        # 64 MiB (sf1 q5's ~15 MiB customer dim "9 s as SMJ vs 4 s
+        # broadcast"); re-measured clean (codegen cache fixed, quiet
+        # box, warm), the comparison INVERTS: SMJ 1.5-2.5 s vs 4.1 s
+        # all-broadcast — in single-JVM local mode a 15 MiB broadcast
+        # hash relation costs real build/copy time and buys no network
+        # saving. On a real cluster the default + AQE's runtime
+        # demotion/promotion from observed sizes is the scale-correct
+        # policy either way. Lesson recorded in SCALING.md.
+        # The generated-class cache defaults to 100 entries; a session
+        # serving a whole catalog of queries (bench, the oracle gate, a
+        # real multi-tenant driver) evicts constantly and pays a Janino
+        # recompile of EVERY whole-stage-codegen subtree on EVERY run —
+        # measured r10: minhash signatures at sf1 ran 1.8 s in a fresh
+        # session but 5-7 s after one sweep through the 27 headliners;
+        # raising the cache restored 1.7-1.8 s in the aged session.
+        # ~5000 generated classes is tens of MB of metaspace — nothing
+        # against the driver heap.
+        "spark.sql.codegen.cache.maxEntries": "5000",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Files: pack small files, split large ones. 128 MiB default is
