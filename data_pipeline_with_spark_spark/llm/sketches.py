@@ -183,16 +183,19 @@ def cms_lookup(sketch: DataFrame, probes: DataFrame,
                token_col: str = "token") -> DataFrame:
     """Point-query the sketch for each probe token: min over the d rows.
 
-    The probe side precomputes its d keys and joins the tiny sketch on
-    (row, key) — broadcast-able from either side; estimates only ever
-    overcount (collisions add, never subtract).
+    The probe side precomputes its d keys and LEFT-joins the tiny sketch
+    on (row, key) — broadcast-able from either side. An empty (row, key)
+    bucket counts as a zero counter (coalesce below), so a token never
+    inserted answers 0 and a partially-present token still takes min over
+    all d rows; estimates only ever overcount (collisions add, never
+    subtract) — the contract would break if absent buckets were dropped.
     """
     keys = F.array(*[cms_key(i, token_col) for i in range(CMS_DEPTH)])
     p = probes.withColumn("__keys", keys).select(
         "*", F.posexplode("__keys").alias("row", "key")
     )
     return (
-        p.join(F.broadcast(sketch), ["row", "key"], "inner")
+        p.join(F.broadcast(sketch), ["row", "key"], "left")
         .groupBy(token_col)
-        .agg(F.min("c").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
     )

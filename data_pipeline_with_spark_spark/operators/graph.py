@@ -19,8 +19,12 @@ Scale shape: each round is one equi-join (rank × edges, both partitioned
 by src) + one grouped BIGINT sum — the classic iterative-join PageRank;
 rounds are fixed (power iteration converges geometrically at d=0.85), no
 driver-side per-node state. The only collect() is the node count (one
-scalar). Caching `edges`+`deg` keeps the scan subtree from re-executing
-per round.
+scalar); the weighted variant's dangling mass stays IN the plan as a
+1-row aggregate cross-joined back (no per-round driver action, no
+re-execution of earlier rounds). Caching `edges`+`deg` keeps the scan
+subtree from re-executing per round; both entry points finish with an
+eager localCheckpoint of the O(nodes) result and unpersist their caches
+so a long catalog sweep doesn't accumulate executor memory.
 """
 
 from __future__ import annotations
@@ -55,11 +59,14 @@ def pagerank(
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).cache()
     n = deg.count()  # single scalar; the one driver-side value
     if n == 0:
-        return deg.select(
+        out = deg.select(
             F.col("src").alias("node"),
             "degree",
             F.lit(0).cast("bigint").alias("rank"),
-        )
+        ).localCheckpoint(eager=True)
+        edges.unpersist()
+        deg.unpersist()
+        return out
     base = PR_BASE_NUM // n
     r = deg.select(
         F.col("src").alias("node"),
@@ -95,6 +102,12 @@ def pagerank(
                 ).cast("bigint").alias("rank"),
             )
         )
+    # Materialize the O(nodes) result once, then release the cached scan
+    # subtrees — the checkpointed frame no longer references them, so a
+    # catalog sweep of many graph entries doesn't pile up executor memory.
+    r = r.localCheckpoint(eager=True)
+    edges.unpersist()
+    deg.unpersist()
     return r
 
 
@@ -104,7 +117,6 @@ def pagerank_weighted(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "w",
-    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Directed WEIGHTED PageRank with uniform dangling-mass
     redistribution — the Markov-steady-state shape for transition
@@ -115,9 +127,14 @@ def pagerank_weighted(
     DANGLING — its whole rank joins a per-round 1-row aggregate and
     redistributes uniformly as dang_mass div n to every node (the
     standard stochastic-matrix patch), keeping total mass conserved up
-    to deterministic truncation. The per-round dangling sum is the only
-    driver-side value (a bounded 1-row collect, same doctrine as the
-    k-means centroid pull).
+    to deterministic truncation. The dangling sum stays IN the plan as
+    a broadcast 1-row cross join (`dang div n` is integer division on
+    non-negative BIGINTs, identical to the oracle's per-round CTE scalar)
+    — no per-round driver collect. Because the rank update then branches
+    on r TWICE (dangling agg + contribution join), r is eagerly
+    localCheckpoint'ed each round: without that the logical plan doubles
+    per round (2^rounds analysis blowup); with it each round is one tiny
+    O(nodes) job and the loop is linear in `rounds`.
 
     Overflow note: rank*w <= 10^12 * w must stay under 2^63; for
     weights beyond ~9*10^6 split via the exact identity
@@ -136,21 +153,27 @@ def pagerank_weighted(
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0).cast("bigint"))
+        out = nodes.withColumn("rank", F.lit(0).cast("bigint"))
+        out = out.localCheckpoint(eager=True)
+        e.unpersist()
+        nodes.unpersist()
+        return out
     outw = e.groupBy("src").agg(F.sum("w").alias("outw")).cache()
     base = PR_BASE_NUM // n
     r = nodes.withColumn("rank", F.lit(PR_SCALE // n).cast("bigint"))
     for i in range(rounds):
-        if i and i % checkpoint_every == 0:
+        # Per-round truncation is mandatory here (not just a depth
+        # optimization as in `pagerank`): r feeds BOTH the dangling agg
+        # and the contribution join below, so an un-truncated plan
+        # doubles in size every round.
+        if i:
             r = r.localCheckpoint(eager=True)
         rr = r.join(outw, r["node"] == outw["src"], "left").select(
             "node", "rank", "outw"
         )
-        dang = (
-            rr.where(F.col("outw").isNull()).agg(F.sum("rank")).collect()[0][0]
-            or 0
+        dang = rr.where(F.col("outw").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("bigint").alias("dang")
         )
-        dshare = dang // n
         contrib = (
             rr.where(F.col("outw").isNotNull())
             .join(e, rr["node"] == e["src"])
@@ -162,14 +185,20 @@ def pagerank_weighted(
         insum = contrib.groupBy("node").agg(F.sum("contrib").alias("insum"))
         r = (
             nodes.join(insum, "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.expr(
-                        f"({PR_DAMP_NUM} * (coalesce(insum, 0L) + {dshare}L)) div 100"
+                        f"({PR_DAMP_NUM} * (coalesce(insum, 0L)"
+                        f" + dang div {n}L)) div 100"
                     )
                 ).cast("bigint").alias("rank"),
             )
         )
+    r = r.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    outw.unpersist()
     return r

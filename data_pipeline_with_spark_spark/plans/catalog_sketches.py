@@ -310,17 +310,30 @@ def _hll_intersection(spark: SparkSession, sf: str) -> DataFrame:
     when the true intersection is small relative to the union (reported
     alongside the exact number so the entry shows the trade honestly).
     All three inputs are the deterministic rounded HLL estimates, so the
-    subtraction is bit-exact cross-engine."""
+    subtraction is bit-exact cross-engine.
+
+    The deterministic pair (two lexicographically-first event types) is
+    computed IN the plan — a rank-limited distinct broadcast-joined back
+    to the scan — so building this entry stays lazy like every other
+    catalog build (no driver-side collect, no eager scan); a degenerate
+    fixture with fewer than two event types yields an empty result frame
+    rather than an IndexError."""
+    from pyspark.sql import Window
+
     ev = read_testdata(spark, sf, "events")
-    # deterministic pair: the two lexicographically-first event types
-    types = [
-        r.event_type
-        for r in ev.select("event_type").distinct().orderBy("event_type").limit(2).collect()
-    ]
-    ta, tb = types[0], types[1]
-    a = ev.where(F.col("event_type") == ta)
-    b = ev.where(F.col("event_type") == tb)
-    u = ev.where(F.col("event_type").isin(ta, tb))
+    tt = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("event_type"))
+        )
+        .where(F.col("rn") <= 2)
+    )
+    ta_f = tt.where(F.col("rn") == 1).select(F.col("event_type").alias("type_a"))
+    tb_f = tt.where(F.col("rn") == 2).select(F.col("event_type").alias("type_b"))
+    a = ev.join(F.broadcast(ta_f), ev["event_type"] == ta_f["type_a"])
+    b = ev.join(F.broadcast(tb_f), ev["event_type"] == tb_f["type_b"])
+    u = ev.join(F.broadcast(tt.select("event_type")), "event_type")
 
     def est_of(df, gname):
         regs = sketches.hll_registers(df.withColumn("g", F.lit(1)), "user_id", ["g"])
@@ -338,10 +351,12 @@ def _hll_intersection(spark: SparkSession, sf: str) -> DataFrame:
         .join(est_of(b, "est_b"), "j")
         .join(est_of(u, "est_union"), "j")
         .join(exact, "j")
+        .crossJoin(F.broadcast(ta_f))
+        .crossJoin(F.broadcast(tb_f))
     )
     return out.select(
-        F.lit(ta).alias("type_a"),
-        F.lit(tb).alias("type_b"),
+        "type_a",
+        "type_b",
         "n_exact_overlap",
         F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4).alias(
             "hll_overlap_est"

@@ -716,7 +716,7 @@ def run_streaming_hll(
     spark: SparkSession,
     sf_dir: str,
     work_dir: str,
-    sink_table: str = "hll_stream_sink",
+    sink_table: str | None = None,
 ) -> DataFrame:
     """Streaming HyperLogLog: distinct-user registers maintained as
     INCREMENTAL AGGREGATION STATE — the mergeable-sketch property
@@ -730,12 +730,21 @@ def run_streaming_hll(
     the max-merge property equals the batch `sketches.hll_registers`
     output bit-for-bit — how the driver oracle checks this
     streaming-executed query against batch SQL.
+
+    Hygiene: the sink name is unique per invocation (memory-sink
+    queryName reuse after termination is undefined behaviour to lean
+    on), the drained result is materialized off the sink, and the
+    staging parquet copy + sink view are removed before returning — a
+    catalog sweep that rebuilds this entry many times leaks nothing.
     """
+    import uuid
     from pathlib import Path
 
     from data_pipeline_with_spark_spark.llm import sketches
     from data_pipeline_with_spark_spark.sources.readers import read_testdata
 
+    if sink_table is None:
+        sink_table = f"hll_stream_sink_{uuid.uuid4().hex[:8]}"
     ev = read_testdata(spark, sf_dir, "events").select("event_type", "user_id")
     staging = str(Path(work_dir) / "hll_live")
     ev.repartition(4).write.parquet(staging)
@@ -758,14 +767,34 @@ def run_streaming_hll(
         .start()
     )
     query.awaitTermination()
-    return spark.table(sink_table)
+    return _drain_memory_sink(spark, sink_table, staging, work_dir)
+
+
+def _drain_memory_sink(
+    spark: SparkSession, sink_table: str, staging: str, work_dir: str
+) -> DataFrame:
+    """Materialize a terminated memory sink and clean up after it: the
+    O(sketch) result is checkpointed off the sink, the sink's temp view
+    is dropped, and the staging parquet copy is deleted — nothing from
+    this invocation outlives the returned frame."""
+    import os
+    import shutil
+
+    out = spark.table(sink_table).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink_table)
+    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        os.rmdir(work_dir)  # best-effort: only if the caller's dir is now empty
+    except OSError:
+        pass
+    return out
 
 
 def run_streaming_cms(
     spark: SparkSession,
     sf_dir: str,
     work_dir: str,
-    sink_table: str = "cms_stream_sink",
+    sink_table: str | None = None,
 ) -> DataFrame:
     """Streaming Count-Min: token counters fold as incremental
     aggregation state (counter merge = +, the other half of the
@@ -773,13 +802,20 @@ def run_streaming_cms(
     documents fixture stages as 4 files → 4 real micro-batches; state is
     O(d·w) rows forever; the drained complete-mode sink equals the batch
     `sketches.cms_sketch` counters bit-for-bit because per-instance
-    counting distributes over any micro-batch split."""
+    counting distributes over any micro-batch split.
+
+    Same per-invocation hygiene as `run_streaming_hll`: unique sink
+    name, result checkpointed off the sink, staging copy + sink view
+    removed before returning."""
+    import uuid
     from pathlib import Path
 
     from data_pipeline_with_spark_spark.llm import sketches
     from data_pipeline_with_spark_spark.llm.text import tokens
     from data_pipeline_with_spark_spark.sources.readers import read_testdata
 
+    if sink_table is None:
+        sink_table = f"cms_stream_sink_{uuid.uuid4().hex[:8]}"
     docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
     staging = str(Path(work_dir) / "cms_live")
     docs.repartition(4).write.parquet(staging)
@@ -806,7 +842,7 @@ def run_streaming_cms(
         .start()
     )
     query.awaitTermination()
-    return spark.table(sink_table)
+    return _drain_memory_sink(spark, sink_table, staging, work_dir)
 
 
 DEDUP_LEDGER_SCHEMA = "text_hash STRING, keeper_id BIGINT, n_copies BIGINT"

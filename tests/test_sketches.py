@@ -84,6 +84,26 @@ def test_cms_overcounts_only_and_merges(spark):
     cnt.unpersist()
 
 
+def test_cms_lookup_unseen_token_answers_zeroish(spark):
+    """A probe token never inserted must still answer — and, on a tiny
+    sketch where its 4 buckets are empty, answer exactly 0 (absent
+    bucket == zero counter; dropping it would inflate the min and break
+    the overcount-only contract for point queries)."""
+    cnt = spark.createDataFrame(
+        [("alpha", 3), ("beta", 5)], ["token", "cnt"]
+    )
+    sketch = sketches.cms_sketch(cnt)
+    probes = spark.createDataFrame(
+        [("alpha",), ("never-inserted-token",)], ["token"]
+    )
+    got = {r.token: r.cms_est for r in sketches.cms_lookup(sketch, probes).collect()}
+    assert set(got) == {"alpha", "never-inserted-token"}
+    assert got["alpha"] >= 3
+    # 2 tokens * 4 salted keys in a 4096-bucket row: collision-free here,
+    # so the unseen token's min over its 4 (empty) buckets is exactly 0.
+    assert got["never-inserted-token"] == 0
+
+
 def test_cms_sketch_is_bounded(spark):
     """The sketch table never exceeds d*w rows no matter the corpus."""
     docs = read_testdata(spark, SF_SMOKE, "documents")
