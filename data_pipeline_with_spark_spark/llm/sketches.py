@@ -20,6 +20,15 @@ DuckDB-oracle-checkable:
   are integer sums → mergeable across partitions by +, and map-side
   partial aggregation builds per-partition sub-sketches for free.
   Estimate = min over rows; overestimate-only by construction.
+- Quantile histogram (HdrHistogram's log2+linear bucketing, Gray et al.
+  / hdrhistogram.org; the mergeable third leg next to HLL and CMS —
+  exact percentiles don't merge): bucket id = (bitlen(v)-1)*32 +
+  (v - 2^(bitlen-1))*32 div 2^(bitlen-1), pure BIGINT arithmetic
+  (`length(bin(v))` is the bit length in both engines, shifts/div are
+  integer) so the counter table replays bit-exactly cross-engine.
+  Counters merge by +; quantile estimate = cumulative-rank walk + linear
+  interpolation inside the hit bucket, every step integer. Relative
+  error is bounded by the sub-bucket width: ≤ 1/32 ≈ 3.1 %.
 
 Scale shape: the sketch tables are O(m) / O(d·w) rows regardless of
 input size — the only full-data pass is one scan + one grouped integer
@@ -198,4 +207,109 @@ def cms_lookup(sketch: DataFrame, probes: DataFrame,
         p.join(F.broadcast(sketch), ["row", "key"], "left")
         .groupBy(token_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile histogram (HdrHistogram log2 + linear sub-bucket scheme)
+
+QH_SUB = 32  # linear sub-buckets per power-of-two range
+
+
+def qh_bucket_sql(v: str, div: str = "div", shift: str = "spark") -> str:
+    """SQL text for the histogram bucket id of positive-BIGINT expr `v`.
+
+    bucket = (k-1)*QH_SUB + ((v - 2^(k-1)) * QH_SUB) intdiv 2^(k-1)
+    with k = bit length of v (`length(bin(v))` — identical semantics in
+    Spark and DuckDB). All-integer, so the counter table is bit-exact
+    cross-engine. `div`/`shift` select the engine spelling: Spark uses
+    `div` + shiftleft(); DuckDB `//` + `<<`.
+    """
+    k = f"length(bin({v}))"
+    if shift == "spark":
+        lo = f"shiftleft(CAST(1 AS BIGINT), CAST({k} AS INT) - 1)"
+    else:
+        lo = f"(CAST(1 AS BIGINT) << ({k} - 1))"
+    return (
+        f"(CAST({k} AS BIGINT) - 1) * {QH_SUB}"
+        f" + (({v} - {lo}) * {QH_SUB}) {div} {lo}"
+    )
+
+
+def qh_bounds_sql(bucket: str, div: str = "div", shift: str = "spark") -> tuple[str, str]:
+    """(lower, upper) bound SQL for a bucket id — inverse of
+    `qh_bucket_sql` up to the div-truncated sub-bucket edges (the same
+    deterministic edges both engines reconstruct, which is all the
+    estimator needs)."""
+    k = f"({bucket} {div} {QH_SUB} + 1)"
+    sub = f"({bucket} % {QH_SUB})"
+    if shift == "spark":
+        lo = f"shiftleft(CAST(1 AS BIGINT), CAST({k} AS INT) - 1)"
+    else:
+        lo = f"(CAST(1 AS BIGINT) << ({k} - 1))"
+    lb = f"({lo} + ({sub} * {lo}) {div} {QH_SUB})"
+    ub = f"({lo} + (({sub} + 1) * {lo}) {div} {QH_SUB})"
+    return lb, ub
+
+
+def quantile_hist(points: DataFrame, value_col: str = "v") -> DataFrame:
+    """Build the (bucket, cnt) histogram from positive BIGINT values.
+
+    One projection + one grouped count: map-side partial aggregation
+    ships per-partition sub-histograms (≤ 64*QH_SUB rows each) to a
+    sketch-sized shuffle — the same O(sketch) reduction as `cms_sketch`,
+    mergeable across shards/micro-batches by plain +. Values are clamped
+    to >= 1 (bucket 0) so the bit-length bucketing is total.
+    """
+    v = f"greatest(CAST({value_col} AS BIGINT), CAST(1 AS BIGINT))"
+    return (
+        points.select(F.expr(qh_bucket_sql(v)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_estimate(
+    hist: DataFrame, q_pcts: tuple[int, ...] = (50, 90, 99)
+) -> DataFrame:
+    """Estimate the q-th percentiles from the histogram alone:
+    (q_pct, n, qh_est) with qh_est a BIGINT.
+
+    Rank target r = (q_pct*(n-1)) div 100 + 1 (1-indexed); the hit
+    bucket is the first with cumulative count >= r; the estimate
+    linear-interpolates the bucket's [lb, ub) span at the within-bucket
+    rank — every step BIGINT, so the estimate replays bit-exactly in the
+    oracle. The cumulative window runs un-partitioned, which is correct
+    here: the histogram is O(64*QH_SUB) rows no matter the input size.
+
+    Overflow bound: (ub-lb)*(r-prev) <= (2^(k-1)/QH_SUB)*n must stay
+    under 2^63 — holds for any n up to QH_SUB*2^(63-k_max), e.g. 2^44
+    rows of full-range 2^50 values.
+    """
+    from pyspark.sql import Window
+
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    nn = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
+    qs = hist.sparkSession.createDataFrame(
+        [(int(q),) for q in q_pcts], "q_pct BIGINT"
+    )
+    tgt = qs.crossJoin(F.broadcast(nn)).withColumn(
+        "r", F.expr("(q_pct * (n - 1)) div 100 + 1")
+    )
+    hit = tgt.join(
+        F.broadcast(cum),
+        (F.col("cum") >= F.col("r")) & (F.col("cum") - F.col("cnt") < F.col("r")),
+    )
+    lb, ub = qh_bounds_sql("bucket")
+    return hit.select(
+        "q_pct",
+        "n",
+        F.expr(
+            f"CAST({lb} + (({ub} - {lb}) * (r - (cum - cnt))) div cnt AS BIGINT)"
+        ).alias("qh_est"),
     )

@@ -424,3 +424,93 @@ register(
         tags=("sketch",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Quantile histogram: percentile estimates from mergeable integer
+# counters — the third leg next to HLL (distinct) and CMS (frequency).
+# A10's exact percentiles need the values; this histogram ships O(1)
+# counters per shard and answers any quantile after the fact.
+
+_QH_CENTS = "greatest(CAST(round(l_extendedprice * 100) AS BIGINT), CAST(1 AS BIGINT))"
+
+
+def _quantile_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """p50/p90/p99 of lineitem extended price (integer cents) from the
+    HdrHistogram-style sketch vs the exact rank-selected value. The
+    exact face is the comparator only — rank selection sorts globally,
+    which is the thing the sketch exists to avoid at 100 TB; the sketch
+    path is one scan + an O(64*QH_SUB) counter table."""
+    from pyspark.sql import Window
+
+    li = read_testdata(spark, sf, "lineitem")
+    pts = li.select(F.expr(_QH_CENTS).alias("v"))
+    hist = sketches.quantile_hist(pts)
+    ests = sketches.quantile_estimate(hist).withColumn(
+        "r", F.expr("(q_pct * (n - 1)) div 100 + 1")
+    )
+    ranked = pts.withColumn("rn", F.row_number().over(Window.orderBy("v")))
+    return (
+        ranked.join(F.broadcast(ests), F.col("rn") == F.col("r"))
+        .select(
+            "q_pct",
+            "n",
+            "qh_est",
+            F.col("v").alias("exact_cents"),
+            F.round(
+                F.abs(F.col("qh_est").cast("double") - F.col("v")) / F.col("v"), 4
+            ).alias("rel_err"),
+        )
+    )
+
+
+def _qh_oracle(source_sql: str) -> str:
+    """DuckDB replay of the WHOLE quantile-sketch path over `source_sql`
+    (a SELECT yielding one BIGINT column v): histogram counters,
+    cumulative-rank walk, integer interpolation, and the exact
+    rank-select comparator — bit-exact because every sketch step is
+    BIGINT arithmetic."""
+    bucket = sketches.qh_bucket_sql("v", div="//", shift="duck")
+    lb, ub = sketches.qh_bounds_sql("bucket", div="//", shift="duck")
+    return f"""
+    WITH pts AS MATERIALIZED ({source_sql}),
+    hist AS MATERIALIZED (
+      SELECT {bucket} AS bucket, count(*) AS cnt FROM pts GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum FROM hist
+    ),
+    nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+    qs AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q_pct),
+    tgt AS (
+      SELECT q_pct, n, (q_pct * (n - 1)) // 100 + 1 AS r FROM qs CROSS JOIN nn
+    ),
+    hit AS (
+      SELECT t.q_pct, t.n, t.r, c.bucket, c.cnt, c.cum
+      FROM tgt t JOIN cum c ON c.cum >= t.r AND c.cum - c.cnt < t.r
+    ),
+    est AS (
+      SELECT q_pct, n, r,
+             CAST({lb} + (({ub} - {lb}) * (r - (cum - cnt))) // cnt AS BIGINT)
+               AS qh_est
+      FROM hit
+    ),
+    ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM pts)
+    SELECT e.q_pct, e.n, e.qh_est,
+           CAST(rk.v AS BIGINT) AS exact_cents,
+           round(abs(CAST(e.qh_est AS DOUBLE) - rk.v) / rk.v, 4) AS rel_err
+    FROM est e JOIN ranked rk ON rk.rn = e.r
+    """
+
+
+register(
+    QuerySpec(
+        name="sketch_quantile_prices",
+        build=_quantile_prices,
+        doc="p50/p90/p99 of lineitem price-cents from the mergeable "
+        "HdrHistogram-style integer quantile sketch vs exact rank-select "
+        "— counters, rank walk, and interpolation all replayed bit-exactly",
+        oracle=_qh_oracle(f"SELECT {_QH_CENTS} AS v FROM lineitem"),
+        tags=("sketch",),
+    )
+)

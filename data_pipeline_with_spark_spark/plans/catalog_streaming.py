@@ -511,3 +511,58 @@ register(
         )._CMS_ORACLE,
     )
 )
+
+
+def _stream_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING-executed quantile sketch: histogram counters fold as
+    incremental agg state across 4 micro-batches; the drained counters
+    equal the batch `quantile_hist` bit-for-bit (counter merge = +), so
+    the full batch quantile SQL — histogram, rank walk, interpolation,
+    exact comparator — is the oracle for a genuinely streaming-built
+    sketch."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_spark_spark.llm import sketches
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+    from data_pipeline_with_spark_spark.streaming.demo import run_streaming_quantile
+
+    hist = run_streaming_quantile(spark, sf, tempfile.mkdtemp(prefix="qh_stream_"))
+    ests = sketches.quantile_estimate(hist).withColumn(
+        "r", F.expr("(q_pct * (n - 1)) div 100 + 1")
+    )
+    cents = "greatest(CAST(round(value * 100) AS BIGINT), CAST(1 AS BIGINT))"
+    pts = read_testdata(spark, sf, "events").select(F.expr(cents).alias("v"))
+    ranked = pts.withColumn("rn", F.row_number().over(Window.orderBy("v")))
+    return (
+        ranked.join(F.broadcast(ests), F.col("rn") == F.col("r"))
+        .select(
+            "q_pct",
+            "n",
+            "qh_est",
+            F.col("v").alias("exact_cents"),
+            F.round(
+                F.abs(F.col("qh_est").cast("double") - F.col("v")) / F.col("v"), 4
+            ).alias("rel_err"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="stream_quantile_ingest",
+        build=_stream_quantile,
+        doc="streaming quantile-histogram counters as incremental "
+        "aggregation state (4 micro-batches, complete mode); drained "
+        "counters equal batch bit-for-bit -> the batch quantile oracle",
+        oracle=__import__(
+            "data_pipeline_with_spark_spark.plans.catalog_sketches",
+            fromlist=["_qh_oracle"],
+        )._qh_oracle(
+            "SELECT greatest(CAST(round(value * 100) AS BIGINT), "
+            "CAST(1 AS BIGINT)) AS v FROM events"
+        ),
+    )
+)

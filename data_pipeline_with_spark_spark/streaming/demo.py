@@ -845,6 +845,57 @@ def run_streaming_cms(
     return _drain_memory_sink(spark, sink_table, staging, work_dir)
 
 
+def run_streaming_quantile(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    sink_table: str | None = None,
+) -> DataFrame:
+    """Streaming quantile histogram: HdrHistogram-style bucket counters
+    fold as incremental aggregation state (counter merge = +, same
+    mergeability leg as `run_streaming_cms`). The events fixture stages
+    as 4 files → 4 real micro-batches over `value` cents; state is
+    O(64·QH_SUB) rows forever; the drained complete-mode sink equals the
+    batch `sketches.quantile_hist` counters bit-for-bit, so any quantile
+    is answerable from the drained sketch without reprocessing.
+
+    Same per-invocation hygiene as the other sketch streams: unique
+    sink name, result checkpointed off the sink, staging + sink view
+    removed before returning."""
+    import uuid
+    from pathlib import Path
+
+    from data_pipeline_with_spark_spark.llm import sketches
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    if sink_table is None:
+        sink_table = f"qh_stream_sink_{uuid.uuid4().hex[:8]}"
+    ev = read_testdata(spark, sf_dir, "events").select("value")
+    staging = str(Path(work_dir) / "qh_live")
+    ev.repartition(4).write.parquet(staging)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    cents = "greatest(CAST(round(value * 100) AS BIGINT), CAST(1 AS BIGINT))"
+    hist = (
+        stream.select(F.expr(sketches.qh_bucket_sql(cents)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    query = (
+        hist.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return _drain_memory_sink(spark, sink_table, staging, work_dir)
+
+
 DEDUP_LEDGER_SCHEMA = "text_hash STRING, keeper_id BIGINT, n_copies BIGINT"
 DEDUP_BATCH_PROP = "stream_dedup.last_batch"
 

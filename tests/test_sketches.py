@@ -191,3 +191,77 @@ def test_hll_intersection_entry_sane(spark):
     assert abs(row.hll_overlap_est - row.n_exact_overlap) < max(
         60.0, 0.5 * row.n_exact_overlap
     )
+
+
+def test_quantile_hist_merges_by_sum(spark):
+    """Histograms built from two disjoint halves sum to the whole-corpus
+    histogram — counter merge = +, the property that makes the sketch
+    shippable per shard / micro-batch."""
+    li = read_testdata(spark, SF_SMOKE, "lineitem")
+    pts = li.select(
+        F.expr(
+            "greatest(CAST(round(l_extendedprice * 100) AS BIGINT),"
+            " CAST(1 AS BIGINT))"
+        ).alias("v"),
+        "l_orderkey",
+    )
+    whole = sketches.quantile_hist(pts)
+    lo = sketches.quantile_hist(pts.where("l_orderkey % 2 = 0"))
+    hi = sketches.quantile_hist(pts.where("l_orderkey % 2 = 1"))
+    merged = (
+        lo.unionByName(hi).groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_quantile_estimate_within_bucket_error(spark):
+    """Every estimated percentile lands within the sub-bucket relative
+    width (1/QH_SUB ≈ 3.1 %) of the exact rank-selected value."""
+    from pyspark.sql import Window
+
+    li = read_testdata(spark, SF_SMOKE, "lineitem")
+    pts = li.select(
+        F.expr(
+            "greatest(CAST(round(l_extendedprice * 100) AS BIGINT),"
+            " CAST(1 AS BIGINT))"
+        ).alias("v")
+    )
+    hist = sketches.quantile_hist(pts)
+    ests = sketches.quantile_estimate(hist, q_pcts=(10, 50, 90, 99)).withColumn(
+        "r", F.expr("(q_pct * (n - 1)) div 100 + 1")
+    )
+    ranked = pts.withColumn("rn", F.row_number().over(Window.orderBy("v")))
+    got = ranked.join(ests, F.col("rn") == F.col("r")).collect()
+    assert len(got) == 4
+    for row in got:
+        rel = abs(row.qh_est - row.v) / row.v
+        assert rel <= 1.0 / sketches.QH_SUB + 1e-9, (row.q_pct, row.qh_est, row.v)
+
+
+def test_quantile_hist_is_bounded(spark):
+    """The histogram never exceeds 64*QH_SUB buckets regardless of input."""
+    li = read_testdata(spark, SF_SMOKE, "lineitem")
+    pts = li.select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("v")
+    )
+    assert sketches.quantile_hist(pts).count() <= 64 * sketches.QH_SUB
+
+
+def test_streaming_quantile_counters_equal_batch(spark, tmp_path):
+    """The drained streaming histogram equals the batch histogram
+    bit-for-bit (counter merge = + across micro-batches)."""
+    from data_pipeline_with_spark_spark.streaming.demo import run_streaming_quantile
+
+    ev = read_testdata(spark, SF_SMOKE, "events")
+    batch = sketches.quantile_hist(
+        ev.select(
+            F.expr(
+                "greatest(CAST(round(value * 100) AS BIGINT),"
+                " CAST(1 AS BIGINT))"
+            ).alias("v")
+        )
+    )
+    streamed = run_streaming_quantile(spark, SF_SMOKE, str(tmp_path))
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0

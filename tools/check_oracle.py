@@ -5,7 +5,14 @@ DuckDB over the same parquet fixtures, then compares row count, column
 names, and order-insensitive values EXACTLY (float bit equality — the
 strictest interpretation of the driver's value hash).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--serial] [sf_dir] [query ...]
+
+``--serial`` disables the thread pool so each entry's printed time is
+its true serial wall cost (the pooled default is ~3× faster end-to-end
+but 6 concurrent entries share the box, so pooled per-entry times
+overstate serial cost several-fold — r10's "87 s" BPE reading was this
+artifact; the entry is ~10 s serial). Use --serial for the per-round
+ORACLE_FULL artifact so its times are diagnostic.
 """
 
 from __future__ import annotations
@@ -23,7 +30,9 @@ from data_pipeline_with_spark_spark.plans import all_queries
 from data_pipeline_with_spark_spark.session import get_spark
 from data_pipeline_with_spark_spark.sources.readers import TESTDATA_TABLES
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_ARGS = [a for a in sys.argv[1:] if a != "--serial"]
+SERIAL = "--serial" in sys.argv[1:]
+SF_DIR = _ARGS[0] if _ARGS else "/root/testdata/sf0.01"
 
 
 def norm_cell(v):
@@ -96,7 +105,7 @@ POOL_WORKERS = 6
 def main() -> int:
     from concurrent.futures import ThreadPoolExecutor
 
-    only = set(sys.argv[2:])
+    only = set(_ARGS[1:])
     spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -112,17 +121,24 @@ def main() -> int:
     stateful = [(n, s) for n, s in todo if n.startswith(_STATEFUL_PREFIXES)]
 
     results: dict[str, tuple[bool, str]] = {}
+    times: dict[str, float] = {}
 
     def run(pair):
         name, spec = pair
         cur = con.cursor()  # duckdb connections are not thread-safe
+        t0 = time.time()
         try:
             results[name] = check_one(spark, cur, name, spec)
         finally:
+            times[name] = time.time() - t0
             cur.close()
 
-    with ThreadPoolExecutor(max_workers=POOL_WORKERS) as pool:
-        list(pool.map(run, pure))
+    if SERIAL:
+        for pair in pure:
+            run(pair)
+    else:
+        with ThreadPoolExecutor(max_workers=POOL_WORKERS) as pool:
+            list(pool.map(run, pure))
     for pair in stateful:
         run(pair)
 
@@ -133,6 +149,12 @@ def main() -> int:
         if not passed:
             failures.append(name)
     n_run = len(todo)
+    if n_run > 10:
+        slow = sorted(times.items(), key=lambda kv: -kv[1])[:10]
+        mode = "serial" if SERIAL else f"pooled x{POOL_WORKERS} (wall, shared box)"
+        print(f"\nslowest entries ({mode}):")
+        for name, sec in slow:
+            print(f"  {sec:6.1f}s  {name}")
     print(f"\n{n_run - len(failures)}/{n_run} queries run match"
           + (f" (of {len(specs)} registered)" if n_run < len(specs) else ""))
     return 1 if failures else 0
