@@ -202,3 +202,104 @@ def pagerank_weighted(
     nodes.unpersist()
     outw.unpersist()
     return r
+
+
+def triangle_count(
+    pairs: DataFrame, src_col: str = "id_a", dst_col: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    undirected pair list — the classic bucketed-join graph op that
+    complements PageRank/CC on the near-dup graph (a dup CLUSTER is a
+    clique: high coefficient; a chain of borderline matches is not).
+
+    Algorithm (Schank & Wagner '05 / the standard MapReduce variant):
+    orient every edge from the lower-rank to the higher-rank endpoint,
+    rank = (degree, node id) lexicographic. Orientation bounds out-degree
+    by O(sqrt(m)) — the high-degree hub that would explode a naive wedge
+    join only ever RECEIVES oriented edges — so the wedge join (self-join
+    of oriented edges on src, ordered dst pair) and the closing join (is
+    the wedge's far pair itself an oriented edge?) shuffle skew-free.
+    Each triangle {x,y,z} with rank x<y<z appears exactly once: as wedge
+    (y,z) at x closed by oriented edge y→z.
+
+    Everything is integer joins + counts; the only float is the final
+    coefficient 2*T/(deg*(deg-1)) on already-deterministic integers —
+    a DuckDB oracle replays it bit-exactly as a 3-way self-join.
+    """
+    und = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .cache()
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    orient = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    ).cache()
+    e1, e2, e3 = orient.alias("e1"), orient.alias("e2"), orient.alias("e3")
+    wedge_order = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    tri = (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_order)
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce(F.col("n_triangles"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg.unpersist()
+    orient.unpersist()
+    return out

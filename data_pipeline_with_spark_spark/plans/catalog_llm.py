@@ -3546,3 +3546,107 @@ register(
         oracle=_pagerank_oracle(),
     )
 )
+
+
+def _triangles_dup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle count + local clustering coefficient per node of the
+    verified near-dup graph (same pair source as
+    `graph_pagerank_dup_docs`): a dup CLUSTER is a clique — coefficient
+    1.0 — while a chain of borderline matches scores 0, so the
+    coefficient separates true duplicate groups from transitive-closure
+    artifacts before canonical-doc selection."""
+    docs = read_testdata(spark, sf, "documents")
+    pairs = dedup.near_dup_pairs(
+        docs,
+        threshold=0.7,
+        k_shingle=_K_SHINGLE,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+    ).select("id_a", "id_b")
+    tri = graph.triangle_count(pairs)
+    return tri.select(
+        F.col("node").alias("doc_id"), "degree", "n_triangles", "clustering_coeff"
+    )
+
+
+def _triangles_oracle() -> str:
+    """3-way self-join replay with the SAME degree-ordered orientation as
+    the operator (each triangle counted exactly once, no unrolling)."""
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+    sig AS (SELECT doc_id, {_MINHASH_SQL} AS minhash FROM sh),
+    bands AS (
+      SELECT doc_id, j AS band_idx, ({_BANDS_SQL})[j] AS band_hash
+      FROM sig, (SELECT unnest(generate_series(1, {_BANDS})) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE),
+            6) >= 0.7
+    ),
+    und AS MATERIALIZED (
+      SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM ver WHERE id_a <> id_b
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, count(*) AS degree FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY node
+    ),
+    orient AS MATERIALIZED (
+      SELECT CASE WHEN (da.degree < db.degree)
+                    OR (da.degree = db.degree AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS u,
+             CASE WHEN (da.degree < db.degree)
+                    OR (da.degree = db.degree AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS v,
+             CASE WHEN (da.degree < db.degree)
+                    OR (da.degree = db.degree AND u.a < u.b)
+                  THEN db.degree ELSE da.degree END AS dv
+      FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM orient e1
+      JOIN orient e2 ON e1.u = e2.u
+        AND ((e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v))
+      JOIN orient e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    pern AS (
+      SELECT node, count(*) AS n_tri FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node AS doc_id,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN round(2.0 * coalesce(p.n_tri, 0)
+                           / (d.degree * (d.degree - 1)), 4)
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN pern p ON p.node = d.node
+    """
+
+
+register(
+    QuerySpec(
+        name="graph_triangles_dup_docs",
+        build=_triangles_dup_docs,
+        doc="per-node triangle count + clustering coefficient over the "
+        "verified near-dup graph via degree-ordered edge orientation "
+        "(each triangle joined exactly once, no hub skew); oracle is the "
+        "same orientation as a DuckDB 3-way self-join",
+        oracle=_triangles_oracle(),
+    )
+)

@@ -72,3 +72,49 @@ def test_weighted_pagerank_dangling_mass_redistributes(spark):
     total = sum(got.values())
     assert PR_SCALE * 0.98 < total <= PR_SCALE
     assert got[2] == max(got.values())
+
+
+def test_triangle_count_planted_structures(spark):
+    """K4 glued to a 2-path: every K4 node sits in C(3,2)=3 triangles
+    with coefficient 1.0; the path tail has none. Edge direction/dupes
+    in the input must not matter (canonicalization)."""
+    from data_pipeline_with_spark_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    noisy = k4 + [(b, a) for a, b in k4[:2]] + [(3, 4), (4, 5)]  # dupes + path
+    df = spark.createDataFrame(noisy, ["id_a", "id_b"])
+    got = {r.node: r for r in triangle_count(df).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+    for n in range(3):
+        assert got[n].n_triangles == 3 and got[n].clustering_coeff == 1.0
+    assert got[3].n_triangles == 3  # K4 member; extra path edge lowers coeff
+    assert got[3].degree == 4 and abs(got[3].clustering_coeff - 0.5) < 1e-9
+    assert got[4].n_triangles == 0 and got[4].clustering_coeff == 0.0
+    assert got[5].n_triangles == 0 and got[5].degree == 1
+
+
+def test_triangle_count_total_matches_naive(spark):
+    """Sum of per-node counts = 3 * #triangles on a random-ish planted
+    graph; cross-checked against the naive a<b<c triple join."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_spark_spark.operators.graph import triangle_count
+
+    edges = [(a, b) for a in range(12) for b in range(a + 1, 12)
+             if (a * 7 + b * 13) % 3 != 0]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    per_node_total = (
+        triangle_count(df).agg(F.sum("n_triangles")).collect()[0][0]
+    )
+    e = spark.createDataFrame(edges, ["a", "b"])
+    naive = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .count()
+    )
+    assert naive > 0
+    assert per_node_total == 3 * naive
