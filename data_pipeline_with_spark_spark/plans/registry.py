@@ -79,9 +79,10 @@ def _order_key(item: tuple[str, QuerySpec]) -> tuple[int, int]:
 
 
 @functools.lru_cache(maxsize=1)
-def _driver_sample_history() -> dict[str, tuple[int, bool]]:
+def _driver_sample_history() -> dict[str, tuple[int, bool, bool]]:
     """Per-query driver sample history from ``CORRECTNESS_r*.json`` at
-    the repo root: name → (last round sampled, red in that sample).
+    the repo root: name → (last round sampled, red in that sample,
+    no-hash-evidence in that sample).
 
     The driver's gate samples a prefix window of ``queries()``, so a
     static order resamples the same names every round. The rotation
@@ -89,7 +90,7 @@ def _driver_sample_history() -> dict[str, tuple[int, bool]]:
     query a turn in the window. Cached per process — the gate runs one
     process per round, and round files only change between rounds.
     """
-    history: dict[str, tuple[int, bool]] = {}
+    history: dict[str, tuple[int, bool, bool]] = {}
     root = Path(__file__).resolve().parents[2]
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
@@ -113,9 +114,10 @@ def _driver_sample_history() -> dict[str, tuple[int, bool]]:
                 or v.get("schema_match") is False
                 or (err is not None and err != "no_oracle")
             )
+            no_hash = v.get("hash_match") is not True
             prev = history.get(name)
             if prev is None or rnd >= prev[0]:
-                history[name] = (rnd, red)
+                history[name] = (rnd, red, no_hash)
     return history
 
 
@@ -125,16 +127,24 @@ def _rotation_key(item: tuple[str, QuerySpec]) -> tuple:
     tier 0 — red in its most recent driver sample (a fix must be
              re-proven before anything else);
     tier 1 — never driver-sampled;
-    tier 2 — green, ordered by last-sampled round ascending, so
+    tier 2 — GRADUATED: the latest sample predates this entry's oracle
+             (recorded rows-only/no-hash, but an oracle is registered
+             now) — the stronger hash evidence should land on record
+             before stale greens refresh;
+    tier 3 — green, ordered by last-sampled round ascending, so
              r1-era greens re-enter the window before last round's
              (stale evidence refreshes instead of aging forever).
     """
-    name, _ = item
+    name, spec = item
     hist = _driver_sample_history().get(name)
     if hist is None:
         return (1, 0, *_order_key(item))
-    last_round, red = hist
-    return (0 if red else 2, last_round, *_order_key(item))
+    last_round, red, no_hash = hist
+    if red:
+        return (0, last_round, *_order_key(item))
+    if no_hash and spec.oracle is not None:
+        return (2, last_round, *_order_key(item))
+    return (3, last_round, *_order_key(item))
 
 
 def all_queries(rotate: bool | None = None) -> dict[str, QuerySpec]:

@@ -66,14 +66,32 @@ def test_registry_rotation_policy():
         tiers = [_rotation_key((n, specs[n]))[0] for n in rotated]
         assert tiers == sorted(tiers)
         # a red query (if any) must lead every green one
-        reds = [n for n, (_, red) in hist.items() if red and n in specs]
-        greens = [n for n, (_, red) in hist.items() if not red and n in specs]
+        reds = [n for n, (_, red, _) in hist.items() if red and n in specs]
+        greens = [n for n, (_, red, _) in hist.items() if not red and n in specs]
         if reds and greens:
             assert max(rotated.index(n) for n in reds) < min(
                 rotated.index(n) for n in greens
             )
-        # least-recently-sampled: round numbers non-decreasing in tier 2
-        rounds = [hist[n][0] for n in rotated if n in hist and not hist[n][1]]
+        # graduated entries (latest sample no-hash, oracle now registered)
+        # precede every tier-3 green
+        graduated = [
+            n
+            for n, (_, red, no_hash) in hist.items()
+            if not red and no_hash and n in specs and specs[n].oracle is not None
+        ]
+        settled = [
+            n
+            for n, (_, red, no_hash) in hist.items()
+            if not red
+            and n in specs
+            and not (no_hash and specs[n].oracle is not None)
+        ]
+        if graduated and settled:
+            assert max(rotated.index(n) for n in graduated) < min(
+                rotated.index(n) for n in settled
+            )
+        # least-recently-sampled within the settled-green tier
+        rounds = [hist[n][0] for n in rotated if n in settled]
         assert rounds == sorted(rounds)
 
 

@@ -118,3 +118,53 @@ def test_triangle_count_total_matches_naive(spark):
     )
     assert naive > 0
     assert per_node_total == 3 * naive
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_pagerank_deep_rounds_flat_per_round_cost(spark):
+    """Lineage stress (r10 verdict #7): on a 10×-fixture-scale synthetic
+    graph, tripling the round count must not blow up per-round cost —
+    the checkpoint cadence keeps Catalyst analysis flat instead of
+    quadratic/exponential in depth. Wall-clock ratios on a shared box
+    are noisy, so the bound is deliberately loose (3× work ⇒ <9× time);
+    the real failure mode this guards (unbounded plan growth) is
+    multiplicative, not marginal."""
+    import time
+
+    from data_pipeline_with_spark_spark.operators.graph import (
+        pagerank,
+        pagerank_weighted,
+    )
+
+    # ~5k nodes / ~15k undirected edges, deterministic pseudo-random.
+    pairs = [
+        (i, (i * 48271 + j * 16807) % 5000)
+        for i in range(5000)
+        for j in range(1, 4)
+        if i != (i * 48271 + j * 16807) % 5000
+    ]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"]).cache()
+    df.count()
+
+    t0 = time.time()
+    pagerank(df, rounds=8).count()
+    base = time.time() - t0
+    t0 = time.time()
+    deep = pagerank(df, rounds=24)
+    assert deep.count() > 0
+    deep_t = time.time() - t0
+    assert deep_t < max(9 * base, base + 30), (base, deep_t)
+
+    edges = df.selectExpr("id_a AS src", "id_b AS dst", "1 + id_a % 5 AS w")
+    t0 = time.time()
+    pagerank_weighted(edges, rounds=5).count()
+    base_w = time.time() - t0
+    t0 = time.time()
+    deep_w = pagerank_weighted(edges, rounds=15)
+    assert deep_w.count() > 0
+    deep_w_t = time.time() - t0
+    assert deep_w_t < max(9 * base_w, base_w + 30), (base_w, deep_w_t)
+    df.unpersist()
