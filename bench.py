@@ -61,10 +61,13 @@ def cpu_reference_seconds(reps: int = 200, size: int = 1_000_000) -> float:
 
 
 def check_sf1_regressions(sf1_timings: dict, baseline: dict) -> dict:
-    """Compare fresh sf1 medians against the committed baseline
-    (SF1_BASELINE.json); a query is a regression when it exceeds
-    ``baseline * regression_factor``. Pure so the guard is unit-testable
-    without running the bench."""
+    """Compare fresh sf1 MINS (min over interleaved sweeps — the
+    uncontended-cost estimator) against the committed baseline
+    (SF1_BASELINE.json), whose values are themselves quiet-window mins
+    (re-frozen r11; the r8 file held medians, which gave the guard a
+    silent median/min slack). A query is a regression when it exceeds
+    ``baseline * regression_factor``. Pure so the guard is
+    unit-testable without running the bench."""
     factor = float(baseline.get("regression_factor", 1.5))
     refs = baseline.get("queries", {})
     return {

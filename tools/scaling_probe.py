@@ -50,6 +50,19 @@ ITERATIVE_EXTRA = [
     "graph_pagerank_dup_docs",
     "sketch_hll_distinct_users",
     "sketch_cms_token_counts",
+    # r11 additions (r10 verdict #6): the remaining sketch-algebra and
+    # graph faces plus the streaming-ingest twins — all O(sketch)/
+    # O(graph) outputs whose cost must track the scan; and the new
+    # quantile histogram + triangle entries.
+    "sketch_hll_union_types",
+    "sketch_cms_join_cardinality",
+    "sketch_hll_intersection",
+    "sketch_quantile_prices",
+    "stream_hll_ingest",
+    "stream_cms_ingest",
+    "stream_quantile_ingest",
+    "graph_pagerank_event_flow",
+    "graph_triangles_dup_docs",
 ]
 
 SFS = [
