@@ -107,8 +107,17 @@ def main() -> None:
     #      times separates a cell's samples by many minutes; one of them
     #      lands quiet with high probability.
     samples: dict[tuple[str, str], list[float]] = {}
-    for _ in range(RUNS):
+    # cpu_ref anchor per (run, sf) sweep: the probe's sf1 sweeps take
+    # minutes, so contention windows can swallow ALL of a cell's samples
+    # and survive the min — the anchors let a reader (and the flagged-
+    # entry adjudication below) tell a contaminated sweep from a plan
+    # change without re-running anything.
+    from bench import cpu_reference_seconds
+
+    sweep_refs: list[tuple[int, str, float]] = []
+    for run in range(RUNS):
         for sf in SFS:
+            sweep_refs.append((run, Path(sf).name, cpu_reference_seconds()))
             for name, spec in specs.items():
                 t0 = time.perf_counter()
                 write_noop(spec.build(spark, sf))
@@ -136,7 +145,16 @@ def main() -> None:
         "Generated by `python tools/scaling_probe.py` on local[32]; every cell",
         f"is the MIN of {RUNS} runs (host contention is one-sided noise; the",
         "minimum estimates uncontended cost — see the r10 box-noise notes in",
-        "NEXT.md and the cpu_ref anchors in bench.py). Data grows 10× per column"
+        "NEXT.md and the cpu_ref anchors in bench.py).",
+        "",
+        "Per-sweep cpu_ref anchors (quiet ≈ 0.34 s; a sweep at ≥ ~0.5 s is a",
+        "contention window and its cells overstate cost — if EVERY sweep of a",
+        "scale column is hot, even the min is contaminated):",
+        "",
+        "    "
+        + "  ".join(f"run{r} {sf}: {ref:.2f}" for r, sf, ref in sweep_refs),
+        "",
+        "Data grows 10× per column"
         f" ({' → '.join(col_names)}, ~6k → ~6M lineitem rows at the extremes)."
         f"{derived_note}",
         "",
