@@ -313,3 +313,46 @@ def quantile_estimate(
             f"CAST({lb} + (({ub} - {lb}) * (r - (cum - cnt))) div cnt AS BIGINT)"
         ).alias("qh_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch (k minimum values; Bar-Yossef et al. '02)
+
+KMV_K = 256
+_KMV_HEX = 12  # 48-bit estimator prefix: exact in BIGINT on both engines
+
+
+def kmv_bottomk(df: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
+    """The k lexicographically-smallest md5 hashes of distinct keys —
+    a mergeable uniform SAMPLE of the key domain (hex order == numeric
+    order). Mergeable by construction: bottom-k of the union of any
+    shards' bottom-k sets equals the global bottom-k, so 100 TB of
+    shards each ship k hashes. Spark compiles orderBy+limit to
+    TakeOrderedAndProject (per-partition heap + driver merge of k·p
+    rows, no global sort shuffle)."""
+    hx = F.md5(F.col(key_col).cast("string"))
+    return df.select(hx.alias("hx")).distinct().orderBy("hx").limit(k)
+
+
+def kmv_estimate(bottomk: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Distinct-count estimate from the bottom-k sample alone:
+    (n_sample, kth_hash, kmv_est). est = (k-1) * 2^48 div h48 where h48
+    is the 48-bit prefix of the k-th minimum — pure BIGINT arithmetic
+    ((k-1)·2^48 < 2^63 for k ≤ 32767), replayed bit-exactly by the
+    oracle. When fewer than k distinct keys exist the sample IS the
+    domain and the estimate is the exact sample size."""
+    two48 = 1 << (4 * _KMV_HEX)
+    agg = bottomk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.max("hx").alias("kth_hash"),
+    )
+    return agg.select(
+        "n_sample",
+        "kth_hash",
+        F.expr(
+            f"CASE WHEN n_sample < {k} THEN n_sample"
+            f" ELSE CAST({(k - 1) * two48}L div"
+            f" CAST(conv(substring(kth_hash, 1, {_KMV_HEX}), 16, 10) AS BIGINT)"
+            f" AS BIGINT) END"
+        ).cast("bigint").alias("kmv_est"),
+    )

@@ -514,3 +514,145 @@ register(
         tags=("sketch",),
     )
 )
+
+
+def _quantile_merge_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch ALGEBRA face for the quantile histogram (the union leg
+    next to `sketch_hll_union_types`): per-source histograms over the
+    documents table merge by plain counter + into the global histogram,
+    and the global p50/p90/p99 of document length are answered from the
+    MERGED sketch without rescanning any text — the shard-then-merge
+    shape a 100 TB corpus actually uses (each shard ships ≤ 64·QH_SUB
+    counters). The oracle computes the histogram directly from the
+    corpus; equality IS the merge identity."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf, "documents")
+    pts = docs.select(
+        "source",
+        F.expr(
+            "greatest(CAST(length(text) AS BIGINT), CAST(1 AS BIGINT))"
+        ).alias("v"),
+    )
+    # per-source sub-histograms (the "shards")...
+    per_source = (
+        pts.select("source", F.expr(sketches.qh_bucket_sql("v")).alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # ...merged by + into the global sketch: no rescan of the text.
+    merged = per_source.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    ests = sketches.quantile_estimate(merged).withColumn(
+        "r", F.expr("(q_pct * (n - 1)) div 100 + 1")
+    )
+    ranked = pts.withColumn("rn", F.row_number().over(Window.orderBy("v")))
+    return (
+        ranked.join(F.broadcast(ests), F.col("rn") == F.col("r"))
+        .select(
+            "q_pct",
+            "n",
+            "qh_est",
+            F.col("v").alias("exact_len"),
+            F.round(
+                F.abs(F.col("qh_est").cast("double") - F.col("v")) / F.col("v"), 4
+            ).alias("rel_err"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="sketch_quantile_merge_sources",
+        build=_quantile_merge_sources,
+        doc="global p50/p90/p99 of document length from per-source "
+        "histograms merged by counter + (no rescan) — the quantile "
+        "union face; oracle computes the histogram directly, equality "
+        "IS the merge identity",
+        oracle=_qh_oracle(
+            "SELECT greatest(CAST(length(text) AS BIGINT),"
+            " CAST(1 AS BIGINT)) AS v FROM documents"
+        ).replace("AS exact_cents", "AS exact_len"),
+        tags=("sketch",),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k: distinct-count from a mergeable uniform hash sample.
+
+def _kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct users via SHARD MERGE: each event type ships its own
+    bottom-k sample; the global bottom-k of the union of the shards
+    equals the direct global bottom-k (the KMV merge identity), and the
+    estimator runs on the merged sample alone. The oracle computes the
+    direct global bottom-k — equality IS the merge identity, same
+    doctrine as `sketch_hll_union_types`/`sketch_quantile_merge_sources`."""
+    from pyspark.sql import Window
+
+    ev = read_testdata(spark, sf, "events")
+    hx = F.md5(F.col("user_id").cast("string"))
+    per_type = (
+        ev.select("event_type", hx.alias("hx"))
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("hx")
+            ),
+        )
+        .where(F.col("rn") <= sketches.KMV_K)
+    )
+    merged = (
+        per_type.select("hx").distinct().orderBy("hx").limit(sketches.KMV_K)
+    )
+    est = sketches.kmv_estimate(merged).withColumn("j", F.lit(1))
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("n_exact"), F.lit(1).alias("j")
+    )
+    return est.join(exact, "j").select(
+        "n_sample",
+        "kth_hash",
+        "kmv_est",
+        "n_exact",
+        F.round(
+            F.abs(F.col("kmv_est").cast("double") - F.col("n_exact"))
+            / F.col("n_exact"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def _kmv_oracle() -> str:
+    k, hexn = sketches.KMV_K, sketches._KMV_HEX
+    two = 1 << (4 * hexn)
+    return f"""
+    WITH h AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+    bk AS (SELECT hx FROM h ORDER BY hx LIMIT {k}),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_sample, max(hx) AS kth_hash FROM bk),
+    est AS (
+      SELECT n_sample, kth_hash,
+             CAST(CASE WHEN n_sample < {k} THEN n_sample
+                  ELSE {(k - 1) * two} //
+                       CAST(('0x' || substring(kth_hash, 1, {hexn})) AS BIGINT)
+                  END AS BIGINT) AS kmv_est
+      FROM agg
+    ),
+    ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+    SELECT e.n_sample, e.kth_hash, e.kmv_est, x.n_exact,
+           round(abs(CAST(e.kmv_est AS DOUBLE) - x.n_exact) / x.n_exact, 4)
+             AS rel_err
+    FROM est e CROSS JOIN ex x
+    """
+
+
+register(
+    QuerySpec(
+        name="sketch_kmv_distinct_users",
+        build=_kmv_distinct_users,
+        doc="KMV bottom-k (k=256) distinct-user estimate from per-type "
+        "shard samples merged to the global bottom-k (merge identity = "
+        "oracle equality); estimator (k-1)*2^48 div h48 is pure BIGINT",
+        oracle=_kmv_oracle(),
+        tags=("sketch",),
+    )
+)

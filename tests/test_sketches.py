@@ -265,3 +265,29 @@ def test_streaming_quantile_counters_equal_batch(spark, tmp_path):
     streamed = run_streaming_quantile(spark, SF_SMOKE, str(tmp_path))
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_kmv_bottomk_merges_and_estimates(spark):
+    """Bottom-k of the union of per-shard bottom-k sets equals the
+    global bottom-k (the KMV merge identity), and the k=256 estimator
+    lands within ~4σ (σ ≈ 1/√(k−2) ≈ 6.3 %) of a 2000-key domain."""
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["k"])
+    whole = sketches.kmv_bottomk(df, "k")
+    lo = sketches.kmv_bottomk(df.where("k < 700"), "k")
+    hi = sketches.kmv_bottomk(df.where("k >= 700"), "k")
+    merged = (
+        lo.unionByName(hi).distinct().orderBy("hx").limit(sketches.KMV_K)
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+    est = sketches.kmv_estimate(merged).collect()[0]
+    assert est.n_sample == sketches.KMV_K
+    assert abs(est.kmv_est - 2000) / 2000 < 0.25, est.kmv_est
+
+
+def test_kmv_small_domain_is_exact(spark):
+    """Fewer distinct keys than k: the sample IS the domain and the
+    estimate is exactly the distinct count."""
+    df = spark.createDataFrame([(i % 37,) for i in range(500)], ["k"])
+    est = sketches.kmv_estimate(sketches.kmv_bottomk(df, "k")).collect()[0]
+    assert est.n_sample == 37 and est.kmv_est == 37
