@@ -252,35 +252,43 @@ def qh_bounds_sql(bucket: str, div: str = "div", shift: str = "spark") -> tuple[
     return lb, ub
 
 
-def quantile_hist(points: DataFrame, value_col: str = "v") -> DataFrame:
-    """Build the (bucket, cnt) histogram from positive BIGINT values.
+def quantile_hist(
+    points: DataFrame, value_col: str = "v", group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Build the (group..., bucket, cnt) histogram from positive BIGINT
+    values.
 
     One projection + one grouped count: map-side partial aggregation
-    ships per-partition sub-histograms (≤ 64*QH_SUB rows each) to a
-    sketch-sized shuffle — the same O(sketch) reduction as `cms_sketch`,
-    mergeable across shards/micro-batches by plain +. Values are clamped
-    to >= 1 (bucket 0) so the bit-length bucketing is total.
+    ships per-partition sub-histograms (≤ 64*QH_SUB rows each per group)
+    to a sketch-sized shuffle — the same O(sketch) reduction as
+    `cms_sketch`, mergeable across shards/micro-batches by plain +.
+    Values are clamped to >= 1 (bucket 0) so the bit-length bucketing is
+    total. ``group_cols`` gives per-group histograms (the `hll_registers`
+    shape): one pass answers any quantile of any group.
     """
     v = f"greatest(CAST({value_col} AS BIGINT), CAST(1 AS BIGINT))"
     return (
-        points.select(F.expr(qh_bucket_sql(v)).alias("bucket"))
-        .groupBy("bucket")
+        points.select(*group_cols, F.expr(qh_bucket_sql(v)).alias("bucket"))
+        .groupBy(*group_cols, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
 def quantile_estimate(
-    hist: DataFrame, q_pcts: tuple[int, ...] = (50, 90, 99)
+    hist: DataFrame,
+    q_pcts: tuple[int, ...] = (50, 90, 99),
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Estimate the q-th percentiles from the histogram alone:
-    (q_pct, n, qh_est) with qh_est a BIGINT.
+    (group..., q_pct, n, qh_est) with qh_est a BIGINT.
 
     Rank target r = (q_pct*(n-1)) div 100 + 1 (1-indexed); the hit
     bucket is the first with cumulative count >= r; the estimate
     linear-interpolates the bucket's [lb, ub) span at the within-bucket
     rank — every step BIGINT, so the estimate replays bit-exactly in the
-    oracle. The cumulative window runs un-partitioned, which is correct
-    here: the histogram is O(64*QH_SUB) rows no matter the input size.
+    oracle. The cumulative window runs per group (un-partitioned when
+    no groups), which is correct here: the histogram is O(64*QH_SUB)
+    rows per group no matter the input size.
 
     Overflow bound: (ub-lb)*(r-prev) <= (2^(k-1)/QH_SUB)*n must stay
     under 2^63 — holds for any n up to QH_SUB*2^(63-k_max), e.g. 2^44
@@ -288,29 +296,37 @@ def quantile_estimate(
     """
     from pyspark.sql import Window
 
-    cum = hist.withColumn(
-        "cum",
-        F.sum("cnt").over(
-            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    nn = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    ).orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    if group_cols:
+        nn = hist.groupBy(*group_cols).agg(
+            F.sum("cnt").cast("bigint").alias("n")
+        )
+    else:
+        nn = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
     qs = hist.sparkSession.createDataFrame(
         [(int(q),) for q in q_pcts], "q_pct BIGINT"
     )
-    tgt = qs.crossJoin(F.broadcast(nn)).withColumn(
+    tgt = nn.crossJoin(F.broadcast(qs)).withColumn(
         "r", F.expr("(q_pct * (n - 1)) div 100 + 1")
     )
-    hit = tgt.join(
-        F.broadcast(cum),
-        (F.col("cum") >= F.col("r")) & (F.col("cum") - F.col("cnt") < F.col("r")),
+    t, c = tgt.alias("t"), cum.alias("c")
+    cond = (F.col("c.cum") >= F.col("t.r")) & (
+        F.col("c.cum") - F.col("c.cnt") < F.col("t.r")
     )
-    lb, ub = qh_bounds_sql("bucket")
+    for g in group_cols:
+        cond = cond & (F.col(f"t.{g}") == F.col(f"c.{g}"))
+    hit = t.join(F.broadcast(c), cond)
+    lb, ub = qh_bounds_sql("c.bucket")
     return hit.select(
-        "q_pct",
-        "n",
+        *[F.col(f"t.{g}") for g in group_cols],
+        "t.q_pct",
+        "t.n",
         F.expr(
-            f"CAST({lb} + (({ub} - {lb}) * (r - (cum - cnt))) div cnt AS BIGINT)"
+            f"CAST({lb} + (({ub} - {lb}) * (t.r - (c.cum - c.cnt)))"
+            f" div c.cnt AS BIGINT)"
         ).alias("qh_est"),
     )
 

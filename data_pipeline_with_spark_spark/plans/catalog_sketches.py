@@ -656,3 +656,102 @@ register(
         tags=("sketch",),
     )
 )
+
+
+def _quantile_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type p50/p90/p99 of `value` cents from ONE grouped
+    histogram pass (the `hll_registers` group-cols shape applied to
+    quantiles): 5 types × 64·QH_SUB max counters, any per-type quantile
+    answerable after the fact; exact per-type rank-select is the
+    comparator face."""
+    from pyspark.sql import Window
+
+    ev = read_testdata(spark, sf, "events")
+    cents = "greatest(CAST(round(value * 100) AS BIGINT), CAST(1 AS BIGINT))"
+    pts = ev.select("event_type", F.expr(cents).alias("v"))
+    hist = sketches.quantile_hist(pts, group_cols=("event_type",))
+    ests = sketches.quantile_estimate(
+        hist, group_cols=("event_type",)
+    ).withColumn("r", F.expr("(q_pct * (n - 1)) div 100 + 1"))
+    ranked = pts.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("v")),
+    )
+    return (
+        ranked.join(
+            F.broadcast(ests.withColumnRenamed("event_type", "et")),
+            (F.col("event_type") == F.col("et")) & (F.col("rn") == F.col("r")),
+        )
+        .select(
+            "event_type",
+            "q_pct",
+            "n",
+            "qh_est",
+            F.col("v").alias("exact_cents"),
+            F.round(
+                F.abs(F.col("qh_est").cast("double") - F.col("v")) / F.col("v"), 4
+            ).alias("rel_err"),
+        )
+    )
+
+
+def _qh_grouped_oracle() -> str:
+    bucket = sketches.qh_bucket_sql("v", div="//", shift="duck")
+    lb, ub = sketches.qh_bounds_sql("bucket", div="//", shift="duck")
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT event_type,
+             greatest(CAST(round(value * 100) AS BIGINT), CAST(1 AS BIGINT)) AS v
+      FROM events
+    ),
+    hist AS MATERIALIZED (
+      SELECT event_type, {bucket} AS bucket, count(*) AS cnt
+      FROM pts GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+      FROM hist
+    ),
+    nn AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+    qs AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q_pct),
+    tgt AS (
+      SELECT event_type, q_pct, n, (q_pct * (n - 1)) // 100 + 1 AS r
+      FROM nn CROSS JOIN qs
+    ),
+    hit AS (
+      SELECT t.event_type, t.q_pct, t.n, t.r, c.bucket, c.cnt, c.cum
+      FROM tgt t JOIN cum c ON c.event_type = t.event_type
+       AND c.cum >= t.r AND c.cum - c.cnt < t.r
+    ),
+    est AS (
+      SELECT event_type, q_pct, n, r,
+             CAST({lb} + (({ub} - {lb}) * (r - (cum - cnt))) // cnt AS BIGINT)
+               AS qh_est
+      FROM hit
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+      FROM pts
+    )
+    SELECT e.event_type, e.q_pct, e.n, e.qh_est,
+           CAST(rk.v AS BIGINT) AS exact_cents,
+           round(abs(CAST(e.qh_est AS DOUBLE) - rk.v) / rk.v, 4) AS rel_err
+    FROM est e JOIN ranked rk
+      ON rk.event_type = e.event_type AND rk.rn = e.r
+    """
+
+
+register(
+    QuerySpec(
+        name="sketch_quantile_by_type",
+        build=_quantile_by_type,
+        doc="per-event-type p50/p90/p99 of value cents from one grouped "
+        "histogram pass (group-cols quantile sketch) vs exact per-type "
+        "rank-select — grouped counters and interpolation replayed "
+        "bit-exactly",
+        oracle=_qh_grouped_oracle(),
+        tags=("sketch",),
+    )
+)
