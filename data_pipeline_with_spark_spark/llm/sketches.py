@@ -29,6 +29,11 @@ DuckDB-oracle-checkable:
   Counters merge by +; quantile estimate = cumulative-rank walk + linear
   interpolation inside the hit bucket, every step integer. Relative
   error is bounded by the sub-bucket width: ≤ 1/32 ≈ 3.1 %.
+- KMV bottom-k (Bar-Yossef et al. '02): the k smallest md5 hashes of
+  distinct keys — a mergeable uniform sample (bottom-k of shard
+  bottom-k unions = global bottom-k). Distinct-count estimator
+  (k-1)·2^48 div h48 is pure BIGINT; under k distinct keys the sample
+  is the domain and the estimate is exact.
 
 Scale shape: the sketch tables are O(m) / O(d·w) rows regardless of
 input size — the only full-data pass is one scan + one grouped integer
