@@ -755,3 +755,143 @@ register(
         tags=("sketch",),
     )
 )
+
+
+def _kmv_overlap_types(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-user OVERLAP between two event types from bottom-k
+    samples alone — the theta-sketch intersection idiom (Dasgupta et
+    al.): take the global bottom-k of the UNION's hashes, count how
+    many of those k sampled users appear in BOTH types, and scale:
+    overlap ≈ (count_both / k) · est(|A∪B|). Every step is BIGINT
+    (count, max-hash, (k-1)·2^48 div h48, one final multiply-div), so
+    unlike the HLL inclusion-exclusion face there is NO float anywhere
+    — the whole estimate replays bit-exactly. When the union has fewer
+    than k users the sample is exhaustive and the estimate IS the exact
+    overlap. Type pair computed in-plan (lazy build), same pattern as
+    `sketch_hll_intersection`."""
+    from pyspark.sql import Window
+
+    k = sketches.KMV_K
+    ev = read_testdata(spark, sf, "events")
+    tt = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("event_type")))
+        .where(F.col("rn") <= 2)
+    )
+    ta_f = tt.where(F.col("rn") == 1).select(F.col("event_type").alias("type_a"))
+    tb_f = tt.where(F.col("rn") == 2).select(F.col("event_type").alias("type_b"))
+    flags = (
+        ev.join(F.broadcast(tt), "event_type")
+        .select(
+            F.md5(F.col("user_id").cast("string")).alias("hx"),
+            F.when(F.col("rn") == 1, 1).otherwise(0).alias("a"),
+            F.when(F.col("rn") == 2, 1).otherwise(0).alias("b"),
+        )
+        .groupBy("hx")
+        .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
+    )
+    bk = flags.orderBy("hx").limit(k)
+    two48 = 1 << (4 * sketches._KMV_HEX)
+    agg = bk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.max("hx").alias("kth_hash"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("count_both"),
+    )
+    est = agg.select(
+        "n_sample",
+        "count_both",
+        F.expr(
+            f"CASE WHEN n_sample < {k} THEN n_sample"
+            f" ELSE CAST({(k - 1) * two48}L div"
+            f" CAST(conv(substring(kth_hash, 1, {sketches._KMV_HEX}), 16, 10)"
+            f" AS BIGINT) AS BIGINT) END"
+        ).cast("bigint").alias("est_union"),
+    ).withColumn(
+        "kmv_overlap_est",
+        F.expr("CAST((count_both * est_union) div n_sample AS BIGINT)"),
+    ).withColumn("j", F.lit(1))
+    a_users = ev.join(F.broadcast(ta_f), ev["event_type"] == ta_f["type_a"])
+    b_users = ev.join(F.broadcast(tb_f), ev["event_type"] == tb_f["type_b"])
+    exact = (
+        a_users.select("user_id").intersect(b_users.select("user_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_overlap"))
+        .withColumn("j", F.lit(1))
+    )
+    return (
+        est.join(exact, "j")
+        .crossJoin(F.broadcast(ta_f))
+        .crossJoin(F.broadcast(tb_f))
+        .select(
+            "type_a",
+            "type_b",
+            "n_sample",
+            "count_both",
+            "est_union",
+            "kmv_overlap_est",
+            "n_exact_overlap",
+        )
+    )
+
+
+def _kmv_overlap_oracle() -> str:
+    k, hexn = sketches.KMV_K, sketches._KMV_HEX
+    two = 1 << (4 * hexn)
+    return f"""
+    WITH tt AS MATERIALIZED (
+      SELECT event_type, row_number() OVER (ORDER BY event_type) AS rn
+      FROM (SELECT DISTINCT event_type FROM events)
+      QUALIFY rn <= 2
+    ),
+    flags AS (
+      SELECT md5(CAST(e.user_id AS VARCHAR)) AS hx,
+             max(CASE WHEN t.rn = 1 THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN t.rn = 2 THEN 1 ELSE 0 END) AS in_b
+      FROM events e JOIN tt t ON e.event_type = t.event_type
+      GROUP BY 1
+    ),
+    bk AS (SELECT * FROM flags ORDER BY hx LIMIT {k}),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sample, max(hx) AS kth_hash,
+             CAST(sum(in_a * in_b) AS BIGINT) AS count_both
+      FROM bk
+    ),
+    est AS (
+      SELECT n_sample, count_both,
+             CAST(CASE WHEN n_sample < {k} THEN n_sample
+                  ELSE {(k - 1) * two} //
+                       CAST(('0x' || substring(kth_hash, 1, {hexn})) AS BIGINT)
+                  END AS BIGINT) AS est_union
+      FROM agg
+    ),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact_overlap FROM (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = (SELECT event_type FROM tt WHERE rn = 1)
+        INTERSECT
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = (SELECT event_type FROM tt WHERE rn = 2)
+      )
+    )
+    SELECT (SELECT event_type FROM tt WHERE rn = 1) AS type_a,
+           (SELECT event_type FROM tt WHERE rn = 2) AS type_b,
+           e.n_sample, e.count_both, e.est_union,
+           CAST((e.count_both * e.est_union) // e.n_sample AS BIGINT)
+             AS kmv_overlap_est,
+           x.n_exact_overlap
+    FROM est e CROSS JOIN ex x
+    """
+
+
+register(
+    QuerySpec(
+        name="sketch_kmv_overlap_types",
+        build=_kmv_overlap_types,
+        doc="distinct-user overlap between two event types from the "
+        "union's bottom-k sample (theta-sketch intersection: "
+        "count_both/k scaled by the union estimate) — 100% BIGINT, no "
+        "float anywhere, exhaustive-sample case exact",
+        oracle=_kmv_overlap_oracle(),
+        tags=("sketch",),
+    )
+)

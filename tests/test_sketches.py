@@ -291,3 +291,32 @@ def test_kmv_small_domain_is_exact(spark):
     df = spark.createDataFrame([(i % 37,) for i in range(500)], ["k"])
     est = sketches.kmv_estimate(sketches.kmv_bottomk(df, "k")).collect()[0]
     assert est.n_sample == 37 and est.kmv_est == 37
+
+
+def test_kmv_overlap_theta_intersection(spark):
+    """Theta-sketch-style overlap from the union's bottom-k: planted
+    A=0..1999, B=1000..2999 (true overlap 1000 of union 3000). The
+    count_both/k ratio scaled by the union estimate must land within a
+    loose 4σ of 1000; the exhaustive-sample branch is covered by the
+    catalog entry at sf0.001 (15 users → exact)."""
+    a = spark.createDataFrame([(i,) for i in range(2000)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(1000, 3000)], ["k"])
+    flags = (
+        a.selectExpr("md5(CAST(k AS STRING)) AS hx", "1 AS a", "0 AS b")
+        .unionByName(
+            b.selectExpr("md5(CAST(k AS STRING)) AS hx", "0 AS a", "1 AS b")
+        )
+        .groupBy("hx")
+        .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
+    )
+    bk = flags.orderBy("hx").limit(sketches.KMV_K)
+    row = bk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("hx").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("both"),
+    ).collect()[0]
+    assert row.n == sketches.KMV_K
+    est_union = sketches.kmv_estimate(bk.select("hx")).collect()[0].kmv_est
+    overlap = (row.both * est_union) // row.n
+    assert abs(est_union - 3000) / 3000 < 0.25, est_union
+    assert abs(overlap - 1000) / 1000 < 0.35, (overlap, row.both, est_union)
