@@ -114,16 +114,41 @@ def main() -> None:
     # change without re-running anything.
     from bench import cpu_reference_seconds
 
-    sweep_refs: list[tuple[int, str, float]] = []
+    sweep_refs: list[tuple[int | str, str, float]] = []
+
+    def sweep(run_label: int | str, sf: str) -> float:
+        ref = cpu_reference_seconds()
+        sweep_refs.append((run_label, Path(sf).name, ref))
+        for name, spec in specs.items():
+            t0 = time.perf_counter()
+            write_noop(spec.build(spark, sf))
+            samples.setdefault((name, sf), []).append(
+                time.perf_counter() - t0
+            )
+        return ref
+
     for run in range(RUNS):
         for sf in SFS:
-            sweep_refs.append((run, Path(sf).name, cpu_reference_seconds()))
-            for name, spec in specs.items():
-                t0 = time.perf_counter()
-                write_noop(spec.build(spark, sf))
-                samples.setdefault((name, sf), []).append(
-                    time.perf_counter() - t0
-                )
+            sweep(run, sf)
+
+    # Auto-adjudication (r11): if EVERY sweep of a scale column started
+    # hot (anchor >= HOT_REF), all of that column's samples may sit in
+    # one contention window and the min is contaminated — exactly the
+    # failure that fabricated two SUPERLINEAR flags this round. Wait
+    # out the window (bounded) and take ONE extra quiet sweep of just
+    # that column; if the box never quiets, the hot anchors in the
+    # header document the residual risk.
+    HOT_REF, QUIET_WAITS, WAIT_S = 0.45, 6, 60
+    for sf in SFS:
+        col = [r for lbl, name, r in sweep_refs if name == Path(sf).name]
+        if min(col) < HOT_REF:
+            continue
+        for _ in range(QUIET_WAITS):
+            if cpu_reference_seconds() < HOT_REF:
+                sweep("requiet", sf)
+                break
+            time.sleep(WAIT_S)
+
     results: dict[str, list[float]] = {}
     for sf in SFS:
         for name in specs:
@@ -152,7 +177,10 @@ def main() -> None:
         "scale column is hot, even the min is contaminated):",
         "",
         "    "
-        + "  ".join(f"run{r} {sf}: {ref:.2f}" for r, sf, ref in sweep_refs),
+        + "  ".join(
+            (f"run{r}" if isinstance(r, int) else str(r)) + f" {sf}: {ref:.2f}"
+            for r, sf, ref in sweep_refs
+        ),
         "",
         "Data grows 10× per column"
         f" ({' → '.join(col_names)}, ~6k → ~6M lineitem rows at the extremes)."
