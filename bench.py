@@ -155,9 +155,16 @@ def main() -> None:
     )
     sf1_timings: dict[str, float] = {}
     sf1_timings_min: dict[str, float] = {}
+    sf1_sweep_refs: list[float] = []
     if Path(sf1_dir).is_dir() and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         sf1_sweep: dict[str, list[float]] = {name: [] for name in sf1_set}
         for _ in range(runs):
+            # Anchor per sf1 sweep (r11): the sf1 section is only ~2-3
+            # minutes at the END of the run, so a single contention
+            # window can contaminate all of a query's samples while the
+            # whole-run pre/post anchors read quiet — exactly how a
+            # quiet-bracket run still flagged 3 false regressions.
+            sf1_sweep_refs.append(cpu_reference_seconds())
             for name in sf1_set:
                 t0 = time.perf_counter()
                 write_noop(specs[name].build(spark, sf1_dir))
@@ -210,19 +217,28 @@ def main() -> None:
         # file's _doc: reproduce across two quiet-box runs before
         # believing it; accept deliberate changes by updating the
         # baseline in the same commit as the plan change.
+        out["sf1_sweep_refs"] = sf1_sweep_refs
         base_path = Path(__file__).resolve().parent / "SF1_BASELINE.json"
         if base_path.is_file():
             base = json.loads(base_path.read_text())
             regressions = check_sf1_regressions(sf1_timings_min, base)
+            # The min is only a valid uncontended-cost estimator if at
+            # least one sf1 sweep STARTED quiet; when every anchor is
+            # hot the whole section sat in one contention window and
+            # the flags are noise by construction (same adjudication
+            # rule as the scaling probe's per-sweep anchors).
+            quiet = (not sf1_sweep_refs) or min(sf1_sweep_refs) < 0.45
+            key = "regressions" if quiet else "regressions_suspect_contention"
             for name, r in regressions.items():
                 print(
-                    f"regression: {name} {r['sec']:.3f}s > "
+                    f"{'regression' if quiet else 'regression?(contended sf1 sweeps)'}: "
+                    f"{name} {r['sec']:.3f}s > "
                     f"{base.get('regression_factor', 1.5)}x baseline "
                     f"{r['baseline']:.3f}s (see SF1_BASELINE.json rerun protocol)",
                     file=sys.stderr,
                 )
             if regressions:
-                out["regressions"] = regressions
+                out[key] = regressions
     print(json.dumps(out))
 
 
