@@ -173,6 +173,12 @@ def main() -> None:
             n: round(statistics.median(s), 3) for n, s in sf1_sweep.items()
         }
         sf1_timings_min = {n: round(min(s), 3) for n, s in sf1_sweep.items()}
+        # Closing bracket for the last sf1 sweep (also reported as
+        # cpu_ref_post below).
+        sf1_sweep_refs.append(cpu_reference_seconds())
+    cpu_ref_post = (
+        sf1_sweep_refs[-1] if sf1_sweep_refs else cpu_reference_seconds()
+    )
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -188,7 +194,7 @@ def main() -> None:
         # Box-speed anchors (see cpu_reference_seconds): compare across
         # rounds before reading query deltas as plan changes.
         "cpu_ref_pre": cpu_ref_pre,
-        "cpu_ref_post": cpu_reference_seconds(),
+        "cpu_ref_post": cpu_ref_post,
         # Noise-robust view: min over the interleaved sweeps.
         "queries_min": timings_min,
         "headline_min_total": round(sum(timings_min.values()), 3),
@@ -221,18 +227,34 @@ def main() -> None:
         base_path = Path(__file__).resolve().parent / "SF1_BASELINE.json"
         if base_path.is_file():
             base = json.loads(base_path.read_text())
-            regressions = check_sf1_regressions(sf1_timings_min, base)
-            # The min is only a valid uncontended-cost estimator if at
-            # least one sf1 sweep STARTED quiet; when every anchor is
-            # hot the whole section sat in one contention window and
-            # the flags are noise by construction (same adjudication
-            # rule as the scaling probe's per-sweep anchors).
-            quiet = (not sf1_sweep_refs) or min(sf1_sweep_refs) < 0.45
-            key = "regressions" if quiet else "regressions_suspect_contention"
+            # The min is only a valid uncontended-cost estimator over
+            # sweeps BRACKETED by quiet anchors (a window opening
+            # mid-sweep defeats a start-only check — observed: one
+            # quiet-started sweep, two hot, and false flags survived).
+            # sf1_sweep_refs holds runs+1 anchors: sweep i is bracketed
+            # by refs[i] and refs[i+1].
+            HOT = 0.45
+            quiet_idx = [
+                i
+                for i in range(runs)
+                if sf1_sweep_refs[i] < HOT and sf1_sweep_refs[i + 1] < HOT
+            ]
+            if quiet_idx:
+                gated = {
+                    n: round(min(s[i] for i in quiet_idx), 3)
+                    for n, s in sf1_sweep.items()
+                }
+                key, tag = "regressions", "regression"
+            else:
+                gated = sf1_timings_min
+                key, tag = (
+                    "regressions_suspect_contention",
+                    "regression?(no quiet-bracketed sf1 sweep)",
+                )
+            regressions = check_sf1_regressions(gated, base)
             for name, r in regressions.items():
                 print(
-                    f"{'regression' if quiet else 'regression?(contended sf1 sweeps)'}: "
-                    f"{name} {r['sec']:.3f}s > "
+                    f"{tag}: {name} {r['sec']:.3f}s > "
                     f"{base.get('regression_factor', 1.5)}x baseline "
                     f"{r['baseline']:.3f}s (see SF1_BASELINE.json rerun protocol)",
                     file=sys.stderr,
