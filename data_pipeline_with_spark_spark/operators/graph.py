@@ -204,6 +204,71 @@ def pagerank_weighted(
     return r
 
 
+def canonical_edges(
+    pairs: DataFrame, src_col: str = "id_a", dst_col: str = "id_b"
+) -> DataFrame:
+    """Canonical undirected edge list (a < b, self-loops dropped,
+    deduplicated) — the shared input shape for the triangle family."""
+    return (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+
+def _degrees(und: DataFrame) -> DataFrame:
+    return (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def _orient(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-ordered orientation (u, v, dv): every edge points from the
+    lower (degree, id)-rank endpoint to the higher, carrying the dst's
+    degree for the wedge ordering."""
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    )
+
+
+def _oriented_triangles(orient: DataFrame) -> DataFrame:
+    """(x, y, z) triangle rows, each triangle exactly once (rank
+    x < y < z): wedge join on the oriented source + closing join."""
+    e1, e2, e3 = orient.alias("e1"), orient.alias("e2"), orient.alias("e3")
+    wedge_order = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    return (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_order)
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+
+
 def triangle_count(
     pairs: DataFrame, src_col: str = "id_a", dst_col: str = "id_b"
 ) -> DataFrame:
@@ -226,51 +291,13 @@ def triangle_count(
     coefficient 2*T/(deg*(deg-1)) on already-deterministic integers —
     a DuckDB oracle replays it bit-exactly as a 3-way self-join.
     """
-    und = (
-        pairs.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
-        )
-        .where(F.col("a") < F.col("b"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionByName(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .cache()
-    )
-    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
-    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
-    lower_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    orient = (
-        und.join(da, "a")
-        .join(db, "b")
-        .select(
-            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-        )
-    ).cache()
-    e1, e2, e3 = orient.alias("e1"), orient.alias("e2"), orient.alias("e3")
-    wedge_order = (F.col("e1.dv") < F.col("e2.dv")) | (
-        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
-    )
-    tri = (
-        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_order)
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
-        )
-        .select(
-            F.col("e1.u").alias("x"),
-            F.col("e1.v").alias("y"),
-            F.col("e2.v").alias("z"),
-        )
-    )
+    # Same up-front materialization as `ktruss`: und feeds the degree
+    # agg, both orientation joins, and the final per-node join — an
+    # expensive verified-pair input subtree must execute once.
+    und = canonical_edges(pairs, src_col, dst_col).localCheckpoint(eager=True)
+    deg = _degrees(und).cache()
+    orient = _orient(und, deg).cache()
+    tri = _oriented_triangles(orient)
     per_node = (
         tri.select(F.col("x").alias("node"))
         .unionByName(tri.select(F.col("y").alias("node")))
@@ -303,3 +330,65 @@ def triangle_count(
     deg.unpersist()
     orient.unpersist()
     return out
+
+
+def edge_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical edge list:
+    (a, b, support) where support = number of triangles containing the
+    edge. Each (x,y,z) triangle row contributes to its three edges —
+    already canonical because rank order within a triangle preserves no
+    id order, so least/greatest re-canonicalizes. Support is the
+    k-truss peeling quantity (Cohen '08)."""
+    deg = _degrees(und)
+    tri = _oriented_triangles(_orient(und, deg))
+    sides = None
+    for p, q in (("x", "y"), ("x", "z"), ("y", "z")):
+        s = tri.select(
+            F.least(F.col(p), F.col(q)).alias("a"),
+            F.greatest(F.col(p), F.col(q)).alias("b"),
+        )
+        sides = s if sides is None else sides.unionByName(s)
+    sup = sides.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+    return und.join(sup, ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce(F.col("support"), F.lit(0)).cast("bigint").alias("support"),
+    )
+
+
+def ktruss(
+    pairs: DataFrame,
+    k: int = 3,
+    rounds: int = 2,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """k-truss peeling, `rounds` fixed iterations: repeatedly drop every
+    edge in fewer than k-2 triangles, then annotate the survivors with
+    their support recomputed on the final edge set — the dup-cluster
+    robustness filter (a true duplicate CLUSTER is a clique and survives;
+    a chain of borderline pairwise matches has support 0 and peels away).
+
+    Fixed rounds, not run-to-fixpoint, so a DuckDB oracle replays every
+    round as unrolled CTEs (the PageRank doctrine); peeling converges in
+    O(max-support) rounds and for k=3 a single round suffices (removing
+    support-0 edges can't reduce any other edge's support — triangles
+    only contain support>=1 edges), with round 2 pinning the fixpoint.
+    Per-round eager localCheckpoint: the edge set is O(m) and the
+    support subtree branches it several ways.
+    """
+    t = k - 2
+    # Materialize the canonical edge list up front: edge_support branches
+    # its input several ways (degrees, both orientation joins, the
+    # support left-join), and the input here is typically an expensive
+    # verified-pair subtree (minhash + LSH + verify) that must execute
+    # once, not once per branch.
+    e = canonical_edges(pairs, src_col, dst_col).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        e = (
+            edge_support(e)
+            .where(F.col("support") >= t)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return edge_support(e).localCheckpoint(eager=True)

@@ -3650,3 +3650,117 @@ register(
         oracle=_triangles_oracle(),
     )
 )
+
+
+_TRUSS_ROUNDS = 2
+
+
+def _ktruss_dup_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """3-truss peeling over the verified near-dup graph: keep only
+    edges in >= 1 triangle (k-2 = 1), re-peel, then report the
+    survivors with their support — the robustness filter that keeps
+    clique-like duplicate clusters and drops chains of borderline
+    pairwise matches before transitive-closure grouping."""
+    docs = read_testdata(spark, sf, "documents")
+    pairs = dedup.near_dup_pairs(
+        docs,
+        threshold=0.7,
+        k_shingle=_K_SHINGLE,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+    ).select("id_a", "id_b")
+    out = graph.ktruss(pairs, k=3, rounds=_TRUSS_ROUNDS)
+    return out.select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b"), "support"
+    )
+
+
+def _ktruss_oracle(rounds: int = _TRUSS_ROUNDS) -> str:
+    def block(r: int) -> str:
+        cond = (
+            f"(da.degree < db.degree) OR"
+            f" (da.degree = db.degree AND u.a < u.b)"
+        )
+        return f"""
+    deg{r} AS MATERIALIZED (
+      SELECT node, count(*) AS degree FROM (
+        SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r}
+      ) GROUP BY node
+    ),
+    ori{r} AS MATERIALIZED (
+      SELECT CASE WHEN {cond} THEN u.a ELSE u.b END AS u,
+             CASE WHEN {cond} THEN u.b ELSE u.a END AS v,
+             CASE WHEN {cond} THEN db.degree ELSE da.degree END AS dv
+      FROM e{r} u JOIN deg{r} da ON da.node = u.a
+                  JOIN deg{r} db ON db.node = u.b
+    ),
+    tri{r} AS MATERIALIZED (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM ori{r} e1
+      JOIN ori{r} e2 ON e1.u = e2.u
+        AND ((e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v))
+      JOIN ori{r} e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    sup{r} AS MATERIALIZED (
+      SELECT a, b, count(*) AS support FROM (
+        SELECT least(x, y) AS a, greatest(x, y) AS b FROM tri{r}
+        UNION ALL SELECT least(x, z), greatest(x, z) FROM tri{r}
+        UNION ALL SELECT least(y, z), greatest(y, z) FROM tri{r}
+      ) GROUP BY a, b
+    )"""
+
+    parts = [f"""
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+    sig AS (SELECT doc_id, {_MINHASH_SQL} AS minhash FROM sh),
+    bands AS (
+      SELECT doc_id, j AS band_idx, ({_BANDS_SQL})[j] AS band_hash
+      FROM sig, (SELECT unnest(generate_series(1, {_BANDS})) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE),
+            6) >= 0.7
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM ver WHERE id_a <> id_b
+    )"""]
+    for r in range(rounds):
+        parts.append(block(r))
+        parts.append(f"""
+    e{r + 1} AS MATERIALIZED (
+      SELECT e.a, e.b
+      FROM e{r} e LEFT JOIN sup{r} s ON s.a = e.a AND s.b = e.b
+      WHERE coalesce(s.support, 0) >= 1
+    )""")
+    parts.append(block(rounds))
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT e.a AS id_a, e.b AS id_b,
+           CAST(coalesce(s.support, 0) AS BIGINT) AS support
+    FROM e{rounds} e
+    LEFT JOIN sup{rounds} s ON s.a = e.a AND s.b = e.b
+    """
+    )
+
+
+register(
+    QuerySpec(
+        name="graph_ktruss_dup_edges",
+        build=_ktruss_dup_edges,
+        doc="3-truss peeling of the verified near-dup graph (2 unrolled "
+        "rounds + final support annotate): clique-like dup clusters "
+        "survive, borderline chains peel away; oracle replays every "
+        "peeling round with the same degree-ordered orientation",
+        oracle=_ktruss_oracle(),
+    )
+)

@@ -168,3 +168,31 @@ def test_pagerank_deep_rounds_flat_per_round_cost(spark):
     deep_w_t = time.time() - t0
     assert deep_w_t < max(9 * base_w, base_w + 30), (base_w, deep_w_t)
     df.unpersist()
+
+
+def test_ktruss_peels_chains_keeps_cliques(spark):
+    """3-truss on K4 + a pendant path: all six K4 edges survive with
+    support 2 (each K4 edge sits in exactly 2 of the 4 triangles); the
+    path edges have support 0 and peel away in round 1."""
+    from data_pipeline_with_spark_spark.operators.graph import ktruss
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4 + [(3, 4), (4, 5)], ["id_a", "id_b"])
+    got = {(r.a, r.b): r.support for r in ktruss(df, k=3, rounds=2).collect()}
+    assert set(got) == set(k4)
+    assert all(s == 2 for s in got.values())
+
+
+def test_ktruss_cascade_requires_second_round(spark):
+    """k=4 (support >= 2) with a cascade: two triangles sharing an edge
+    give the shared edge support 2 but the outer edges support 1 —
+    round 1 peels the outer edges, round 2 then peels the shared edge
+    (its triangles are gone). Pins that peeling actually iterates."""
+    from data_pipeline_with_spark_spark.operators.graph import ktruss
+
+    bowtie = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]  # shared edge (1,2)
+    df = spark.createDataFrame(bowtie, ["id_a", "id_b"])
+    assert ktruss(df, k=4, rounds=2).count() == 0
+    # after only ONE round the shared edge (support was 2) still stands
+    one = {(r.a, r.b) for r in ktruss(df, k=4, rounds=1).collect()}
+    assert one == {(1, 2)}
