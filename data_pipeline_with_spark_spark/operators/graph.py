@@ -392,3 +392,51 @@ def ktruss(
             .localCheckpoint(eager=True)
         )
     return edge_support(e).localCheckpoint(eager=True)
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """k-core peeling, `rounds` fixed iterations: repeatedly drop every
+    NODE of degree < k (and its edges), then report the survivors as
+    (node, degree, core_degree) — full-graph degree next to the degree
+    inside the surviving subgraph. The node-granular sibling of `ktruss`
+    (Seidman '83): a duplicate cluster is a clique, so its members all
+    sit in a high core; pendant chains of borderline matches peel away
+    one endpoint per round.
+
+    Fixed rounds, not run-to-fixpoint, so a DuckDB oracle replays every
+    round as unrolled CTEs (the PageRank doctrine). Each round is one
+    degree aggregate + two semi-joins on the O(m) checkpointed edge
+    list — no driver-side state, no skew hazard (the semi-join keys are
+    node ids, salt-free because degree tables are one row per node).
+    Per-round eager localCheckpoint for the same reason as `ktruss`:
+    the degree subtree branches the edge list, and the input pair
+    subtree (minhash + LSH + verify) must execute once, not per round.
+    """
+    e = canonical_edges(pairs, src_col, dst_col).localCheckpoint(eager=True)
+    deg_full = _degrees(e).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = _degrees(e).where(F.col("degree") >= k).select("node")
+        e = (
+            e.join(keep.select(F.col("node").alias("a")), "a", "semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    core_deg = _degrees(e).select(
+        "node", F.col("degree").alias("core_degree")
+    )
+    return (
+        deg_full.join(core_deg, "node")
+        .select(
+            "node",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.col("core_degree").cast("bigint").alias("core_degree"),
+        )
+        .localCheckpoint(eager=True)
+    )

@@ -3764,3 +3764,94 @@ register(
         oracle=_ktruss_oracle(),
     )
 )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _kcore_dup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """2-core peeling over the verified near-dup graph (same pair source
+    as the triangle/truss entries): nodes that survive when every
+    degree-<2 node (and its edges) is repeatedly removed — i.e. members
+    of some cycle-bearing duplicate cluster. Pendant chains of
+    borderline matches peel one endpoint per round; 3 rounds pins a
+    full cascade at this fixture scale. Output is (doc_id, degree,
+    core_degree): full-graph degree next to the in-core degree."""
+    docs = read_testdata(spark, sf, "documents")
+    pairs = dedup.near_dup_pairs(
+        docs,
+        threshold=0.7,
+        k_shingle=_K_SHINGLE,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+    ).select("id_a", "id_b")
+    out = graph.kcore(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return out.select(
+        F.col("node").alias("doc_id"), "degree", "core_degree"
+    )
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    parts = [f"""
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+    sig AS (SELECT doc_id, {_MINHASH_SQL} AS minhash FROM sh),
+    bands AS (
+      SELECT doc_id, j AS band_idx, ({_BANDS_SQL})[j] AS band_hash
+      FROM sig, (SELECT unnest(generate_series(1, {_BANDS})) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE),
+            6) >= 0.7
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM ver WHERE id_a <> id_b
+    )"""]
+    for r in range(rounds + 1):
+        parts.append(f"""
+    deg{r} AS MATERIALIZED (
+      SELECT node, count(*) AS degree FROM (
+        SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r}
+      ) GROUP BY node
+    )""")
+        if r == rounds:
+            break
+        parts.append(f"""
+    e{r + 1} AS MATERIALIZED (
+      SELECT e.a, e.b
+      FROM e{r} e
+      JOIN deg{r} da ON da.node = e.a AND da.degree >= {k}
+      JOIN deg{r} db ON db.node = e.b AND db.degree >= {k}
+    )""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT c.node AS doc_id,
+           CAST(f.degree AS BIGINT) AS degree,
+           CAST(c.degree AS BIGINT) AS core_degree
+    FROM deg{rounds} c JOIN deg0 f ON f.node = c.node
+    """
+    )
+
+
+register(
+    QuerySpec(
+        name="graph_kcore_dup_docs",
+        build=_kcore_dup_docs,
+        doc="2-core node peeling of the verified near-dup graph (3 unrolled "
+        "rounds): cycle-bearing duplicate clusters survive, pendant chains "
+        "peel one endpoint per round; oracle replays every round's degree "
+        "filter bit-exactly",
+        oracle=_kcore_oracle(),
+    )
+)

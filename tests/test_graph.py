@@ -196,3 +196,41 @@ def test_ktruss_cascade_requires_second_round(spark):
     # after only ONE round the shared edge (support was 2) still stands
     one = {(r.a, r.b) for r in ktruss(df, k=4, rounds=1).collect()}
     assert one == {(1, 2)}
+
+
+def test_kcore_peels_chain_keeps_triangle(spark):
+    """2-core on a triangle + a pendant 3-edge chain + an isolated edge:
+    the chain peels one endpoint per round (needs all 3 rounds — pins
+    the cascade), the isolated edge dies in round 1, the triangle
+    survives with core_degree == degree == 2 except the attachment
+    node, whose full degree counts the peeled chain edge."""
+    from data_pipeline_with_spark_spark.operators.graph import kcore
+
+    tri = [(0, 1), (0, 2), (1, 2)]
+    chain = [(2, 3), (3, 4), (4, 5)]
+    edges = tri + chain + [(6, 7)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.node: (r.degree, r.core_degree) for r in
+           kcore(df, k=2, rounds=3).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0] == (2, 2) and got[1] == (2, 2)
+    assert got[2] == (3, 2)  # full degree saw the chain edge
+    # fewer rounds leave the cascade unfinished: after 2 rounds node 3
+    # has just lost its last chain neighbour but is still in the edge set
+    partial = {r.node for r in kcore(df, k=2, rounds=2).collect()}
+    assert partial == {0, 1, 2, 3}
+
+
+def test_kcore_k3_drops_triangle_keeps_k4(spark):
+    """k=3: a triangle (all degrees 2) peels entirely; K4 (all degrees
+    3) survives intact — separates cliques by density, not just
+    cyclicity."""
+    from data_pipeline_with_spark_spark.operators.graph import kcore
+
+    tri = [(10, 11), (10, 12), (11, 12)]
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(tri + k4, ["id_a", "id_b"])
+    got = {r.node: (r.degree, r.core_degree) for r in
+           kcore(df, k=3, rounds=2).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert all(v == (3, 3) for v in got.values())
