@@ -895,3 +895,163 @@ register(
         tags=("sketch",),
     )
 )
+
+
+_KMV_YEAR_A, _KMV_YEAR_B = 1995, 1996
+
+
+def _kmv_churn_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer-set DIFFERENCE between two order years from the union's
+    bottom-k sample alone — the theta-sketch A-not-B idiom completing
+    the KMV algebra (union -> `sketch_kmv_distinct_users`, intersection
+    -> `sketch_kmv_overlap_types`): churned = ordered in 1995 but not
+    1996, acquired = the reverse, each estimated as count_dir/k scaled
+    by the union estimate. Pure BIGINT end to end. Both code paths are
+    exercised across the fixture SFs: at sf0.001 the union (~146) is
+    under k=256 so the sample is exhaustive and the estimates ARE the
+    exact counts; at sf0.01 the union (~1.4k) exceeds k and the true
+    estimation path fires (diffs ~260 a side)."""
+    ord_ = read_testdata(spark, sf, "orders")
+    ya, yb = _KMV_YEAR_A, _KMV_YEAR_B
+    k = sketches.KMV_K
+    yr = F.year("o_orderdate")
+    flags = (
+        ord_.where(yr.isin(ya, yb))
+        .select(
+            F.md5(F.col("o_custkey").cast("string")).alias("hx"),
+            F.when(yr == ya, 1).otherwise(0).alias("a"),
+            F.when(yr == yb, 1).otherwise(0).alias("b"),
+        )
+        .groupBy("hx")
+        .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
+    )
+    bk = flags.orderBy("hx").limit(k)
+    two48 = 1 << (4 * sketches._KMV_HEX)
+    agg = bk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.max("hx").alias("kth_hash"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b")))
+        .cast("bigint")
+        .alias("count_churned"),
+        F.sum(F.col("in_b") * (1 - F.col("in_a")))
+        .cast("bigint")
+        .alias("count_acquired"),
+    )
+    est = (
+        agg.select(
+            "n_sample",
+            "count_churned",
+            "count_acquired",
+            F.expr(
+                f"CASE WHEN n_sample < {k} THEN n_sample"
+                f" ELSE CAST({(k - 1) * two48}L div"
+                f" CAST(conv(substring(kth_hash, 1, {sketches._KMV_HEX}), 16, 10)"
+                f" AS BIGINT) AS BIGINT) END"
+            ).cast("bigint").alias("est_union"),
+        )
+        .withColumn(
+            "kmv_churned_est",
+            F.expr("CAST((count_churned * est_union) div n_sample AS BIGINT)"),
+        )
+        .withColumn(
+            "kmv_acquired_est",
+            F.expr("CAST((count_acquired * est_union) div n_sample AS BIGINT)"),
+        )
+        .withColumn("j", F.lit(1))
+    )
+    cust_a = ord_.where(yr == ya).select("o_custkey").distinct()
+    cust_b = ord_.where(yr == yb).select("o_custkey").distinct()
+    ex_ab = (
+        cust_a.subtract(cust_b)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_churned"))
+        .withColumn("j", F.lit(1))
+    )
+    ex_ba = (
+        cust_b.subtract(cust_a)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_acquired"))
+        .withColumn("j", F.lit(1))
+    )
+    return (
+        est.join(ex_ab, "j")
+        .join(ex_ba, "j")
+        .select(
+            F.lit(ya).cast("int").alias("year_a"),
+            F.lit(yb).cast("int").alias("year_b"),
+            "n_sample",
+            "count_churned",
+            "count_acquired",
+            "est_union",
+            "kmv_churned_est",
+            "kmv_acquired_est",
+            "n_exact_churned",
+            "n_exact_acquired",
+        )
+    )
+
+
+def _kmv_churn_oracle() -> str:
+    k, hexn = sketches.KMV_K, sketches._KMV_HEX
+    two = 1 << (4 * hexn)
+    ya, yb = _KMV_YEAR_A, _KMV_YEAR_B
+    return f"""
+    WITH flags AS (
+      SELECT md5(CAST(o_custkey AS VARCHAR)) AS hx,
+             max(CASE WHEN year(o_orderdate) = {ya} THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN year(o_orderdate) = {yb} THEN 1 ELSE 0 END) AS in_b
+      FROM orders
+      WHERE year(o_orderdate) IN ({ya}, {yb})
+      GROUP BY 1
+    ),
+    bk AS (SELECT * FROM flags ORDER BY hx LIMIT {k}),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sample, max(hx) AS kth_hash,
+             CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS count_churned,
+             CAST(sum(in_b * (1 - in_a)) AS BIGINT) AS count_acquired
+      FROM bk
+    ),
+    est AS (
+      SELECT n_sample, count_churned, count_acquired,
+             CAST(CASE WHEN n_sample < {k} THEN n_sample
+                  ELSE {(k - 1) * two} //
+                       CAST(('0x' || substring(kth_hash, 1, {hexn})) AS BIGINT)
+                  END AS BIGINT) AS est_union
+      FROM agg
+    ),
+    ex_ab AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact_churned FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = {ya}
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = {yb}
+      )
+    ),
+    ex_ba AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact_acquired FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = {yb}
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = {ya}
+      )
+    )
+    SELECT CAST({ya} AS INT) AS year_a, CAST({yb} AS INT) AS year_b,
+           e.n_sample, e.count_churned, e.count_acquired, e.est_union,
+           CAST((e.count_churned * e.est_union) // e.n_sample AS BIGINT)
+             AS kmv_churned_est,
+           CAST((e.count_acquired * e.est_union) // e.n_sample AS BIGINT)
+             AS kmv_acquired_est,
+           x1.n_exact_churned, x2.n_exact_acquired
+    FROM est e CROSS JOIN ex_ab x1 CROSS JOIN ex_ba x2
+    """
+
+
+register(
+    QuerySpec(
+        name="sketch_kmv_churn_customers",
+        build=_kmv_churn_customers,
+        doc="customer churn/acquisition between two order years estimated "
+        "from the union's bottom-k sample (theta-sketch A-not-B, both "
+        "directions) — completes the KMV union/intersection/difference "
+        "algebra; 100% BIGINT, exhaustive at sf0.001, true estimation "
+        "path at sf0.01",
+        oracle=_kmv_churn_oracle(),
+        tags=("sketch",),
+    )
+)

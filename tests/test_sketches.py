@@ -320,3 +320,35 @@ def test_kmv_overlap_theta_intersection(spark):
     overlap = (row.both * est_union) // row.n
     assert abs(est_union - 3000) / 3000 < 0.25, est_union
     assert abs(overlap - 1000) / 1000 < 0.35, (overlap, row.both, est_union)
+
+
+def test_kmv_difference_theta_a_not_b(spark):
+    """Theta-sketch A-not-B on the same planted sets as the overlap
+    test: A=0..1999, B=1000..2999 → |A\\B| = |B\\A| = 1000. Both
+    directional estimates from the union's bottom-k land near 1000, and
+    the three directional counts partition the sample exactly
+    (only_a + only_b + both == k)."""
+    a = spark.createDataFrame([(i,) for i in range(2000)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(1000, 3000)], ["k"])
+    flags = (
+        a.selectExpr("md5(CAST(k AS STRING)) AS hx", "1 AS a", "0 AS b")
+        .unionByName(
+            b.selectExpr("md5(CAST(k AS STRING)) AS hx", "0 AS a", "1 AS b")
+        )
+        .groupBy("hx")
+        .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
+    )
+    bk = flags.orderBy("hx").limit(sketches.KMV_K)
+    row = bk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).alias("only_a"),
+        F.sum(F.col("in_b") * (1 - F.col("in_a"))).alias("only_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("both"),
+    ).collect()[0]
+    assert row.n == sketches.KMV_K
+    assert row.only_a + row.only_b + row.both == sketches.KMV_K
+    est_union = sketches.kmv_estimate(bk.select("hx")).collect()[0].kmv_est
+    d_ab = (row.only_a * est_union) // row.n
+    d_ba = (row.only_b * est_union) // row.n
+    assert abs(d_ab - 1000) / 1000 < 0.35, (d_ab, row.only_a, est_union)
+    assert abs(d_ba - 1000) / 1000 < 0.35, (d_ba, row.only_b, est_union)
