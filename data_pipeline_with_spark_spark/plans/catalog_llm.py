@@ -3855,3 +3855,132 @@ register(
         oracle=_kcore_oracle(),
     )
 )
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion damping (Cormack et al. '09)
+_RRF_SCALE = 10**9  # integer-scaled 1/(K+rank): order-free BIGINT sums
+_RRF_LEG_N = 20
+_RRF_QVEC = 0  # query embedding = vec_id 0 (embeddings align with doc_id)
+
+
+def _hybrid_rrf_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the lexical leg
+    (BM25 top-20 for a fixed term query) and the semantic leg (exact
+    cosine top-20 around a fixed query embedding) fuse by
+    RRF(d) = Σ_legs SCALE div (60 + rank_leg(d)) — the
+    score-distribution-free fusion rule retrieval stacks use because
+    BM25 scores and cosine similarities are not comparable. Integer-
+    scaled contributions keep the fused score pure BIGINT (order-free
+    sums, bit-exact oracle); a doc missing from a leg's top-N simply
+    contributes nothing (rank reported as 0). Scale shape: each leg is
+    an already-verified top-N subtree (one corpus pass each); fusion
+    is a full outer join of two 20-row frames — driver-trivial at any
+    corpus size."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf, "documents")
+    emb = read_testdata(spark, sf, "embeddings")
+    lex = text.bm25_topk(
+        docs, ["spark", "query", "window", "merge"], k=_RRF_LEG_N
+    ).withColumn(
+        "rank_lex",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    ).select("doc_id", "rank_lex")
+    sem = (
+        similarity.brute_force_topk(
+            emb, emb.where(F.col("vec_id") == _RRF_QVEC), k=_RRF_LEG_N
+        )
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rnk").alias("rank_sem"),
+        )
+    )
+    fused = (
+        lex.join(sem, "doc_id", "outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("rank_lex"), F.lit(0)).cast("int").alias("rank_lex"),
+            F.coalesce(F.col("rank_sem"), F.lit(0)).cast("int").alias("rank_sem"),
+        )
+        .withColumn(
+            "rrf_score",
+            (
+                F.when(
+                    F.col("rank_lex") > 0,
+                    F.expr(f"CAST({_RRF_SCALE}L div ({_RRF_K} + rank_lex) AS BIGINT)"),
+                ).otherwise(F.lit(0).cast("bigint"))
+                + F.when(
+                    F.col("rank_sem") > 0,
+                    F.expr(f"CAST({_RRF_SCALE}L div ({_RRF_K} + rank_sem) AS BIGINT)"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w))
+        .where(F.col("rrf_rank") <= 10)
+        .select("doc_id", "rank_lex", "rank_sem", "rrf_score", "rrf_rank")
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN {_BM25_TERMS_SQL} GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    wts AS (
+      SELECT tf.doc_id,
+             round(ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                   * (CAST(tf.tf AS DOUBLE) * 2.2)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+                   6) AS w
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+    bm AS (SELECT doc_id, round(sum(w), 6) AS bm25 FROM wts GROUP BY doc_id),
+    lex AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+             AS INT) AS rank_lex
+      FROM bm ORDER BY bm25 DESC, doc_id LIMIT {_RRF_LEG_N}),
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_RRF_QVEC}),
+    scored AS (
+      SELECT e.vec_id AS doc_id,
+             {_COS_SQL.format(a='e.embedding', b='q.q_emb')} AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id <> {_RRF_QVEC}),
+    sem AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+             AS INT) AS rank_sem
+      FROM scored ORDER BY cos_sim DESC, doc_id LIMIT {_RRF_LEG_N}),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             CAST(coalesce(l.rank_lex, 0) AS INT) AS rank_lex,
+             CAST(coalesce(s.rank_sem, 0) AS INT) AS rank_sem,
+             CAST(CASE WHEN l.rank_lex IS NOT NULL
+                       THEN {_RRF_SCALE} // ({_RRF_K} + l.rank_lex)
+                       ELSE 0 END
+                + CASE WHEN s.rank_sem IS NOT NULL
+                       THEN {_RRF_SCALE} // ({_RRF_K} + s.rank_sem)
+                       ELSE 0 END AS BIGINT) AS rrf_score
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+    SELECT doc_id, rank_lex, rank_sem, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+             AS rrf_rank
+    FROM fused
+    QUALIFY rrf_rank <= 10
+    """
+
+
+register(
+    QuerySpec(
+        name="sim_hybrid_rrf_search",
+        build=_hybrid_rrf_search,
+        doc="hybrid retrieval: BM25 top-20 + exact-cosine top-20 fused by "
+        "integer-scaled reciprocal-rank fusion (SCALE div (60+rank), "
+        "BIGINT order-free) — top-10 fused docs with both leg ranks",
+        oracle=_hybrid_rrf_oracle(),
+    )
+)

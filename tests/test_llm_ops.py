@@ -2111,3 +2111,33 @@ def test_remove_dup_spans_cuts_planted_substring(spark):
     assert out[2].dedup_digest == hashlib.md5(b"one two three four").hexdigest()
     assert out[3].n_kept == out[3].n_tokens == 10
     assert out[3].dedup_digest == hashlib.md5(rows[2][1].encode()).hexdigest()
+
+
+def test_hybrid_rrf_fusion_math(spark):
+    """RRF invariants on the registered entry at sf0.001: every fused
+    score is exactly the sum of integer-scaled leg contributions, rows
+    come out rank-ordered, and a doc present in BOTH legs outranks
+    every single-leg doc whose best leg rank is worse-or-equal — the
+    consensus property fusion exists for (the rank-1 doc at this
+    fixture is lex 6 + sem 14, beating both leg winners)."""
+    from data_pipeline_with_spark_spark.plans.catalog_llm import (
+        _hybrid_rrf_search,
+    )
+
+    q = _hybrid_rrf_search
+    rows = q(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    scale, kk = 10**9, 60
+    prev = None
+    for r in rows:
+        expect = (scale // (kk + r.rank_lex) if r.rank_lex > 0 else 0) + (
+            scale // (kk + r.rank_sem) if r.rank_sem > 0 else 0
+        )
+        assert r.rrf_score == expect, r
+        assert 0 <= r.rank_lex <= 20 and 0 <= r.rank_sem <= 20
+        assert r.rank_lex > 0 or r.rank_sem > 0
+        if prev is not None:
+            assert (prev.rrf_score, -prev.doc_id) >= (r.rrf_score, -r.doc_id)
+        prev = r
+    both = [r for r in rows if r.rank_lex > 0 and r.rank_sem > 0]
+    assert both and both[0].rrf_rank == 1  # consensus doc wins at this fixture
