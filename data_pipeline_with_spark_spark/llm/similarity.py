@@ -2152,3 +2152,52 @@ class VersionedIvfPqIndex:
             id_col=id_col, emb_col=emb_col, query_id_col=query_id_col,
         )
 
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k highest-cosine vectors with a DIFFERENT label — the negatives
+    that sit closest to the decision boundary and carry the most
+    gradient signal (the standard in-batch-negatives upgrade). Same
+    scale shape as `brute_force_topk` (queries broadcast, one corpus
+    scan, per-query ranking window); the label-inequality predicate
+    runs BEFORE the window so every query still yields k rows whenever
+    k different-label vectors exist."""
+    q, _ = _guard_query_side(
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(emb_col).alias("q_emb"),
+            F.col(label_col).alias("q_label"),
+        ),
+        "hard_negatives",
+    )
+    scored = (
+        ensure_min_partitions(corpus)
+        .crossJoin(F.broadcast(q))
+        .where(
+            (F.col(id_col) != F.col(query_id_col))
+            & (F.col(label_col) != F.col("q_label"))
+        )
+        .withColumn("cos_sim", F.round(cosine(F.col(emb_col), F.col("q_emb")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            query_id_col,
+            "q_label",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            "cos_sim",
+            "rnk",
+        )
+    )

@@ -3984,3 +3984,42 @@ register(
         oracle=_hybrid_rrf_oracle(),
     )
 )
+
+
+def _hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining over the embeddings fixture: for each of 5
+    query vectors, the top-5 highest-cosine DIFFERENT-label vectors —
+    the contrastive-training negatives closest to the decision
+    boundary. The label filter genuinely fires at both fixture SFs
+    (1-3 same-label vectors sit inside each plain cosine top-10, so
+    the hard-negative list differs from `sim_cosine_topk_bruteforce`)."""
+    emb = read_testdata(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.hard_negatives(emb, queries, k=5)
+
+
+register(
+    QuerySpec(
+        name="sim_hard_negatives",
+        build=_hard_negatives,
+        doc="hard-negative mining: per-query top-5 highest-cosine "
+        "different-label vectors (broadcast queries, one corpus scan, "
+        "label predicate before the ranking window)",
+        oracle=f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+                   FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.q_id, q.q_label, e.vec_id AS neighbor_id,
+                 e.label AS neighbor_label,
+                 {_COS_SQL.format(a='e.embedding', b='q.q_emb')} AS cos_sim
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.q_id AND e.label <> q.q_label)
+        SELECT q_id, q_label, neighbor_id, neighbor_label, cos_sim,
+               CAST(rnk AS INT) AS rnk FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        """,
+    )
+)

@@ -2141,3 +2141,33 @@ def test_hybrid_rrf_fusion_math(spark):
         prev = r
     both = [r for r in rows if r.rank_lex > 0 and r.rank_sem > 0]
     assert both and both[0].rrf_rank == 1  # consensus doc wins at this fixture
+
+
+def test_hard_negatives_planted_boundary(spark):
+    """Planted 2-label geometry: query (1,0) with same-label vectors
+    near it and different-label vectors at controlled angles — the
+    mined negatives are exactly the different-label set ordered by
+    cosine, and the same-label vector that would top a plain top-k is
+    excluded."""
+    from data_pipeline_with_spark_spark.llm.similarity import (
+        brute_force_topk,
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),     # query, label 0
+        (1, [0.999, 0.04], 0),  # same-label near-clone: plain top-1
+        (2, [0.9, 0.43], 1),    # hard negative (closest other-label)
+        (3, [0.5, 0.86], 1),    # medium negative
+        (4, [0.0, 1.0], 1),     # orthogonal negative
+        (5, [0.95, 0.31], 0),   # same-label, would rank 2nd plain
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = df.where("vec_id = 0")
+    hn = hard_negatives(df, q, k=3).collect()
+    assert [r.neighbor_id for r in hn] == [2, 3, 4]
+    assert all(r.neighbor_label == 1 and r.q_label == 0 for r in hn)
+    assert [r.rnk for r in hn] == [1, 2, 3]
+    # plain top-3 is led by the same-label clones the miner must skip
+    plain = [r.neighbor_id for r in brute_force_topk(df, q, k=3).collect()]
+    assert plain[:2] == [1, 5] and hn[0].neighbor_id not in plain[:2]
