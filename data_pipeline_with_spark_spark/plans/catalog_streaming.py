@@ -566,3 +566,39 @@ register(
         ),
     )
 )
+
+
+def _stream_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING-executed dimension enrichment: events stream inner-
+    joins the static customer dimension (broadcast, stateless) per
+    micro-batch, then folds an integer agg per (segment, type). The
+    third streaming-join shape next to `stream_stream_join`; drained
+    complete-mode state equals the batch join+agg bit-for-bit."""
+    import tempfile
+
+    from data_pipeline_with_spark_spark.streaming.demo import (
+        run_streaming_static_enrich,
+    )
+
+    return run_streaming_static_enrich(
+        spark, sf, tempfile.mkdtemp(prefix="enrich_stream_")
+    )
+
+
+register(
+    QuerySpec(
+        name="stream_static_enrich",
+        build=_stream_static_enrich,
+        doc="stream-static enrichment join (events x broadcast customer "
+        "dim, stateless per micro-batch) + integer agg per segment/type; "
+        "streaming-executed, oracle = the batch join+agg",
+        oracle="""
+        SELECT c.c_mktsegment, e.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment, e.event_type
+        """,
+    )
+)

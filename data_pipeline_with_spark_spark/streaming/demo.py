@@ -1333,3 +1333,60 @@ def run_stream_quality_filter(
     )
     query.awaitTermination()
     return curated, thr
+
+
+def run_streaming_static_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    sink_table: str | None = None,
+) -> DataFrame:
+    """Stream-static enrichment: the canonical dimension-join-at-ingest
+    pattern — a live event stream inner-joined to a STATIC customer
+    dimension (broadcast, stateless: no watermark, no join state, the
+    static side is re-readable per micro-batch by contract), then
+    aggregated per (market segment, event type). Demonstrates the third
+    streaming-join shape next to `stream_stream_join` (stateful) and
+    the windowed aggs: enrich-then-aggregate with bounded state = one
+    row per group.
+
+    Counters are integer (event count + value-cents sum), so the
+    complete-mode drained state equals the batch join+agg bit-for-bit.
+    Same hygiene as `run_streaming_hll`: unique sink name, result
+    checkpointed off the sink, staging copy removed.
+    """
+    import uuid
+    from pathlib import Path
+
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    if sink_table is None:
+        sink_table = f"enrich_stream_sink_{uuid.uuid4().hex[:8]}"
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    staging = str(Path(work_dir) / "enrich_live")
+    ev.repartition(4).write.parquet(staging)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    enriched = stream.join(F.broadcast(cust), "user_id")
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("value_cents"),
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return _drain_memory_sink(spark, sink_table, staging, work_dir)

@@ -765,3 +765,33 @@ def test_stream_quality_filter_equals_batch(spark, tmp_path):
     }
     assert got == want and got  # non-empty and exactly the batch result
     assert all(s > thr for _, _, s in got)
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-static dimension join: the drained complete-mode agg
+    equals the batch join+agg bit-for-bit (integer counters), and the
+    enrichment actually joins — every segment value comes from the
+    customer dim."""
+    stream = demo.run_streaming_static_enrich(
+        spark, sf_dir, str(tmp_path / "enrich")
+    )
+    ev = read_testdata(spark, sf_dir, "events")
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = (
+        ev.join(cust, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+                "value_cents"
+            ),
+        )
+    )
+    srows = sorted(map(tuple, stream.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert srows == brows and len(srows) > 0
+    segs = {r[0] for r in srows}
+    dim_segs = {r.c_mktsegment for r in cust.select("c_mktsegment").distinct().collect()}
+    assert segs <= dim_segs
