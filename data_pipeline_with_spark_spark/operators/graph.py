@@ -421,7 +421,14 @@ def kcore(
     e = canonical_edges(pairs, src_col, dst_col).localCheckpoint(eager=True)
     deg_full = _degrees(e).localCheckpoint(eager=True)
     for _ in range(rounds):
-        keep = _degrees(e).where(F.col("degree") >= k).select("node")
+        # Checkpoint the O(nodes) keep-list so the degree aggregate (an
+        # O(m) shuffle) runs once per round, not once per semi-join side.
+        keep = (
+            _degrees(e)
+            .where(F.col("degree") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
         e = (
             e.join(keep.select(F.col("node").alias("a")), "a", "semi")
             .join(keep.select(F.col("node").alias("b")), "b", "semi")

@@ -63,6 +63,25 @@ ITERATIVE_EXTRA = [
     "stream_quantile_ingest",
     "graph_pagerank_event_flow",
     "graph_triangles_dup_docs",
+    # late-r11 + r12 additions: the truss/core peeling pair share the
+    # triangle entry's oriented-join shape but add unrolled peeling
+    # rounds (checkpointed edge lists — flat per-round cost is the
+    # claim); the KMV family is TakeOrderedAndProject (per-partition
+    # heap, driver merge of k*p rows) so it must stay ~scan-bound; the
+    # grouped/merged quantile faces add a group dimension to the
+    # histogram pass; RRF fuses two verified top-N subtrees; hard
+    # negatives is the brute-force scan with a label predicate; the
+    # stream-static join must track the other streaming ingests.
+    "graph_ktruss_dup_edges",
+    "graph_kcore_dup_docs",
+    "sketch_kmv_distinct_users",
+    "sketch_kmv_overlap_types",
+    "sketch_kmv_churn_customers",
+    "sketch_quantile_by_type",
+    "sketch_quantile_merge_sources",
+    "sim_hybrid_rrf_search",
+    "sim_hard_negatives",
+    "stream_static_enrich",
 ]
 
 SFS = [
@@ -194,6 +213,7 @@ def main() -> None:
         "| query | " + " s | ".join(col_names) + " s | exp (top decade) | verdict |",
         "|---|" + "---|" * (n + 2),
     ]
+    rows = []
     flagged = []
     for name, ts in results.items():
         # slope over the last decade pair, where real work dominates
@@ -202,9 +222,72 @@ def main() -> None:
             if ts[-2] > 0 and ts[-1] > 0
             else float("nan")
         )
-        verdict = "SUPERLINEAR" if exp > SUPERLINEAR else ("linear-ish" if exp > 0.6 else "overhead-dom")
         if exp > SUPERLINEAR:
             flagged.append((name, exp))
+        rows.append((name, ts, exp))
+
+    # Fresh-session adjudication (r12): twice now a SUPERLINEAR flag
+    # survived quiet-ANCHORED sweeps yet vanished in a fresh session
+    # (minhash signatures sf1: 7.5-11.6 s inside the aged probe session
+    # vs 2.9-3.6 s fresh at cpu_ref 0.35-0.40 — in-session aging from a
+    # ~600-plan sweep, not plan scaling). So the probe now re-times
+    # every flagged entry in a FRESH subprocess (warm at the smallest
+    # SF, then min-of-3 at the top two SFs, cpu_ref-bracketed) and
+    # demotes the flag when the fresh exponent is clean on a quiet box.
+    # A flag that SURVIVES this is a real plan defect by construction.
+    adjudication: dict[str, tuple[float, float, float]] = {}
+    if flagged and n >= 2:
+        import json as _json
+        import subprocess
+
+        for name, _exp in flagged:
+            script = (
+                "import json, time\n"
+                "from data_pipeline_with_spark_spark.session import get_spark\n"
+                "from data_pipeline_with_spark_spark.plans import all_queries\n"
+                "from data_pipeline_with_spark_spark.sources.writers import write_noop\n"
+                "from bench import cpu_reference_seconds\n"
+                f"spark = get_spark('scaling_adjudicate')\n"
+                f"spec = all_queries()[{name!r}]\n"
+                "ref0 = cpu_reference_seconds()\n"
+                f"write_noop(spec.build(spark, {SFS[0]!r}))\n"
+                "lo, hi = [], []\n"
+                "for _ in range(3):\n"
+                f"    t0 = time.perf_counter(); write_noop(spec.build(spark, {SFS[-2]!r})); lo.append(time.perf_counter() - t0)\n"
+                "for _ in range(3):\n"
+                f"    t0 = time.perf_counter(); write_noop(spec.build(spark, {SFS[-1]!r})); hi.append(time.perf_counter() - t0)\n"
+                "print(json.dumps({'lo': lo, 'hi': hi, 'ref0': ref0, 'ref1': cpu_reference_seconds()}))\n"
+            )
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c", script],
+                    capture_output=True,
+                    text=True,
+                    timeout=900,
+                    cwd=str(Path(__file__).resolve().parents[1]),
+                )
+                data = _json.loads(proc.stdout.strip().splitlines()[-1])
+            except Exception as ex:  # noqa: BLE001 - adjudication is best-effort
+                print(f"adjudication subprocess failed for {name}: {ex}")
+                continue
+            fexp = math.log10(min(data["hi"]) / min(data["lo"]))
+            adjudication[name] = (fexp, data["ref0"], data["ref1"])
+
+    demoted: dict[str, float] = {}
+    for name, (fexp, ref0, ref1) in adjudication.items():
+        if fexp <= SUPERLINEAR and max(ref0, ref1) < HOT_REF:
+            demoted[name] = fexp
+    flagged = [(nm, e) for nm, e in flagged if nm not in demoted]
+
+    for name, ts, exp in rows:
+        if name in demoted:
+            verdict = f"aging-suspect (fresh exp {demoted[name]:.2f})"
+        elif exp > SUPERLINEAR:
+            verdict = "SUPERLINEAR"
+        elif exp > 0.6:
+            verdict = "linear-ish"
+        else:
+            verdict = "overhead-dom"
         cells = " | ".join(f"{t:.2f}" for t in ts)
         lines.append(f"| {name} | {cells} | {exp:.2f} | {verdict} |")
     totals = [sum(ts[i] for ts in results.values()) for i in range(n)]
@@ -216,10 +299,34 @@ def main() -> None:
         lines.append("## Flagged superlinear")
         lines.append("")
         for name, exp in flagged:
-            lines.append(f"- `{name}`: exp {exp:.2f} — investigate before scale-up.")
+            note = ""
+            if name in adjudication:
+                fexp, r0, r1 = adjudication[name]
+                note = (
+                    f" (fresh-session recheck exp {fexp:.2f} at cpu_ref"
+                    f" {r0:.2f}/{r1:.2f} did NOT clear it)"
+                )
+            lines.append(
+                f"- `{name}`: exp {exp:.2f} — investigate before scale-up.{note}"
+            )
     else:
         lines.append("No query exceeds the superlinear threshold: every plan's")
         lines.append("cost is at-or-below linear in data volume over the top decade.")
+    if demoted:
+        lines.append("")
+        lines.append("## Fresh-session adjudication")
+        lines.append("")
+        lines.append("In-probe flags re-timed in a fresh subprocess (warm at the")
+        lines.append("smallest SF, min-of-3 at the top two SFs, cpu_ref-bracketed);")
+        lines.append("a clean fresh exponent on a quiet box demotes the flag to")
+        lines.append("aging-suspect — in-session JVM aging, not plan scaling:")
+        lines.append("")
+        for name, fexp in sorted(demoted.items()):
+            _, r0, r1 = adjudication[name]
+            lines.append(
+                f"- `{name}`: fresh exp {fexp:.2f}"
+                f" (cpu_ref {r0:.2f} -> {r1:.2f})"
+            )
     lines.append("")
     # Preserve hand-written analysis: everything at or below the MANUAL
     # marker survives regeneration (a plain write_text once clobbered
@@ -231,6 +338,8 @@ def main() -> None:
     print(f"wrote SCALING.md ({len(results)} queries, {n} scale points)")
     for name, exp in flagged:
         print(f"SUPERLINEAR: {name} exp={exp:.2f}")
+    for name, fexp in demoted.items():
+        print(f"demoted to aging-suspect: {name} fresh exp={fexp:.2f}")
 
 
 if __name__ == "__main__":
