@@ -98,10 +98,17 @@ def _builder(
         # recompile of EVERY whole-stage-codegen subtree on EVERY run —
         # measured r10: minhash signatures at sf1 ran 1.8 s in a fresh
         # session but 5-7 s after one sweep through the 27 headliners;
-        # raising the cache restored 1.7-1.8 s in the aged session.
-        # ~5000 generated classes is tens of MB of metaspace — nothing
-        # against the driver heap.
-        "spark.sql.codegen.cache.maxEntries": "5000",
+        # raising to 5000 restored 1.7-1.8 s THEN. r12 re-bisected a
+        # residual: a full probe-set sweep (~100 builds incl. streaming
+        # entries, whose per-micro-batch plans mint fresh codegen keys)
+        # still overflows 5000 — first post-sweep signatures run 31.7 s
+        # at cache 5000 vs 6.6 s at 50000 (warm 2.5 s both, quiet box,
+        # sf1). 50k holds every unit a full catalog sweep mints; the
+        # metaspace bill only materializes for keys actually created
+        # (~10k per sweep, tens-of-KB each) — hundreds of MB against a
+        # 32 g single-JVM driver, and per-executor JVMs on a real
+        # cluster compile far fewer plans each.
+        "spark.sql.codegen.cache.maxEntries": "50000",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Files: pack small files, split large ones. 128 MiB default is
