@@ -4023,3 +4023,94 @@ register(
         """,
     )
 )
+
+
+def _sample_estimate_event_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Sampled-aggregation ESTIMATION (the companion to the selection
+    entries above): per-event-type row count and mean value estimated
+    from the deterministic 1/16 hash sample alone, next to the exact
+    pass — the cheap profiling scan a 100 TB pipeline runs before
+    committing to a full sweep. Integer estimators throughout: count
+    scales by 16 exactly; the mean is sum(value-cents) div n (BIGINT
+    division), so there is no float-accumulation-order hazard and the
+    whole row replays bit-exactly. rel_err (one rounded division on
+    already-deterministic integers) shows the estimate quality the
+    fixture supports: row counts land within ~8 %, while the mean sits
+    ~1-1.5 stderr low on most types because `value` is heavy-tailed
+    (median 35 vs mean 50) and a ~130-row sample usually misses the
+    tail — the honest caveat of mean-from-sample under skew."""
+    ev = read_testdata(spark, sf, "events")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    bucket = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    samp = (
+        ev.where(bucket == "0")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+            F.sum(cents).alias("sample_cents"),
+        )
+        .select(
+            "event_type",
+            "n_sample",
+            (F.col("n_sample") * 16).cast("bigint").alias("est_rows"),
+            F.expr("CAST(sample_cents div n_sample AS BIGINT)").alias(
+                "est_mean_cents"
+            ),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.expr(
+            "CAST(sum(CAST(round(value * 100) AS BIGINT))"
+            " div count(*) AS BIGINT)"
+        ).alias("exact_mean_cents"),
+    )
+    return samp.join(exact, "event_type").select(
+        "event_type",
+        "n_sample",
+        "est_rows",
+        "n_exact",
+        F.round(
+            F.abs(F.col("est_rows") - F.col("n_exact"))
+            / F.col("n_exact").cast("double"),
+            4,
+        ).alias("rows_rel_err"),
+        "est_mean_cents",
+        "exact_mean_cents",
+    )
+
+
+register(
+    QuerySpec(
+        name="sample_estimate_event_stats",
+        build=_sample_estimate_event_stats,
+        doc="per-type row count + mean value-cents estimated from the "
+        "deterministic 1/16 hash sample vs the exact pass — integer "
+        "estimators (x16 count, BIGINT-division mean), no float-order "
+        "hazard anywhere",
+        oracle="""
+        WITH s AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_sample,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sample_cents
+          FROM events
+          WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+          GROUP BY event_type),
+        x AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_exact,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*)
+                      AS BIGINT) AS exact_mean_cents
+          FROM events GROUP BY event_type)
+        SELECT s.event_type, s.n_sample,
+               CAST(s.n_sample * 16 AS BIGINT) AS est_rows,
+               x.n_exact,
+               round(abs(s.n_sample * 16 - x.n_exact)
+                     / CAST(x.n_exact AS DOUBLE), 4) AS rows_rel_err,
+               CAST(s.sample_cents // s.n_sample AS BIGINT) AS est_mean_cents,
+               x.exact_mean_cents
+        FROM s JOIN x ON s.event_type = x.event_type
+        """,
+    )
+)

@@ -2171,3 +2171,30 @@ def test_hard_negatives_planted_boundary(spark):
     # plain top-3 is led by the same-label clones the miner must skip
     plain = [r.neighbor_id for r in brute_force_topk(df, q, k=3).collect()]
     assert plain[:2] == [1, 5] and hn[0].neighbor_id not in plain[:2]
+
+
+def test_sample_estimate_unbiased_on_uniform_keys(spark):
+    """The 1/16 hash-sample estimator on a planted uniform table:
+    est_rows lands within 4 sigma of binomial expectation and the
+    integer-division mean within the sub-bucket resolution — and the
+    sample is DETERMINISTIC (same rows every run, any partitioning)."""
+    from pyspark.sql import functions as F
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.lit("t").alias("event_type"),
+        (F.col("id") % 100).cast("double").alias("value"),
+    )
+    bucket = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    samp = df.where(bucket == "0")
+    n_s = samp.count()
+    assert n_s == samp.count()  # deterministic re-run
+    # binomial(4096, 1/16): mean 256, sigma ~15.5
+    assert abs(n_s * 16 - n) <= 4 * 16 * 15.5, n_s
+    mean_cents = samp.agg(
+        F.expr(
+            "CAST(sum(CAST(round(value*100) AS BIGINT)) div count(*) AS BIGINT)"
+        )
+    ).collect()[0][0]
+    assert abs(mean_cents - 4950) < 4 * (2887 / (n_s ** 0.5)) * 100 / 100 + 300
