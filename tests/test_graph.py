@@ -234,3 +234,42 @@ def test_kcore_k3_drops_triangle_keeps_k4(spark):
            kcore(df, k=3, rounds=2).collect()}
     assert set(got) == {0, 1, 2, 3}
     assert all(v == (3, 3) for v in got.values())
+
+
+@pytest.mark.slow
+def test_peeling_deep_rounds_flat_per_round_cost(spark):
+    """Peeling-family lineage stress (the PageRank depth doctrine
+    applied to ktruss/kcore): on a 10×-fixture-scale synthetic graph,
+    tripling the peeling rounds must not blow up per-round cost — the
+    per-round eager localCheckpoint keeps the multi-branch support/
+    degree subtree from compounding. Loose bound (3× work ⇒ <9× time)
+    for the same box-noise reason as the PageRank stress."""
+    import time
+
+    from data_pipeline_with_spark_spark.operators.graph import kcore, ktruss
+
+    pairs = [
+        (i, (i * 48271 + j * 16807) % 5000)
+        for i in range(5000)
+        for j in range(1, 4)
+        if i != (i * 48271 + j * 16807) % 5000
+    ]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"]).cache()
+    df.count()
+
+    t0 = time.time()
+    assert ktruss(df, k=3, rounds=2).count() >= 0
+    base_t = time.time() - t0
+    t0 = time.time()
+    assert ktruss(df, k=3, rounds=6).count() >= 0
+    deep_t = time.time() - t0
+    assert deep_t < max(9 * base_t, base_t + 30), (base_t, deep_t)
+
+    t0 = time.time()
+    assert kcore(df, k=3, rounds=3).count() > 0
+    base_c = time.time() - t0
+    t0 = time.time()
+    assert kcore(df, k=3, rounds=9).count() > 0
+    deep_c = time.time() - t0
+    assert deep_c < max(9 * base_c, base_c + 30), (base_c, deep_c)
+    df.unpersist()
