@@ -80,17 +80,34 @@ def with_text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite quality score in [0, 1]: rewards mid-length docs with
     diverse tokens and a natural stopword rate, penalizes symbol soup.
-    Deterministic arithmetic over the profile columns."""
+
+    score = 0.3·min(t,100)/100 + 0.3·d/t + 0.2·min(4s/t, 1)
+          + 0.2·(c−na)/c, rounded half-up to 4 decimals — but computed
+    EXACTLY: the weighted sum folds into one BIGINT rational N/D
+    (D = 1000·t·c) and the 4-decimal round is integer arithmetic,
+    (20000·N + D) div (2·D), so no float ever enters until the final
+    exact /10000.0. A float-sum-then-round(…,4) formulation put doc 64
+    of the sf0.001 fixture on a .xxxx5 half-way boundary where Spark
+    (shortest-repr HALF_UP) and DuckDB (double-value rounding)
+    disagreed by one ulp — the r12 lesson: round-at-the-end is only
+    safe after ONE float op, never after a float SUM. Docs with no
+    tokens or no chars score 0.0 (the old path gave NaN; both filter
+    identically at any positive threshold)."""
     out = with_text_profile(df, text_col)
-    length_score = F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+    stop_arr = _sql_array(STOPWORDS)
     return out.withColumn(
         "quality_score",
-        F.round(
-            0.3 * length_score
-            + 0.3 * F.col("distinct_ratio")
-            + 0.2 * F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
-            + 0.2 * (1 - F.col("non_alnum_ratio")),
-            4,
+        F.expr(
+            f"""CASE WHEN size(toks) > 0 AND length({text_col}) > 0 THEN
+              CAST((20000L * (
+                  3L * least(size(toks), 100) * size(toks) * length({text_col})
+                + 300L * size(array_distinct(toks)) * length({text_col})
+                + 200L * least(4L * size(filter(toks, t -> array_contains({stop_arr}, t))),
+                               size(toks)) * length({text_col})
+                + 200L * length(regexp_replace({text_col}, '[^a-z0-9 ]', '')) * size(toks)
+              ) + 1000L * size(toks) * length({text_col}))
+              div (2000L * size(toks) * length({text_col})) AS DOUBLE) / 10000.0
+            ELSE 0.0 END"""
         ),
     )
 
@@ -390,4 +407,76 @@ def bm25_topk(
         .agg(F.round(F.sum("w"), 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def cooccurrence_edges(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Undirected adjacent-token co-occurrence graph over a corpus:
+    (a, b, w) with a < b lexicographically and w = number of adjacent
+    occurrences in either order, self-pairs dropped. One tokenize +
+    in-array window pass (transform over index pairs, no self-join on
+    position) and one map-side-combinable groupBy — O(total tokens)
+    work, O(vocab^2)-bounded output, the right 100 TB shape for a
+    corpus-level word graph."""
+    t = df.select(tokens(text_col).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bi = (
+        t.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS t1, toks[i + 1] AS t2))"
+                )
+            ).alias("p")
+        )
+        .select("p.t1", "p.t2")
+        .where(F.col("t1") != F.col("t2"))
+    )
+    return (
+        bi.select(
+            F.least("t1", "t2").alias("a"),
+            F.greatest("t1", "t2").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def textrank_keywords(
+    df: DataFrame, rounds: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau '04) as weighted
+    PageRank over the adjacent-token co-occurrence graph: tokens are
+    nodes, co-occurrence counts are symmetric edge weights, and the
+    keyword score is the stationary weighted-random-walk mass — the
+    graph-centrality alternative to raw frequency/TF-IDF keyword
+    ranking. Returns (token, out_weight, rank) with rank the BIGINT
+    fixed-point PageRank (integer doctrine from operators/graph.py, so
+    a DuckDB oracle replays every round bit-exactly) and out_weight
+    the token's total incident co-occurrence weight.
+
+    The symmetrized edge list has no dangling nodes by construction
+    (every edge contributes both directions), so the weighted variant's
+    dangling term is identically zero — kept in the plan for exactness
+    with the shared operator. Scale shape: edge building is one
+    tokenize pass + one groupBy (see `cooccurrence_edges`); the rank
+    loop is O(rounds) joins over the O(vocab^2)-bounded edge list,
+    independent of corpus size."""
+    from data_pipeline_with_spark_spark.operators import graph
+
+    und = cooccurrence_edges(df, text_col)
+    edges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    pr = graph.pagerank_weighted(edges, rounds=rounds)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_weight"))
+    return pr.join(outw, pr["node"] == outw["src"]).select(
+        pr["node"].alias("token"),
+        F.col("out_weight").cast("bigint").alias("out_weight"),
+        "rank",
     )

@@ -431,3 +431,94 @@ register(
         oracle=_pagerank_flow_oracle(),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap-fill + LOCF: the resample shape every monitoring /
+# feature pipeline needs — a dense per-(event_type, hour) spine built
+# with sequence()/generate_series over the global hour bounds, actual
+# hourly aggregates left-joined on, missing hours zero-filled for counts
+# and last-observation-carried-forward for the value column. All-BIGINT
+# (epoch-second hours, value cents), so LOCF replays bit-exactly.
+#
+# Scale shape: the raw-events aggregate is one map-side-combinable
+# groupBy to O(types × hours) rows; the spine cross join and the LOCF
+# window both run on that tiny aggregate (never on raw events), so the
+# query's shuffle volume is bounded by the series length regardless of
+# event volume. Fixture honesty: sf0.01 has ~170 true gap-hours (~5 %),
+# sf0.001 ~2.7k (sparse series), so both the zero-fill and the
+# carried-value paths genuinely fire at every SF.
+_GAPFILL_SPARK = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(unix_timestamp(date_trunc('hour', min(ts))) AS BIGINT) AS lo,
+         CAST(unix_timestamp(date_trunc('hour', max(ts))) AS BIGINT) AS hi
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, s.hr
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT explode(sequence(lo, hi, 3600)) AS hr FROM bounds) s
+)
+SELECT sp.event_type, sp.hr,
+       coalesce(h.n_events, 0L) AS n_events,
+       CAST(CASE WHEN h.hr IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap,
+       coalesce(last_value(h.value_cents, true) OVER (
+         PARTITION BY sp.event_type ORDER BY sp.hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0L)
+         AS locf_value_cents
+FROM spine sp
+LEFT JOIN hourly h ON h.event_type = sp.event_type AND h.hr = sp.hr
+"""
+
+_GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(floor(epoch(date_trunc('hour', min(ts)))) AS BIGINT) AS lo,
+         CAST(floor(epoch(date_trunc('hour', max(ts)))) AS BIGINT) AS hi
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, s.hr
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, 3600)) AS hr FROM bounds) s
+)
+SELECT sp.event_type, sp.hr,
+       coalesce(h.n_events, 0) AS n_events,
+       CAST(CASE WHEN h.hr IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap,
+       coalesce(last_value(h.value_cents IGNORE NULLS) OVER (
+         PARTITION BY sp.event_type ORDER BY sp.hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+         AS locf_value_cents
+FROM spine sp
+LEFT JOIN hourly h ON h.event_type = sp.event_type AND h.hr = sp.hr
+"""
+
+
+def _gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
+    register_testdata_views(spark, sf)
+    return spark.sql(_GAPFILL_SPARK)
+
+
+register(
+    QuerySpec(
+        name="events_gapfill_locf",
+        build=_gapfill_locf,
+        doc="dense hourly spine per event type (sequence + cross join) with "
+        "zero-filled counts and LOCF-carried value cents — the resample/"
+        "gap-fill shape, windowed over the O(types × hours) aggregate only",
+        oracle=_GAPFILL_ORACLE,
+    )
+)

@@ -18,6 +18,22 @@ from data_pipeline_with_spark_spark.sources.readers import read_testdata
 _TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + "]"
 
+# Integer-exact composite quality score over (toks, text) — the DuckDB
+# twin of llm/text.with_quality_score: one BIGINT rational + integer
+# half-up round, /10000.0 at the very end. A float-sum-then-round(…,4)
+# formulation disagreed with Spark by one ulp on a half-way-boundary
+# doc (doc 64, sf0.001) — keep both engines on this exact form.
+_QSCORE_SQL = f"""CASE WHEN len(toks) > 0 AND length(text) > 0 THEN
+  CAST((20000 * (
+      3 * least(len(toks), 100) * len(toks) * length(text)
+    + 300 * len(list_distinct(toks)) * length(text)
+    + 200 * least(4 * len(list_filter(toks, s -> list_contains({_STOP_SQL}, s))),
+                  len(toks)) * length(text)
+    + 200 * length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) * len(toks)
+  ) + 1000 * len(toks) * length(text))
+  // (2000 * len(toks) * length(text)) AS DOUBLE) / 10000.0
+ELSE 0.0 END"""
+
 
 # --------------------------------------------------------------------------
 # Text analysis
@@ -65,22 +81,8 @@ register(
         build=_quality,
         doc="composite document quality score (length/diversity/stopword/symbol)",
         oracle=f"""
-        WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
-        p AS (
-          SELECT doc_id,
-                 CAST(len(toks) AS DOUBLE) AS n_tokens,
-                 CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
-                 CAST(len(list_filter(toks, s -> list_contains({_STOP_SQL}, s))) AS DOUBLE)
-                   / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
-                 CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-                   / CAST(length(text) AS DOUBLE) AS non_alnum_ratio
-          FROM t)
-        SELECT doc_id,
-               round(0.3 * least(n_tokens / 100.0, 1.0)
-                     + 0.3 * distinct_ratio
-                     + 0.2 * least(stopword_ratio * 4, 1.0)
-                     + 0.2 * (1 - non_alnum_ratio), 4) AS quality_score
-        FROM p
+        WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+        SELECT doc_id, {_QSCORE_SQL} AS quality_score FROM t
         """,
     )
 )
@@ -1656,23 +1658,11 @@ register(
         doc="composed curation pass: lang gate → quality gate → exact dedup",
         oracle=f"""
         WITH t AS (SELECT doc_id, lang, source, text, {_TOKS_SQL} AS toks FROM documents),
-        p AS (
+        scored AS (
           SELECT doc_id, lang, source, text,
                  CAST(len(toks) AS BIGINT) AS n_tokens,
-                 CAST(len(toks) AS DOUBLE) AS n_tokens_d,
-                 CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
-                 CAST(len(list_filter(toks, s -> list_contains({_STOP_SQL}, s))) AS DOUBLE)
-                   / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
-                 CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-                   / CAST(length(text) AS DOUBLE) AS non_alnum_ratio
-          FROM t),
-        scored AS (
-          SELECT doc_id, lang, source, text, n_tokens,
-                 round(0.3 * least(n_tokens_d / 100.0, 1.0)
-                       + 0.3 * distinct_ratio
-                       + 0.2 * least(stopword_ratio * 4, 1.0)
-                       + 0.2 * (1 - non_alnum_ratio), 4) AS quality_score
-          FROM p)
+                 {_QSCORE_SQL} AS quality_score
+          FROM t)
         SELECT doc_id, source, n_tokens, quality_score
         FROM scored
         WHERE lang = 'en' AND quality_score >= 0.5
@@ -4112,5 +4102,89 @@ register(
                x.exact_mean_cents
         FROM s JOIN x ON s.event_type = x.event_type
         """,
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# TextRank keyword scoring: weighted PageRank over the adjacent-token
+# co-occurrence graph (llm/text.py `textrank_keywords`). Fixture honesty
+# note: the documents vocabulary is 31 tokens with a near-complete
+# co-occurrence graph, so ranks track weighted degree closely — the
+# entry's value is the operator (corpus graph + iterative-rank replay),
+# and ranks are still fully distinct across tokens.
+_TEXTRANK_ROUNDS = 5
+
+
+def _textrank_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    return text.textrank_keywords(docs, rounds=_TEXTRANK_ROUNDS)
+
+
+def _textrank_oracle() -> str:
+    from data_pipeline_with_spark_spark.operators.graph import (
+        PR_BASE_NUM,
+        PR_DAMP_NUM,
+        PR_SCALE,
+    )
+
+    rounds = []
+    for k in range(1, _TEXTRANK_ROUNDS + 1):
+        prev = f"r{k - 1}"
+        rounds.append(f"""
+        d{k} AS MATERIALIZED (
+          SELECT coalesce(sum(r.rank), 0) AS dm
+          FROM {prev} r LEFT JOIN outw o ON o.src = r.node
+          WHERE o.src IS NULL
+        ),
+        i{k} AS MATERIALIZED (
+          SELECT e.dst AS node, sum((r.rank * e.w) // o.outw) AS insum
+          FROM {prev} r JOIN outw o ON o.src = r.node JOIN e ON e.src = r.node
+          GROUP BY e.dst
+        ),
+        r{k} AS MATERIALIZED (
+          SELECT nodes.node,
+                 CAST({PR_BASE_NUM} // nn.n
+                      + ({PR_DAMP_NUM} * (coalesce(i.insum, 0) + d{k}.dm // nn.n)) // 100
+                   AS BIGINT) AS rank
+          FROM nodes CROSS JOIN nn CROSS JOIN d{k}
+          LEFT JOIN i{k} i ON i.node = nodes.node
+        )""")
+    return f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents
+               WHERE len({_TOKS_SQL}) >= 2),
+    pos AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t),
+    bi AS (SELECT toks[i] AS t1, toks[i + 1] AS t2 FROM pos
+           WHERE toks[i] <> toks[i + 1]),
+    und AS MATERIALIZED (
+      SELECT least(t1, t2) AS a, greatest(t1, t2) AS b, count(*) AS w
+      FROM bi GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+      SELECT a AS src, b AS dst, w FROM und
+      UNION ALL SELECT b AS src, a AS dst, w FROM und
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+    outw AS MATERIALIZED (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (
+      SELECT node, CAST({PR_SCALE} // nn.n AS BIGINT) AS rank
+      FROM nodes CROSS JOIN nn
+    ),{",".join(rounds)}
+    SELECT r.node AS token,
+           CAST(o.outw AS BIGINT) AS out_weight,
+           r.rank
+    FROM r{_TEXTRANK_ROUNDS} r JOIN outw o ON o.src = r.node
+    """
+
+
+register(
+    QuerySpec(
+        name="text_textrank_keywords",
+        build=_textrank_keywords,
+        doc="TextRank keyword scores: weighted integer fixed-point PageRank "
+        "over the adjacent-token co-occurrence graph (5 unrolled rounds, "
+        "oracle replays edge building + every round bit-exactly)",
+        oracle=_textrank_oracle(),
     )
 )

@@ -2198,3 +2198,42 @@ def test_sample_estimate_unbiased_on_uniform_keys(spark):
         )
     ).collect()[0][0]
     assert abs(mean_cents - 4950) < 4 * (2887 / (n_s ** 0.5)) * 100 / 100 + 300
+
+
+def test_textrank_hub_token_wins(spark):
+    """Planted star graph: 'hub' is adjacent to every other token while
+    the spokes only ever touch the hub, so weighted PageRank must rank
+    the hub first. Also pins the bigram edge semantics: self-pairs
+    dropped, weights symmetric (out_weight counts both directions), and
+    single-token docs contribute nothing."""
+    rows = [
+        (1, "hub alpha hub beta"),
+        (2, "gamma hub delta hub"),
+        (3, "hub hub hub"),  # self-pairs only: no edges
+        (4, "solo"),  # < 2 tokens after split: no edges
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.token: r for r in text.textrank_keywords(df, rounds=5).collect()}
+    assert "solo" not in out  # isolated token never enters the graph
+    assert set(out) == {"hub", "alpha", "beta", "gamma", "delta"}
+    # doc 1 bigrams: hub-alpha ×2, hub-beta ×1; doc 2: hub-gamma ×1,
+    # hub-delta ×2 — hub's incident weight is the sum, 6
+    assert out["hub"].out_weight == 6
+    assert out["alpha"].out_weight == 2 and out["delta"].out_weight == 2
+    assert out["beta"].out_weight == 1 and out["gamma"].out_weight == 1
+    hub_rank = out["hub"].rank
+    assert all(hub_rank > out[t].rank for t in ("alpha", "beta", "gamma", "delta"))
+    # weight-symmetric spokes get identical ranks (cross-key determinism)
+    assert out["alpha"].rank == out["delta"].rank
+    assert out["beta"].rank == out["gamma"].rank
+    assert out["alpha"].rank > out["beta"].rank  # heavier spoke outranks
+
+
+def test_cooccurrence_edges_window_and_weights(spark):
+    """Edge weights count adjacency in EITHER order: 'a b' + 'b a'
+    merge into one undirected edge of weight 2."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b a")], ["doc_id", "text"]
+    )
+    edges = {(r.a, r.b): r.w for r in text.cooccurrence_edges(df).collect()}
+    assert edges == {("a", "b"): 2, ("b", "c"): 1}

@@ -118,3 +118,44 @@ def test_conf_summary(spark):
     conf = conf_summary(spark)
     assert conf["spark.sql.adaptive.enabled"] == "true"
     assert conf["spark.sql.session.timeZone"] == "UTC"
+
+
+def test_gapfill_locf_planted_series(spark):
+    """Planted hourly series with a hole: the spine densifies the gap
+    hour, zero-fills its count, and LOCF carries the previous hour's
+    value cents; a type absent at the spine start stays 0 until its
+    first observation (leading-gap coalesce)."""
+    import datetime as dt
+
+    from data_pipeline_with_spark_spark.plans.catalog_events import (
+        _GAPFILL_SPARK,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        # type 'a': hours 0, 1, 3 present — hour 2 is a true gap
+        (1, base, 101, "a", 2.0, "{}"),
+        (2, base + dt.timedelta(hours=1), 102, "a", 3.0, "{}"),
+        (3, base + dt.timedelta(hours=3), 103, "a", 5.0, "{}"),
+        # type 'b': first appears at hour 3 — hours 0-2 leading gaps
+        (4, base + dt.timedelta(hours=3), 104, "b", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.createOrReplaceTempView("events")
+    try:
+        out = {
+            (r.event_type, r.hr): r for r in spark.sql(_GAPFILL_SPARK).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("events")
+    hrs = sorted({h for (_, h) in out})
+    assert len(hrs) == 4 and hrs[1] - hrs[0] == 3600  # dense 4-hour spine
+    a = [out[("a", h)] for h in hrs]
+    assert [r.n_events for r in a] == [1, 1, 0, 1]
+    assert [r.was_gap for r in a] == [0, 0, 1, 0]
+    assert [r.locf_value_cents for r in a] == [200, 300, 300, 500]  # carried
+    b = [out[("b", h)] for h in hrs]
+    assert [r.n_events for r in b] == [0, 0, 0, 1]
+    assert [r.locf_value_cents for r in b] == [0, 0, 0, 700]  # leading gaps 0
