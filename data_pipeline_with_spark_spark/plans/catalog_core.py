@@ -725,3 +725,65 @@ register(
         """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation — the classic BI windowed-quintile shape:
+# per-customer recency/frequency/monetary out of ONE orders aggregate,
+# then three ntile(5) windows over the O(customers) intermediate (never
+# over raw orders). Every metric is BIGINT (days, counts, price cents)
+# and every window ORDER BY carries the custkey tie-break, so ntile's
+# bucket assignment is a deterministic total order both engines replay
+# bit-exactly (both put remainder rows in the leading buckets).
+# Dialect split is datediff spelling only (Spark datediff(end, start)
+# vs DuckDB date_diff('day', start, end)).
+_RFM_BODY = """
+WITH m AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents,
+         max(o_orderdate) AS last_order
+  FROM orders GROUP BY o_custkey
+),
+g AS (SELECT max(o_orderdate) AS nowd FROM orders),
+r AS (
+  SELECT o_custkey, frequency, monetary_cents,
+         CAST({datediff} AS BIGINT) AS recency_days
+  FROM m CROSS JOIN g
+)
+SELECT o_custkey, recency_days, frequency, monetary_cents,
+       ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_q,
+       ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_q,
+       ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS m_q
+FROM r
+"""
+
+_RFM_SPARK = f"""
+SELECT o_custkey, recency_days, frequency, monetary_cents, r_q, f_q, m_q,
+       CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code
+FROM ({_RFM_BODY.format(datediff="datediff(nowd, last_order)")})
+"""
+
+_RFM_ORACLE = f"""
+SELECT o_custkey, recency_days, frequency, monetary_cents, r_q, f_q, m_q,
+       CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code
+FROM ({_RFM_BODY.format(datediff="date_diff('day', last_order, nowd)")})
+"""
+
+
+def _rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    register_testdata_views(spark, sf)
+    return spark.sql(_RFM_SPARK)
+
+
+register(
+    QuerySpec(
+        name="orders_rfm_segments",
+        build=_rfm_segments,
+        doc="RFM quintile segmentation: one orders aggregate + three "
+        "tie-broken ntile(5) windows over the O(customers) intermediate; "
+        "all-BIGINT metrics, deterministic bucket boundaries",
+        oracle=_RFM_ORACLE,
+    )
+)

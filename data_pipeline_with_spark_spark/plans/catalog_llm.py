@@ -4188,3 +4188,42 @@ register(
         oracle=_textrank_oracle(),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# First-occurrence novelty scoring (llm/dedup.py `novelty_scores`): the
+# curation-order view of the dedup family — exact dups of an earlier doc
+# score 0, originals 1, near-dups in between (their partner owns the
+# shared shingles). Fixture: ~50 planted near-dup partners plus heavy
+# 31-token-vocab shingle sharing give a full spread of ratios.
+def _novelty_scores(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents")
+    return dedup.novelty_scores(docs, k=_K_SHINGLE)
+
+
+register(
+    QuerySpec(
+        name="dedup_novelty_scores",
+        build=_novelty_scores,
+        doc="per-doc corpus novelty by first-occurrence shingle attribution "
+        "(lowest doc id owns each distinct k-gram); digest-keyed shuffles "
+        "only, O(docs) output",
+        oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+        post AS (
+          SELECT doc_id, md5(s) AS sid
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+        ),
+        owner AS (SELECT sid, min(doc_id) AS owner FROM post GROUP BY sid)
+        SELECT p.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN o.owner = p.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(CAST(sum(CASE WHEN o.owner = p.doc_id THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS novelty
+        FROM post p JOIN owner o ON o.sid = p.sid
+        GROUP BY p.doc_id
+        """,
+    )
+)

@@ -2237,3 +2237,25 @@ def test_cooccurrence_edges_window_and_weights(spark):
     )
     edges = {(r.a, r.b): r.w for r in text.cooccurrence_edges(df).collect()}
     assert edges == {("a", "b"): 2, ("b", "c"): 1}
+
+
+def test_novelty_scores_first_occurrence_attribution(spark):
+    """Planted corpus: doc 2 is an exact dup of doc 1 (novelty 0 — doc
+    1 owns every shared shingle), doc 3 shares a prefix with doc 1 but
+    adds new material (strictly between 0 and 1), doc 4 is disjoint
+    (novelty 1). Counts pin the k=3 distinct-shingle base."""
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),
+        (3, "a b c d x y z w"),
+        (4, "p q r s t"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.novelty_scores(df).collect()}
+    assert out[1].n_shingles == 4 and out[1].novelty == 1.0
+    assert out[2].n_shingles == 4 and out[2].n_novel == 0
+    assert out[2].novelty == 0.0
+    # doc 3: 6 shingles, shares exactly 'a b c' and 'b c d' with doc 1
+    assert out[3].n_shingles == 6 and out[3].n_novel == 4
+    assert abs(out[3].novelty - 4 / 6) < 1e-6
+    assert out[4].novelty == 1.0
