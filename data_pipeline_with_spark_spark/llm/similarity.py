@@ -2201,3 +2201,91 @@ def hard_negatives(
             "rnk",
         )
     )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein '98)
+    at fixed λ = 1/2: greedily pick ``k`` results from each query's
+    exact-cosine top-``pool`` so that round r maximizes
+    (sim_to_query − max_sim_to_already_selected) / 2 — the diversity-
+    aware re-rank retrieval stacks run after ANN (dedupe the context
+    window, not just rank it). Returns (q_id, neighbor_id, cos_sim,
+    select_rank) with select_rank 1..k per query.
+
+    λ is pinned to 1/2 because halving is EXACT in IEEE doubles: both
+    score terms are round-6 cosines, so (a − b)/2 is bit-identical
+    cross-engine and a DuckDB oracle replays every greedy round as
+    unrolled CTEs (the PageRank doctrine applied to a ranking loop).
+    Ties break on neighbor_id.
+
+    Scale shape: the expensive work is the already-verified top-pool
+    subtree (one corpus scan, broadcast queries) and an O(pool²)-per-
+    query pairwise frame — both checkpointed once; the k−1 greedy
+    rounds then run window + semi/anti joins over O(queries × pool)
+    rows, independent of corpus size. All rounds are vectorized ACROSS
+    queries (partitionBy(q_id) windows), so ten thousand queries cost
+    the same number of Spark jobs as one."""
+    cand = brute_force_topk(
+        corpus, queries, k=pool, id_col=id_col, emb_col=emb_col
+    ).localCheckpoint(eager=True)
+    emb_a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(emb_col).alias("__ea")
+    )
+    emb_b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(emb_col).alias("__eb")
+    )
+    x = cand.select("q_id", F.col("neighbor_id").alias("id_a"))
+    y = cand.select("q_id", F.col("neighbor_id").alias("id_b"))
+    pair = (
+        x.join(y, "q_id")
+        .where(F.col("id_a") != F.col("id_b"))
+        .join(emb_a, "id_a")
+        .join(emb_b, "id_b")
+        .select(
+            "q_id",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__ea"), F.col("__eb")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sel = cand.where(F.col("rnk") == 1).select(
+        "q_id", "neighbor_id", "cos_sim", F.lit(1).alias("select_rank")
+    )
+    for r in range(2, k + 1):
+        maxsel = (
+            pair.join(
+                sel.select("q_id", F.col("neighbor_id").alias("id_b")),
+                ["q_id", "id_b"],
+                "semi",
+            )
+            .groupBy("q_id", "id_a")
+            .agg(F.max("sim").alias("mx"))
+            .select("q_id", F.col("id_a").alias("neighbor_id"), "mx")
+        )
+        rem = cand.join(
+            sel.select("q_id", "neighbor_id"), ["q_id", "neighbor_id"], "anti"
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc((F.col("cos_sim") - F.col("mx")) / 2),
+            F.asc("neighbor_id"),
+        )
+        winner = (
+            rem.join(maxsel, ["q_id", "neighbor_id"])
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "q_id", "neighbor_id", "cos_sim", F.lit(r).alias("select_rank")
+            )
+        )
+        # sel feeds the next round's semi AND anti joins — truncate the
+        # (tiny, O(queries·r)) frame so the plan stays linear in k.
+        sel = sel.unionByName(winner).localCheckpoint(eager=True)
+    return sel

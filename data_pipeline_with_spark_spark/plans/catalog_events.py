@@ -522,3 +522,59 @@ register(
         oracle=_GAPFILL_ORACLE,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# MAD robust outliers — the median-based sibling of events_value_outliers
+# (z-score): |x − median| > 3·MAD flags the tail without the tail first
+# inflating the scale estimate (this fixture's value distribution is
+# heavy-tailed: median 35 vs mean 50, so MAD flags ~11 % where z-score
+# flags far less). Determinism: values become BIGINT cents; the exact
+# interpolating percentile of integers lands on the .5 grid and the
+# second-pass MAD on the .25 grid — all exactly representable doubles,
+# and 3·MAD stays exact, so the comparison is bit-identical cross-engine
+# (Spark percentile ≡ DuckDB quantile_cont at p=0.5). Scale shape: both
+# percentile passes are count-map aggregates over the bounded-cardinality
+# cents domain grouped by 5 types; the flagging join broadcasts the
+# O(types) med/mad frames. At 100 TB swap the exact percentile for the
+# mergeable HdrHistogram face (sketch_quantile_by_type) — same pipeline,
+# sketch-merge instead of count-map.
+_MAD_BODY = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+),
+med AS (
+  SELECT event_type, {pct}(value_cents, 0.5) AS med
+  FROM v GROUP BY event_type
+),
+dev AS (
+  SELECT v.event_id, v.event_type, v.value_cents, m.med,
+         abs(v.value_cents - m.med) AS ad
+  FROM v JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, {pct}(ad, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value_cents, d.med, m.mad
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.ad > 3 * m.mad
+"""
+
+
+def _mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    register_testdata_views(spark, sf)
+    return spark.sql(_MAD_BODY.format(pct="percentile"))
+
+
+register(
+    QuerySpec(
+        name="events_mad_outliers",
+        build=_mad_outliers,
+        doc="per-type MAD robust outliers (|x − median| > 3·MAD on BIGINT "
+        "cents; exact-half percentile grid, bit-identical cross-engine)",
+        oracle=_MAD_BODY.format(pct="quantile_cont"),
+    )
+)

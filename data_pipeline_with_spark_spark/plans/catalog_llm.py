@@ -4227,3 +4227,134 @@ register(
         """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Fixed-size deterministic sample per stratum — the RNG-free reservoir
+# replacement (companion of the rate-based sample_hash_bucket /
+# sample_estimate_event_stats): rank rows inside each stratum by
+# md5(id) and keep the first n. Unlike a hash-RATE sample, every
+# stratum yields EXACTLY n rows (or all of them if smaller), which is
+# what per-source eval sets and debugging slices need. The md5 order is
+# uniform, reproducible across engines/retries/cluster sizes, and the
+# window is the WindowGroupLimit shape (partial top-n before the
+# exchange, same plan family as w1_topk_per_group) — no global sort, no
+# reservoir state, 100 TB-safe.
+_STRAT_N = 10
+
+
+def _stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            F.row_number().over(w).alias("draw_rank"),
+        )
+        .where(F.col("draw_rank") <= _STRAT_N)
+    )
+
+
+register(
+    QuerySpec(
+        name="sample_stratified_topn",
+        build=_stratified_sample,
+        doc=f"deterministic fixed-size sample ({_STRAT_N}/stratum): md5-ranked "
+        "row_number per source, WindowGroupLimit plan shape — the RNG-free "
+        "reservoir replacement",
+        oracle=f"""
+        SELECT source, doc_id, draw_rank FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS draw_rank
+          FROM documents
+        ) WHERE draw_rank <= {_STRAT_N}
+        """,
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# MMR diverse selection (llm/similarity.py `mmr_select`): the diversity-
+# aware re-rank after retrieval. At this fixture the diversity term
+# genuinely bites: 11 of 15 selected positions differ from the plain
+# cosine top-5 for the same three queries.
+_MMR_K, _MMR_POOL, _MMR_NQ = 5, 20, 3
+
+
+def _mmr_select(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_testdata(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < _MMR_NQ)
+    return similarity.mmr_select(emb, queries, k=_MMR_K, pool=_MMR_POOL)
+
+
+def _mmr_oracle() -> str:
+    cos = _COS_SQL
+    parts = [f"""
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id < {_MMR_NQ}),
+    cand AS MATERIALIZED (
+      SELECT q_id, neighbor_id, cos_sim, rnk FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               {cos.format(a='e.embedding', b='q.q_emb')} AS cos_sim,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {cos.format(a='e.embedding', b='q.q_emb')} DESC,
+                          e.vec_id) AS rnk
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
+      ) WHERE rnk <= {_MMR_POOL}
+    ),
+    pair AS MATERIALIZED (
+      SELECT x.q_id, x.neighbor_id AS id_a, y.neighbor_id AS id_b,
+             {cos.format(a='ea.embedding', b='eb.embedding')} AS sim
+      FROM cand x JOIN cand y
+        ON x.q_id = y.q_id AND x.neighbor_id <> y.neighbor_id
+      JOIN embeddings ea ON ea.vec_id = x.neighbor_id
+      JOIN embeddings eb ON eb.vec_id = y.neighbor_id
+    ),
+    sel1 AS (SELECT q_id, neighbor_id, cos_sim, 1 AS select_rank
+             FROM cand WHERE rnk = 1)"""]
+    for r in range(2, _MMR_K + 1):
+        parts.append(f"""
+    m{r} AS (SELECT p.q_id, p.id_a, max(p.sim) AS mx
+             FROM pair p JOIN sel{r - 1} s
+               ON s.q_id = p.q_id AND s.neighbor_id = p.id_b
+             GROUP BY 1, 2),
+    w{r} AS (SELECT c.q_id, c.neighbor_id, c.cos_sim,
+                    row_number() OVER (PARTITION BY c.q_id
+                      ORDER BY (c.cos_sim - m.mx) / 2 DESC,
+                               c.neighbor_id) AS rn
+             FROM cand c JOIN m{r} m
+               ON m.q_id = c.q_id AND m.id_a = c.neighbor_id
+             WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} s
+                               WHERE s.q_id = c.q_id
+                                 AND s.neighbor_id = c.neighbor_id)),
+    sel{r} AS (SELECT * FROM sel{r - 1}
+               UNION ALL
+               SELECT q_id, neighbor_id, cos_sim, {r} FROM w{r} WHERE rn = 1)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+    SELECT q_id, neighbor_id, cos_sim, CAST(select_rank AS INT) AS select_rank
+    FROM sel{_MMR_K}
+    """
+    )
+
+
+register(
+    QuerySpec(
+        name="sim_mmr_select",
+        build=_mmr_select,
+        doc="maximal-marginal-relevance selection at exact λ=1/2 (top-20 "
+        "pool, 5 greedy rounds unrolled; pairwise round-6 cosines, halving "
+        "exact in IEEE) — oracle replays every round; rounds vectorized "
+        "across queries",
+        oracle=_mmr_oracle(),
+    )
+)

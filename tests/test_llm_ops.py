@@ -2259,3 +2259,30 @@ def test_novelty_scores_first_occurrence_attribution(spark):
     assert out[3].n_shingles == 6 and out[3].n_novel == 4
     assert abs(out[3].novelty - 4 / 6) < 1e-6
     assert out[4].novelty == 1.0
+
+
+def test_mmr_select_prefers_diverse_over_clone(spark):
+    """Planted geometry: the query's two most-similar vectors are near
+    clones of each other; a third is slightly less query-similar but
+    points elsewhere. Plain top-2 takes both clones; MMR must take one
+    clone then the diverse vector — and at λ=1/2 the clone's penalty
+    (≈ its self-similarity) makes that unambiguous."""
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),     # query
+        (1, [0.99, 0.14, 0.0], 0),   # clone A  (cos≈0.990)
+        (2, [0.99, 0.141, 0.0], 0),  # clone A' (cos≈0.990, sim(A,A')≈1)
+        (3, [0.80, 0.0, 0.60], 0),   # diverse  (cos=0.8)
+        (4, [0.0, 1.0, 0.0], 0),     # filler
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = similarity.mmr_select(
+        df, df.where(F.col("vec_id") == 0), k=2, pool=4
+    ).collect()
+    sel = {r.select_rank: r.neighbor_id for r in out}
+    assert sel[1] == 1          # highest cosine wins round 1
+    assert sel[2] == 3          # diversity beats the clone in round 2
+    # plain top-2 would have been the two clones
+    plain = similarity.brute_force_topk(
+        df, df.where(F.col("vec_id") == 0), k=2
+    ).collect()
+    assert {r.neighbor_id for r in plain} == {1, 2}
