@@ -4201,14 +4201,10 @@ def _novelty_scores(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.novelty_scores(docs, k=_K_SHINGLE)
 
 
-register(
-    QuerySpec(
-        name="dedup_novelty_scores",
-        build=_novelty_scores,
-        doc="per-doc corpus novelty by first-occurrence shingle attribution "
-        "(lowest doc id owns each distinct k-gram); digest-keyed shuffles "
-        "only, O(docs) output",
-        oracle=f"""
+# Shared with the streaming face (catalog_streaming
+# `stream_novelty_ingest`): the drained ledgers reproduce this exact
+# batch aggregate in any micro-batch order (ownership is a min-fold).
+_NOVELTY_ORACLE = f"""
         WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
         sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
         post AS (
@@ -4224,7 +4220,16 @@ register(
                           AS DOUBLE) / count(*), 6) AS novelty
         FROM post p JOIN owner o ON o.sid = p.sid
         GROUP BY p.doc_id
-        """,
+        """
+
+register(
+    QuerySpec(
+        name="dedup_novelty_scores",
+        build=_novelty_scores,
+        doc="per-doc corpus novelty by first-occurrence shingle attribution "
+        "(lowest doc id owns each distinct k-gram); digest-keyed shuffles "
+        "only, O(docs) output",
+        oracle=_NOVELTY_ORACLE,
     )
 )
 

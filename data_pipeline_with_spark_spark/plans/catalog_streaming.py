@@ -602,3 +602,42 @@ register(
         """,
     )
 )
+
+
+def _stream_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING first-occurrence novelty (see demo.run_stream_novelty):
+    4 real micro-batches append digests-only postings and min-MERGE the
+    owner ledger; novelty is served at drain from the two ledgers.
+    Ownership is a min-fold, so the drained result equals the batch
+    `dedup_novelty_scores` aggregate in ANY micro-batch order — the
+    oracle is literally the batch entry's SQL."""
+    import tempfile
+
+    from data_pipeline_with_spark_spark.streaming.demo import (
+        run_stream_novelty,
+    )
+
+    return run_stream_novelty(
+        spark, sf, tempfile.mkdtemp(prefix="stream_novelty_")
+    )
+
+
+def _stream_novelty_oracle() -> str:
+    from data_pipeline_with_spark_spark.plans.catalog_llm import (
+        _NOVELTY_ORACLE,
+    )
+
+    return _NOVELTY_ORACLE
+
+
+register(
+    QuerySpec(
+        name="stream_novelty_ingest",
+        build=_stream_novelty,
+        doc="streaming first-occurrence novelty: per-batch shingle hashing, "
+        "digests-only postings append + min-MERGE owner ledger (exactly-"
+        "once, order-independent by algebra); drained serve ≡ batch "
+        "novelty bit-for-bit",
+        oracle=_stream_novelty_oracle(),
+    )
+)

@@ -1390,3 +1390,102 @@ def run_streaming_static_enrich(
     )
     query.awaitTermination()
     return _drain_memory_sink(spark, sink_table, staging, work_dir)
+
+
+NOVELTY_POSTINGS_SCHEMA = "doc_id BIGINT, sid STRING"
+
+
+def fold_novelty_batch(postings, batch_df: DataFrame, epoch_id: int, k_shingle: int = 3) -> bool:
+    """Fold one micro-batch into the streaming novelty state: the batch
+    docs' distinct shingle digests append to the postings ledger
+    (doc_id, sid — 32-hex digests only, never shingle text) under the
+    epoch id. The postings ledger is the SUFFICIENT STATISTIC for
+    first-occurrence novelty: ownership (min doc_id per sid) is a
+    serve-time fold of an associative-commutative min, so the ingest
+    stays append-only — the LSM/delta shape where per-batch work is one
+    cheap exactly-once append and compaction is deferred — and the
+    drained result is independent of micro-batch order by algebra. (The
+    eager alternative — min-MERGE an owner ledger per batch, as
+    ``fold_dedup_batch`` does for keeper ids — costs a transactional
+    rewrite per batch for state this query only needs at serve time.)
+
+    Exactly-once: ``idempotent_append`` under the epoch id; a replayed
+    epoch re-skips. Per-batch work is O(batch shingles) hashing + one
+    digest-only append — nothing global recomputes."""
+    from data_pipeline_with_spark_spark.lake.versioned import retry_on_conflict
+    from data_pipeline_with_spark_spark.llm.dedup import with_shingles
+
+    post = (
+        with_shingles(batch_df.select("doc_id", "text"), k=k_shingle)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode("shingles").alias("__s"),
+        )
+        .select("doc_id", F.md5(F.col("__s")).alias("sid"))
+    )
+    return retry_on_conflict(
+        lambda: postings.idempotent_append(
+            post, app_id="stream_novelty_postings", batch_id=epoch_id
+        )
+    )
+
+
+def run_stream_novelty(spark: SparkSession, sf_dir: str, work_dir: str):
+    """STREAMING first-occurrence novelty — the incremental face of
+    ``dedup.novelty_scores``: documents arrive in micro-batches, each
+    batch pays its own shingle hashing once and appends digests-only
+    postings exactly-once; the serving query at drain folds ownership
+    (min doc_id per sid — associative, so ANY batch order drains to the
+    same table) and scores every doc seen so far. Drained result ≡ the
+    batch novelty aggregate bit-for-bit.
+
+    Scale shape: per batch O(batch shingles) hashing + one append; the
+    drain serve is one digest-keyed min aggregate + one digest-keyed
+    join over state of size O(corpus doc-shingle pairs) — the same
+    accepted state shape as the near-dup band ledger (which also keeps
+    all its triples)."""
+    from pathlib import Path
+
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    work = Path(work_dir)
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    staging = str(work / "staging")
+    docs.repartition(4).write.parquet(staging)
+    postings = VersionedTable(spark, str(work / "postings")).create(
+        spark.createDataFrame([], NOVELTY_POSTINGS_SCHEMA)
+    )
+    query = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(
+            lambda batch_df, epoch_id: fold_novelty_batch(
+                postings, batch_df, epoch_id
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    p = postings.read()
+    owner = p.groupBy("sid").agg(F.min("doc_id").alias("owner"))
+    return (
+        p.join(owner, "sid")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+    )

@@ -795,3 +795,34 @@ def test_stream_static_enrich_equals_batch(spark, sf_dir, tmp_path):
     segs = {r[0] for r in srows}
     dim_segs = {r.c_mktsegment for r in cust.select("c_mktsegment").distinct().collect()}
     assert segs <= dim_segs
+
+
+def test_stream_novelty_equals_batch_and_replay_noop(spark, sf_dir, tmp_path):
+    # Streaming novelty: the drained serve equals the batch
+    # novelty_scores aggregate bit-for-bit (ownership is a serve-time
+    # min-fold, so micro-batch order is irrelevant by algebra); a
+    # replayed epoch re-skips via the postings batch watermark.
+    from data_pipeline_with_spark_spark.llm import dedup
+    from data_pipeline_with_spark_spark.streaming.demo import (
+        fold_novelty_batch,
+        run_stream_novelty,
+    )
+
+    out = run_stream_novelty(spark, sf_dir, str(tmp_path / "nv"))
+    got = {
+        (r.doc_id, r.n_shingles, r.n_novel, r.novelty) for r in out.collect()
+    }
+    docs = read_testdata(spark, sf_dir, "documents")
+    want = {
+        (r.doc_id, r.n_shingles, r.n_novel, r.novelty)
+        for r in dedup.novelty_scores(docs).collect()
+    }
+    assert got == want and len(got) == docs.count()
+    # replaying an already-folded epoch must be a no-op append
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+    postings = VersionedTable(spark, str(tmp_path / "nv" / "postings"))
+    before = postings.read().count()
+    applied = fold_novelty_batch(postings, docs.limit(3), epoch_id=0)
+    assert applied is False
+    assert postings.read().count() == before
