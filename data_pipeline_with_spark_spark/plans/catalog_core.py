@@ -737,6 +737,12 @@ register(
 # bit-exactly (both put remainder rows in the leading buckets).
 # Dialect split is datediff spelling only (Spark datediff(end, start)
 # vs DuckDB date_diff('day', start, end)).
+#
+# Scale honesty: an un-partitioned ntile is a single-partition sort —
+# fine over thousands-to-millions of customer rows (it never sees raw
+# orders), but at a 10^8-customer scale the swap is percentile
+# breakpoints (exact or sketch) + a broadcast range-assignment join,
+# which reproduces the same buckets up to boundary ties.
 _RFM_BODY = """
 WITH m AS (
   SELECT o_custkey,

@@ -4235,58 +4235,6 @@ register(
 
 
 # --------------------------------------------------------------------------
-# Fixed-size deterministic sample per stratum — the RNG-free reservoir
-# replacement (companion of the rate-based sample_hash_bucket /
-# sample_estimate_event_stats): rank rows inside each stratum by
-# md5(id) and keep the first n. Unlike a hash-RATE sample, every
-# stratum yields EXACTLY n rows (or all of them if smaller), which is
-# what per-source eval sets and debugging slices need. The md5 order is
-# uniform, reproducible across engines/retries/cluster sizes, and the
-# window is the WindowGroupLimit shape (partial top-n before the
-# exchange, same plan family as w1_topk_per_group) — no global sort, no
-# reservoir state, 100 TB-safe.
-_STRAT_N = 10
-
-
-def _stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    docs = read_testdata(spark, sf, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    return (
-        docs.select(
-            "source",
-            "doc_id",
-            F.row_number().over(w).alias("draw_rank"),
-        )
-        .where(F.col("draw_rank") <= _STRAT_N)
-    )
-
-
-register(
-    QuerySpec(
-        name="sample_stratified_topn",
-        build=_stratified_sample,
-        doc=f"deterministic fixed-size sample ({_STRAT_N}/stratum): md5-ranked "
-        "row_number per source, WindowGroupLimit plan shape — the RNG-free "
-        "reservoir replacement",
-        oracle=f"""
-        SELECT source, doc_id, draw_rank FROM (
-          SELECT source, doc_id,
-                 row_number() OVER (
-                   PARTITION BY source
-                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                 ) AS draw_rank
-          FROM documents
-        ) WHERE draw_rank <= {_STRAT_N}
-        """,
-    )
-)
-
-
-# --------------------------------------------------------------------------
 # MMR diverse selection (llm/similarity.py `mmr_select`): the diversity-
 # aware re-rank after retrieval. At this fixture the diversity term
 # genuinely bites: 11 of 15 selected positions differ from the plain

@@ -82,6 +82,22 @@ ITERATIVE_EXTRA = [
     "sim_hybrid_rrf_search",
     "sim_hard_negatives",
     "stream_static_enrich",
+    # r12 additions: TextRank is iterative-join lineage over the
+    # O(vocab²)-bounded co-occurrence graph (edge build must be the
+    # only data-dependent cost); novelty is two digest-keyed shuffles
+    # over exploded shingles (scan-bound); its streaming twin must
+    # track the other streaming ingests; MMR's greedy rounds run over
+    # O(queries × pool) rows after the verified top-pool subtree (only
+    # the pool scan scales); gap-fill windows over the O(types × hours)
+    # aggregate; MAD is two count-map percentile passes; RFM windows
+    # over the O(customers) aggregate.
+    "text_textrank_keywords",
+    "dedup_novelty_scores",
+    "stream_novelty_ingest",
+    "sim_mmr_select",
+    "events_gapfill_locf",
+    "events_mad_outliers",
+    "orders_rfm_segments",
 ]
 
 SFS = [
