@@ -47,3 +47,24 @@ def decade_pandas_udf(year: pd.Series) -> pd.Series:
     dec = ((year // 10) * 10).astype("Int64")
     out = dec.astype(str) + "s"
     return out.where(dec.notna(), None)
+
+
+# U4: Arrow GROUPED_AGG pandas UDF (Series → scalar per group) — the
+# fourth face of the §2.10 taxonomy next to native / row-UDF / scalar
+# pandas. Returns the BIGINT sum so the aggregate is order-free and
+# bit-identical to the native sum (a float mean inside the UDF would
+# depend on pandas' summation order; the mean is taken OUTSIDE via
+# integer division). Arrow ships each group's column as one batch —
+# the vectorized path — but the optimizer still can't push into it:
+# keep grouped-agg UDFs for logic native aggregates can't express.
+@F.pandas_udf("long")
+def sum_cents_grouped_agg(cents: pd.Series) -> int:
+    return int(cents.sum())
+
+
+# Companion count (Spark disallows mixing GROUPED_AGG pandas UDFs with
+# non-pandas aggregates in one agg() — INVALID_PANDAS_UDF_PLACEMENT —
+# so the count rides the same Arrow path).
+@F.pandas_udf("long")
+def count_grouped_agg(cents: pd.Series) -> int:
+    return int(len(cents))

@@ -793,3 +793,50 @@ register(
         oracle=_RFM_ORACLE,
     )
 )
+
+
+def _u4_grouped_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """U4: GROUPED_AGG pandas UDF — per-priority order-value totals via
+    the Arrow Series→scalar path, with the mean as BIGINT division
+    outside the UDF (the UDF returns an order-free integer sum, so the
+    result is bit-identical to the native aggregate the oracle runs)."""
+    from data_pipeline_with_spark_spark.functions.udfs import (
+        count_grouped_agg,
+        sum_cents_grouped_agg,
+    )
+
+    orders = read_testdata(spark, sf, "orders")
+    return (
+        orders.withColumn(
+            "__c", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            sum_cents_grouped_agg(F.col("__c")).alias("sum_cents"),
+            count_grouped_agg(F.col("__c")).alias("n_orders"),
+        )
+        .withColumn(
+            "mean_cents", F.expr("CAST(sum_cents div n_orders AS BIGINT)")
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="u4_grouped_agg_pandas_udf",
+        build=_u4_grouped_agg,
+        doc="GROUPED_AGG pandas UDF (Arrow Series→scalar): integer sum per "
+        "group inside the UDF, BIGINT-division mean outside — order-free, "
+        "native-equal; completes the §2.10 native/row/scalar-pandas/"
+        "grouped-agg taxonomy",
+        oracle="""
+        SELECT o_orderpriority,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // count(*)
+                 AS BIGINT) AS mean_cents
+        FROM orders GROUP BY o_orderpriority
+        """,
+    )
+)

@@ -159,3 +159,27 @@ def test_gapfill_locf_planted_series(spark):
     b = [out[("b", h)] for h in hrs]
     assert [r.n_events for r in b] == [0, 0, 0, 1]
     assert [r.locf_value_cents for r in b] == [0, 0, 0, 700]  # leading gaps 0
+
+
+def test_u4_grouped_agg_udf_equals_native(spark):
+    """The GROUPED_AGG pandas UDF pair (integer sum + count over the
+    Arrow path) must be bit-identical to the native aggregates — the
+    order-free-integer contract that makes the UDF oracle-checkable."""
+    from data_pipeline_with_spark_spark.functions.udfs import (
+        count_grouped_agg,
+        sum_cents_grouped_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 101), ("a", 202), ("b", 5), ("a", 303)], ["k", "c"]
+    )
+    got = {
+        (r.k, r.s, r.n)
+        for r in df.groupBy("k")
+        .agg(
+            sum_cents_grouped_agg(F.col("c")).alias("s"),
+            count_grouped_agg(F.col("c")).alias("n"),
+        )
+        .collect()
+    }
+    assert got == {("a", 606, 3), ("b", 5, 1)}
