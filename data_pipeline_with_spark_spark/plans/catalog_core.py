@@ -840,3 +840,107 @@ register(
         """,
     )
 )
+
+
+def _a13_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A13: salted two-phase aggregation (operators/aggregates.py
+    `salted_group_agg`) — the skew-mitigation face of A1: partial
+    aggregate on (key, salt) spreads a hot key over `salt_buckets`
+    reducers, the final aggregate folds the partials. Result is
+    bit-identical to the plain aggregate for algebraic BIGINT
+    aggregates (integer sums are order/partition-free), which is
+    exactly what the oracle checks; l_returnflag at 3 distinct values
+    IS the few-hot-keys regime the pattern exists for."""
+    from data_pipeline_with_spark_spark.operators.aggregates import (
+        salted_group_agg,
+    )
+
+    li = read_testdata(spark, sf, "lineitem").withColumn(
+        "qty_i", F.col("l_quantity").cast("bigint")
+    ).withColumn(
+        "price_cents", F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    )
+    out = salted_group_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_rows": ("count", "l_orderkey"),
+            "sum_qty": ("sum", "qty_i"),
+            "sum_price_cents": ("sum", "price_cents"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        F.col("sum_price_cents").cast("bigint").alias("sum_price_cents"),
+    )
+
+
+register(
+    QuerySpec(
+        name="a13_salted_skew_agg",
+        build=_a13_salted_agg,
+        doc="salted two-phase aggregation (partial on (key, salt), final "
+        "fold on key): the hot-key mitigation for A1, bit-identical to the "
+        "plain aggregate for algebraic BIGINT aggregates",
+        oracle="""
+        SELECT l_returnflag,
+               CAST(count(l_orderkey) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_price_cents
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    )
+)
+
+
+def _j8_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J8: salted skew join (operators/joins.py `salted_skew_join`) —
+    the hot-key join mitigation: the fact side salts into 16 random
+    buckets, the dim side replicates across all buckets, so one
+    pathological key spreads over 16 reducers instead of melting one.
+    Folded to a per-priority BIGINT aggregate so the oracle checks the
+    join's full content order-free (the salt is execution detail; the
+    joined multiset is identical to the plain join by construction)."""
+    from data_pipeline_with_spark_spark.operators.joins import (
+        salted_skew_join,
+    )
+
+    li = read_testdata(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+    )
+    orders = read_testdata(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return (
+        salted_skew_join(li, orders, key="o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+            F.sum("price_cents").cast("bigint").alias("sum_price_cents"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="j8_salted_skew_join",
+        build=_j8_salted_join,
+        doc="salted skew join (fact side salted into 16 buckets, dim side "
+        "replicated): hot-key join mitigation; per-priority BIGINT fold "
+        "proves the joined multiset equals the plain join",
+        oracle="""
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lineitems,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS sum_price_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        """,
+    )
+)
