@@ -2289,3 +2289,85 @@ def mmr_select(
         # (tiny, O(queries·r)) frame so the plan stays linear in k.
         sel = sel.unionByName(winner).localCheckpoint(eager=True)
     return sel
+
+
+# nDCG discount table: SCALE/log2(rank+1) frozen as INTEGER literals at
+# import time, so neither engine ever evaluates log2 at query time —
+# gains become order-free BIGINT sums and the only float in the whole
+# metric battery is the final single ndcg division. (Embedding the same
+# constants in the DuckDB oracle removes the cross-engine libm hazard.)
+EVAL_SCALE = 10**6
+
+
+def _ndcg_discounts(k: int) -> list[int]:
+    import math
+
+    return [round(EVAL_SCALE / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def retrieval_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Retrieval evaluation harness: per query, run exact cosine
+    top-``k`` and grade it against label-match relevance — hits@k, the
+    first relevant rank, integer-scaled MRR (SCALE div rank), DCG with
+    frozen integer discounts, and nDCG against the binary-gain ideal
+    (all hits packed at the top = a prefix sum of the discount table).
+    The eval loop every ANN/retrieval change should close with; run it
+    over the exact scorer to grade embeddings, or over an ANN variant
+    to grade the index.
+
+    Returns (q_id, q_label, p_at_k_hits, first_rel_rank [0 = none],
+    mrr_micros, dcg_scaled, ndcg). Everything is BIGINT except the one
+    final rounded ndcg division. Scale shape: one verified top-k
+    subtree + two broadcast label joins + one groupBy over
+    O(queries × k) rows."""
+    D = _ndcg_discounts(k)
+    P = [sum(D[:j]) for j in range(k + 1)]  # P[0] = 0
+    d_arr = "array(" + ", ".join(f"{d}L" for d in D) + ")"
+    p_arr = "array(" + ", ".join(f"{p}L" for p in P[1:]) + ")"
+    q_labels = queries.select(
+        F.col(id_col).alias("q_id"), F.col(label_col).alias("q_label")
+    )
+    n_labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+    )
+    cand = (
+        brute_force_topk(corpus, queries, k=k, id_col=id_col, emb_col=emb_col)
+        .join(F.broadcast(q_labels), "q_id")
+        .join(n_labels, "neighbor_id")
+        .withColumn(
+            "rel",
+            F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0),
+        )
+    )
+    m = cand.groupBy("q_id", "q_label").agg(
+        F.sum("rel").cast("bigint").alias("p_at_k_hits"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rnk"))), F.lit(0)
+        ).cast("bigint").alias("first_rel_rank"),
+        F.sum(
+            F.col("rel") * F.expr(f"element_at({d_arr}, rnk)")
+        ).cast("bigint").alias("dcg_scaled"),
+    )
+    return m.select(
+        "q_id",
+        "q_label",
+        "p_at_k_hits",
+        "first_rel_rank",
+        F.expr(
+            f"CAST(CASE WHEN first_rel_rank > 0 THEN {EVAL_SCALE}L div first_rel_rank "
+            "ELSE 0L END AS BIGINT)"
+        ).alias("mrr_micros"),
+        "dcg_scaled",
+        F.expr(
+            f"CASE WHEN p_at_k_hits > 0 THEN round(CAST(dcg_scaled AS DOUBLE)"
+            f" / element_at({p_arr}, CAST(p_at_k_hits AS INT)), 6) ELSE 0.0 END"
+        ).alias("ndcg"),
+    )

@@ -4311,3 +4311,76 @@ register(
         oracle=_mmr_oracle(),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation harness (llm/similarity.py `retrieval_eval`):
+# hits@10 / MRR / nDCG of exact cosine top-10 against label-match
+# relevance — the closing eval loop for the ANN family. Fixture: labels
+# cluster weakly (0–3 relevant per top-10 at sf0.01), so every metric
+# path fires, including the zero-hit queries.
+_EVAL_K, _EVAL_NQ = 10, 10
+
+
+def _retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_testdata(spark, sf, "embeddings")
+    return similarity.retrieval_eval(
+        emb, emb.where(F.col("vec_id") < _EVAL_NQ), k=_EVAL_K
+    )
+
+
+def _retrieval_eval_oracle() -> str:
+    from data_pipeline_with_spark_spark.llm.similarity import (
+        EVAL_SCALE,
+        _ndcg_discounts,
+    )
+
+    D = _ndcg_discounts(_EVAL_K)
+    P = [sum(D[:j]) for j in range(_EVAL_K + 1)]
+    d_lit = "[" + ", ".join(str(d) for d in D) + "]"
+    p_lit = "[" + ", ".join(str(p) for p in P[1:]) + "]"
+    cos = _COS_SQL
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+               FROM embeddings WHERE vec_id < {_EVAL_NQ}),
+    cand AS (
+      SELECT q_id, q_label, neighbor_id, rel, rnk FROM (
+        SELECT q.q_id, q.q_label, e.vec_id AS neighbor_id,
+               CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {cos.format(a='e.embedding', b='q.q_emb')} DESC,
+                          e.vec_id) AS rnk
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
+      ) WHERE rnk <= {_EVAL_K}
+    ),
+    m AS (
+      SELECT q_id, q_label,
+             CAST(sum(rel) AS BIGINT) AS p_at_k_hits,
+             CAST(coalesce(min(CASE WHEN rel = 1 THEN rnk END), 0) AS BIGINT)
+               AS first_rel_rank,
+             CAST(sum(rel * ({d_lit})[rnk]) AS BIGINT) AS dcg_scaled
+      FROM cand GROUP BY q_id, q_label
+    )
+    SELECT q_id, q_label, p_at_k_hits, first_rel_rank,
+           CAST(CASE WHEN first_rel_rank > 0
+                     THEN {EVAL_SCALE} // first_rel_rank ELSE 0 END AS BIGINT)
+             AS mrr_micros,
+           dcg_scaled,
+           CASE WHEN p_at_k_hits > 0
+                THEN round(CAST(dcg_scaled AS DOUBLE)
+                           / ({p_lit})[p_at_k_hits], 6)
+                ELSE 0.0 END AS ndcg
+    FROM m
+    """
+
+
+register(
+    QuerySpec(
+        name="sim_retrieval_eval",
+        build=_retrieval_eval,
+        doc="retrieval eval harness: hits@10 / first-relevant rank / integer-"
+        "scaled MRR / DCG with frozen integer log2 discounts / nDCG (one "
+        "final rounded division) against label-match relevance",
+        oracle=_retrieval_eval_oracle(),
+    )
+)

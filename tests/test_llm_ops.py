@@ -2286,3 +2286,39 @@ def test_mmr_select_prefers_diverse_over_clone(spark):
         df, df.where(F.col("vec_id") == 0), k=2
     ).collect()
     assert {r.neighbor_id for r in plain} == {1, 2}
+
+
+def test_retrieval_eval_planted_metrics(spark):
+    """Planted geometry with known ground truth: query label 0; corpus
+    top-3 by cosine is [rel, irrel, rel], so hits=2, first rank 1,
+    MRR=SCALE, DCG = D1 + D3, nDCG = (D1+D3)/(D1+D2). A second query
+    with zero relevant neighbors exercises the all-zero path."""
+    from data_pipeline_with_spark_spark.llm.similarity import (
+        EVAL_SCALE,
+        _ndcg_discounts,
+        retrieval_eval,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),    # query A, label 0
+        (1, [0.99, 0.14], 0),  # rel, rank 1
+        (2, [0.95, 0.31], 1),  # irrel, rank 2
+        (3, [0.80, 0.60], 0),  # rel, rank 3
+        (10, [0.0, 1.0], 5),   # query B, label 5: nothing relevant
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {
+        r.q_id: r
+        for r in retrieval_eval(
+            df, df.where(F.col("vec_id").isin(0, 10)), k=3
+        ).collect()
+    }
+    D = _ndcg_discounts(3)
+    a = out[0]
+    assert (a.p_at_k_hits, a.first_rel_rank, a.mrr_micros) == (2, 1, EVAL_SCALE)
+    assert a.dcg_scaled == D[0] + D[2]
+    assert abs(a.ndcg - round((D[0] + D[2]) / (D[0] + D[1]), 6)) < 1e-9
+    b = out[10]
+    assert (b.p_at_k_hits, b.first_rel_rank, b.mrr_micros, b.dcg_scaled, b.ndcg) == (
+        0, 0, 0, 0, 0.0,
+    )
