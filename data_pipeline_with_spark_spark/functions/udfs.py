@@ -57,7 +57,7 @@ def decade_pandas_udf(year: pd.Series) -> pd.Series:
 # integer division). Arrow ships each group's column as one batch —
 # the vectorized path — but the optimizer still can't push into it:
 # keep grouped-agg UDFs for logic native aggregates can't express.
-@F.pandas_udf("long")
+@F.pandas_udf(T.LongType())
 def sum_cents_grouped_agg(cents: pd.Series) -> int:
     return int(cents.sum())
 
@@ -65,6 +65,6 @@ def sum_cents_grouped_agg(cents: pd.Series) -> int:
 # Companion count (Spark disallows mixing GROUPED_AGG pandas UDFs with
 # non-pandas aggregates in one agg() — INVALID_PANDAS_UDF_PLACEMENT —
 # so the count rides the same Arrow path).
-@F.pandas_udf("long")
+@F.pandas_udf(T.LongType())
 def count_grouped_agg(cents: pd.Series) -> int:
     return int(len(cents))

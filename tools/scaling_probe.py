@@ -98,6 +98,15 @@ ITERATIVE_EXTRA = [
     "events_gapfill_locf",
     "events_mad_outliers",
     "orders_rfm_segments",
+    # late-r12: the grouped-agg pandas UDF's Arrow group transfer is the
+    # one data-dependent Python-path cost in the catalog (must stay
+    # scan-bound); the eval harness is the brute-force scan + O(q×k)
+    # grading; the salting pair must price within noise of their plain
+    # twins (the extra exchange is on pre-aggregated/salted keys).
+    "u4_grouped_agg_pandas_udf",
+    "sim_retrieval_eval",
+    "a13_salted_skew_agg",
+    "j8_salted_skew_join",
 ]
 
 SFS = [
