@@ -222,6 +222,17 @@ def _psi_drift_sql(epoch_fn: str) -> str:
     # O(types x 20) rows — the stream itself never shuffles more than
     # (type, half, bin) partials. Identical text runs in both engines;
     # the epoch extraction is the only dialect difference.
+    #
+    # Parity (two r12 fixes, found by the full sf0.001 oracle sweep):
+    # (1) Spark parses bare fractional literals as DECIMAL, so
+    # `(n + 0.5) / (t + 5.0)` ran the whole probability pipeline in
+    # DECIMAL quantized at 1e-16 while DuckDB used doubles — a
+    # systematic ~1e-8 per-term shift that pushed sf0.001 'click' over
+    # the .5e-6 round boundary (0.122289 vs 0.122288). Shared-text SQL
+    # must CAST fractional literals to DOUBLE explicitly. (2) Each
+    # bin's (pb−pa)·ln(pb/pa) term also quantizes to 9 decimals before
+    # the sum (the BM25 per-term-round doctrine) so libm ln() ulp
+    # differences can't re-amplify through the 10-term float sum.
     return f"""
     WITH e AS (SELECT event_type, {epoch_fn} AS es, value FROM events),
     mid AS (SELECT (min(es) + max(es)) / 2 AS m FROM e),
@@ -242,7 +253,8 @@ def _psi_drift_sql(epoch_fn: str) -> str:
                          SELECT 6 UNION ALL SELECT 7 UNION ALL
                          SELECT 8 UNION ALL SELECT 9) v),
     p AS (SELECT g.event_type, g.half, g.bin,
-                 (coalesce(c.n, 0) + 0.5) / (tot.t + 5.0) AS p
+                 (coalesce(c.n, 0) + CAST(0.5 AS DOUBLE))
+                   / (tot.t + CAST(5 AS DOUBLE)) AS p
           FROM grid g
           LEFT JOIN c ON g.event_type = c.event_type
                      AND g.half = c.half AND g.bin = c.bin
@@ -254,7 +266,7 @@ def _psi_drift_sql(epoch_fn: str) -> str:
     SELECT pair.event_type,
            CAST(t0.t AS BIGINT) AS n_first_half,
            CAST(t1.t AS BIGINT) AS n_second_half,
-           round(sum((pb - pa) * ln(pb / pa)), 6) AS psi
+           round(sum(round((pb - pa) * ln(pb / pa), 9)), 6) AS psi
     FROM pair
     JOIN tot t0 ON pair.event_type = t0.event_type AND t0.half = 0
     JOIN tot t1 ON pair.event_type = t1.event_type AND t1.half = 1
