@@ -2549,7 +2549,12 @@ def _semantic_dup_report(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round("cos_sim", 4).alias("cos_sim"),
+            # cos_sim stays at the op's round-6: re-rounding a round-6
+            # value to 4 decimals lands on an EXACT .xxxx50 tie ~1 % of
+            # the time, where Spark (shortest-repr HALF_UP) and DuckDB
+            # (double-value) disagree — bit it at sf0.1 (pair 194/873,
+            # round-6 cosine exactly 0.35355). Never double-round.
+            "cos_sim",
             "lang_a",
             "lang_b",
             (F.col("lang_a") == F.col("lang_b")).alias("same_lang"),
@@ -2573,7 +2578,7 @@ register(
           FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
           WHERE {_COS_SQL.format(a='a.embedding', b='x.embedding')} >= {_DUP_THRESHOLD}
         )
-        SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim,
+        SELECT id_a, id_b, cos_sim,
                da.lang AS lang_a, db.lang AS lang_b,
                da.lang = db.lang AS same_lang,
                da.source = db.source AS same_source
