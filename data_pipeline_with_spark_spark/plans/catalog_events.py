@@ -229,10 +229,15 @@ def _psi_drift_sql(epoch_fn: str) -> str:
     # DECIMAL quantized at 1e-16 while DuckDB used doubles — a
     # systematic ~1e-8 per-term shift that pushed sf0.001 'click' over
     # the .5e-6 round boundary (0.122289 vs 0.122288). Shared-text SQL
-    # must CAST fractional literals to DOUBLE explicitly. (2) Each
-    # bin's (pb−pa)·ln(pb/pa) term also quantizes to 9 decimals before
-    # the sum (the BM25 per-term-round doctrine) so libm ln() ulp
-    # differences can't re-amplify through the 10-term float sum.
+    # must CAST fractional literals to DOUBLE explicitly. (2) The PSI
+    # itself is now integer-folded: each non-negative bin term
+    # quantizes to BIGINT nanos, the ten nanos SUM exactly in any
+    # order, and the 6-decimal half-up round happens in integers
+    # (floor((nanos + 500) / 1000.0) — the quotient is never within an
+    # ulp of an integer unless exact), so no float round() remains and
+    # a libm ln() ulp can only matter if a term lands within an ulp of
+    # .5 nano (measure-zero), instead of ~1/500 per row for a float
+    # sum of grid values hitting the .5e-6 round boundary.
     return f"""
     WITH e AS (SELECT event_type, {epoch_fn} AS es, value FROM events),
     mid AS (SELECT (min(es) + max(es)) / 2 AS m FROM e),
@@ -266,7 +271,11 @@ def _psi_drift_sql(epoch_fn: str) -> str:
     SELECT pair.event_type,
            CAST(t0.t AS BIGINT) AS n_first_half,
            CAST(t1.t AS BIGINT) AS n_second_half,
-           round(sum(round((pb - pa) * ln(pb / pa), 9)), 6) AS psi
+           CAST(floor((sum(CAST(round((pb - pa) * ln(pb / pa)
+                                       * CAST(1000000000 AS DOUBLE))
+                               AS BIGINT)) + 500)
+                      / CAST(1000 AS DOUBLE)) AS BIGINT)
+             / CAST(1000000 AS DOUBLE) AS psi
     FROM pair
     JOIN tot t0 ON pair.event_type = t0.event_type AND t0.half = 0
     JOIN tot t1 ON pair.event_type = t1.event_type AND t1.half = 1

@@ -133,3 +133,24 @@ def test_cpu_reference_probe_is_fast_and_positive():
 
     v = cpu_reference_seconds(reps=20)
     assert 0 < v < 10
+
+
+def test_lint_flags_double_rounding():
+    """The r12 sim_semantic_dup_report bug class: round(..., n) over a
+    round(..., m>n) argument lands on exact .5e-n ties with 1e-(m-n)
+    density, where the engines' rounding disagrees. The lint must flag
+    coarser-over-finer nesting, and must NOT flag equal-precision
+    per-term rounding (BM25) or sibling rounds."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.lint_oracles import _double_round_hazards
+
+    assert _double_round_hazards("x", "SELECT round(round(c, 6), 4) FROM t")
+    assert not _double_round_hazards(
+        "x", "SELECT round(sum(round(c, 6)), 6) FROM t"
+    )
+    assert not _double_round_hazards(
+        "x", "SELECT round(a, 6), round(b, 4) FROM t"
+    )

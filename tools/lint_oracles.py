@@ -71,6 +71,61 @@ _DUCK_HAZARD = re.compile(r"HUGEINT|UHUGEINT|DECIMAL|\[\]|STRUCT|MAP|UNION|LIST"
 _SPARK_HAZARD = re.compile(r"^(array|struct|map)<|^decimal\(")
 
 
+def _round_spans(sql: str) -> list[tuple[int, int, int]]:
+    """All round(x, N) calls with integer-literal precision: a list of
+    (arg_start, arg_end, N) spans over the argument text (precision
+    argument excluded)."""
+    spans: list[tuple[int, int, int]] = []
+    for m in re.finditer(r"\bround\s*\(", sql, re.I):
+        start = m.end()
+        depth, i = 1, start
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        inner_end = i - 1
+        inner = sql[start:inner_end]
+        depth, last_comma = 0, -1
+        for j, ch in enumerate(inner):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                last_comma = j
+        if last_comma < 0:
+            continue
+        prec = inner[last_comma + 1 :].strip()
+        if re.fullmatch(r"\d+", prec):
+            spans.append((start, start + last_comma, int(prec)))
+    return spans
+
+
+def _double_round_hazards(name: str, sql: str) -> list[str]:
+    """Flag round(expr, n) whose argument contains round(..., m) with
+    m > n: re-rounding a value already quantized to a FINER grid lands
+    on an exact .5e-n tie with ~1e-(m-n) density, where Spark
+    (shortest-repr HALF_UP) and DuckDB (double-value) rounding disagree
+    — the sim_semantic_dup_report r12 bug (round-4 of a round-6 cosine
+    hit an exact 0.35355). Equal precision (the BM25 per-term pattern,
+    round-6 terms summed then round-6) is safe: sums of a grid stay on
+    the grid, never half-way between its own points."""
+    spans = _round_spans(sql)
+    out: list[str] = []
+    for (s1, e1, n) in spans:
+        for (s2, e2, m) in spans:
+            if s1 < s2 and e2 <= e1 and m > n:
+                out.append(
+                    f"{name}: round(..., {n}) applied over round(..., {m}) — "
+                    "re-rounding a finer-quantized value is a guaranteed-"
+                    "density .5 tie generator; round the raw value once, or "
+                    "fold in integers"
+                )
+    return out
+
+
 def lint_specs(spark, sf_dir: str) -> list[str]:
     import duckdb
 
@@ -89,6 +144,7 @@ def lint_specs(spark, sf_dir: str) -> list[str]:
     for name, spec in all_queries().items():
         if spec.oracle is None:
             continue
+        problems.extend(_double_round_hazards(name, spec.oracle))
         try:
             duck_types = {
                 r[0]: r[1]
