@@ -1110,26 +1110,43 @@ def novelty_scores(
     and novelty their single rounded double division.
 
     Scale shape: the dedup-module digest doctrine — shingles hash to
-    md5 digests BEFORE any exchange, so the two shuffles (owner
-    groupBy, postings join; both keyed by digest) move 32-hex keys
-    instead of raw k-gram text, and the map-side combine on the owner
-    aggregate sees uniform keys. Output is O(docs). md5 collisions
-    would merge two shingles' ownership; at 2^64 shingles that is the
-    same accepted risk every digest-keyed dedup entry carries.
+    md5 digests BEFORE any exchange — plus ONE O(shingles) exchange
+    total: ownership counts are aggregated sketch-side (groupBy sid →
+    min id → groupBy that id → count), so what crosses the wire after
+    the sid aggregate is O(docs); per-doc shingle counts ride a
+    map-side-combined groupBy(id) whose exchange is O(docs×partitions);
+    the final join is O(docs)⋈O(docs). The previous shape
+    (post ⋈ groupBy(sid) on sid, then groupBy(id)) shuffled the full
+    postings frame TWICE — r11's heaviest scaling row; this shape
+    halves the wire cost at identical output (bit-equal hashes at all
+    three fixture SFs). Docs whose every shingle is owned elsewhere get
+    n_novel = 0 via the left join; docs with zero shingles are absent
+    from the output on both shapes (no postings → no group). Output is
+    O(docs). md5 collisions would merge two shingles' ownership; at
+    2^64 shingles that is the same accepted risk every digest-keyed
+    dedup entry carries.
     """
     sh = with_shingles(df, text_col, k=k).select(id_col, "shingles")
     post = sh.select(
         id_col, F.explode("shingles").alias("__s")
     ).select(id_col, F.md5(F.col("__s")).alias("sid"))
-    owner = post.groupBy("sid").agg(F.min(id_col).alias("owner"))
-    return (
-        post.join(owner, "sid")
+    counts = post.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    novel = (
+        post.groupBy("sid")
+        .agg(F.min(id_col).alias(id_col))
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("owner") == F.col(id_col), 1).otherwise(0)
-            ).cast("bigint").alias("n_novel"),
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n_novel"))
+    )
+    return (
+        counts.join(novel, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(F.col("__n_novel"), F.lit(0).cast("bigint")).alias(
+                "n_novel"
+            ),
         )
         .select(
             id_col,

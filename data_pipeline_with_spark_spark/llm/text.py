@@ -85,28 +85,37 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
           + 0.2·(c−na)/c, rounded half-up to 4 decimals — but computed
     EXACTLY: the weighted sum folds into one BIGINT rational N/D
     (D = 1000·t·c) and the 4-decimal round is integer arithmetic,
-    (20000·N + D) div (2·D), so no float ever enters until the final
-    exact /10000.0. A float-sum-then-round(…,4) formulation put doc 64
-    of the sf0.001 fixture on a .xxxx5 half-way boundary where Spark
-    (shortest-repr HALF_UP) and DuckDB (double-value rounding)
-    disagreed by one ulp — the r12 lesson: round-at-the-end is only
-    safe after ONE float op, never after a float SUM. Docs with no
-    tokens or no chars score 0.0 (the old path gave NaN; both filter
-    identically at any positive threshold)."""
+    reduced by the common factor 1000 to (20·N + t·c) div (2·t·c)
+    (floor division is invariant under common-factor cancellation), so
+    no float ever enters until the final exact /10000.0. A
+    float-sum-then-round(…,4) formulation put doc 64 of the sf0.001
+    fixture on a .xxxx5 half-way boundary where Spark (shortest-repr
+    HALF_UP) and DuckDB (double-value rounding) disagreed by one ulp —
+    the r12 lesson: round-at-the-end is only safe after ONE float op,
+    never after a float SUM. Docs with no tokens or no chars score 0.0
+    (the old path gave NaN; both filter identically at any positive
+    threshold).
+
+    Overflow bound: the largest intermediate is 20·N ≤ 2·10⁴·t·c, so
+    BIGINT is exact while t·c ≤ 4.6·10¹⁴ — any document up to ~30 MB
+    of text (worst-case token density t ≈ c/2). Beyond that Spark
+    (non-ANSI) would wrap silently while DuckDB raises — length-gate
+    pathological docs upstream; the un-reduced ×1000 form overflowed
+    1000× earlier (~1 MB docs), which is why the reduction matters."""
     out = with_text_profile(df, text_col)
     stop_arr = _sql_array(STOPWORDS)
     return out.withColumn(
         "quality_score",
         F.expr(
             f"""CASE WHEN size(toks) > 0 AND length({text_col}) > 0 THEN
-              CAST((20000L * (
+              CAST((20L * (
                   3L * least(size(toks), 100) * size(toks) * length({text_col})
                 + 300L * size(array_distinct(toks)) * length({text_col})
                 + 200L * least(4L * size(filter(toks, t -> array_contains({stop_arr}, t))),
                                size(toks)) * length({text_col})
                 + 200L * length(regexp_replace({text_col}, '[^a-z0-9 ]', '')) * size(toks)
-              ) + 1000L * size(toks) * length({text_col}))
-              div (2000L * size(toks) * length({text_col})) AS DOUBLE) / 10000.0
+              ) + CAST(size(toks) AS BIGINT) * length({text_col}))
+              div (2L * size(toks) * length({text_col})) AS DOUBLE) / 10000.0
             ELSE 0.0 END"""
         ),
     )

@@ -22,16 +22,19 @@ _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + "]"
 # twin of llm/text.with_quality_score: one BIGINT rational + integer
 # half-up round, /10000.0 at the very end. A float-sum-then-round(…,4)
 # formulation disagreed with Spark by one ulp on a half-way-boundary
-# doc (doc 64, sf0.001) — keep both engines on this exact form.
+# doc (doc 64, sf0.001) — keep both engines on this exact form. The
+# shared factor 1000 is cancelled out of the division on BOTH engines
+# (floor((1000a)/(1000b)) == floor(a/b)) so the largest intermediate is
+# 20·N ≤ 2·10⁴·t·c — BIGINT-exact to ~30 MB docs instead of ~1 MB.
 _QSCORE_SQL = f"""CASE WHEN len(toks) > 0 AND length(text) > 0 THEN
-  CAST((20000 * (
+  CAST((20 * (
       3 * least(len(toks), 100) * len(toks) * length(text)
     + 300 * len(list_distinct(toks)) * length(text)
     + 200 * least(4 * len(list_filter(toks, s -> list_contains({_STOP_SQL}, s))),
                   len(toks)) * length(text)
     + 200 * length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) * len(toks)
-  ) + 1000 * len(toks) * length(text))
-  // (2000 * len(toks) * length(text)) AS DOUBLE) / 10000.0
+  ) + len(toks) * length(text))
+  // (2 * len(toks) * length(text)) AS DOUBLE) / 10000.0
 ELSE 0.0 END"""
 
 

@@ -1411,7 +1411,19 @@ def fold_novelty_batch(postings, batch_df: DataFrame, epoch_id: int, k_shingle: 
 
     Exactly-once: ``idempotent_append`` under the epoch id; a replayed
     epoch re-skips. Per-batch work is O(batch shingles) hashing + one
-    digest-only append — nothing global recomputes."""
+    digest-only append — nothing global recomputes.
+
+    DELIVERY CONTRACT (one batch per doc): ownership (min over sid
+    groups) is re-delivery-proof, but the per-doc shingle COUNT is not
+    — if the SAME doc_id arrived in two different micro-batches its
+    postings would append twice and n_shingles/n_novel double-count.
+    That cannot happen here: the file source delivers each fixture file
+    to exactly one epoch and ``idempotent_append`` makes epoch replay a
+    no-op, so every doc's postings land exactly once. Feeding this fold
+    from an at-least-once source that re-delivers documents under NEW
+    epoch ids would violate the contract — dedupe (doc_id, sid) at
+    serve time (one ``dropDuplicates`` before the aggregates) in that
+    deployment."""
     from data_pipeline_with_spark_spark.lake.versioned import retry_on_conflict
     from data_pipeline_with_spark_spark.llm.dedup import with_shingles
 
@@ -1469,16 +1481,28 @@ def run_stream_novelty(spark: SparkSession, sf_dir: str, work_dir: str):
         .start()
     )
     query.awaitTermination()
+    # Serve at drain with ONE O(postings) exchange (the sid aggregate):
+    # ownership counts are folded sketch-side to O(docs) before joining
+    # the map-side-combined per-doc counts — the same shape as the
+    # batch twin `dedup.novelty_scores` (see its docstring), bit-equal.
     p = postings.read()
-    owner = p.groupBy("sid").agg(F.min("doc_id").alias("owner"))
-    return (
-        p.join(owner, "sid")
+    counts = p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    novel = (
+        p.groupBy("sid")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
-            ).cast("bigint").alias("n_novel"),
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n_novel"))
+    )
+    return (
+        counts.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("__n_novel"), F.lit(0).cast("bigint")).alias(
+                "n_novel"
+            ),
         )
         .select(
             "doc_id",
