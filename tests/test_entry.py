@@ -154,3 +154,75 @@ def test_lint_flags_double_rounding():
     assert not _double_round_hazards(
         "x", "SELECT round(a, 6), round(b, 4) FROM t"
     )
+
+
+def test_lint_flags_alias_indirected_double_rounding():
+    """The r11 advisor's finding: the textual-nesting lint missed the
+    alias-indirected shape — round(..., 6) AS name in a CTE, then
+    round(name, 4) in the outer query — which is exactly how the
+    original sim_semantic_dup_report bug was written. The lint must
+    track aliases (including one re-aliasing hop) and still allow
+    equal-precision re-rounding through an alias."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.lint_oracles import _double_round_hazards
+
+    # the reconstruction of the original bug
+    assert _double_round_hazards(
+        "x",
+        """WITH pairs AS (SELECT round(cos_sim, 6) AS cosine FROM t)
+           SELECT round(cosine, 4) AS cos4 FROM pairs""",
+    )
+    # equal precision through the alias: sums/values stay on the grid
+    assert not _double_round_hazards(
+        "x",
+        """WITH pairs AS (SELECT round(c, 6) AS cosine FROM t)
+           SELECT round(cosine, 6) AS c6 FROM pairs""",
+    )
+    # one re-aliasing hop still carries the precision
+    assert _double_round_hazards(
+        "x",
+        """WITH a AS (SELECT round(c, 6) AS r6 FROM t),
+                b AS (SELECT r6 AS v FROM a)
+           SELECT round(v, 4) AS out FROM b""",
+    )
+    # an alias never bound to a round() is not flagged
+    assert not _double_round_hazards(
+        "x",
+        """WITH a AS (SELECT c AS v FROM t)
+           SELECT round(v, 4) AS out FROM a""",
+    )
+
+
+def test_lint_flags_decimal_promotion(spark):
+    """The r11 events_psi_drift bug class: a bare fractional literal in
+    arithmetic with an INTEGER column runs the whole Spark expression
+    in fixed-point DECIMAL while the DuckDB oracle runs doubles. The
+    analyzed plan shows it as cast(col#id as decimal(...)); the safe
+    double-promoted shape (literal meets DOUBLE column) and the benign
+    recast-literal shape (fractional constants inside an
+    array<double> weight table) must not flag."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.lint_oracles import _decimal_plan_hazards
+
+    bad = spark.sql(
+        "SELECT CAST((n + 0.5) / (t + 5.0) AS DOUBLE) AS p "
+        "FROM (SELECT 1 AS n, 2 AS t)"
+    )
+    assert _decimal_plan_hazards("x", bad)
+
+    ok = spark.sql(
+        "SELECT (d + 0.5) / (d + 5.0) AS p "
+        "FROM (SELECT CAST(1 AS DOUBLE) AS d)"
+    )
+    assert not _decimal_plan_hazards("x", ok)
+
+    lit = spark.sql(
+        "SELECT element_at(CAST(array(0.1, -0.010057) AS array<double>), 1) AS w"
+    )
+    assert not _decimal_plan_hazards("x", lit)

@@ -5,7 +5,7 @@ DuckDB over the same parquet fixtures, then compares row count, column
 names, and order-insensitive values EXACTLY (float bit equality — the
 strictest interpretation of the driver's value hash).
 
-Usage: python tools/check_oracle.py [--serial] [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--serial] [--trisf] [sf_dir] [query ...]
 
 ``--serial`` disables the thread pool so each entry's printed time is
 its true serial wall cost (the pooled default is ~3× faster end-to-end
@@ -13,6 +13,15 @@ but 6 concurrent entries share the box, so pooled per-entry times
 overstate serial cost several-fold — r10's "87 s" BPE reading was this
 artifact; the entry is ~10 s serial). Use --serial for the per-round
 ORACLE_FULL artifact so its times are diagnostic.
+
+``--trisf`` sweeps the catalog at ALL THREE fixture scale factors
+(sf0.001, sf0.01, sf0.1) in one session and prints a combined summary
+— the standing end-of-round artifact (``ORACLE_TRISF_r{N}.txt``).
+Rationale: each SF has caught cross-engine bugs the others missed
+(sf0.001: quality-score ulp boundary + PSI DECIMAL drift; sf0.1:
+dup-report double-rounding tie) — the sf0.01 gate alone passed all
+three for multiple rounds. Any positional sf_dir is ignored in this
+mode; query-name filters still apply.
 """
 
 from __future__ import annotations
@@ -30,9 +39,15 @@ from data_pipeline_with_spark_spark.plans import all_queries
 from data_pipeline_with_spark_spark.session import get_spark
 from data_pipeline_with_spark_spark.sources.readers import TESTDATA_TABLES
 
-_ARGS = [a for a in sys.argv[1:] if a != "--serial"]
+_ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 SERIAL = "--serial" in sys.argv[1:]
+TRISF = "--trisf" in sys.argv[1:]
 SF_DIR = _ARGS[0] if _ARGS else "/root/testdata/sf0.01"
+TRISF_DIRS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
 
 
 def norm_cell(v):
@@ -54,12 +69,12 @@ def norm_rows(cols, rows):
     return out
 
 
-def check_one(spark, con, name, spec) -> tuple[bool, str]:
+def check_one(spark, con, name, spec, sf_dir) -> tuple[bool, str]:
     """(passed, message) for one entry. ``con`` must be private to the
     calling thread (a duckdb cursor)."""
     t0 = time.time()
     try:
-        sdf = spec.build(spark, SF_DIR)
+        sdf = spec.build(spark, sf_dir)
         s_cols = sdf.columns
         s_rows = sdf.collect()
     except Exception as e:
@@ -102,14 +117,14 @@ _STATEFUL_PREFIXES = ("stream_", "lakehouse_")
 POOL_WORKERS = 6
 
 
-def main() -> int:
+def sweep(spark, sf_dir: str, only: set[str]) -> tuple[int, int, list[str]]:
+    """Run the catalog (or the ``only`` subset) at one scale factor.
+    Returns (n_pass, n_run, failed names); prints one line per entry."""
     from concurrent.futures import ThreadPoolExecutor
 
-    only = set(_ARGS[1:])
-    spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     specs = all_queries()
     todo = [
@@ -128,7 +143,7 @@ def main() -> int:
         cur = con.cursor()  # duckdb connections are not thread-safe
         t0 = time.time()
         try:
-            results[name] = check_one(spark, cur, name, spec)
+            results[name] = check_one(spark, cur, name, spec, sf_dir)
         finally:
             times[name] = time.time() - t0
             cur.close()
@@ -141,6 +156,7 @@ def main() -> int:
             list(pool.map(run, pure))
     for pair in stateful:
         run(pair)
+    con.close()
 
     failures = []
     for name, _ in todo:
@@ -155,9 +171,30 @@ def main() -> int:
         print(f"\nslowest entries ({mode}):")
         for name, sec in slow:
             print(f"  {sec:6.1f}s  {name}")
-    print(f"\n{n_run - len(failures)}/{n_run} queries run match"
+    print(f"\n{n_run - len(failures)}/{n_run} queries run match at {sf_dir}"
           + (f" (of {len(specs)} registered)" if n_run < len(specs) else ""))
-    return 1 if failures else 0
+    return n_run - len(failures), n_run, failures
+
+
+def main() -> int:
+    only = set(_ARGS[1:])
+    spark = get_spark("check_oracle")
+    if not TRISF:
+        _, _, failures = sweep(spark, SF_DIR, only)
+        return 1 if failures else 0
+
+    totals: list[tuple[str, int, int, list[str]]] = []
+    for sf_dir in TRISF_DIRS:
+        print(f"\n===== {sf_dir} =====")
+        n_pass, n_run, failures = sweep(spark, sf_dir, only)
+        totals.append((sf_dir, n_pass, n_run, failures))
+    print("\n===== tri-SF summary =====")
+    all_fail: list[str] = []
+    for sf_dir, n_pass, n_run, failures in totals:
+        print(f"{sf_dir}: {n_pass}/{n_run}"
+              + (f"  FAILED: {' '.join(failures)}" if failures else ""))
+        all_fail.extend(failures)
+    return 1 if all_fail else 0
 
 
 if __name__ == "__main__":

@@ -71,11 +71,13 @@ _DUCK_HAZARD = re.compile(r"HUGEINT|UHUGEINT|DECIMAL|\[\]|STRUCT|MAP|UNION|LIST"
 _SPARK_HAZARD = re.compile(r"^(array|struct|map)<|^decimal\(")
 
 
-def _round_spans(sql: str) -> list[tuple[int, int, int]]:
+def _round_spans(sql: str) -> list[tuple[int, int, int, int]]:
     """All round(x, N) calls with integer-literal precision: a list of
-    (arg_start, arg_end, N) spans over the argument text (precision
-    argument excluded)."""
-    spans: list[tuple[int, int, int]] = []
+    (arg_start, arg_end, call_end, N) spans — [arg_start, arg_end) is
+    the argument text (precision argument excluded), call_end is the
+    index just past the closing paren (where an ``AS alias`` would
+    follow)."""
+    spans: list[tuple[int, int, int, int]] = []
     for m in re.finditer(r"\bround\s*\(", sql, re.I):
         start = m.end()
         depth, i = 1, start
@@ -99,23 +101,61 @@ def _round_spans(sql: str) -> list[tuple[int, int, int]]:
             continue
         prec = inner[last_comma + 1 :].strip()
         if re.fullmatch(r"\d+", prec):
-            spans.append((start, start + last_comma, int(prec)))
+            spans.append((start, start + last_comma, i, int(prec)))
     return spans
 
 
+def _round_aliases(sql: str, spans) -> dict[str, int]:
+    """Aliases carrying an already-rounded value: ``round(x, m) AS name``
+    maps name → m, then one-level re-aliasing (``name AS other`` /
+    ``t.name AS other``) propagates to a fixpoint. Case-folded. When the
+    same name is bound more than once (CTE reuse), the FINEST precision
+    wins — the lint is conservative by design."""
+    aliases: dict[str, int] = {}
+    for (_, _, end, m) in spans:
+        am = re.match(r'\s+as\s+"?([A-Za-z_]\w*)"?', sql[end:], re.I)
+        if am:
+            name = am.group(1).lower()
+            aliases[name] = max(aliases.get(name, 0), m)
+    # one-level-per-pass propagation through plain re-aliases, to fixpoint
+    for _ in range(8):
+        grew = False
+        for name, m in list(aliases.items()):
+            for am in re.finditer(
+                rf'\b{re.escape(name)}\s+as\s+"?([A-Za-z_]\w*)"?', sql, re.I
+            ):
+                other = am.group(1).lower()
+                if aliases.get(other, 0) < m:
+                    aliases[other] = m
+                    grew = True
+        if not grew:
+            break
+    return aliases
+
+
 def _double_round_hazards(name: str, sql: str) -> list[str]:
-    """Flag round(expr, n) whose argument contains round(..., m) with
-    m > n: re-rounding a value already quantized to a FINER grid lands
-    on an exact .5e-n tie with ~1e-(m-n) density, where Spark
-    (shortest-repr HALF_UP) and DuckDB (double-value) rounding disagree
-    — the sim_semantic_dup_report r12 bug (round-4 of a round-6 cosine
-    hit an exact 0.35355). Equal precision (the BM25 per-term pattern,
-    round-6 terms summed then round-6) is safe: sums of a grid stay on
-    the grid, never half-way between its own points."""
+    """Flag round(expr, n) whose argument is already quantized to a
+    FINER grid — re-rounding lands on an exact .5e-n tie with
+    ~1e-(m-n) density, where Spark (shortest-repr HALF_UP) and DuckDB
+    (double-value) rounding disagree — the sim_semantic_dup_report r12
+    bug (round-4 of a round-6 cosine hit an exact 0.35355). Two shapes:
+
+    1. textual nesting: round(round(x, m), n) with m > n;
+    2. alias indirection: round(x, m) AS a in a CTE/subquery, then
+       round(a, n) downstream (the shape the r12 lint originally
+       missed — found by the r11 advisor reconstructing the original
+       bug through a CTE).
+
+    Equal precision (the BM25 per-term pattern, round-6 terms summed
+    then round-6) is safe: sums of a grid stay on the grid, never
+    half-way between its own points. Alias tracking is regex-level —
+    one rebinding level per propagation pass (fixpoint-iterated), no
+    scope analysis — so an alias REUSED for a different, unrounded
+    expression can false-positive; rename one of them."""
     spans = _round_spans(sql)
     out: list[str] = []
-    for (s1, e1, n) in spans:
-        for (s2, e2, m) in spans:
+    for (s1, e1, _, n) in spans:
+        for (s2, e2, _, m) in spans:
             if s1 < s2 and e2 <= e1 and m > n:
                 out.append(
                     f"{name}: round(..., {n}) applied over round(..., {m}) — "
@@ -123,6 +163,67 @@ def _double_round_hazards(name: str, sql: str) -> list[str]:
                     "density .5 tie generator; round the raw value once, or "
                     "fold in integers"
                 )
+    aliases = _round_aliases(sql, spans)
+    for (s1, e1, _, n) in spans:
+        arg = sql[s1:e1]
+        for alias, m in aliases.items():
+            if m > n and re.search(rf"\b{re.escape(alias)}\b", arg, re.I):
+                out.append(
+                    f"{name}: round({alias}, {n}) where `{alias}` carries a "
+                    f"round(..., {m}) value through an alias — same .5 tie "
+                    "generator as textual nesting; emit the finer-rounded "
+                    "value or round the raw expression once"
+                )
+    return out
+
+
+# A bare fractional literal in arithmetic with an INTEGER column turns
+# the whole expression DECIMAL in Spark (1e-16 quantized fixed-point)
+# while DuckDB runs doubles — a systematic per-term drift that broke
+# events_psi_drift in r11. The analyzer makes this mechanically
+# visible: the implicit promotion appears as `cast(col#id as
+# decimal(…))` in the ANALYZED plan, while the safe double-promoted
+# shape prints `cast(0.5 as double)`. Two signals, either flags:
+#   1. a cast-to-decimal whose OPERAND references an attribute (`#` in
+#      the operand text) — an integer column pulled into decimal;
+#   2. `CheckOverflow` anywhere — the analyzer wraps every decimal
+#      ADD/SUB/MUL/DIV in it, so its presence means decimal arithmetic
+#      actually runs (even literal-only: Spark would fold 0.1+0.2
+#      exactly in decimal where DuckDB doubles give …0004).
+# Decimal LITERALS that are merely re-cast (e.g. fractional constants
+# inside an array<double> cast — the classifier/PCA weight tables) are
+# value-identical to double literals and deliberately NOT flagged.
+def _decimal_plan_hazards(name: str, df) -> list[str]:
+    tree = df._jdf.queryExecution().analyzed().treeString()
+    out: list[str] = []
+    if "CheckOverflow" in tree:
+        out.append(
+            f"{name}: decimal arithmetic (CheckOverflow) in the analyzed "
+            "Spark plan — the DuckDB oracle runs doubles (the "
+            "events_psi_drift bug class); CAST the fractional literals "
+            "AS DOUBLE"
+        )
+    for m in re.finditer(r" as decimal\(", tree):
+        depth, i = 0, m.start() - 1
+        while i >= 0:
+            c = tree[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            i -= 1
+        operand = tree[i + 1 : m.start()]
+        if "#" in operand:
+            out.append(
+                f"{name}: column pulled into DECIMAL by a bare fractional "
+                "literal — Spark runs the expression in fixed-point while "
+                "the DuckDB oracle runs doubles (the events_psi_drift bug "
+                f"class). CAST the literal AS DOUBLE. Offending cast: "
+                f"cast({operand[:160]} as decimal(...)"
+            )
+            break
     return out
 
 
@@ -154,10 +255,12 @@ def lint_specs(spark, sf_dir: str) -> list[str]:
             problems.append(f"{name}: oracle DESCRIBE failed: {e}")
             continue
         try:
-            spark_types = dict(spec.build(spark, sf_dir).dtypes)
+            sdf = spec.build(spark, sf_dir)
+            spark_types = dict(sdf.dtypes)
         except Exception as e:  # noqa: BLE001
             problems.append(f"{name}: spark build failed: {e}")
             continue
+        problems.extend(_decimal_plan_hazards(name, sdf))
 
         for col, sdt in spark_types.items():
             if _SPARK_HAZARD.match(sdt):
