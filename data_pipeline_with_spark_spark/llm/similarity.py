@@ -1239,9 +1239,21 @@ def _ivfpq_train(
     immutable quantizer artifacts, and hand back ``(centroids, books,
     encoded, cached)`` where encoded = (id, embedding, pq_codes, cell)
     over the FULL corpus and cached is the persisted frame the caller
-    must unpersist after writing."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    must unpersist after writing.
+
+    The coarse quantizer trains DRIVER-SIDE (numpy Lloyd over the
+    collected sample, seeded with the ``n_cells`` lowest-id vectors —
+    the ``pq_train``/``kmeans_lloyd`` seeding doctrine): the training
+    input is bounded by construction, so collecting it is the faiss
+    design — train the quantizer small and in memory, keep assignment
+    and encoding distributed. This replaced an MLlib kmeans|| fit that
+    (a) cost ~20 scheduler-bound jobs per build — the fixed cost that
+    made stream_ivfpq_ingest the slowest catalog entry — and (b)
+    depended on partition CONTENTS and ORDER for its seeded sampling,
+    which needed a repartition+sort canonicalization pass to keep two
+    builds over differently-planned scans deterministic (r10). A
+    sorted collect has no partition dependence at all."""
+    import numpy as np
 
     spark = corpus.sparkSession
     # NULL embeddings are unindexable (no direction — see
@@ -1259,33 +1271,42 @@ def _ivfpq_train(
         )
     else:
         train = corpus
-    # The train frame is BOUNDED (≤ max_train_rows ≈ 50 MB at D=64), so
-    # CANONICALIZE it before MLlib: project to (id, vector) only,
-    # hash-repartition on the id to a fixed small count, and sort
-    # within partitions — kmeans||'s seeded sampling depends on
-    # partition CONTENTS and ORDER, so without this two builds over
-    # the same vectors but different upstream plans (e.g. a
-    # column-pruned vs full scan) trained different quantizers
-    # (caught by the stream-vs-twin probe test). The canonical frame
-    # is also persisted and 8 partitions: ~20 Lloyd jobs at 32
-    # tasks/job over a bounded sample were scheduler-overhead-bound
-    # (r10 profile: 5.0 s → 1.6 s at sf0.01).
-    vecs = (
+    # The train frame is BOUNDED (≤ max_train_rows ≈ 50 MB at D=64):
+    # collect it sorted by id and run Lloyd on the driver. Seeds = the
+    # n_cells lowest-id vectors; empty cells keep their previous
+    # centroid (the kmeans_lloyd rule); numpy argmin breaks distance
+    # ties toward the lowest cell, matching _ivfpq_assign's contract.
+    sample = (
         train.select(
             F.col(id_col).alias("__tid"),
-            array_to_vector(F.col(emb_col).cast("array<double>")).alias("__v"),
+            _as_double(F.col(emb_col)).alias("__v"),
         )
-        .repartition(8, "__tid")
-        .sortWithinPartitions("__tid")
-        .persist()
+        .orderBy("__tid")
+        .collect()
     )
-    try:
-        model = KMeans(
-            k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell_unused"
-        ).fit(vecs)
-    finally:
-        vecs.unpersist()
-    centroid_list = [[float(x) for x in c] for c in model.clusterCenters()]
+    if len(sample) < n_cells:
+        raise ValueError(
+            f"ivfpq build: need >= {n_cells} vectors to seed {n_cells} cells"
+        )
+    X = np.asarray([r["__v"] for r in sample], dtype=np.float64)
+    C = X[:n_cells].copy()
+    x2 = (X * X).sum(axis=1, keepdims=True)
+    for _ in range(20):
+        # ‖x−c‖² via the matmul identity: the naive (n, k, D) broadcast
+        # is 13 GB at the 100k-row bound × 256 cells; this is (n, k).
+        d2 = x2 + (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        lab = d2.argmin(axis=1)
+        new_c = np.stack(
+            [
+                X[lab == c].mean(axis=0) if (lab == c).any() else C[c]
+                for c in range(n_cells)
+            ]
+        )
+        converged = bool((new_c == C).all())
+        C = new_c
+        if converged:
+            break
+    centroid_list = [[float(x) for x in c] for c in C]
     centroids = arrow_local_df(
         spark,
         {"cell": list(range(len(centroid_list))), "centroid": centroid_list},
@@ -1293,21 +1314,41 @@ def _ivfpq_train(
     )
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = _ivfpq_assign(corpus, centroid_list, id_col, emb_col).persist()
-    if train is corpus:
-        train_resid = assigned  # small corpus: one frame serves both
-    else:
-        train_resid = assigned.where(
-            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(2**32)) < thresh
+    # Residual PQ codebooks train driver-side on the SAME collected
+    # sample (pq_train's semantics: seeds = the k_codes lowest-id
+    # rows' subvectors, empty codes keep their previous centroid,
+    # argmin ties break to the lowest code). The distributed pq_train
+    # stays the public standalone API (its outputs are pinned against
+    # numpy by pytest); here it cost one crossJoin + double-posexplode
+    # Lloyd job chain per iteration for a sample that already sits on
+    # the driver. Residuals recompute the final assignment so labels
+    # aren't one Lloyd round stale.
+    if len(sample) < k_codes:
+        raise ValueError(
+            f"ivfpq build: need >= {k_codes} vectors to seed {k_codes} codes"
         )
-    # train_resid is ALREADY hash-sampled to the bound with THIS
-    # build's seed — pass None so pq_train's default bound doesn't run
-    # a redundant count job and, on sample overshoot, re-trim with its
-    # own fixed seed (two builds differing only in seed would share
-    # part of their sampling lattice; r8 review).
-    books = pq_train(
-        train_resid, m=m, k_codes=k_codes, iters=pq_iters,
-        id_col=id_col, emb_col="__resid", max_train_rows=None,
-    )
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    lab = (x2 + (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+    R = X - C[lab]
+    books_np = []
+    for j in range(m):
+        Sj = R[:, j * d_sub : (j + 1) * d_sub]
+        B = Sj[:k_codes].copy()
+        s2 = (Sj * Sj).sum(axis=1, keepdims=True)
+        for _ in range(pq_iters):
+            dd = s2 + (B * B).sum(axis=1)[None, :] - 2.0 * (Sj @ B.T)
+            cl = dd.argmin(axis=1)
+            B = np.stack(
+                [
+                    Sj[cl == c].mean(axis=0) if (cl == c).any() else B[c]
+                    for c in range(k_codes)
+                ]
+            )
+        books_np.append(B)
+    books = [[[float(x) for x in c] for c in B] for B in books_np]
     arrow_local_df(
         spark,
         {

@@ -290,7 +290,7 @@ register(
 def _stream_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """STREAMING ANN-index maintenance (see demo.run_stream_ivfpq_ingest):
     the IVFPQ index builds on half the embeddings, the other half
-    arrives in 4 real micro-batches, each assigned/encoded under the
+    arrives in real micro-batches, each assigned/encoded under the
     frozen quantizers and appended exactly-once to the index\'s
     VersionedTable. The probe answers from the fully-ingested index.
     Approx ANN + iterative k-means -> rows-only; pytest pins
@@ -302,11 +302,17 @@ def _stream_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     from data_pipeline_with_spark_spark.streaming.demo import run_stream_ivfpq_ingest
 
     # lighter quantizer for the registry run: the per-query cost is
-    # dominated by codegen of the m x k_codes ADC expressions, and the
-    # correctness contract (stream == batch convergence, exactly-once)
-    # is quantizer-size-independent — pytest covers the full-size one
+    # dominated by fixed costs — MLlib k-means fit, codegen of the
+    # m x k_codes ADC expressions, and one transactional commit per
+    # micro-batch — while the correctness contract (stream == batch
+    # convergence, exactly-once) is independent of quantizer size AND
+    # batch count (both pinned by pytest at full size: n_cells=16,
+    # k_codes=16, 4 increments). So the registry face runs n_cells=8,
+    # k_codes=8, one PQ iter, 2 increments — this was the slowest
+    # catalog entry (12.2 s serial, r11) and the gate budget is 15 s.
     idx = run_stream_ivfpq_ingest(
-        spark, sf, tempfile.mkdtemp(prefix="stream_ivfpq_"), k_codes=8, pq_iters=1
+        spark, sf, tempfile.mkdtemp(prefix="stream_ivfpq_"),
+        n_cells=8, k_codes=8, pq_iters=1, n_increments=2,
     )
     emb = read_testdata(spark, sf, "embeddings")
     from pyspark.sql import functions as F

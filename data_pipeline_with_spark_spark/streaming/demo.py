@@ -1216,6 +1216,7 @@ def run_stream_ivfpq_ingest(
     m: int = 8,
     k_codes: int = 16,
     pq_iters: int = 2,
+    n_increments: int = 4,
 ):
     """STREAMING ANN-index maintenance — the serving shape of a
     continuously-crawled embedding corpus: the IVFPQ index is built
@@ -1230,6 +1231,12 @@ def run_stream_ivfpq_ingest(
     commit touching only the appended files; probes stay pruned to
     n_probe/n_cells of the files no matter how many increments built
     the index, and time travel replays any historical index state.
+
+    ``n_increments`` is the number of staged files and therefore of
+    micro-batches/commits (maxFilesPerTrigger=1) — batch-count
+    independence is itself pinned by pytest (streamed index ≡ the
+    one-append twin), so a smaller count only trades per-commit fixed
+    cost, never semantics.
 
     Returns the ``VersionedIvfPqIndex``; the caller probes it."""
     from pathlib import Path
@@ -1246,7 +1253,7 @@ def run_stream_ivfpq_ingest(
         n_cells=n_cells, m=m, k_codes=k_codes, pq_iters=pq_iters,
     )
     staging = str(work / "staging")
-    arriving.repartition(4).write.parquet(staging)
+    arriving.repartition(n_increments).write.parquet(staging)
     query = (
         spark.readStream.schema(arriving.schema)
         .option("maxFilesPerTrigger", 1)
