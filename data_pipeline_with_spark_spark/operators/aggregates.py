@@ -87,3 +87,73 @@ def salted_group_agg(
 def table_stats(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
     """A5: per-column summary statistics."""
     return df.select(*columns).summary() if columns else df.summary()
+
+
+def breakpoint_ntile(
+    df: DataFrame,
+    value_col: str,
+    n: int = 5,
+    ascending: bool = True,
+    bucket_col: str = "bucket",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Scale path for ``ntile(n) OVER (ORDER BY value)`` — percentile
+    breakpoints plus a broadcast range assignment, instead of the
+    un-partitioned window's single-partition global sort (fine to a few
+    million rows, a straight scale-killer at 10⁸; this is the swap the
+    ``orders_rfm_segments`` entry documents and pins).
+
+    Mechanics: ntile's bucket-b upper boundary sits at global rank
+    ``b·(N div n) + min(b, N mod n)`` (remainder rows go to the leading
+    buckets). We query those exact ranks as quantile fractions through
+    ``percentile_approx`` — one pass, mergeable sketch, O(accuracy)
+    state — then assign ``bucket = 1 + #(breakpoints < value)`` as a
+    chained CASE over n−1 literals (no join, no sort, no shuffle beyond
+    the sketch's partial-aggregate exchange). Descending orders negate
+    the value internally (exact for the BIGINT metrics this is meant
+    for).
+
+    Agreement contract (pinned by pytest): on values DISTINCT at the
+    boundaries the buckets equal ntile's exactly whenever the sketch
+    stores the sample exactly (N ≤ ``accuracy``; beyond that boundary
+    placement is within the sketch's rank error ``N/accuracy``). Rows
+    TIED on a boundary value all land in the lower bucket, where ntile
+    would split the tie by its incidental order — at scale the
+    value-deterministic behavior is the defensible one (ntile's split
+    depends on sort-tie order unless a tiebreaker column is added).
+
+    NULL values (ntile sorts them first in Spark ASC) are not handled
+    specially — filter or impute first; percentile_approx ignores
+    NULLs, so a NULL row would otherwise take bucket 1.
+
+    Magnitude contract: ``percentile_approx``'s sketch stores doubles,
+    so integer values must be exactly double-representable
+    (|v| < 2⁵³) for the boundary to be exact — true of every metric
+    this is meant for (days, counts, price cents); full-range 64-bit
+    hashes would lose mantissa bits at the boundary.
+    """
+    if n < 1:
+        raise ValueError(f"breakpoint_ntile: n must be >= 1, got {n}")
+    v = F.col(value_col) if ascending else -F.col(value_col)
+    work = df.withColumn("__bp_v", v)
+    count = work.count()
+    if count == 0 or n == 1:
+        return df.withColumn(bucket_col, F.lit(1))
+    base, rem = divmod(count, n)
+    ranks = [b * base + min(b, rem) for b in range(1, n)]
+    # a rank of 0 (more buckets than rows) has no boundary value;
+    # ntile leaves the trailing buckets empty — mirror by dropping it.
+    # The sketch targets rank ceil(q·N): query q = (r − ½)/N so the
+    # ceiling lands on r robustly — q = r/N re-multiplied in doubles
+    # can come out a hair under r and select rank r−1 (caught by the
+    # agreement pytest at N=1003).
+    fracs = [(r - 0.5) / count for r in ranks if r > 0]
+    bps = work.agg(
+        F.percentile_approx("__bp_v", fracs, F.lit(accuracy)).alias("b")
+    ).first()["b"]
+    expr = F.lit(len(bps) + 1)
+    for i in range(len(bps) - 1, -1, -1):
+        expr = F.when(F.col("__bp_v") <= F.lit(bps[i]), F.lit(i + 1)).otherwise(
+            expr
+        )
+    return work.withColumn(bucket_col, expr.cast("int")).drop("__bp_v")

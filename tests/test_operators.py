@@ -183,3 +183,54 @@ def test_u4_grouped_agg_udf_equals_native(spark):
         .collect()
     }
     assert got == {("a", 606, 3), ("b", 5, 1)}
+
+
+def test_breakpoint_ntile_matches_ntile_on_distinct_values(spark):
+    # The documented 10^8-customer scale swap for the RFM windows
+    # (orders_rfm_segments): percentile breakpoints + broadcast range
+    # assignment must reproduce un-partitioned ntile(5) EXACTLY on
+    # boundary-distinct values while the sketch stores the sample
+    # exactly (N <= accuracy). Both orders, non-divisible N (remainder
+    # rows in leading buckets), and the all-in-one-bucket n=1 edge.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_spark_spark.operators.aggregates import (
+        breakpoint_ntile,
+    )
+
+    # 1003 distinct pseudo-random BIGINTs within the double-exact
+    # range (the function's magnitude contract): pmod folds the hash to
+    # < 2^40; distinctness is asserted, order scrambled vs the id
+    df = spark.range(1003).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(2**40)).alias("v"),
+    )
+    assert df.select("v").distinct().count() == 1003
+    for ascending in (True, False):
+        w = Window.orderBy(F.col("v").asc() if ascending else F.col("v").desc())
+        got = {
+            r["id"]: r["b"]
+            for r in breakpoint_ntile(
+                df, "v", n=5, ascending=ascending, bucket_col="b"
+            ).collect()
+        }
+        want = {
+            r["id"]: r["b"]
+            for r in df.withColumn("b", F.ntile(5).over(w)).collect()
+        }
+        assert got == want
+
+    # n=1: everything in bucket 1, no breakpoint query at all
+    assert {
+        r["b"]
+        for r in breakpoint_ntile(df, "v", n=1, bucket_col="b").collect()
+    } == {1}
+
+    # boundary TIES land in the LOWER bucket (value-deterministic),
+    # documented divergence from ntile's sort-order tie split
+    tied = spark.createDataFrame([(i, 1) for i in range(4)], "id INT, v INT")
+    assert {
+        r["b"]
+        for r in breakpoint_ntile(tied, "v", n=2, bucket_col="b").collect()
+    } == {1}
