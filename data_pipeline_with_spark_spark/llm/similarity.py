@@ -325,28 +325,22 @@ def ivf_topk(
     query_id_col: str = "q_id",
     seed: int = 42,
 ) -> DataFrame:
-    """IVF-style ANN: k-means coarse quantizer (pyspark.ml, seeded) →
-    invert the corpus by cell → probe only the ``n_probe`` cells nearest
+    """IVF-style ANN: k-means coarse quantizer (driver-side Lloyd on a
+    bounded deterministic sample — ``_fit_coarse_centroids``) → invert
+    the corpus by cell → probe only the ``n_probe`` cells nearest
     each query → exact cosine + top-k inside the probed cells.
 
-    The scale shape: the corpus is scanned once to assign cells (and at
-    cluster scale would be *written* partitioned by cell, making each
-    query's candidate read a partition-pruned scan of n_probe/n_cells of
-    the data). Centroids are tiny and broadcast everywhere. Recall is
-    tunable via n_probe; tests assert recall@k against brute force.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    corpus = ensure_min_partitions(corpus)
-    vecs = corpus.withColumn("__v", array_to_vector(F.col(emb_col).cast("array<double>")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="cell")
-    model = km.fit(vecs)
-    assigned = model.transform(vecs).drop("__v")
-
-    # centroids are tiny and driver-known: cell ranking is a literal
-    # projection (see _rank_cells_cosine), no centroid broadcast
-    clist = [[float(x) for x in c] for c in model.clusterCenters()]
+    The scale shape: quantizer training is O(sample); the corpus is
+    scanned once to assign cells via the zero-shuffle literal argmin
+    (and at cluster scale would be *written* partitioned by cell,
+    making each query's candidate read a partition-pruned scan of
+    n_probe/n_cells of the data). Centroids are tiny and driver-known.
+    Recall is tunable via n_probe; tests assert recall@k against brute
+    force."""
+    clist, _ = _fit_coarse_centroids(corpus, n_cells, id_col, emb_col, seed)
+    assigned = _ivfpq_assign(corpus, clist, id_col, emb_col).select(
+        id_col, emb_col, "cell"
+    )
     q, n_q = _guard_query_side(
         queries.select(F.col(id_col).alias(query_id_col), F.col(emb_col).alias("q_emb")),
         "ivf_topk",
@@ -387,13 +381,10 @@ def ivf_build_index(
     variant re-scans the whole corpus per query batch).
 
     Returns the centroid DataFrame for convenience."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    corpus = ensure_min_partitions(corpus)
-    vecs = corpus.withColumn("__v", array_to_vector(F.col(emb_col).cast("array<double>")))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="cell").fit(vecs)
-    assigned = model.transform(vecs).drop("__v")
+    clist, _ = _fit_coarse_centroids(corpus, n_cells, id_col, emb_col, seed)
+    assigned = _ivfpq_assign(corpus, clist, id_col, emb_col).select(
+        id_col, emb_col, "cell"
+    )
     # One shuffle on cell so each output partition directory is written
     # by the executors that own it (no small-files explosion).
     assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
@@ -401,7 +392,7 @@ def ivf_build_index(
     )
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, c) for i, c in enumerate(clist)],
         ["cell", "centroid"],
     )
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
@@ -1218,6 +1209,82 @@ def _sq_dist_cols(a: Column, b: Column) -> Column:
     )
 
 
+def _fit_coarse_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str,
+    emb_col: str,
+    seed: int,
+    max_train_rows: int = MAX_QUANTIZER_TRAIN_ROWS,
+    iters: int = 20,
+):
+    """Coarse-quantizer k-means, the faiss shape shared by every IVF /
+    IVFPQ build: bound the training input to a deterministic
+    hash-sample (xxhash64 of the id + seed — ``sample()`` would re-draw
+    on recompute), collect it SORTED BY ID, and run Lloyd driver-side
+    in numpy. Seeds = the ``n_cells`` lowest-id vectors; empty cells
+    keep their previous centroid (the ``kmeans_lloyd`` rule); numpy
+    argmin breaks distance ties toward the lowest cell, matching
+    ``_ivfpq_assign``'s SQL contract. NULL embeddings are unindexable
+    and excluded, uniform with assignment.
+
+    The sample is ≤ ``max_train_rows`` (~50 MB at D=64) by
+    construction, so the collect is bounded — quantizers train small
+    and in memory while assignment/encoding stay distributed. This
+    replaced MLlib kmeans|| fits that (a) cost ~20 scheduler-bound
+    jobs per build and (b) depended on partition contents/order for
+    their seeded sampling (the r10 canonicalization pass); a sorted
+    collect has no partition dependence at all.
+
+    Returns ``(centroid_list, X)`` — the centroids as plain lists for
+    SQL literal assignment, and the collected sample matrix for
+    callers that train further quantizers on the same rows (residual
+    PQ)."""
+    import numpy as np
+
+    corpus = corpus.where(F.col(emb_col).isNotNull())
+    n = corpus.count()
+    train = corpus
+    if n > max_train_rows:
+        thresh = int((max_train_rows / n) * (2**32))
+        train = corpus.where(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(2**32)) < thresh
+        )
+    sample = (
+        ensure_min_partitions(train)
+        .select(
+            F.col(id_col).alias("__tid"),
+            _as_double(F.col(emb_col)).alias("__v"),
+        )
+        .orderBy("__tid")
+        .collect()
+    )
+    if len(sample) < n_cells:
+        raise ValueError(
+            f"coarse quantizer: need >= {n_cells} vectors to seed "
+            f"{n_cells} cells, got {len(sample)}"
+        )
+    X = np.asarray([r["__v"] for r in sample], dtype=np.float64)
+    C = X[:n_cells].copy()
+    x2 = (X * X).sum(axis=1, keepdims=True)
+    for _ in range(iters):
+        # ‖x−c‖² via the matmul identity: the naive (n, k, D) broadcast
+        # is 13 GB at the 100k-row bound × 256 cells; this is (n, k).
+        d2 = x2 + (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        lab = d2.argmin(axis=1)
+        new_c = np.stack(
+            [
+                X[lab == c].mean(axis=0) if (lab == c).any() else C[c]
+                for c in range(n_cells)
+            ]
+        )
+        converged = bool((new_c == C).all())
+        C = new_c
+        if converged:
+            break
+    return [[float(x) for x in c] for c in C], X
+
+
 def _ivfpq_train(
     corpus: DataFrame,
     path: str,
@@ -1256,57 +1323,11 @@ def _ivfpq_train(
     import numpy as np
 
     spark = corpus.sparkSession
-    # NULL embeddings are unindexable (no direction — see
-    # _ivfpq_assign); exclude them from quantizer training as well so
-    # array_to_vector never NPEs on them
-    corpus = ensure_min_partitions(corpus.where(F.col(emb_col).isNotNull()))
-    n = corpus.count()
-    if n > max_train_rows:
-        # deterministic hash-sample (xxhash64 of the id + seed): the
-        # same corpus and seed always train the same quantizers —
-        # sample() would re-draw on recompute
-        thresh = int((max_train_rows / n) * (2**32))
-        train = corpus.where(
-            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(2**32)) < thresh
-        )
-    else:
-        train = corpus
-    # The train frame is BOUNDED (≤ max_train_rows ≈ 50 MB at D=64):
-    # collect it sorted by id and run Lloyd on the driver. Seeds = the
-    # n_cells lowest-id vectors; empty cells keep their previous
-    # centroid (the kmeans_lloyd rule); numpy argmin breaks distance
-    # ties toward the lowest cell, matching _ivfpq_assign's contract.
-    sample = (
-        train.select(
-            F.col(id_col).alias("__tid"),
-            _as_double(F.col(emb_col)).alias("__v"),
-        )
-        .orderBy("__tid")
-        .collect()
+    centroid_list, X = _fit_coarse_centroids(
+        corpus, n_cells, id_col, emb_col, seed, max_train_rows
     )
-    if len(sample) < n_cells:
-        raise ValueError(
-            f"ivfpq build: need >= {n_cells} vectors to seed {n_cells} cells"
-        )
-    X = np.asarray([r["__v"] for r in sample], dtype=np.float64)
-    C = X[:n_cells].copy()
+    C = np.asarray(centroid_list, dtype=np.float64)
     x2 = (X * X).sum(axis=1, keepdims=True)
-    for _ in range(20):
-        # ‖x−c‖² via the matmul identity: the naive (n, k, D) broadcast
-        # is 13 GB at the 100k-row bound × 256 cells; this is (n, k).
-        d2 = x2 + (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
-        lab = d2.argmin(axis=1)
-        new_c = np.stack(
-            [
-                X[lab == c].mean(axis=0) if (lab == c).any() else C[c]
-                for c in range(n_cells)
-            ]
-        )
-        converged = bool((new_c == C).all())
-        C = new_c
-        if converged:
-            break
-    centroid_list = [[float(x) for x in c] for c in C]
     centroids = arrow_local_df(
         spark,
         {"cell": list(range(len(centroid_list))), "centroid": centroid_list},
@@ -1323,7 +1344,7 @@ def _ivfpq_train(
     # Lloyd job chain per iteration for a sample that already sits on
     # the driver. Residuals recompute the final assignment so labels
     # aren't one Lloyd round stale.
-    if len(sample) < k_codes:
+    if X.shape[0] < k_codes:
         raise ValueError(
             f"ivfpq build: need >= {k_codes} vectors to seed {k_codes} codes"
         )
