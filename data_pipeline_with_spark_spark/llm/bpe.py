@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_pipeline_with_spark_spark.llm.text import tokens
-from data_pipeline_with_spark_spark.util import ensure_min_partitions
+from data_pipeline_with_spark_spark.util import ensure_min_partitions, exploded
 
 # end-of-word marker, as in Sennrich et al. '16 — lets the tokenizer
 # distinguish "low" the word from "low" the prefix of "lower"
@@ -62,7 +62,7 @@ def word_histogram(
     the exchange carries words, never documents."""
     return (
         ensure_min_partitions(df)
-        .select(F.explode(tokens(text_col)).alias("word"))
+        .transform(lambda d: exploded(d, [], tokens(text_col), "word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy(F.desc("count"), F.asc("word"))

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from data_pipeline_with_spark_spark.llm.text import tokens
 from data_pipeline_with_spark_spark.util import (
     ensure_min_partitions,
+    exploded,
     session_cache,
     too_big_to_broadcast,
 )
@@ -238,11 +239,16 @@ def minhash_candidate_pairs(
     and ``.get`` raises — a corpus whose every candidate came from
     capped buckets; treat that as "everything was dropped"."""
     rows_per_band = num_hashes // bands
-    sigs = with_minhash(df, text_col, k_shingle, num_hashes).select(
-        F.col(id_col),
-        F.posexplode(lsh_band_hashes(F.col("minhash"), bands, rows_per_band)).alias(
-            "band_idx", "band_hash"
-        ),
+    # exploded(): the minhash signature is the single most expensive
+    # computed array in the module — InferFiltersFromGenerate would
+    # re-evaluate the whole shingle+K-md5 pipeline in a pushed-down
+    # size()>0 filter (see util.exploded)
+    sigs = exploded(
+        with_minhash(df, text_col, k_shingle, num_hashes),
+        [F.col(id_col)],
+        lsh_band_hashes(F.col("minhash"), bands, rows_per_band),
+        "band_hash",
+        pos="band_idx",
     )
     buckets = (
         sigs.groupBy("band_idx", "band_hash")
@@ -480,22 +486,24 @@ def decontamination_overlap(
 
     # __toks materialized first — an inline tokens() in the slice
     # lambda re-tokenizes per gram (interpreted lambdas; measured 8× on
-    # the sf1 run of this very query — see with_shingles note)
+    # the sf1 run of this very query — see with_shingles note).
+    # exploded(): InferFiltersFromGenerate would undo exactly that by
+    # pushing the gram array (with tokens() re-inlined) into a filter
+    # below the projection (see util.exploded)
     toks = F.col("__toks")
     seq = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k_shingle - 1), F.lit(1)))
-    gram_keys = F.explode(
-        F.array_distinct(
-            F.transform(seq, lambda i: F.xxhash64(F.slice(toks, i, k_shingle)))
-        )
+    gram_arr = F.array_distinct(
+        F.transform(seq, lambda i: F.xxhash64(F.slice(toks, i, k_shingle)))
     )
 
-    probe_grams = (
-        probe.withColumn("__toks", tokens(text_col))
-        .select(gram_keys.alias("gram_key"))
-        .distinct()
-    )
-    corpus_grams = corpus.withColumn("__toks", tokens(text_col)).select(
-        F.col(id_col), gram_keys.alias("gram_key")
+    probe_grams = exploded(
+        probe.withColumn("__toks", tokens(text_col)), [], gram_arr, "gram_key"
+    ).distinct()
+    corpus_grams = exploded(
+        corpus.withColumn("__toks", tokens(text_col)),
+        [F.col(id_col)],
+        gram_arr,
+        "gram_key",
     )
     if not too_big_to_broadcast(probe_grams):
         probe_grams = F.broadcast(probe_grams)
@@ -551,16 +559,12 @@ def decontaminate_bloom(
 
     toks = F.col("__toks")
     seq = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k_shingle - 1), F.lit(1)))
-    gram_keys = F.explode(
-        F.array_distinct(
-            F.transform(seq, lambda i: F.xxhash64(F.slice(toks, i, k_shingle)))
-        )
+    gram_arr = F.array_distinct(
+        F.transform(seq, lambda i: F.xxhash64(F.slice(toks, i, k_shingle)))
     )
-    probe_grams = (
-        probe.withColumn("__toks", tokens(text_col))
-        .select(gram_keys.alias("gram_key"))
-        .distinct()
-    )
+    probe_grams = exploded(
+        probe.withColumn("__toks", tokens(text_col)), [], gram_arr, "gram_key"
+    ).distinct()
     # distributed filter build: DISTINCT set positions (≤ BLOOM_BITS
     # ints reach the driver no matter the probe size), densified into
     # a boolean array on a broadcast 1-row frame. Booleans, not packed
@@ -583,8 +587,12 @@ def decontaminate_bloom(
         return cond
 
     corpus_grams = (
-        corpus.withColumn("__toks", tokens(text_col))
-        .select(F.col(id_col), gram_keys.alias("gram_key"))
+        exploded(
+            corpus.withColumn("__toks", tokens(text_col)),
+            [F.col(id_col)],
+            gram_arr,
+            "gram_key",
+        )
         .crossJoin(F.broadcast(wdf))
         .where(bloom_hit(F.col("gram_key")))
         .drop("__bits")
@@ -749,9 +757,7 @@ def paragraph_dedup(
         join_sep = "\n\n"
 
     with_segs = df.withColumn("__segs", segs)
-    paras = with_segs.select(
-        id_col, F.posexplode("__segs").alias("para_idx", "para")
-    )
+    paras = exploded(with_segs, [id_col], "__segs", "para", pos="para_idx")
     keepers = (
         paras.select(id_col, "para_idx", F.md5(F.col("para")).alias("__h"))
         .groupBy("__h")
@@ -813,8 +819,7 @@ def duplicated_spans(
         ),
     )
     return (
-        df.withColumn("__toks", toks)
-        .select(F.col(id_col), F.explode(wins).alias("win_hash"))
+        exploded(df.withColumn("__toks", toks), [F.col(id_col)], wins, "win_hash")
         .groupBy("win_hash")
         .agg(
             F.countDistinct(id_col).cast("bigint").alias("n_docs"),
@@ -1127,9 +1132,9 @@ def novelty_scores(
     dedup entry carries.
     """
     sh = with_shingles(df, text_col, k=k).select(id_col, "shingles")
-    post = sh.select(
-        id_col, F.explode("shingles").alias("__s")
-    ).select(id_col, F.md5(F.col("__s")).alias("sid"))
+    post = exploded(sh, [id_col], "shingles", "__s").select(
+        id_col, F.md5(F.col("__s")).alias("sid")
+    )
     counts = post.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles")
     )

@@ -104,23 +104,20 @@ def with_overlapping_chunks(
     single projection pipeline over the scan, so it runs at full scan
     speed on a 100 TB corpus."""
     from data_pipeline_with_spark_spark.llm.text import tokens
-    from data_pipeline_with_spark_spark.util import ensure_min_partitions
+    from data_pipeline_with_spark_spark.util import ensure_min_partitions, exploded
 
     n_tok = F.col("__n_tok")
     n_chunks = F.when(n_tok <= chunk_size, F.lit(1)).otherwise(
         F.ceil((n_tok - chunk_size) / stride) + 1
     )
-    out = (
+    out = exploded(
         ensure_min_partitions(df)
         .withColumn("__toks", tokens(text_col))
-        .withColumn("__n_tok", F.size("__toks"))
-        .withColumn(
-            "chunk_idx",
-            F.explode(
-                F.when(n_tok > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
-                .otherwise(F.array().cast("array<int>"))
-            ),
-        )
+        .withColumn("__n_tok", F.size("__toks")),
+        ["*"],
+        F.when(n_tok > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+        .otherwise(F.array().cast("array<int>")),
+        "chunk_idx",
     )
     sliced = F.slice(
         F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_size

@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 from data_pipeline_with_spark_spark.util import (
     arrow_local_df,
     ensure_min_partitions,
+    exploded,
     session_cache,
     session_cache_forget,
     too_big_to_broadcast,
@@ -307,10 +308,8 @@ def _rank_cells_cosine(
             dists, lambda dist, i: F.struct(dist.alias("dist"), i.alias("cell"))
         )
     )
-    return q.select(
-        query_id_col,
-        "q_emb",
-        F.explode(F.slice(ranked, 1, n_probe)).alias("__rc"),
+    return exploded(
+        q, [query_id_col, "q_emb"], F.slice(ranked, 1, n_probe), "__rc"
     ).select(query_id_col, "q_emb", F.col("__rc.cell").alias("cell"))
 
 
@@ -483,7 +482,7 @@ def power_iteration_top_component(
     d = int(first[0]["n"])
     # per-dim mean, quantized
     mu_rows = (
-        vecs.select(F.posexplode("__x").alias("pos", "val"))
+        exploded(vecs, [], "__x", "val", pos="pos")
         .groupBy("pos")
         .agg(F.round(F.avg("val"), 6).alias("m"))
         .collect()
@@ -503,8 +502,13 @@ def power_iteration_top_component(
             lambda acc, x: acc + x,
         )
         w_rows = (
-            vecs.select(cent.alias("__c"), proj.alias("__s"))
-            .select("__s", F.posexplode("__c").alias("pos", "val"))
+            exploded(
+                vecs.select(cent.alias("__c"), proj.alias("__s")),
+                ["__s"],
+                "__c",
+                "val",
+                pos="pos",
+            )
             .groupBy("pos")
             .agg(F.round(F.sum(F.col("__s") * F.col("val")), 6).alias("w"))
             .collect()
@@ -1004,8 +1008,8 @@ def pq_train(
             "__codes", _pq_codes_expr_from_col(F.col("__v"), F.col("__tbooks"), m, d)
         )
         # one pass: explode (subspace, code), then the subvector coords
-        per_sub = assigned.select(
-            "__v", F.posexplode("__codes").alias("sub", "code")
+        per_sub = exploded(
+            assigned, ["__v"], "__codes", "code", pos="sub"
         ).select(
             "sub",
             "code",
@@ -1870,13 +1874,11 @@ def _ivfpq_probe_core(
     )
     adc = F.round(_adc_dist(m), 6)
     q_cells = (
-        q.crossJoin(F.broadcast(const_df))  # 1-row constants side
-        .select(
-            query_id_col,
-            "__q",
-            "__cents",
-            "__books",
-            F.explode(F.slice(ranked, 1, n_probe)).alias("__rc"),
+        exploded(
+            q.crossJoin(F.broadcast(const_df)),  # 1-row constants side
+            [query_id_col, "__q", "__cents", "__books"],
+            F.slice(ranked, 1, n_probe),
+            "__rc",
         )
         .select(
             query_id_col,

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_pipeline_with_spark_spark.util import ensure_min_partitions
+from data_pipeline_with_spark_spark.util import ensure_min_partitions, exploded
 
 # Tiny in-expression stopword/marker sets. Real deployments swap in a
 # broadcast lookup table; these stay literal so the whole pipeline is a
@@ -275,9 +275,12 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "
         " i -> concat(toks[i - 1], ' ', toks[i]))"
     )
     counts = (
-        ensure_min_partitions(df)
-        .withColumn("toks", toks)
-        .select(id_col, F.explode(bigrams).alias("bigram"))
+        exploded(
+            ensure_min_partitions(df).withColumn("toks", toks),
+            [id_col],
+            bigrams,
+            "bigram",
+        )
         .groupBy(id_col, "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -354,7 +357,7 @@ def bm25_topk(
     oracle. Per-term weights round to 6 before the doc-level sum so
     the final score is insensitive to aggregation order."""
     qt = sorted({t.lower() for t in query_terms})
-    toks = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+    toks = exploded(df, [id_col], tokens(F.col(text_col)), "term")
     per_doc = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("dl"),
         *[
@@ -433,13 +436,14 @@ def cooccurrence_edges(
         F.size("toks") >= 2
     )
     bi = (
-        t.select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(toks) - 2),"
-                    " i -> struct(toks[i] AS t1, toks[i + 1] AS t2))"
-                )
-            ).alias("p")
+        exploded(
+            t,
+            [],
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS t1, toks[i + 1] AS t2))"
+            ),
+            "p",
         )
         .select("p.t1", "p.t2")
         .where(F.col("t1") != F.col("t2"))

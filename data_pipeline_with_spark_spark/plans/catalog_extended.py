@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_spark.operators import equi_join
 from data_pipeline_with_spark_spark.plans.registry import QuerySpec, register
+from data_pipeline_with_spark_spark.util import exploded
 from data_pipeline_with_spark_spark.sources.readers import (
     read_testdata,
     register_testdata_views,
@@ -599,7 +600,7 @@ def _explode_tokens(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = read_testdata(spark, sf, "documents")
     return (
-        docs.select(F.explode(tokens("text")).alias("token"))
+        exploded(docs, [], tokens("text"), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 100)

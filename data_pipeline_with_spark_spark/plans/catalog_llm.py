@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from data_pipeline_with_spark_spark.llm import dedup, multimodal, similarity, text
 from data_pipeline_with_spark_spark.operators import graph
 from data_pipeline_with_spark_spark.plans.registry import QuerySpec, register
+from data_pipeline_with_spark_spark.util import exploded
 from data_pipeline_with_spark_spark.sources.readers import read_testdata
 
 _TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
@@ -1910,7 +1911,7 @@ def _unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     doc's tokens join against it map-side, then one per-doc aggregation.
     The corpus total rides along as a broadcast scalar."""
     docs = read_testdata(spark, sf, "documents")
-    toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+    toks = exploded(docs, ["doc_id"], text.tokens(F.col("text")), "term")
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
     total = toks.agg(F.count(F.lit(1)).alias("n_total"))
     return (
@@ -1964,7 +1965,7 @@ def _bigram_backoff_logprob(spark: SparkSession, sf: str) -> DataFrame:
     with_toks = docs.withColumn("__toks", text.tokens(F.col("text")))
     model = with_toks.where(F.col("doc_id") % 5 == 0)
     uni = (
-        model.select(F.explode("__toks").alias("cur"))
+        exploded(model, [], "__toks", "cur")
         .groupBy("cur")
         .agg(F.count(F.lit(1)).alias("c_cur"))
     )
@@ -1977,7 +1978,7 @@ def _bigram_backoff_logprob(spark: SparkSession, sf: str) -> DataFrame:
         " __toks[i-1] AS cur)), s -> s.cur IS NOT NULL)"
     )
     bi = (
-        model.select(F.explode(pair_expr).alias("p"))
+        exploded(model, [], pair_expr, "p")
         .select("p.prev", "p.cur")
         .where(F.col("prev").isNotNull())
         .groupBy("prev", "cur")
@@ -1986,7 +1987,7 @@ def _bigram_backoff_logprob(spark: SparkSession, sf: str) -> DataFrame:
     totals = uni.agg(
         F.sum("c_cur").alias("n_total"), F.count(F.lit(1)).alias("v_size")
     )
-    pairs = with_toks.select("doc_id", F.explode(pair_expr).alias("p")).select(
+    pairs = exploded(with_toks, ["doc_id"], pair_expr, "p").select(
         "doc_id", "p.prev", "p.cur"
     )
     prev_uni = uni.select(
@@ -2174,8 +2175,7 @@ def _top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     counts = (
-        docs.withColumn("toks", toks)
-        .select("lang", F.explode(bigrams).alias("bigram"))
+        exploded(docs.withColumn("toks", toks), ["lang"], bigrams, "bigram")
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -2223,7 +2223,7 @@ def _tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_testdata(spark, sf, "documents")
-    toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+    toks = exploded(docs, ["doc_id"], text.tokens(F.col("text")), "term")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # tf rows are already distinct per (doc, term): counting them by term
     # IS document frequency, no separate distinct pass needed. The

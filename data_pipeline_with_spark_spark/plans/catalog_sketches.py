@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_spark.llm import sketches, text
 from data_pipeline_with_spark_spark.plans.registry import QuerySpec, register
+from data_pipeline_with_spark_spark.util import exploded
 from data_pipeline_with_spark_spark.sources.readers import read_testdata
 
 _TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
@@ -98,7 +99,7 @@ register(
 def _cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_testdata(spark, sf, "documents")
     cnt = (
-        docs.select(F.explode(text.tokens("text")).alias("token"))
+        exploded(docs, [], text.tokens("text"), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from data_pipeline_with_spark_spark.plans.registry import QuerySpec, register
+from data_pipeline_with_spark_spark.util import exploded
 from data_pipeline_with_spark_spark.sources.readers import read_testdata
 from data_pipeline_with_spark_spark.streaming.windows import (
     session_window_agg,
@@ -490,7 +491,7 @@ def _stream_cms(spark: SparkSession, sf: str) -> DataFrame:
     sketch = run_streaming_cms(spark, sf, tempfile.mkdtemp(prefix="cms_stream_"))
     docs = read_testdata(spark, sf, "documents")
     cnt = (
-        docs.select(F.explode(text.tokens("text")).alias("token"))
+        exploded(docs, [], text.tokens("text"), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
     )

@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from data_pipeline_with_spark_spark.util import exploded
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a stream: file source with an event-time ``ts``
     timestamp column, ready for watermarking.
@@ -825,12 +827,12 @@ def run_streaming_cms(
         .option("maxFilesPerTrigger", 1)
         .parquet(staging)
     )
-    toks = stream.select(F.explode(tokens("text")).alias("token"))
+    toks = exploded(stream, [], tokens("text"), "token")
     keys = F.array(
         *[sketches.cms_key(i, "token") for i in range(sketches.CMS_DEPTH)]
     )
     counters = (
-        toks.select(F.posexplode(keys).alias("row", "key"))
+        exploded(toks, [], keys, "key", pos="row")
         .groupBy("row", "key")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -1011,11 +1013,12 @@ def _band_triples(
 
     sigs = with_minhash(batch_df, "text", k_shingle, num_hashes)
     rows_per_band = num_hashes // bands
-    return sigs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.posexplode(
-            lsh_band_hashes(F.col("minhash"), bands, rows_per_band)
-        ).alias("band_idx", "band_hash"),
+    return exploded(
+        sigs,
+        [F.col("doc_id").cast("long").alias("doc_id")],
+        lsh_band_hashes(F.col("minhash"), bands, rows_per_band),
+        "band_hash",
+        pos="band_idx",
     ).select("band_idx", "band_hash", "doc_id")
 
 
@@ -1434,14 +1437,12 @@ def fold_novelty_batch(postings, batch_df: DataFrame, epoch_id: int, k_shingle: 
     from data_pipeline_with_spark_spark.lake.versioned import retry_on_conflict
     from data_pipeline_with_spark_spark.llm.dedup import with_shingles
 
-    post = (
-        with_shingles(batch_df.select("doc_id", "text"), k=k_shingle)
-        .select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.explode("shingles").alias("__s"),
-        )
-        .select("doc_id", F.md5(F.col("__s")).alias("sid"))
-    )
+    post = exploded(
+        with_shingles(batch_df.select("doc_id", "text"), k=k_shingle),
+        [F.col("doc_id").cast("long").alias("doc_id")],
+        "shingles",
+        "__s",
+    ).select("doc_id", F.md5(F.col("__s")).alias("sid"))
     return retry_on_conflict(
         lambda: postings.idempotent_append(
             post, app_id="stream_novelty_postings", batch_id=epoch_id

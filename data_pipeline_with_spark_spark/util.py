@@ -140,3 +140,42 @@ def arrow_local_df(spark, columns: dict, schema: str) -> DataFrame:
     import pandas as pd
 
     return spark.createDataFrame(pd.DataFrame(columns), schema=schema)
+
+
+def exploded(
+    df: DataFrame,
+    cols,
+    arr,
+    alias: str,
+    pos: str | None = None,
+) -> DataFrame:
+    """``SELECT cols…, [pos,] explode(arr) AS alias FROM df`` — but
+    immune to Catalyst's ``InferFiltersFromGenerate``.
+
+    The hazard: for a NON-outer explode, that rule infers
+    ``size(arr) > 0 AND isnotnull(arr)`` and predicate pushdown then
+    substitutes the array's FULL defining expression into a Filter that
+    sinks below every projection — often below the
+    ``ensure_min_partitions`` exchange, onto the scan's few input
+    partitions. For a computed array (shingles, k-grams, PQ codes) the
+    whole pipeline re-evaluates there, with any guard projections
+    re-inlined (re-introducing the O(tokens × shingles) re-tokenize
+    that ``with_shingles`` exists to prevent) and on a fraction of the
+    cores. Measured on the sf1 scaling fixture: the novelty postings
+    pass dropped 39 s → 5 s from this change alone.
+
+    The fix: ``posexplode_outer`` + ``WHERE pos IS NOT NULL``, which
+    reproduces ``explode``/``posexplode`` semantics EXACTLY in all
+    cases — null array elements are kept as rows (their pos is
+    non-null), null/empty arrays are dropped (the outer-added row has a
+    null pos) — while the inference rule, which only fires on non-outer
+    generates (its size>0 filter would be wrong under outer), never
+    applies. The ordinal column is dropped unless ``pos`` names it.
+    """
+    from pyspark.sql import functions as F
+
+    p = pos or "__exploded_pos"
+    out = df.select(
+        *cols, F.posexplode_outer(arr).alias(p, alias)
+    ).where(F.col(p).isNotNull())
+    return out if pos else out.drop(p)

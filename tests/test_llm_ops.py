@@ -262,7 +262,10 @@ def test_bm25_single_pass_plan(spark):
     final = (
         df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     )
-    gens = len(re.findall(r"Generate explode", final))
+    # util.exploded() spells the tokenize explode as posexplode_outer
+    # (the InferFiltersFromGenerate guard); count both spellings so the
+    # pin tracks the tokenize generate, whatever its flavor
+    gens = len(re.findall(r"Generate (?:pos)?explode(?:_outer)?\(filter\(split\(", final))
     assert gens == 1, f"tokenize explode ran {gens}x (want 1):\n{final[:1500]}"
 
 
