@@ -2325,3 +2325,67 @@ def test_retrieval_eval_planted_metrics(spark):
     assert (b.p_at_k_hits, b.first_rel_rank, b.mrr_micros, b.dcg_scaled, b.ndcg) == (
         0, 0, 0, 0, 0.0,
     )
+
+
+def test_exploded_helper_is_exactly_explode(spark):
+    # util.exploded (the InferFiltersFromGenerate guard) must reproduce
+    # explode()/posexplode() semantics bit-for-bit in every edge case:
+    # null elements KEPT as rows, null/empty arrays DROPPED.
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_spark_spark.util import exploded
+
+    df = spark.createDataFrame(
+        [(1, ["a", None, "b"]), (2, []), (3, None), (4, ["c"])],
+        "id INT, arr ARRAY<STRING>",
+    )
+    got = sorted(
+        ((r.id, r.v) for r in exploded(df, ["id"], "arr", "v").collect()),
+        key=str,
+    )
+    want = sorted(
+        ((r.id, r.v) for r in df.select("id", F.explode("arr").alias("v")).collect()),
+        key=str,
+    )
+    assert got == want and (1, None) in got and len(got) == 4
+
+    got_pos = sorted(
+        (r.id, r.p, r.v)
+        for r in exploded(df, ["id"], "arr", "v", pos="p").collect()
+    )
+    want_pos = sorted(
+        (r.id, r.p, r.v)
+        for r in df.select("id", F.posexplode("arr").alias("p", "v")).collect()
+    )
+    assert got_pos == want_pos
+
+
+def test_no_inferred_filter_recomputes_computed_arrays(spark):
+    # Regression pin for the r12 InferFiltersFromGenerate find: a
+    # non-outer explode over a computed array gets an inferred
+    # size(arr) > 0 filter that pushdown sinks below every projection,
+    # re-evaluating the whole array pipeline (tokenize+shingle+hash) on
+    # the scan's few partitions — measured 6x on the novelty pass at
+    # sf1. util.exploded neutralizes it; these three shapes have NO
+    # deliberate lambda filters, so ANY lambdafunction( inside a Filter
+    # node of their optimized plans is the hazard re-appearing.
+    from data_pipeline_with_spark_spark.llm import dedup
+    from data_pipeline_with_spark_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, "/root/testdata/sf0.001", "documents")
+    frames = {
+        "novelty": dedup.novelty_scores(docs),
+        "lsh_pairs": dedup.minhash_candidate_pairs(docs),
+        "kgram_overlap": dedup.decontamination_overlap(
+            docs, docs.where("doc_id < 50")
+        ),
+    }
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            ls = line.strip().lstrip(":+- ")
+            if ls.startswith("Filter") and "lambdafunction(" in ls:
+                raise AssertionError(
+                    f"{name}: pushed-down filter re-evaluates a computed "
+                    f"array (InferFiltersFromGenerate regression):\n{ls[:300]}"
+                )
