@@ -1135,6 +1135,16 @@ def novelty_scores(
     post = exploded(sh, [id_col], "shingles", "__s").select(
         id_col, F.md5(F.col("__s")).alias("sid")
     )
+    return novelty_from_postings(post, id_col=id_col)
+
+
+def novelty_from_postings(post: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Serve first-occurrence novelty from an (id, sid) postings frame:
+    the ONE serve shape shared by the batch ``novelty_scores`` above and
+    the streaming drained ledger (``streaming.demo.run_stream_novelty``),
+    so the pinned stream == batch bit-equality is enforced by shared code
+    instead of two hand-synced copies. See ``novelty_scores`` for the
+    plan-shape rationale (one O(postings) exchange)."""
     counts = post.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles")
     )

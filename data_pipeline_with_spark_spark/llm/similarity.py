@@ -1213,6 +1213,37 @@ def _sq_dist_cols(a: Column, b: Column) -> Column:
     )
 
 
+def _lloyd_numpy(X, k: int, iters: int):
+    """Seeded Lloyd k-means on a driver-side sample matrix: seeds = the
+    first ``k`` rows (callers pass id-sorted samples, so the lowest-id
+    vectors — the ``kmeans_lloyd``/``pq_train`` seeding doctrine), empty
+    clusters keep their previous centroid, numpy argmin breaks distance
+    ties to the lowest index (matching ``_ivfpq_assign``'s SQL rule).
+    Exits early on EXACT convergence — a fixed point is permanent under
+    these rules (same centroids → same assignment → same means), so the
+    early exit can never change the result of a fixed-iteration run.
+    The matmul distance identity keeps memory O(n·k): the naive
+    (n, k, D) broadcast is 13 GB at the 100k-row bound × 256 cells."""
+    import numpy as np
+
+    C = X[:k].copy()
+    x2 = (X * X).sum(axis=1, keepdims=True)
+    for _ in range(iters):
+        d2 = x2 + (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        lab = d2.argmin(axis=1)
+        new_c = np.stack(
+            [
+                X[lab == c].mean(axis=0) if (lab == c).any() else C[c]
+                for c in range(k)
+            ]
+        )
+        converged = bool((new_c == C).all())
+        C = new_c
+        if converged:
+            break
+    return C
+
+
 def _fit_coarse_centroids(
     corpus: DataFrame,
     n_cells: int,
@@ -1232,9 +1263,11 @@ def _fit_coarse_centroids(
     ``_ivfpq_assign``'s SQL contract. NULL embeddings are unindexable
     and excluded, uniform with assignment.
 
-    The sample is ≤ ``max_train_rows`` (~50 MB at D=64) by
-    construction, so the collect is bounded — quantizers train small
-    and in memory while assignment/encoding stay distributed. This
+    The hash-sample targets ``max_train_rows`` rows in EXPECTATION
+    (Bernoulli thresholding lands within ~±√max_train_rows of it), so
+    the collect is bounded up to that fluctuation (~50 MB at D=64) —
+    quantizers train small and in memory while assignment/encoding
+    stay distributed. This
     replaced MLlib kmeans|| fits that (a) cost ~20 scheduler-bound
     jobs per build and (b) depended on partition contents/order for
     their seeded sampling (the r10 canonicalization pass); a sorted
@@ -1269,23 +1302,7 @@ def _fit_coarse_centroids(
             f"{n_cells} cells, got {len(sample)}"
         )
     X = np.asarray([r["__v"] for r in sample], dtype=np.float64)
-    C = X[:n_cells].copy()
-    x2 = (X * X).sum(axis=1, keepdims=True)
-    for _ in range(iters):
-        # ‖x−c‖² via the matmul identity: the naive (n, k, D) broadcast
-        # is 13 GB at the 100k-row bound × 256 cells; this is (n, k).
-        d2 = x2 + (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
-        lab = d2.argmin(axis=1)
-        new_c = np.stack(
-            [
-                X[lab == c].mean(axis=0) if (lab == c).any() else C[c]
-                for c in range(n_cells)
-            ]
-        )
-        converged = bool((new_c == C).all())
-        C = new_c
-        if converged:
-            break
+    C = _lloyd_numpy(X, n_cells, iters)
     return [[float(x) for x in c] for c in C], X
 
 
@@ -1358,22 +1375,13 @@ def _ivfpq_train(
     d_sub = dim // m
     lab = (x2 + (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
     R = X - C[lab]
-    books_np = []
-    for j in range(m):
-        Sj = R[:, j * d_sub : (j + 1) * d_sub]
-        B = Sj[:k_codes].copy()
-        s2 = (Sj * Sj).sum(axis=1, keepdims=True)
-        for _ in range(pq_iters):
-            dd = s2 + (B * B).sum(axis=1)[None, :] - 2.0 * (Sj @ B.T)
-            cl = dd.argmin(axis=1)
-            B = np.stack(
-                [
-                    Sj[cl == c].mean(axis=0) if (cl == c).any() else B[c]
-                    for c in range(k_codes)
-                ]
-            )
-        books_np.append(B)
-    books = [[[float(x) for x in c] for c in B] for B in books_np]
+    books = [
+        [
+            [float(x) for x in c]
+            for c in _lloyd_numpy(R[:, j * d_sub : (j + 1) * d_sub], k_codes, pq_iters)
+        ]
+        for j in range(m)
+    ]
     arrow_local_df(
         spark,
         {

@@ -122,9 +122,14 @@ def breakpoint_ntile(
     value-deterministic behavior is the defensible one (ntile's split
     depends on sort-tie order unless a tiebreaker column is added).
 
-    NULL values (ntile sorts them first in Spark ASC) are not handled
-    specially — filter or impute first; percentile_approx ignores
-    NULLs, so a NULL row would otherwise take bucket 1.
+    NULL values: boundaries are computed over NON-NULL rows only (both
+    the count and the sketch ignore NULLs, consistently), and NULL rows
+    are assigned bucket 1 ascending / bucket n descending — where
+    Spark's default null ordering (ASC NULLS FIRST / DESC NULLS LAST)
+    sorts them. This diverges from ntile when NULLs are numerous enough
+    to consume whole buckets (they don't take capacity here) — the
+    exact-agreement contract above is for NULL-free data; filter or
+    impute first when that matters.
 
     Magnitude contract: ``percentile_approx``'s sketch stores doubles,
     so integer values must be exactly double-representable
@@ -134,11 +139,19 @@ def breakpoint_ntile(
     """
     if n < 1:
         raise ValueError(f"breakpoint_ntile: n must be >= 1, got {n}")
+    null_bucket = 1 if ascending else n
     v = F.col(value_col) if ascending else -F.col(value_col)
     work = df.withColumn("__bp_v", v)
-    count = work.count()
+    # non-null count: the sketch ignores NULLs, so ranking fractions
+    # must too — counting NULL rows here skewed every boundary rank low
+    count = work.where(F.col("__bp_v").isNotNull()).count()
     if count == 0 or n == 1:
-        return df.withColumn(bucket_col, F.lit(1))
+        return df.withColumn(
+            bucket_col,
+            F.when(F.col(value_col).isNull(), F.lit(null_bucket))
+            .otherwise(F.lit(1))
+            .cast("int"),
+        )
     base, rem = divmod(count, n)
     ranks = [b * base + min(b, rem) for b in range(1, n)]
     # a rank of 0 (more buckets than rows) has no boundary value;
@@ -156,4 +169,7 @@ def breakpoint_ntile(
         expr = F.when(F.col("__bp_v") <= F.lit(bps[i]), F.lit(i + 1)).otherwise(
             expr
         )
+    # NULLs fail every <= WHEN and would silently fall through to the
+    # top bucket — route them to ntile's null end explicitly
+    expr = F.when(F.col("__bp_v").isNull(), F.lit(null_bucket)).otherwise(expr)
     return work.withColumn(bucket_col, expr.cast("int")).drop("__bp_v")

@@ -1489,35 +1489,9 @@ def run_stream_novelty(spark: SparkSession, sf_dir: str, work_dir: str):
         .start()
     )
     query.awaitTermination()
-    # Serve at drain with ONE O(postings) exchange (the sid aggregate):
-    # ownership counts are folded sketch-side to O(docs) before joining
-    # the map-side-combined per-doc counts — the same shape as the
-    # batch twin `dedup.novelty_scores` (see its docstring), bit-equal.
-    p = postings.read()
-    counts = p.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
-    )
-    novel = (
-        p.groupBy("sid")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__n_novel"))
-    )
-    return (
-        counts.join(novel, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce(F.col("__n_novel"), F.lit(0).cast("bigint")).alias(
-                "n_novel"
-            ),
-        )
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_novel",
-            F.round(
-                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
-            ).alias("novelty"),
-        )
-    )
+    # Serve at drain through the SAME code as the batch twin
+    # (dedup.novelty_from_postings) — the pinned stream == batch
+    # bit-equality is enforced structurally, not by hand-synced copies.
+    from data_pipeline_with_spark_spark.llm.dedup import novelty_from_postings
+
+    return novelty_from_postings(postings.read(), id_col="doc_id")

@@ -234,3 +234,34 @@ def test_breakpoint_ntile_matches_ntile_on_distinct_values(spark):
         r["b"]
         for r in breakpoint_ntile(tied, "v", n=2, bucket_col="b").collect()
     } == {1}
+
+
+def test_breakpoint_ntile_null_handling(spark):
+    # Boundaries are computed over NON-NULL rows only (the sketch
+    # ignores NULLs, so the count must too), NULL rows land at ntile's
+    # null end (bucket 1 asc / n desc), and the all-NULL frame doesn't
+    # crash on a NULL breakpoint array.
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_spark_spark.operators.aggregates import (
+        breakpoint_ntile,
+    )
+
+    mixed = spark.createDataFrame(
+        [(i, None if i < 5 else i * 10) for i in range(10)],
+        "id INT, v INT",
+    )
+    asc = {r["id"]: r["b"] for r in breakpoint_ntile(mixed, "v", n=5, bucket_col="b").collect()}
+    # 5 non-null values split one per bucket; NULLs all bucket 1
+    assert [asc[i] for i in range(5)] == [1] * 5
+    assert [asc[i] for i in range(5, 10)] == [1, 2, 3, 4, 5]
+    desc = {r["id"]: r["b"] for r in breakpoint_ntile(
+        mixed, "v", n=5, ascending=False, bucket_col="b"
+    ).collect()}
+    assert [desc[i] for i in range(5)] == [5] * 5
+    assert [desc[i] for i in range(5, 10)] == [5, 4, 3, 2, 1]
+
+    all_null = spark.createDataFrame([(i, None) for i in range(4)], "id INT, v INT")
+    assert {
+        r["b"] for r in breakpoint_ntile(all_null, "v", n=3, bucket_col="b").collect()
+    } == {1}

@@ -42,7 +42,13 @@ from data_pipeline_with_spark_spark.sources.readers import TESTDATA_TABLES
 _ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 SERIAL = "--serial" in sys.argv[1:]
 TRISF = "--trisf" in sys.argv[1:]
-SF_DIR = _ARGS[0] if _ARGS else "/root/testdata/sf0.01"
+# Positional args: an existing directory is the sf_dir, everything
+# else is a query-name filter — so `--trisf <query>` filters instead of
+# silently running the full catalog three times with <query> consumed
+# as the (ignored) sf_dir.
+_DIRS = [a for a in _ARGS if Path(a).is_dir()]
+_NAMES = [a for a in _ARGS if not Path(a).is_dir()]
+SF_DIR = _DIRS[0] if _DIRS else "/root/testdata/sf0.01"
 TRISF_DIRS = (
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",
@@ -177,7 +183,9 @@ def sweep(spark, sf_dir: str, only: set[str]) -> tuple[int, int, list[str]]:
 
 
 def main() -> int:
-    only = set(_ARGS[1:])
+    from data_pipeline_with_spark_spark.util import release_session_caches
+
+    only = set(_NAMES)
     spark = get_spark("check_oracle")
     if not TRISF:
         _, _, failures = sweep(spark, SF_DIR, only)
@@ -188,6 +196,10 @@ def main() -> int:
         print(f"\n===== {sf_dir} =====")
         n_pass, n_run, failures = sweep(spark, sf_dir, only)
         totals.append((sf_dir, n_pass, n_run, failures))
+        # operator session_caches (MEMORY_AND_DISK) pinned during this
+        # sweep would otherwise ride through the next, larger SF's
+        # sweep as dead eviction pressure
+        release_session_caches()
     print("\n===== tri-SF summary =====")
     all_fail: list[str] = []
     for sf_dir, n_pass, n_run, failures in totals:

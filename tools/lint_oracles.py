@@ -195,14 +195,6 @@ def _double_round_hazards(name: str, sql: str) -> list[str]:
 # value-identical to double literals and deliberately NOT flagged.
 def _decimal_plan_hazards(name: str, df) -> list[str]:
     tree = df._jdf.queryExecution().analyzed().treeString()
-    out: list[str] = []
-    if "CheckOverflow" in tree:
-        out.append(
-            f"{name}: decimal arithmetic (CheckOverflow) in the analyzed "
-            "Spark plan — the DuckDB oracle runs doubles (the "
-            "events_psi_drift bug class); CAST the fractional literals "
-            "AS DOUBLE"
-        )
     for m in re.finditer(r" as decimal\(", tree):
         depth, i = 0, m.start() - 1
         while i >= 0:
@@ -216,15 +208,23 @@ def _decimal_plan_hazards(name: str, df) -> list[str]:
             i -= 1
         operand = tree[i + 1 : m.start()]
         if "#" in operand:
-            out.append(
+            # one hazard per entry: the cast finding names the column,
+            # so the CheckOverflow signal below would only repeat it
+            return [
                 f"{name}: column pulled into DECIMAL by a bare fractional "
                 "literal — Spark runs the expression in fixed-point while "
                 "the DuckDB oracle runs doubles (the events_psi_drift bug "
                 f"class). CAST the literal AS DOUBLE. Offending cast: "
                 f"cast({operand[:160]} as decimal(...)"
-            )
-            break
-    return out
+            ]
+    if "CheckOverflow" in tree:
+        return [
+            f"{name}: decimal arithmetic (CheckOverflow) in the analyzed "
+            "Spark plan — the DuckDB oracle runs doubles (the "
+            "events_psi_drift bug class); CAST the fractional literals "
+            "AS DOUBLE"
+        ]
+    return []
 
 
 def lint_specs(spark, sf_dir: str) -> list[str]:
