@@ -187,6 +187,12 @@ def main() -> int:
 
     only = set(_NAMES)
     spark = get_spark("check_oracle")
+    # Warm the session before the first timed entry: JVM/codegen/
+    # parquet-footer warmup otherwise lands entirely on whichever entry
+    # runs first (tpch_q1 read 7.0 s in the r12 serial artifact vs
+    # ~0.3 s steady-state), polluting the per-entry diagnostics.
+    spark.range(100_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/region.parquet").collect()
     if not TRISF:
         _, _, failures = sweep(spark, SF_DIR, only)
         return 1 if failures else 0
