@@ -640,7 +640,16 @@ def connected_components(
     _CHECKPOINT_EVERY rounds the labels frame is localCheckpoint-ed
     (eager), truncating lineage to the materialized blocks, so plan
     size and recovery cost stay O(1) in the iteration count.
+
+    Convergence detection rides the SAME action that materializes the
+    round (an ``Observation`` counting component != old-component rows)
+    instead of a separate labels-join-labels count job per round — one
+    fewer job and one fewer join per iteration, and at scale one fewer
+    pass over the label frames. The observed frame is never empty
+    (every node keeps a row), so the AQE empty-relation caveat on
+    CollectMetrics (see minhash_candidate_pairs) cannot fire here.
     """
+    from pyspark.sql import Observation
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -665,6 +674,7 @@ def connected_components(
             labels.join(neighbor_min, on=labels.node == neighbor_min.src, how="left")
             .select(
                 "node",
+                F.col("component").alias("__old"),
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
@@ -676,30 +686,33 @@ def connected_components(
         parent = propagated.select(
             F.col("node").alias("__p_node"), F.col("component").alias("__p_comp")
         )
+        obs = Observation(f"cc_changed_{it}")
         new_labels = (
             propagated.join(
                 parent, on=propagated.component == parent.__p_node, how="left"
             )
             .select(
                 "node",
+                "__old",
                 F.least(
                     F.col("component"), F.coalesce("__p_comp", F.col("component"))
                 ).alias("component"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("component") != F.col("__old"), 1).otherwise(0)
+                ).alias("n_changed"),
             )
         )
         if it % _CHECKPOINT_EVERY == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+            new_labels.count()
+        changed = int(obs.get["n_changed"])
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("__old")
         if changed == 0:
             break
     edges.unpersist()
