@@ -795,6 +795,63 @@ register(
 )
 
 
+def _monetary_quintiles_breakpoint(spark: SparkSession, sf: str) -> DataFrame:
+    """The RFM windows' documented 10⁸-customer scale path, exercised
+    END-TO-END against the un-partitioned-ntile oracle: per-customer
+    monetary cents bucket into quintiles via percentile breakpoints +
+    broadcast range assignment (``aggregates.breakpoint_ntile`` — one
+    mergeable-sketch pass, no global sort) instead of the single-
+    partition ntile window. Exact ntile agreement holds because the
+    bucketing VALUE is the tie-broken composite mc·2²¹ + custkey:
+    fully distinct (so boundary ties can't split), < 2⁵³ (the sketch's
+    double storage stays exact — max ≈ 1.5·10¹⁵ at sf0.1), and
+    N ≤ accuracy at every fixture SF (the sketch stores the sample
+    exactly, so each queried (r−½)/N fraction selects precisely
+    ntile's boundary rank). The DuckDB oracle runs the plain ntile
+    window over the same composite — agreement verified at all three
+    fixture SFs before registration."""
+    from data_pipeline_with_spark_spark.operators.aggregates import (
+        breakpoint_ntile,
+    )
+
+    orders = read_testdata(spark, sf, "orders")
+    m = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "monetary_cents"
+        )
+    )
+    comp = m.withColumn(
+        "__v", F.col("monetary_cents") * F.lit(2**21) + F.col("o_custkey")
+    )
+    return breakpoint_ntile(
+        comp, "__v", n=5, bucket_col="m_q", accuracy=200_000
+    ).select("o_custkey", "monetary_cents", "m_q")
+
+
+register(
+    QuerySpec(
+        name="orders_monetary_quintiles_breakpoint",
+        build=_monetary_quintiles_breakpoint,
+        doc="monetary quintiles via percentile breakpoints + broadcast range "
+        "assignment (the RFM ntile scale swap, oracle-checked against the "
+        "window it replaces)",
+        oracle="""
+        WITH m AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, monetary_cents,
+               CAST(ntile(5) OVER (
+                 ORDER BY monetary_cents * 2097152 + o_custkey
+               ) AS INT) AS m_q
+        FROM m
+        """,
+    )
+)
+
+
 def _u4_grouped_agg(spark: SparkSession, sf: str) -> DataFrame:
     """U4: GROUPED_AGG pandas UDF — per-priority order-value totals via
     the Arrow Series→scalar path, with the mean as BIGINT division
