@@ -704,6 +704,15 @@ def connected_components(
                     F.when(F.col("component") != F.col("__old"), 1).otherwise(0)
                 ).alias("n_changed"),
             )
+            # Drop __old BEFORE persist/checkpoint: CacheManager's
+            # uncache (cascade=false) only releases plans that
+            # sameResult the persisted plan, so persisting the
+            # __old-bearing frame and carrying the dropped projection
+            # forward would make next round's unpersist() a no-op and
+            # leak every round's cached labels. The Observation's
+            # CollectMetrics sits below this projection and still
+            # executes on materialization.
+            .drop("__old")
         )
         if it % _CHECKPOINT_EVERY == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
@@ -712,7 +721,7 @@ def connected_components(
             new_labels.count()
         changed = int(obs.get["n_changed"])
         labels.unpersist()
-        labels = new_labels.drop("__old")
+        labels = new_labels
         if changed == 0:
             break
     edges.unpersist()

@@ -809,7 +809,19 @@ def _monetary_quintiles_breakpoint(spark: SparkSession, sf: str) -> DataFrame:
     exactly, so each queried (r−½)/N fraction selects precisely
     ntile's boundary rank). The DuckDB oracle runs the plain ntile
     window over the same composite — agreement verified at all three
-    fixture SFs before registration."""
+    fixture SFs before registration.
+
+    VALIDITY BOUND (r12 advice): the ``mc·2²¹ + custkey`` packing is
+    order-preserving only while ``o_custkey < 2²¹`` (~2.1M — true up to
+    ~sf14 TPC-H) AND the product stays < 2⁵³; past either bound the key
+    bits bleed into the monetary bits (wrong ordering) or exceed the
+    sketch's exact-double range. The composite below asserts both
+    bounds per-row (a CASE + ``raise_error`` folded into the packing
+    expression — no extra pass, fails loudly instead of mis-ranking).
+    For true 10⁸-row deployments use a (value, key) struct percentile —
+    rank the struct lexicographically instead of packing — or salt
+    ranks within equal values; the packing is the fixture-scale fast
+    path, not the unbounded one."""
     from data_pipeline_with_spark_spark.operators.aggregates import (
         breakpoint_ntile,
     )
@@ -820,8 +832,19 @@ def _monetary_quintiles_breakpoint(spark: SparkSession, sf: str) -> DataFrame:
             "monetary_cents"
         )
     )
+    packed = F.col("monetary_cents") * F.lit(2**21) + F.col("o_custkey")
+    in_bounds = (F.col("o_custkey") < F.lit(2**21)) & (
+        F.col("monetary_cents") < F.lit(2**53 // 2**21)
+    )
     comp = m.withColumn(
-        "__v", F.col("monetary_cents") * F.lit(2**21) + F.col("o_custkey")
+        "__v",
+        F.when(in_bounds, packed).otherwise(
+            F.expr(
+                "CAST(raise_error('monetary composite packing bound exceeded:"
+                " needs o_custkey < 2^21 and monetary_cents < 2^32 —"
+                " switch to the struct-percentile formulation') AS BIGINT)"
+            )
+        ),
     )
     return breakpoint_ntile(
         comp, "__v", n=5, bucket_col="m_q", accuracy=200_000

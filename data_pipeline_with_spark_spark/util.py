@@ -171,10 +171,27 @@ def exploded(
     null pos) — while the inference rule, which only fires on non-outer
     generates (its size>0 filter would be wrong under outer), never
     applies. The ordinal column is dropped unless ``pos`` names it.
+
+    Name-collision guard (r12 advice): if the input frame already has a
+    column equal to the ordinal name or to ``alias`` and the caller
+    also projects it in ``cols``, the select would emit a duplicate
+    name and the trailing ``.drop(p)`` would remove the caller's
+    pre-existing column too — silently. Raise loudly instead.
     """
     from pyspark.sql import functions as F
 
     p = pos or "__exploded_pos"
+    existing = set(df.columns)
+    if p in existing:
+        raise ValueError(
+            f"exploded(): ordinal column name {p!r} already exists in the "
+            "input frame; pass a distinct pos= name"
+        )
+    if alias in existing:
+        raise ValueError(
+            f"exploded(): alias {alias!r} already exists in the input "
+            "frame; the explode output would shadow or duplicate it"
+        )
     out = df.select(
         *cols, F.posexplode_outer(arr).alias(p, alias)
     ).where(F.col(p).isNotNull())

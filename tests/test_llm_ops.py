@@ -661,6 +661,52 @@ def test_connected_components_path_graph_log_rounds(spark):
     assert labels.count() == n
 
 
+def test_exploded_semantics_and_collision_guard(spark):
+    from data_pipeline_with_spark_spark.util import exploded
+
+    df = spark.createDataFrame(
+        [(1, [10, None, 30]), (2, []), (3, None)],
+        "id int, arr array<int>",
+    )
+    # EXACT explode() semantics: null elements kept, null/empty arrays
+    # dropped — and no stray ordinal column unless pos= asked for it.
+    out = exploded(df, ["id"], F.col("arr"), "v")
+    assert out.columns == ["id", "v"]
+    assert [(r.id, r.v) for r in out.orderBy("id", "v").collect()] == [
+        (1, None), (1, 10), (1, 30),
+    ]
+    outp = exploded(df, ["id"], F.col("arr"), "v", pos="i")
+    assert [(r.id, r.i, r.v) for r in outp.orderBy("id", "i").collect()] == [
+        (1, 0, 10), (1, 1, None), (1, 2, 30),
+    ]
+    # Collision guard (r12 advice): a pre-existing column named like
+    # the ordinal or the alias used to be silently dropped/shadowed.
+    with pytest.raises(ValueError, match="ordinal"):
+        exploded(df.withColumn("__exploded_pos", F.lit(0)),
+                 ["id"], F.col("arr"), "v")
+    with pytest.raises(ValueError, match="alias"):
+        exploded(df.withColumn("v", F.lit(0)), ["id"], F.col("arr"), "v")
+
+
+def test_connected_components_no_cache_leak(spark):
+    # Regression (r12 advice): the loop used to persist the
+    # __old-bearing frame but carry forward a dropped projection, so
+    # next round's unpersist() didn't sameResult the cached plan and
+    # every persist-round's labels leaked in the CacheManager. Pin:
+    # after unpersisting the RETURNED handle, the DataFrame cache is
+    # empty — with the leak, each intermediate persist round (a 12-node
+    # path converges in ~5 rounds, _CHECKPOINT_EVERY=3 → ≥2 persist
+    # rounds) leaves an InMemoryRelation behind and isEmpty() is false.
+    spark.catalog.clearCache()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["id_a", "id_b"]
+    )
+    labels = dedup.connected_components(pairs, max_iter=50)
+    assert labels.count() == 12
+    labels.unpersist()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_phash_image_near_dups(spark):
     # Identical payloads share a pHash (hamming 0); an unrelated payload
     # must not pair with them within the hamming budget.
