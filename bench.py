@@ -60,6 +60,58 @@ def cpu_reference_seconds(reps: int = 200, size: int = 1_000_000) -> float:
     return round(statistics.median(samples), 4)
 
 
+def cpu_parallel_multiple(single_ref: float, workers: int = 32) -> float:
+    """Parallel-throughput anchor: how many single-thread workloads the
+    box completes per single-thread-workload-time when all ``workers``
+    lanes run at once (md5 releases the GIL, so threads suffice).
+
+    Why (r13 adjudication): the single-thread anchor stayed flat
+    (~0.30 s) across r11→r12 while every sf0.1 query inflated 15-35%
+    uniformly — including entries whose code hadn't changed — because
+    shared-host MULTI-core contention doesn't show up in a single-thread
+    probe. A quiet local[32] box reads ~15-20×; a heavily shared one
+    reads well under 12×. Recorded pre/post so cross-round readers can
+    attribute uniform inflation to the box.
+    """
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    blob = b"x" * 1_000_000
+    reps = 40
+
+    def work(_):
+        for _ in range(reps):
+            hashlib.md5(blob)
+
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(workers) as ex:
+            list(ex.map(work, range(workers)))
+        samples.append(time.perf_counter() - t0)
+    wall = statistics.median(samples)
+    # workers*reps md5s completed in `wall`; single ref does 200 in
+    # single_ref seconds -> multiple of single-thread throughput.
+    return round((workers * reps / 200) * single_ref / wall, 2)
+
+
+def spark_task_floor(spark) -> float:
+    """Median wall of a 32-task no-op Spark job (count over 32 empty-ish
+    partitions) — the session's task-dispatch floor. sf0.1 headline
+    queries are 0.1-1.4 s, i.e. largely THIS floor; recording it per run
+    lets a reader split uniform sf0.1 inflation into scheduler-latency
+    vs data-path causes (r13: the adjudicated environmental inflation
+    class)."""
+    df = spark.range(0, 3200, 1, 32)
+    df.count()  # warm
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        df.count()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
+
 def check_sf1_regressions(sf1_timings: dict, baseline: dict) -> dict:
     """Compare fresh sf1 MINS (min over interleaved sweeps — the
     uncontended-cost estimator) against the committed baseline
@@ -79,6 +131,7 @@ def check_sf1_regressions(sf1_timings: dict, baseline: dict) -> dict:
 
 def main() -> None:
     cpu_ref_pre = cpu_reference_seconds()
+    cpu_par_pre = cpu_parallel_multiple(cpu_ref_pre)
     spark = get_spark("bench")
     specs = headline_queries()
     # JVM/codegen warmup outside the measured path: steady-state numbers,
@@ -88,6 +141,7 @@ def main() -> None:
     # session is in.
     for spec in specs.values():
         write_noop(spec.build(spark, "/root/testdata/sf0.001"))
+    task_floor = spark_task_floor(spark)
     # Median of 3 measured runs per query: host CPU steal can inflate a
     # single run several-fold, which made cross-round comparisons noise.
     # The median is robust to one bad run; per-query medians are what
@@ -102,11 +156,17 @@ def main() -> None:
     # cost) and drives the regression guard — a regression that survives
     # the min is real, a median-only one is a noise window.
     sweep: dict[str, list[float]] = {name: [] for name in specs}
+    # Per-sweep quiet anchors for the sf0.1 set too (r13): the frozen
+    # SF01_BASELINE guard below needs the same quiet-bracketed-min
+    # machinery the sf1 guard has, or host contention windows read as
+    # regressions on the driver-graded surface.
+    sf01_sweep_refs: list[float] = [cpu_ref_pre]
     for _ in range(runs):
         for name, spec in specs.items():
             t0 = time.perf_counter()
             write_noop(spec.build(spark, SF_DIR))
             sweep[name].append(time.perf_counter() - t0)
+        sf01_sweep_refs.append(cpu_reference_seconds())
     timings = {n: round(statistics.median(s), 3) for n, s in sweep.items()}
     timings_min = {n: round(min(s), 3) for n, s in sweep.items()}
     total = round(sum(timings.values()), 3)
@@ -195,6 +255,13 @@ def main() -> None:
         # rounds before reading query deltas as plan changes.
         "cpu_ref_pre": cpu_ref_pre,
         "cpu_ref_post": cpu_ref_post,
+        # Multi-core contention anchor + Spark task-dispatch floor
+        # (r13 adjudication of the sf0.1 inflation — see
+        # cpu_parallel_multiple/spark_task_floor docstrings).
+        "cpu_par_multiple_pre": cpu_par_pre,
+        "cpu_par_multiple_post": cpu_parallel_multiple(cpu_ref_post),
+        "spark_task_floor_sec": task_floor,
+        "sf01_sweep_refs": [round(r, 4) for r in sf01_sweep_refs],
         # Noise-robust view: min over the interleaved sweeps.
         "queries_min": timings_min,
         "headline_min_total": round(sum(timings_min.values()), 3),
@@ -205,6 +272,43 @@ def main() -> None:
             sum(v for k, v in timings_min.items() if k in r6_set), 3
         ),
     }
+    # Frozen sf0.1 regression guard (r12 verdict task 1): the driver
+    # benches THIS surface, and r12/r13 saw a uniform ~1.1-1.6x
+    # environmental inflation that a guard must not mistake for plan
+    # changes. Same machinery as the sf1 guard: MIN over
+    # quiet-bracketed sweeps vs SF01_BASELINE.json (r11 quiet mins);
+    # the baseline file documents the adjudicated environmental band
+    # and its wider factor + re-tighten protocol.
+    sf01_base_path = Path(__file__).resolve().parent / "SF01_BASELINE.json"
+    if sf01_base_path.is_file():
+        sf01_base = json.loads(sf01_base_path.read_text())
+        HOT01 = 0.45
+        quiet01 = [
+            i
+            for i in range(runs)
+            if sf01_sweep_refs[i] < HOT01 and sf01_sweep_refs[i + 1] < HOT01
+        ]
+        if quiet01:
+            gated01 = {
+                n: round(min(s[i] for i in quiet01), 3) for n, s in sweep.items()
+            }
+            key01, tag01 = "sf01_regressions", "sf01 regression"
+        else:
+            gated01 = timings_min
+            key01, tag01 = (
+                "sf01_regressions_suspect_contention",
+                "sf01 regression?(no quiet-bracketed sweep)",
+            )
+        sf01_regressions = check_sf1_regressions(gated01, sf01_base)
+        for name, r in sf01_regressions.items():
+            print(
+                f"{tag01}: {name} {r['sec']:.3f}s > "
+                f"{sf01_base.get('regression_factor', 1.5)}x baseline "
+                f"{r['baseline']:.3f}s (see SF01_BASELINE.json rerun protocol)",
+                file=sys.stderr,
+            )
+        if sf01_regressions:
+            out[key01] = sf01_regressions
     if sf1_timings:
         out["sf1_total"] = round(sum(sf1_timings.values()), 3)
         out["sf1_queries"] = sf1_timings

@@ -1,0 +1,374 @@
+"""Reader/replayer for the REAL Delta Lake transaction-log format, built
+from the PUBLIC protocol specification (delta-io PROTOCOL.md) — no
+delta-spark dependency.
+
+Purpose (r12 verdict task 2): the lakehouse layer emulates Delta with
+``VersionedTable``'s own JSON commit log, and delta-spark is not
+installable in this container, so the emulation had never been diffed
+against the real engine. This module closes the reachable half of that
+gap: it replays hand-written ``_delta_log`` commit sequences written to
+the letter of the public protocol (append, schema evolution, remove,
+deletion-vector delete, RESTORE) into snapshots, and
+``tests/test_delta_protocol_replay.py`` asserts — un-gated, in this
+container — that ``VersionedTable`` driven through the equivalent
+operations reaches the SAME user-visible state (row multisets, schema,
+time-travel reads) at every step. The live-engine differential
+(``tests/test_delta_differential.py``) stays env-gated and self-activates
+when delta-spark becomes installable.
+
+Protocol surface implemented (all from the public spec):
+
+* Commit files ``_delta_log/<version % 020d>.json`` — newline-delimited
+  JSON actions; replay in version order.
+* Action reconciliation: last ``metaData`` wins; an ``add`` for a
+  (path, dvId) replaces any earlier ``add`` for the same path; a
+  ``remove`` tombstones the path. ``protocol`` gates reader support;
+  ``commitInfo`` / ``txn`` are informational.
+* ``metaData.schemaString`` is Spark's own ``StructType`` JSON — parsed
+  with ``StructType.fromJson``; ``partitionColumns`` values come from
+  ``add.partitionValues`` (stringly, cast per schema on read).
+* Deletion vectors: ``add.deletionVector`` descriptors with
+  ``storageType`` ``"i"`` (Z85-inline) or ``"p"``/``"u"`` (on-disk DV
+  file: 1-byte format version, then per-DV ``[int32 BE size][data]
+  [int32 BE CRC32(data)]``). The DV data blob is ``[int32 LE magic]
+  [RoaringBitmapArray]``; the portable RoaringBitmapArray is
+  ``[int64 LE n_bitmaps]`` followed by standard-portable 32-bit
+  RoaringBitmaps (array containers cover every fixture here). Binary
+  constants follow the spec as published; the JSON/action layer — the
+  part the state-machine differential exercises — is exact.
+
+Reference parity: reference ``update_versioning.py:40-79`` (UPDATE /
+time travel / RESTORE) and ``lakehouse_data_igestion.py:126-212``
+(enforcement / mergeSchema) are the behaviors the fixtures encode.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# Z85 (ZeroMQ base-85, the alphabet Delta uses for inline DVs and DV
+# file-name UUIDs). Input length must be a multiple of 4; callers trim
+# with the descriptor's sizeInBytes.
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_DECODE = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+
+def z85_encode(data: bytes) -> str:
+    if len(data) % 4:
+        raise ValueError("Z85 input must be a multiple of 4 bytes")
+    out = []
+    for i in range(0, len(data), 4):
+        (n,) = struct.unpack(">I", data[i : i + 4])
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85_ALPHABET[n % 85])
+            n //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError("Z85 input must be a multiple of 5 chars")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        n = 0
+        for c in text[i : i + 5]:
+            n = n * 85 + _Z85_DECODE[c]
+        out += struct.pack(">I", n)
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# RoaringBitmapArray (Delta's 64-bit bitmap: int64 LE count, then one
+# standard-portable 32-bit RoaringBitmap per 4-billion "key" stripe).
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE_RUN = 12347
+_DV_MAGIC = 1681511377
+
+
+def _decode_portable_roaring32(buf: bytes, off: int) -> tuple[set[int], int]:
+    """Decode one standard-portable 32-bit RoaringBitmap starting at
+    ``off``; return (values, next_offset). Array + bitmap containers
+    (run containers don't appear in these fixtures and raise)."""
+    (cookie32,) = struct.unpack_from("<I", buf, off)
+    cookie = cookie32 & 0xFFFF
+    if cookie == _SERIAL_COOKIE_RUN:
+        raise NotImplementedError("run containers not implemented")
+    if cookie != _SERIAL_COOKIE_NO_RUN:
+        raise ValueError(f"bad roaring cookie {cookie}")
+    (n_containers,) = struct.unpack_from("<I", buf, off + 4)
+    off += 8
+    keys_cards = []
+    for _ in range(n_containers):
+        key, card_m1 = struct.unpack_from("<HH", buf, off)
+        keys_cards.append((key, card_m1 + 1))
+        off += 4
+    # offset header is always present for the no-run cookie
+    off += 4 * n_containers
+    values: set[int] = set()
+    for key, card in keys_cards:
+        base = key << 16
+        if card <= 4096:
+            vals = struct.unpack_from(f"<{card}H", buf, off)
+            values.update(base | v for v in vals)
+            off += 2 * card
+        else:
+            words = struct.unpack_from("<1024Q", buf, off)
+            for wi, w in enumerate(words):
+                while w:
+                    b = w & -w
+                    values.add(base | (wi * 64 + b.bit_length() - 1))
+                    w ^= b
+            off += 8192
+    return values, off
+
+
+def decode_roaring_bitmap_array(data: bytes) -> set[int]:
+    """Decode Delta's RoaringBitmapArray portable format into the set of
+    deleted row indexes."""
+    (n_bitmaps,) = struct.unpack_from("<q", data, 0)
+    off = 8
+    out: set[int] = set()
+    for stripe in range(n_bitmaps):
+        vals, off = _decode_portable_roaring32(data, off)
+        out.update((stripe << 32) | v for v in vals)
+    return out
+
+
+def encode_roaring_bitmap_array(row_indexes: set[int]) -> bytes:
+    """Inverse of :func:`decode_roaring_bitmap_array` for fixture
+    authoring (array containers only — fine for test-sized DVs)."""
+    stripes: dict[int, dict[int, list[int]]] = {}
+    for ri in sorted(row_indexes):
+        stripe, low32 = ri >> 32, ri & 0xFFFFFFFF
+        stripes.setdefault(stripe, {}).setdefault(low32 >> 16, []).append(
+            low32 & 0xFFFF
+        )
+    n_stripes = (max(stripes) + 1) if stripes else 0
+    out = bytearray(struct.pack("<q", n_stripes))
+    for s in range(n_stripes):
+        containers = sorted(stripes.get(s, {}).items())
+        out += struct.pack("<I", _SERIAL_COOKIE_NO_RUN)
+        out += struct.pack("<I", len(containers))
+        for key, vals in containers:
+            if len(vals) > 4096:
+                raise NotImplementedError("bitmap containers not emitted")
+            out += struct.pack("<HH", key, len(vals) - 1)
+        # offset header
+        pos = len(out) + 4 * len(containers)
+        for _, vals in containers:
+            out += struct.pack("<I", pos)
+            pos += 2 * len(vals)
+        for _, vals in containers:
+            out += struct.pack(f"<{len(vals)}H", *vals)
+    return bytes(out)
+
+
+def dv_blob(row_indexes: set[int]) -> bytes:
+    """The DV *data* blob: LE magic + RoaringBitmapArray (what an inline
+    descriptor Z85-encodes, padded to a 4-byte multiple)."""
+    return struct.pack("<i", _DV_MAGIC) + encode_roaring_bitmap_array(row_indexes)
+
+
+def decode_dv_blob(data: bytes) -> set[int]:
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != _DV_MAGIC:
+        raise ValueError(f"bad DV magic {magic}")
+    return decode_roaring_bitmap_array(data[4:])
+
+
+def write_dv_file(path: Path, blobs: list[bytes]) -> list[tuple[int, int]]:
+    """Write an on-disk DV file (format version 1); return the
+    (offset, sizeInBytes) of each blob for descriptor authoring."""
+    out = bytearray(b"\x01")
+    spans = []
+    for blob in blobs:
+        spans.append((len(out), len(blob)))
+        out += struct.pack(">i", len(blob))
+        out += blob
+        out += struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF)
+    path.write_bytes(bytes(out))
+    return spans
+
+
+def _dv_row_indexes(descriptor: dict, table_path: Path) -> set[int]:
+    st = descriptor["storageType"]
+    size = descriptor["sizeInBytes"]
+    if st == "i":
+        data = z85_decode(descriptor["pathOrInlineDv"])[:size]
+        return decode_dv_blob(data)
+    if st in ("p", "u"):
+        if st == "p":
+            f = Path(descriptor["pathOrInlineDv"])
+        else:  # "u": <optional prefix><z85 uuid> -> deletion_vector_<uuid>.bin
+            enc = descriptor["pathOrInlineDv"]
+            prefix, uuid_part = enc[:-20], enc[-20:]
+            raw = z85_decode(uuid_part)
+            import uuid as _uuid
+
+            u = _uuid.UUID(bytes=raw)
+            f = table_path / prefix / f"deletion_vector_{u}.bin"
+        data = f.read_bytes()
+        off = descriptor["offset"]
+        # skip the int32 BE size word at `offset` per the spec layout
+        (sz,) = struct.unpack_from(">i", data, off)
+        if sz != size:
+            raise ValueError(f"DV size mismatch: file {sz} vs descriptor {size}")
+        blob = data[off + 4 : off + 4 + size]
+        if zlib.crc32(blob) & 0xFFFFFFFF != struct.unpack_from(
+            ">I", data, off + 4 + size
+        )[0]:
+            raise ValueError("DV checksum mismatch")
+        return decode_dv_blob(blob)
+    raise NotImplementedError(f"DV storageType {st!r}")
+
+
+# --------------------------------------------------------------------------
+# Log replay
+
+
+@dataclass
+class AddFile:
+    path: str
+    partition_values: dict[str, str] = field(default_factory=dict)
+    deletion_vector: dict | None = None
+
+
+@dataclass
+class DeltaSnapshot:
+    version: int
+    schema: T.StructType
+    partition_columns: list[str]
+    files: list[AddFile]
+
+
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "timestampNtz",
+    "v2Checkpoint",
+}
+
+
+def replay_log(table_path: str | Path, version: int | None = None) -> DeltaSnapshot:
+    """Replay ``<table>/_delta_log/*.json`` up to ``version`` (latest if
+    None) per the public action-reconciliation rules."""
+    table_path = Path(table_path)
+    log_dir = table_path / "_delta_log"
+    commits = sorted(
+        (int(f.stem), f) for f in log_dir.glob("*.json") if f.stem.isdigit()
+    )
+    if not commits:
+        raise FileNotFoundError(f"no commits under {log_dir}")
+    expected = list(range(len(commits)))
+    if [v for v, _ in commits] != expected:
+        raise ValueError("non-contiguous Delta log")
+    if version is not None:
+        commits = commits[: version + 1]
+        if not commits:
+            raise ValueError(f"version {version} predates the log")
+    schema: T.StructType | None = None
+    partition_columns: list[str] = []
+    # path -> AddFile; remove tombstones delete the key
+    active: dict[str, AddFile] = {}
+    for v, f in commits:
+        for line in f.read_text().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "metaData" in action:
+                md = action["metaData"]
+                fmt = md.get("format", {}).get("provider", "parquet")
+                if fmt != "parquet":
+                    raise NotImplementedError(f"format {fmt}")
+                schema = T.StructType.fromJson(json.loads(md["schemaString"]))
+                partition_columns = list(md.get("partitionColumns", []))
+            elif "protocol" in action:
+                p = action["protocol"]
+                feats = set(p.get("readerFeatures", []))
+                if not feats <= _SUPPORTED_READER_FEATURES:
+                    raise NotImplementedError(
+                        f"unsupported readerFeatures {feats - _SUPPORTED_READER_FEATURES}"
+                    )
+                if p.get("minReaderVersion", 1) not in (1, 2, 3):
+                    raise NotImplementedError("unknown minReaderVersion")
+            elif "add" in action:
+                a = action["add"]
+                active[a["path"]] = AddFile(
+                    path=a["path"],
+                    partition_values=a.get("partitionValues") or {},
+                    deletion_vector=a.get("deletionVector"),
+                )
+            elif "remove" in action:
+                active.pop(action["remove"]["path"], None)
+            # commitInfo / txn / cdc: informational, ignored
+    if schema is None:
+        raise ValueError("log contains no metaData action")
+    return DeltaSnapshot(
+        version=commits[-1][0],
+        schema=schema,
+        partition_columns=partition_columns,
+        files=sorted(active.values(), key=lambda a: a.path),
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, table_path: str | Path, version: int | None = None
+) -> DataFrame:
+    """Materialize a replayed snapshot as a DataFrame: per-file parquet
+    reads aligned to the snapshot schema (schema evolution → missing
+    columns null), partition values injected from the log, DV-deleted
+    rows dropped via the parquet ``_metadata.row_index`` column.
+
+    Fixture-scale reader (a handful of files); the production-scale
+    equivalent in this repo is ``VersionedTable``, whose reads go
+    through one multi-path ``spark.read.parquet`` — this function
+    exists to express the PROTOCOL's semantics exactly for the
+    differential tests."""
+    table_path = Path(table_path)
+    snap = replay_log(table_path, version)
+    parts: list[DataFrame] = []
+    for af in snap.files:
+        df = spark.read.parquet(str(table_path / af.path))
+        dv_rows: set[int] | None = None
+        if af.deletion_vector is not None:
+            dv_rows = _dv_row_indexes(af.deletion_vector, table_path)
+        if dv_rows is not None:
+            df = df.select("*", F.col("_metadata.row_index").alias("__ri"))
+            df = df.where(~F.col("__ri").isin(*[int(r) for r in dv_rows])).drop(
+                "__ri"
+            )
+        cols = []
+        file_cols = set(df.columns)
+        for fld in snap.schema.fields:
+            if fld.name in af.partition_values:
+                raw = af.partition_values[fld.name]
+                cols.append(
+                    (F.lit(None) if raw is None else F.lit(raw))
+                    .cast(fld.dataType)
+                    .alias(fld.name)
+                )
+            elif fld.name in file_cols:
+                cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
+            else:
+                cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+        parts.append(df.select(*cols))
+    if not parts:
+        return spark.createDataFrame([], snap.schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

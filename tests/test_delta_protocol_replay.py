@@ -1,0 +1,366 @@
+"""Protocol-replay differential: hand-written REAL ``_delta_log`` commit
+sequences (public Delta protocol spec) vs ``VersionedTable``.
+
+This is the un-gated half of the Delta parity story (r12 verdict task
+2). delta-spark is not installable here, so
+``tests/test_delta_differential.py`` (live-engine diff) stays env-gated;
+THIS suite runs in-container: each test authors a Delta table the way
+the real engine would lay it down — parquet part files plus
+newline-delimited-JSON commits under ``_delta_log/`` with
+protocol/metaData/add/remove actions exactly per the published spec —
+replays it with ``lake.delta_protocol`` (a spec-derived reader with no
+Delta dependency), drives ``VersionedTable`` through the EQUIVALENT
+logical operations, and asserts the user-visible state (row multisets,
+schema names/types, time-travel reads) matches at every step.
+
+Scenarios mirror the reference notebooks: append versioning
+(update_versioning.py:40-52), schema evolution / mergeSchema
+(lakehouse_data_igestion.py:126-212), deletion-vector DELETE, and
+RESTORE (update_versioning.py:62-79).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from data_pipeline_with_spark_spark.lake import delta_protocol as dp
+from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+
+
+# ---------------------------------------------------------------------------
+# Fixture authoring helpers: write what the real engine writes.
+
+
+def _write_part_file(spark, df, table_dir: Path, name: str) -> None:
+    """One single-row-group parquet part file with deterministic row
+    order (coalesce(1) keeps input order → row_index semantics are
+    known to the test)."""
+    tmp = table_dir / f"__tmp_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    part = next(p for p in tmp.glob("part-*.parquet"))
+    shutil.move(str(part), str(table_dir / name))
+    shutil.rmtree(tmp)
+
+
+def _schema_string(spark, df) -> str:
+    # Delta's metaData.schemaString IS Spark's StructType JSON.
+    return df.schema.json()
+
+
+def _commit(table_dir: Path, version: int, actions: list[dict]) -> None:
+    log = table_dir / "_delta_log"
+    log.mkdir(exist_ok=True)
+    lines = [json.dumps(a) for a in actions]
+    (log / f"{version:020d}.json").write_text("\n".join(lines) + "\n")
+
+
+def _protocol(dv: bool = False) -> dict:
+    if dv:
+        return {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        }
+    return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def _metadata(schema_string: str, partition_cols: list[str] | None = None) -> dict:
+    return {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-000000000000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": partition_cols or [],
+            "configuration": {},
+            "createdTime": 1700000000000,
+        }
+    }
+
+
+def _add(path: str, dv: dict | None = None, partition_values: dict | None = None) -> dict:
+    a = {
+        "path": path,
+        "partitionValues": partition_values or {},
+        "size": 1024,
+        "modificationTime": 1700000000000,
+        "dataChange": True,
+    }
+    if dv is not None:
+        a["deletionVector"] = dv
+    return {"add": a}
+
+
+def _remove(path: str) -> dict:
+    return {
+        "remove": {
+            "path": path,
+            "deletionTimestamp": 1700000001000,
+            "dataChange": True,
+        }
+    }
+
+
+def _state(df):
+    cols = sorted(df.columns)
+    rows = sorted(
+        (tuple(r[c] for c in cols) for r in df.select(*cols).collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+    schema = sorted((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    return schema, rows
+
+
+def _assert_same_state(protocol_df, vt_df, step: str):
+    sp, sv = _state(protocol_df), _state(vt_df)
+    assert sp[0] == sv[0], f"schema diverged at {step}: {sp[0]} vs {sv[0]}"
+    assert sp[1] == sv[1], f"rows diverged at {step}: {sp[1]} vs {sv[1]}"
+
+
+def _cars(spark, rows):
+    return spark.createDataFrame(rows, ["MS", "Mh", "ec_cm3", "year"])
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_append_versioning_replay(spark, tmp_path):
+    # update_versioning.py:40-52 — two appends, time travel to each.
+    t = tmp_path / "delta_append"
+    t.mkdir()
+    df0 = _cars(spark, [("IT", "FERRARI", 4000.0, 2018), ("DE", "BMW", 2000.0, 2018)])
+    df1 = _cars(spark, [("FR", "RENAULT", 1200.0, 2019)])
+    _write_part_file(spark, df0, t, "part-00000-a.parquet")
+    _write_part_file(spark, df1, t, "part-00000-b.parquet")
+    ss = _schema_string(spark, df0)
+    _commit(t, 0, [_protocol(), _metadata(ss), _add("part-00000-a.parquet")])
+    _commit(t, 1, [_add("part-00000-b.parquet")])
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_append"))
+    vt.create(df0)
+    vt.append(df1)
+
+    _assert_same_state(dp.read_snapshot(spark, t), vt.read(), "latest")
+    _assert_same_state(
+        dp.read_snapshot(spark, t, version=0), vt.read(version=0), "time-travel v0"
+    )
+    snap = dp.replay_log(t)
+    assert snap.version == 1 and [a.path for a in snap.files] == [
+        "part-00000-a.parquet",
+        "part-00000-b.parquet",
+    ]
+
+
+def test_schema_evolution_merge_schema_replay(spark, tmp_path):
+    # lakehouse_data_igestion.py:126-212 — mergeSchema append: a new
+    # metaData action widens the schema; pre-evolution files read with
+    # NULL in the new column.
+    t = tmp_path / "delta_evolve"
+    t.mkdir()
+    df0 = _cars(spark, [("IT", "FERRARI", 4000.0, 2018)])
+    df1 = spark.createDataFrame(
+        [("DE", "BMW", 2000.0, 2018, "petrol")],
+        ["MS", "Mh", "ec_cm3", "year", "Ft"],
+    )
+    _write_part_file(spark, df0, t, "part-00000-a.parquet")
+    _write_part_file(spark, df1, t, "part-00000-b.parquet")
+    _commit(
+        t, 0, [_protocol(), _metadata(_schema_string(spark, df0)),
+               _add("part-00000-a.parquet")],
+    )
+    _commit(
+        t, 1, [_metadata(_schema_string(spark, df1)), _add("part-00000-b.parquet")],
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_evolve"))
+    vt.create(df0)
+    vt.append(df1, merge_schema=True)
+
+    _assert_same_state(dp.read_snapshot(spark, t), vt.read(), "post-evolution")
+    # the old file's rows carry NULL in the evolved column on BOTH sides
+    got = {r.Mh: r.Ft for r in dp.read_snapshot(spark, t).collect()}
+    assert got == {"FERRARI": None, "BMW": "petrol"}
+    # pre-evolution time travel: narrow schema on both sides
+    _assert_same_state(
+        dp.read_snapshot(spark, t, version=0), vt.read(version=0), "time-travel v0"
+    )
+
+
+def test_deletion_vector_delete_replay(spark, tmp_path):
+    # DV DELETE: v1 re-adds the SAME part file with an inline
+    # deletionVector marking row indexes 1 and 3 deleted (protocol: the
+    # add with a DV descriptor supersedes the DV-less add of the path).
+    t = tmp_path / "delta_dv"
+    t.mkdir()
+    rows = [
+        ("IT", "FERRARI", 4000.0, 2018),
+        ("DE", "BMW", 2000.0, 2018),
+        ("FR", "RENAULT", 1200.0, 2019),
+        ("DE", "AUDI", 1800.0, 2019),
+        ("IT", "FIAT", 900.0, 2020),
+    ]
+    df = _cars(spark, rows)
+    _write_part_file(spark, df, t, "part-00000-a.parquet")
+    blob = dp.dv_blob({1, 3})  # BMW, AUDI
+    padded = blob + b"\x00" * (-len(blob) % 4)
+    dv = {
+        "storageType": "i",
+        "pathOrInlineDv": dp.z85_encode(padded),
+        "sizeInBytes": len(blob),
+        "cardinality": 2,
+    }
+    ss = _schema_string(spark, df)
+    _commit(t, 0, [_protocol(dv=True), _metadata(ss), _add("part-00000-a.parquet")])
+    _commit(t, 1, [_remove("part-00000-a.parquet"), _add("part-00000-a.parquet", dv=dv)])
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_dv"))
+    vt.create(df)
+    vt.delete("MS = 'DE'")  # same two rows
+
+    _assert_same_state(dp.read_snapshot(spark, t), vt.read(), "post-DV-delete")
+    assert sorted(r.Mh for r in dp.read_snapshot(spark, t).collect()) == [
+        "FERRARI", "FIAT", "RENAULT",
+    ]
+    # pre-delete snapshot still sees all 5 on both sides
+    _assert_same_state(
+        dp.read_snapshot(spark, t, version=0), vt.read(version=0), "time-travel v0"
+    )
+
+
+def test_deletion_vector_on_disk_file_replay(spark, tmp_path):
+    # Same semantics with an on-disk DV file (storageType "p"): version
+    # byte + [size BE][blob][crc32 BE] framing, offset-addressed.
+    t = tmp_path / "delta_dv_file"
+    t.mkdir()
+    df = _cars(
+        spark,
+        [("IT", "FERRARI", 4000.0, 2018), ("DE", "BMW", 2000.0, 2018),
+         ("FR", "RENAULT", 1200.0, 2019)],
+    )
+    _write_part_file(spark, df, t, "part-00000-a.parquet")
+    blob = dp.dv_blob({0})  # FERRARI deleted
+    dv_path = t / "deletion_vector_test.bin"
+    spans = dp.write_dv_file(dv_path, [blob])
+    dv = {
+        "storageType": "p",
+        "pathOrInlineDv": str(dv_path),
+        "offset": spans[0][0],
+        "sizeInBytes": spans[0][1],
+        "cardinality": 1,
+    }
+    ss = _schema_string(spark, df)
+    _commit(t, 0, [_protocol(dv=True), _metadata(ss), _add("part-00000-a.parquet")])
+    _commit(t, 1, [_remove("part-00000-a.parquet"), _add("part-00000-a.parquet", dv=dv)])
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_dv_file"))
+    vt.create(df)
+    vt.delete("Mh = 'FERRARI'")
+
+    _assert_same_state(dp.read_snapshot(spark, t), vt.read(), "post-DV-file-delete")
+
+
+def test_restore_replay(spark, tmp_path):
+    # update_versioning.py:62-79 — UPDATE (copy-on-write rewrite:
+    # remove+add) then RESTORE (a commit whose adds/removes revert the
+    # active set to v0's).
+    t = tmp_path / "delta_restore"
+    t.mkdir()
+    df0 = _cars(spark, [("IT", "FERRARI", 4000.0, 2018), ("DE", "BMW", 2000.0, 2018)])
+    df1 = _cars(spark, [("IT", "FERRARI", 4010.0, 2018), ("DE", "BMW", 2000.0, 2018)])
+    _write_part_file(spark, df0, t, "part-00000-a.parquet")
+    _write_part_file(spark, df1, t, "part-00000-b.parquet")
+    ss = _schema_string(spark, df0)
+    _commit(t, 0, [_protocol(), _metadata(ss), _add("part-00000-a.parquet")])
+    # v1: UPDATE rewrites the file
+    _commit(t, 1, [_remove("part-00000-a.parquet"), _add("part-00000-b.parquet")])
+    # v2: RESTORE to v0
+    _commit(t, 2, [_remove("part-00000-b.parquet"), _add("part-00000-a.parquet")])
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_restore"))
+    vt.create(df0)
+    vt.update("Mh = 'FERRARI'", {"ec_cm3": "ec_cm3 + 10"})
+    vt.restore(0)
+
+    _assert_same_state(dp.read_snapshot(spark, t, version=1), vt.read(version=1),
+                       "post-update v1")
+    _assert_same_state(dp.read_snapshot(spark, t), vt.read(), "post-restore")
+    _assert_same_state(dp.read_snapshot(spark, t, version=0), vt.read(version=0),
+                       "time-travel v0")
+    assert {r.Mh: r.ec_cm3 for r in dp.read_snapshot(spark, t).collect()}[
+        "FERRARI"
+    ] == 4000.0
+
+
+def test_partition_values_replay(spark, tmp_path):
+    # Hive-partitioned add actions: the partition column lives in the
+    # LOG (add.partitionValues), not the data file.
+    t = tmp_path / "delta_parts"
+    (t / "year=2018").mkdir(parents=True)
+    (t / "year=2019").mkdir(parents=True)
+    full = _cars(
+        spark,
+        [("IT", "FERRARI", 4000.0, 2018), ("FR", "RENAULT", 1200.0, 2019)],
+    )
+    d18 = full.where("year = 2018").drop("year")
+    d19 = full.where("year = 2019").drop("year")
+    _write_part_file(spark, d18, t / "year=2018", "part-00000-a.parquet")
+    _write_part_file(spark, d19, t / "year=2019", "part-00000-b.parquet")
+    ss = _schema_string(spark, full)
+    _commit(
+        t, 0,
+        [
+            _protocol(),
+            _metadata(ss, partition_cols=["year"]),
+            _add("year=2018/part-00000-a.parquet", partition_values={"year": "2018"}),
+            _add("year=2019/part-00000-b.parquet", partition_values={"year": "2019"}),
+        ],
+    )
+    snap = dp.replay_log(t)
+    assert snap.partition_columns == ["year"]
+    got = {(r.Mh, r.year) for r in dp.read_snapshot(spark, t).collect()}
+    assert got == {("FERRARI", 2018), ("RENAULT", 2019)}
+
+
+def test_unsupported_reader_feature_raises(spark, tmp_path):
+    t = tmp_path / "delta_unsupported"
+    t.mkdir()
+    df = _cars(spark, [("IT", "FERRARI", 4000.0, 2018)])
+    _write_part_file(spark, df, t, "part-00000-a.parquet")
+    _commit(
+        t, 0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["madeUpFeature"]}},
+            _metadata(_schema_string(spark, df)),
+            _add("part-00000-a.parquet"),
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="madeUpFeature"):
+        dp.replay_log(t)
+
+
+def test_roaring_roundtrip_shapes():
+    # Pure codec checks: multi-container (cross-64k) and multi-stripe
+    # (cross-2^32) row indexes survive encode→blob→decode; Z85 is
+    # byte-exact on 4-byte multiples.
+    cases = [
+        set(),
+        {0},
+        {1, 3, 65535, 65536, 70000},          # two 16-bit containers
+        {5, (1 << 32) + 7, (1 << 33) + 9},    # three stripes
+        set(range(0, 5000, 3)),               # large array container
+    ]
+    for c in cases:
+        assert dp.decode_roaring_bitmap_array(dp.encode_roaring_bitmap_array(c)) == c
+        if c:
+            assert dp.decode_dv_blob(dp.dv_blob(c)) == c
+    data = b"hello world!"  # 12 bytes
+    assert dp.z85_decode(dp.z85_encode(data)) == data
