@@ -25,6 +25,46 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from data_pipeline_with_spark_spark.util import exploded
 
+# Default number of state-store partitions for the demo/fixture-scale
+# streaming queries below. Profiled r13 (streaming HLL, sf0.01): the
+# ~1 s/micro-batch machinery floor was dominated by the 32 state-store
+# instances (one per shuffle partition) each writing checkpoint delta
+# files every batch — 32→4 partitions cut the query run phase ~2.4×
+# with identical results and the SAME number of real micro-batches.
+# Scale story: streaming state partitioning should be sized to STATE
+# VOLUME, not to the session's batch shuffle width; these operators
+# carry O(types×registers) / O(groups) bounded state, for which 4
+# partitions is generous. A 100 TB deployment with row-scale state
+# raises it at FIRST query start (the checkpoint pins it thereafter —
+# Spark cannot repartition state under an existing checkpoint).
+STREAM_STATE_PARTITIONS = 4
+
+
+def streaming_session(spark: SparkSession, state_partitions: int | None = None) -> SparkSession:
+    """A cached child session (``newSession`` — shared SparkContext,
+    OWN SQLConf) for the streaming demos, with
+    ``spark.sql.shuffle.partitions`` sized for their bounded state.
+
+    Why a child session: the shuffle-partition conf is captured by a
+    streaming query at start, but setting it on the CALLER's session
+    would race with concurrently running batch entries (the oracle
+    harness pools entries over threads sharing one session). The child
+    session isolates the conf; everything a demo reads or joins is
+    (re)built from it, so no frame crosses sessions.
+    """
+    n = STREAM_STATE_PARTITIONS if state_partitions is None else state_partitions
+    cache = getattr(spark, "_dps_stream_sessions", None)
+    if cache is None:
+        cache = {}
+        spark._dps_stream_sessions = cache
+    s = cache.get(n)
+    if s is None:
+        s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", str(n))
+        cache[n] = s
+    return s
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a stream: file source with an event-time ``ts``
     timestamp column, ready for watermarking.
@@ -68,6 +108,7 @@ def run_tumbling_stream(
 ) -> DataFrame:
     """Run the tumbling aggregation as a streaming query to completion
     (complete mode, memory sink); returns the materialized result."""
+    spark = streaming_session(spark)
     events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
     agg = (
         events.groupBy(F.window("ts", window))
@@ -102,6 +143,7 @@ def run_windowed_stream(
     """Run any batch window-agg builder (``streaming.windows.*``) as a
     streaming query: identical logical plan, incremental state, complete
     mode into a memory sink. The batch face is the oracle."""
+    spark = streaming_session(spark)
     events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
     query = (
         build(events)
@@ -147,6 +189,7 @@ def run_stateful_user_stats(
 ) -> DataFrame:
     """applyInPandasWithState over the event stream: running per-user
     counters, update mode."""
+    spark = streaming_session(spark)
     events = read_events_stream(spark, sf_dir)
     stats = events.groupBy("user_id").applyInPandasWithState(
         user_running_stats,
@@ -177,6 +220,7 @@ def run_streaming_dedup(
     row per key combination with bounded state (keys expire after the
     watermark). With a watermark longer than the fixture's 30-day span
     this equals a global batch dropDuplicates — pytest asserts that."""
+    spark = streaming_session(spark)
     events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
     deduped = events.dropDuplicatesWithinWatermark(list(keys))
     query = (
@@ -216,6 +260,7 @@ def run_stream_into_lakehouse(
     watermark-finalized windows, or overwrites the table per epoch —
     same transactional hook either way.
     """
+    spark = streaming_session(spark)
     from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
 
     events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
@@ -260,6 +305,7 @@ def run_stream_stream_join(
     passes click_ts + max_lag) — unbounded state is the failure mode of
     naive stream joins at scale. Batch face: the identical join over the
     static events table (asserted equal in pytest)."""
+    spark = streaming_session(spark)
     ev = read_events_stream(spark, sf_dir)
     clicks = (
         ev.where("event_type = 'click'")
@@ -350,6 +396,7 @@ def run_stream_stream_left_join(
     semantics a replayed deployment observes (Spark runs a final
     no-data micro-batch to flush evictable state; see
     ``noDataMicroBatches``)."""
+    spark = streaming_session(spark)
     clicks, purchases = _click_purchase_streams(spark, sf_dir)
     joined = clicks.join(
         purchases,
@@ -399,6 +446,7 @@ def run_rate_limited_stream(
     out deliberately: it supports map-only pipelines, no aggregations —
     micro-batch IS the production path for stateful queries.)
     """
+    spark = streaming_session(spark)
     import time as _time
 
     src = (
@@ -487,6 +535,7 @@ def run_transform_with_state(
     importorskips; the applyInPandasWithState twin above covers the
     semantics in CI either way.
     """
+    spark = streaming_session(spark)
     proc = UserStatsProcessor()
     events = read_events_stream(spark, sf_dir)
     stats = events.groupBy("user_id").transformWithStateInPandas(
@@ -534,6 +583,7 @@ def run_stream_matview(
     base DML, not just streaming appends. ``value`` is folded as
     integer cents: sums maintained by signed add/subtract must be
     exact, not floating drift."""
+    spark = streaming_session(spark)
     from pathlib import Path
 
     from data_pipeline_with_spark_spark.lake.matview import IncrementalAggView
@@ -610,6 +660,7 @@ def run_streaming_psi_drift(
     final emission per type equals the batch PSI exactly (same Laplace
     smoothing), which is how the driver oracle checks a genuinely
     streaming-executed query."""
+    spark = streaming_session(spark)
     from pathlib import Path
 
     from data_pipeline_with_spark_spark.sources.readers import read_testdata
@@ -739,6 +790,7 @@ def run_streaming_hll(
     staging parquet copy + sink view are removed before returning — a
     catalog sweep that rebuilds this entry many times leaks nothing.
     """
+    spark = streaming_session(spark)
     import uuid
     from pathlib import Path
 
@@ -809,6 +861,7 @@ def run_streaming_cms(
     Same per-invocation hygiene as `run_streaming_hll`: unique sink
     name, result checkpointed off the sink, staging copy + sink view
     removed before returning."""
+    spark = streaming_session(spark)
     import uuid
     from pathlib import Path
 
@@ -864,6 +917,7 @@ def run_streaming_quantile(
     Same per-invocation hygiene as the other sketch streams: unique
     sink name, result checkpointed off the sink, staging + sink view
     removed before returning."""
+    spark = streaming_session(spark)
     import uuid
     from pathlib import Path
 
@@ -975,6 +1029,7 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str, work_dir: str):
     prefix and the merge join stays hash-local; the corpus itself is
     never re-read. Returns the ledger whose read() must equal the batch
     exact-dedup aggregate (the DuckDB oracle)."""
+    spark = streaming_session(spark)
     from pathlib import Path
 
     from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
@@ -1112,6 +1167,7 @@ def run_stream_near_dup(
     interleaved commit (tested). Returns (bands_ledger, pairs_table);
     the pairs table must equal the batch LSH candidate set (the DuckDB
     oracle)."""
+    spark = streaming_session(spark)
     from pathlib import Path
 
     from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
@@ -1242,6 +1298,7 @@ def run_stream_ivfpq_ingest(
     cost, never semantics.
 
     Returns the ``VersionedIvfPqIndex``; the caller probes it."""
+    spark = streaming_session(spark)
     from pathlib import Path
 
     from data_pipeline_with_spark_spark.llm.similarity import VersionedIvfPqIndex
@@ -1292,6 +1349,7 @@ def run_stream_quality_filter(
     DuckDB oracle recomputes (training replayed via the unrolled-GD
     CTE chain). Scale shape: per batch O(batch) scoring + one append;
     nothing global is recomputed per batch."""
+    spark = streaming_session(spark)
     from pathlib import Path
 
     from data_pipeline_with_spark_spark.lake.versioned import (
@@ -1365,6 +1423,7 @@ def run_streaming_static_enrich(
     Same hygiene as `run_streaming_hll`: unique sink name, result
     checkpointed off the sink, staging copy removed.
     """
+    spark = streaming_session(spark)
     import uuid
     from pathlib import Path
 
@@ -1464,6 +1523,7 @@ def run_stream_novelty(spark: SparkSession, sf_dir: str, work_dir: str):
     join over state of size O(corpus doc-shingle pairs) — the same
     accepted state shape as the near-dup band ledger (which also keeps
     all its triples)."""
+    spark = streaming_session(spark)
     from pathlib import Path
 
     from data_pipeline_with_spark_spark.lake.versioned import VersionedTable

@@ -193,6 +193,21 @@ def main() -> int:
     # ~0.3 s steady-state), polluting the per-entry diagnostics.
     spark.range(100_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/region.parquet").collect()
+    # The streaming demos run on a CHILD session (streaming_session —
+    # isolated SQLConf with state-sized shuffle partitions); its first
+    # streaming query pays its own one-time machinery warmup (~4-5 s
+    # observed on the first foreachBatch entry), so warm it too with
+    # the cheapest streaming entry at the smallest fixture.
+    if "stream" in " ".join(sorted(only)) or not only:
+        import tempfile
+
+        from data_pipeline_with_spark_spark.streaming.demo import (
+            run_streaming_hll,
+        )
+
+        run_streaming_hll(
+            spark, "/root/testdata/sf0.001", tempfile.mkdtemp(prefix="warm_")
+        ).count()
     if not TRISF:
         _, _, failures = sweep(spark, SF_DIR, only)
         return 1 if failures else 0
