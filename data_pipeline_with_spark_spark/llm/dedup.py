@@ -1160,13 +1160,32 @@ def novelty_scores(
     return novelty_from_postings(post, id_col=id_col)
 
 
-def novelty_from_postings(post: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def novelty_from_postings(
+    post: DataFrame, id_col: str = "doc_id", assume_unique: bool = False
+) -> DataFrame:
     """Serve first-occurrence novelty from an (id, sid) postings frame:
     the ONE serve shape shared by the batch ``novelty_scores`` above and
     the streaming drained ledger (``streaming.demo.run_stream_novelty``),
     so the pinned stream == batch bit-equality is enforced by shared code
     instead of two hand-synced copies. See ``novelty_scores`` for the
-    plan-shape rationale (one O(postings) exchange)."""
+    plan-shape rationale (one O(postings) exchange).
+
+    Redelivery-proof by default (r12 verdict task 5): an at-least-once
+    source that re-delivers a document under a NEW epoch id would append
+    its (id, sid) postings twice and double-count n_shingles/n_novel —
+    previously a documented delivery contract on the ingest fold. The
+    serve now dedupes (sid, id) first, which is a NO-OP on contract-
+    clean postings (``with_shingles`` emits array_distinct shingles per
+    doc, so pairs are unique ⇒ bit-identical output) and exactly cancels
+    redelivery otherwise. Exchange-neutral shape: the explicit
+    ``repartition(sid)`` is THE one O(postings) exchange —
+    HashPartitioning(sid) satisfies the (sid, id) dedupe AND the
+    ownership groupBy(sid) (subset clustering), so neither adds a
+    shuffle, and per-doc counts keep their map-side-combined
+    O(docs×partitions) exchange. ``assume_unique=True`` skips the
+    dedupe for callers that enforce uniqueness upstream."""
+    if not assume_unique:
+        post = post.repartition(F.col("sid")).dropDuplicates(["sid", id_col])
     counts = post.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles")
     )

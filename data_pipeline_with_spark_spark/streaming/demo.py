@@ -1482,17 +1482,14 @@ def fold_novelty_batch(postings, batch_df: DataFrame, epoch_id: int, k_shingle: 
     epoch re-skips. Per-batch work is O(batch shingles) hashing + one
     digest-only append — nothing global recomputes.
 
-    DELIVERY CONTRACT (one batch per doc): ownership (min over sid
-    groups) is re-delivery-proof, but the per-doc shingle COUNT is not
-    — if the SAME doc_id arrived in two different micro-batches its
-    postings would append twice and n_shingles/n_novel double-count.
-    That cannot happen here: the file source delivers each fixture file
-    to exactly one epoch and ``idempotent_append`` makes epoch replay a
-    no-op, so every doc's postings land exactly once. Feeding this fold
-    from an at-least-once source that re-delivers documents under NEW
-    epoch ids would violate the contract — dedupe (doc_id, sid) at
-    serve time (one ``dropDuplicates`` before the aggregates) in that
-    deployment."""
+    DELIVERY (r13: redelivery-proof end to end): epoch REPLAY is a
+    no-op via ``idempotent_append``; a document re-delivered under a
+    NEW epoch id (an at-least-once source) appends its postings twice,
+    and the serve fold (``novelty_from_postings``) now dedupes
+    (sid, doc_id) BY DEFAULT before the aggregates — a no-op on
+    contract-clean ledgers (per-doc shingles are array_distinct), an
+    exact cancellation otherwise. Pinned by
+    ``test_stream_novelty_redelivery``."""
     from data_pipeline_with_spark_spark.lake.versioned import retry_on_conflict
     from data_pipeline_with_spark_spark.llm.dedup import with_shingles
 

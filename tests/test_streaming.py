@@ -826,3 +826,46 @@ def test_stream_novelty_equals_batch_and_replay_noop(spark, sf_dir, tmp_path):
     applied = fold_novelty_batch(postings, docs.limit(3), epoch_id=0)
     assert applied is False
     assert postings.read().count() == before
+
+
+def test_stream_novelty_redelivery(spark, sf_dir, tmp_path):
+    # r12 verdict task 5: a document re-delivered under a NEW epoch id
+    # (at-least-once source) appends its postings twice; the default
+    # serve dedupes (sid, doc_id) and must score identically to single
+    # delivery, while assume_unique=True reproduces the old
+    # double-counting path (this assertion is what fails pre-fix).
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+    from data_pipeline_with_spark_spark.llm import dedup
+    from data_pipeline_with_spark_spark.streaming.demo import (
+        NOVELTY_POSTINGS_SCHEMA,
+        fold_novelty_batch,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    some = docs.limit(5).localCheckpoint(eager=True)
+    postings = VersionedTable(spark, str(tmp_path / "redeliver")).create(
+        spark.createDataFrame([], NOVELTY_POSTINGS_SCHEMA)
+    )
+    assert fold_novelty_batch(postings, some, epoch_id=0) is not False
+    # the SAME docs again under a fresh epoch id: idempotent_append
+    # cannot skip it (new epoch), so the ledger now holds duplicates
+    assert fold_novelty_batch(postings, some, epoch_id=1) is not False
+
+    want = {
+        (r.doc_id, r.n_shingles, r.n_novel, r.novelty)
+        for r in dedup.novelty_scores(some).collect()
+    }
+    got = {
+        (r.doc_id, r.n_shingles, r.n_novel, r.novelty)
+        for r in dedup.novelty_from_postings(postings.read()).collect()
+    }
+    assert got == want  # default serve cancels the redelivery
+
+    doubled = {
+        r.doc_id: r.n_shingles
+        for r in dedup.novelty_from_postings(
+            postings.read(), assume_unique=True
+        ).collect()
+    }
+    single = {r[0]: r[1] for r in want}
+    assert doubled == {k: 2 * v for k, v in single.items()}
