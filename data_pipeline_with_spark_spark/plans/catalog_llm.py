@@ -624,6 +624,117 @@ register(
 )
 
 
+# r12 verdict task 7: exercise the documented cap CLIFF (a duplicate
+# CLUSTER larger than the cap overflows EVERY band bucket it touches,
+# losing ALL its pairs at once — llm/dedup.py minhash_candidate_pairs
+# docstring) against the exact-group backstop. Cap 8 sits above the
+# fixtures' organic bucket sizes (3-4), so the ONLY thing the cap drops
+# is the planted 13-doc mega-cluster — the entry's output shows its
+# members with n_lsh_pairs = 0 (the cliff) but exact_group_size = 13
+# and a common exact_keeper (the recovery path: exact dedup is
+# hash-group LINEAR, the right tool for near-exact mega-clusters).
+_CLIFF_CAP = 8
+_CLIFF_M = 12  # planted copies; cluster = seed + 12 = 13 > cap
+
+
+def _lsh_cap_cliff(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_testdata(spark, sf, "documents").select("doc_id", "text")
+    seed = docs.orderBy("doc_id").limit(1)
+    planted = seed.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_CLIFF_M))).alias("i"), "text"
+    ).select((F.lit(10_000_000) + F.col("i")).alias("doc_id"), "text")
+    corpus = docs.unionByName(planted)
+    pairs = dedup.minhash_candidate_pairs(
+        corpus, k_shingle=_K_SHINGLE, num_hashes=_NUM_HASHES, bands=_BANDS,
+        max_bucket=_CLIFF_CAP,
+    )
+    touched = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    lsh_counts = touched.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lsh_pairs")
+    )
+    dig = corpus.select("doc_id", F.md5("text").alias("__d"))
+    groups = dig.groupBy("__d").agg(
+        F.min("doc_id").alias("exact_keeper"),
+        F.count(F.lit(1)).cast("bigint").alias("exact_group_size"),
+    )
+    return (
+        dig.join(groups, "__d")
+        .join(lsh_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lsh_pairs", F.lit(0).cast("bigint")).alias(
+                "n_lsh_pairs"
+            ),
+            "exact_keeper",
+            "exact_group_size",
+        )
+        .where((F.col("exact_group_size") > 1) | (F.col("n_lsh_pairs") > 0))
+    )
+
+
+register(
+    QuerySpec(
+        name="dedup_lsh_cap_cliff_recovery",
+        build=_lsh_cap_cliff,
+        doc=(
+            "planted 13-doc mega-cluster vs the LSH bucket cap: its pairs "
+            "drop whole (the documented cliff) while exact-group dedup "
+            "recovers the cluster; organic near-dup pairs survive the cap"
+        ),
+        oracle=f"""
+        WITH planted AS (
+          SELECT CAST(10000000 + i AS BIGINT) AS doc_id,
+                 (SELECT text FROM documents ORDER BY doc_id LIMIT 1) AS text
+          FROM generate_series(1, {_CLIFF_M}) AS g(i)
+        ),
+        corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id, text FROM planted
+        ),
+        t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+        sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+        sig AS (SELECT doc_id, {_MINHASH_SQL} AS minhash FROM sh),
+        bands AS (
+          SELECT doc_id, j AS band_idx, ({_BANDS_SQL})[j] AS band_hash
+          FROM sig, (SELECT unnest(generate_series(1, {_BANDS})) AS j)
+        ),
+        kept AS (
+          SELECT band_idx, band_hash FROM bands
+          GROUP BY band_idx, band_hash
+          HAVING COUNT(*) BETWEEN 2 AND {_CLIFF_CAP}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a
+          JOIN kept k ON k.band_idx = a.band_idx AND k.band_hash = a.band_hash
+          JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          WHERE a.doc_id < b.doc_id
+        ),
+        touched AS (
+          SELECT id_a AS doc_id FROM pairs
+          UNION ALL SELECT id_b AS doc_id FROM pairs
+        ),
+        lshc AS (SELECT doc_id, COUNT(*) AS n_lsh_pairs FROM touched GROUP BY doc_id),
+        dig AS (SELECT doc_id, md5(text) AS d FROM corpus),
+        grp AS (SELECT d, min(doc_id) AS exact_keeper,
+                       COUNT(*) AS exact_group_size
+                FROM dig GROUP BY d)
+        SELECT dig.doc_id,
+               CAST(coalesce(l.n_lsh_pairs, 0) AS BIGINT) AS n_lsh_pairs,
+               grp.exact_keeper,
+               CAST(grp.exact_group_size AS BIGINT) AS exact_group_size
+        FROM dig
+        JOIN grp ON dig.d = grp.d
+        LEFT JOIN lshc l ON dig.doc_id = l.doc_id
+        WHERE grp.exact_group_size > 1 OR coalesce(l.n_lsh_pairs, 0) > 0
+        """,
+    )
+)
+
+
 def _jaccard_consecutive(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_testdata(spark, sf, "documents")
     ids = docs.select("doc_id")

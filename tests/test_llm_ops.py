@@ -1792,6 +1792,42 @@ def test_lsh_bucket_metrics_observation(spark):
     assert not any(a <= 6 and b <= 6 for a, b in pairs)
 
 
+def test_lsh_cap_cliff_recovered_by_exact_groups(spark):
+    # r12 verdict task 7: the documented recall CLIFF — a duplicate
+    # CLUSTER larger than the cap overflows EVERY band bucket it
+    # touches and loses ALL its pairs at once — demonstrated against
+    # the exact-group backstop that recovers it, with the Observation
+    # metrics asserting the drop happened in-job. Mirrors the
+    # oracle-checked entry dedup_lsh_cap_cliff_recovery.
+    from pyspark.sql import Observation
+
+    mega = [(100 + i, "identical mega cluster boilerplate body text repeated")
+            for i in range(13)]
+    near = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox jumps over the lazy dog again now"),
+    ]
+    docs = spark.createDataFrame(mega + near, "doc_id LONG, text STRING")
+    obs = Observation("cliff")
+    pairs = dedup.minhash_candidate_pairs(
+        docs, num_hashes=16, bands=8, max_bucket=8, bucket_metrics=obs
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # the cliff: not ONE of the mega-cluster's 78 pairs survives...
+    assert not any(a >= 100 and b >= 100 for a, b in got)
+    # ...while the organic near-pair does (other buckets are small)
+    assert (1, 2) in got
+    m = obs.get
+    assert m["max_bucket_size"] == 13 and m["n_buckets_dropped"] >= 8
+    # the backstop: exact hash-group dedup (linear, no pairs) recovers
+    # the whole planted cluster under one keeper
+    groups = {
+        r.keeper_id: r.n_copies
+        for r in dedup.exact_dedup_groups(docs).collect()
+    }
+    assert groups.get(100) == 13
+
+
 def test_near_dup_pairs_cap_passthrough(spark):
     # near_dup_pairs forwards max_bucket: with a tiny cap the
     # boilerplate cluster's candidates never reach the Jaccard verify,
