@@ -42,6 +42,7 @@ from data_pipeline_with_spark_spark.sources.readers import TESTDATA_TABLES
 _ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 SERIAL = "--serial" in sys.argv[1:]
 TRISF = "--trisf" in sys.argv[1:]
+SF1 = "--sf1" in sys.argv[1:]
 # Positional args: an existing directory is the sf_dir, everything
 # else is a query-name filter — so `--trisf <query>` filters instead of
 # silently running the full catalog three times with <query> consumed
@@ -54,6 +55,38 @@ TRISF_DIRS = (
     "/root/testdata/sf0.01",
     "/root/testdata/sf0.1",
 )
+
+# --sf1 (r12 verdict task 3): an OPT-IN fourth sweep at the derived
+# .scaling/sf1 fixture (events 1M / documents 50k / embeddings 20k —
+# tools/make_scaled_fixture.py; TPC-H tables are NOT scaled, so only
+# entries over these three tables are eligible). The subset is the
+# density-sensitive headline math — the entries whose VALUES change
+# character one decade up (novelty attribution, LSH bucket caps, KMV /
+# HLL estimation paths, quantile interpolation, drift statistics,
+# retrieval scoring) — curated at ~30 entries because the DuckDB twin
+# is the cost bound at this SF (measured: the whole subset's oracle
+# side stays in low minutes; the unrolled-GD / unrolled-pagerank
+# replays and BPE would not).
+SF1_DIR = str(Path(__file__).resolve().parent.parent / ".scaling" / "sf1")
+SF1_SUBSET = {
+    "dedup_novelty_scores",
+    "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
+    "dedup_lsh_capped_buckets", "dedup_lsh_cap_cliff_recovery",
+    "dedup_connected_components", "dedup_paragraphs",
+    "sketch_kmv_distinct_users", "sketch_kmv_overlap_types",
+    "sketch_hll_distinct_users", "sketch_hll_union_types",
+    "sketch_hll_intersection", "sketch_cms_token_counts",
+    "sketch_quantile_by_type", "sketch_quantile_merge_sources",
+    "decontam_benchmark_overlap", "decontam_bloom_prefilter",
+    "events_psi_drift", "events_ks_drift", "events_gapfill_locf",
+    "events_sessionize",
+    "text_tfidf_top_terms", "text_bm25_search",
+    "text_unigram_logprob", "text_bigram_backoff_logprob",
+    "text_top_bigrams_per_lang",
+    "sim_cosine_topk_bruteforce", "sim_embedding_near_dups",
+    "sim_mmr_select", "sim_hybrid_rrf_search",
+    "curation_pipeline",
+}
 
 
 def norm_cell(v):
@@ -130,7 +163,10 @@ def sweep(spark, sf_dir: str, only: set[str]) -> tuple[int, int, list[str]]:
 
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # derived fixtures (.scaling/sf1) carry only a table subset;
+        # entries eligible there never reference the missing views
+        if Path(f"{sf_dir}/{t}.parquet").exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     specs = all_queries()
     todo = [
@@ -208,12 +244,36 @@ def main() -> int:
         run_streaming_hll(
             spark, "/root/testdata/sf0.001", tempfile.mkdtemp(prefix="warm_")
         ).count()
+    def sf1_only() -> set[str]:
+        sub = SF1_SUBSET & only if only else set(SF1_SUBSET)
+        if not Path(SF1_DIR).is_dir():
+            print(
+                f"--sf1: {SF1_DIR} missing — run tools/make_scaled_fixture.py",
+                file=sys.stderr,
+            )
+            return set()
+        return sub
+
     if not TRISF:
+        if SF1 and not _DIRS:
+            sub = sf1_only()
+            if not sub:
+                return 1
+            _, _, failures = sweep(spark, SF1_DIR, sub)
+            return 1 if failures else 0
         _, _, failures = sweep(spark, SF_DIR, only)
+        if SF1:
+            sub = sf1_only()
+            if sub:
+                release_session_caches()
+                print(f"\n===== {SF1_DIR} (opt-in subset) =====")
+                _, _, f1 = sweep(spark, SF1_DIR, sub)
+                failures = list(failures) + f1
         return 1 if failures else 0
 
     totals: list[tuple[str, int, int, list[str]]] = []
-    for sf_dir in TRISF_DIRS:
+    sweep_dirs = list(TRISF_DIRS)
+    for sf_dir in sweep_dirs:
         print(f"\n===== {sf_dir} =====")
         n_pass, n_run, failures = sweep(spark, sf_dir, only)
         totals.append((sf_dir, n_pass, n_run, failures))
@@ -221,6 +281,13 @@ def main() -> int:
         # sweep would otherwise ride through the next, larger SF's
         # sweep as dead eviction pressure
         release_session_caches()
+    if SF1:
+        sub = sf1_only()
+        if sub:
+            print(f"\n===== {SF1_DIR} (opt-in subset) =====")
+            n_pass, n_run, failures = sweep(spark, SF1_DIR, sub)
+            totals.append((SF1_DIR, n_pass, n_run, failures))
+            release_session_caches()
     print("\n===== tri-SF summary =====")
     all_fail: list[str] = []
     for sf_dir, n_pass, n_run, failures in totals:
