@@ -226,3 +226,36 @@ def test_lint_flags_decimal_promotion(spark):
         "SELECT element_at(CAST(array(0.1, -0.010057) AS array<double>), 1) AS w"
     )
     assert not _decimal_plan_hazards("x", lit)
+
+
+def test_lint_flags_generate_inferred_filter(spark):
+    """The r12 headline hazard, mechanized (r12 lead #3): F.explode over
+    a COMPUTED array makes InferFiltersFromGenerate + pushdown sink a
+    size()>0 Filter that re-inlines the array's full defining
+    expression below the repartition. The lint must flag that optimized
+    plan and must NOT flag the util.exploded() spelling (whose only
+    filter is isnotnull(pos)) nor explodes over plain column arrays."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_spark_spark.llm.dedup import with_shingles
+    from data_pipeline_with_spark_spark.util import exploded
+    from tools.lint_oracles import _generate_filter_hazards
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")], ["doc_id", "text"]
+    )
+    sh = with_shingles(docs, k=3)
+    bad = sh.select("doc_id", F.explode("shingles").alias("s"))
+    assert _generate_filter_hazards("x", bad)
+
+    good = exploded(sh, ["doc_id"], F.col("shingles"), "s")
+    assert not _generate_filter_hazards("x", good)
+
+    plain = spark.createDataFrame([(1, ["a", "b"])], "id INT, arr ARRAY<STRING>")
+    assert not _generate_filter_hazards(
+        "x", plain.select("id", F.explode("arr").alias("v"))
+    )

@@ -227,6 +227,48 @@ def _decimal_plan_hazards(name: str, df) -> list[str]:
     return []
 
 
+# InferFiltersFromGenerate recompute hazard (the r12 headline find,
+# mechanized per that round's lead): for a NON-outer explode over a
+# COMPUTED array, Catalyst infers `size(arr) > 0`, and predicate
+# pushdown substitutes the array's full defining expression into a
+# Filter that sinks below every projection — below the
+# ensure_min_partitions exchange, onto the scan's few input partitions,
+# with guard projections re-inlined (the O(tokens × shingles)
+# re-tokenize `with_shingles` exists to prevent). util.exploded() is
+# the engine-wide fix; this rule catches future regressions (a new
+# entry hand-writing F.explode over an expensive array) mechanically.
+# Signature in the OPTIMIZED plan: a Filter node testing
+# `size(<higher-order-function array>) > 0` as a bare conjunct —
+# verified to print exactly this shape on a reproduction of the
+# novelty-postings hazard, and to be absent from the exploded()
+# spelling (whose only filter is `isnotnull(pos)`). Two deliberate
+# exclusions, both live in the catalog: a USER size predicate with a
+# different bound (textrank's `size(tokens) >= 2`) and a size()>0
+# guard inside a CASE WHEN of a user filter (curation's quality-score
+# division guard) — the inferred filter is never CASE-wrapped and is
+# always the `> 0` test.
+_GENERATE_FILTER_RE = re.compile(
+    r"size\((?:array_distinct\()?\s*(?:transform|filter|aggregate|zip_with)\("
+)
+
+
+def _generate_filter_hazards(name: str, df) -> list[str]:
+    tree = df._jdf.queryExecution().optimizedPlan().treeString()
+    for line in tree.splitlines():
+        if "Filter" not in line or "> 0)" not in line:
+            continue
+        m = _GENERATE_FILTER_RE.search(line)
+        if m and "CASE WHEN" not in line[: m.start()]:
+            return [
+                f"{name}: inferred size()>0 Filter recomputes a "
+                "higher-order-function array below the explode "
+                "(InferFiltersFromGenerate + pushdown — the r12 novelty "
+                "hazard); use util.exploded() instead of F.explode. "
+                f"Offending filter: {line.strip()[:200]}"
+            ]
+    return []
+
+
 def lint_specs(spark, sf_dir: str) -> list[str]:
     import duckdb
 
@@ -261,6 +303,10 @@ def lint_specs(spark, sf_dir: str) -> list[str]:
             problems.append(f"{name}: spark build failed: {e}")
             continue
         problems.extend(_decimal_plan_hazards(name, sdf))
+        try:
+            problems.extend(_generate_filter_hazards(name, sdf))
+        except Exception as e:  # noqa: BLE001 — optimization can fail where analysis didn't
+            problems.append(f"{name}: optimized-plan walk failed: {e}")
 
         for col, sdt in spark_types.items():
             if _SPARK_HAZARD.match(sdt):
