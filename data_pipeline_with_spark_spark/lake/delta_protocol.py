@@ -263,9 +263,48 @@ _SUPPORTED_READER_FEATURES = {
 }
 
 
+def _read_checkpoint(
+    log_dir: Path, cp_version: int
+) -> tuple[T.StructType | None, list[str], dict[str, AddFile]]:
+    """Seed replay state from a classic single-file checkpoint parquet
+    (``<v%020d>.checkpoint.parquet`` — one action per row as nullable
+    structs; remove tombstones exist only for VACUUM and are ignored
+    for snapshot reconstruction). Multi-part and v2 checkpoints raise."""
+    import pyarrow.parquet as pq
+
+    single = log_dir / f"{cp_version:020d}.checkpoint.parquet"
+    if not single.is_file():
+        parts = list(log_dir.glob(f"{cp_version:020d}.checkpoint.*.parquet"))
+        raise NotImplementedError(
+            f"only classic single-file checkpoints supported; found {parts}"
+        )
+    tbl = pq.read_table(str(single)).to_pylist()
+    schema: T.StructType | None = None
+    partition_columns: list[str] = []
+    active: dict[str, AddFile] = {}
+    for row in tbl:
+        md = row.get("metaData")
+        if md:
+            schema = T.StructType.fromJson(json.loads(md["schemaString"]))
+            partition_columns = list(md.get("partitionColumns") or [])
+        a = row.get("add")
+        if a:
+            dv = a.get("deletionVector") or None
+            active[a["path"]] = AddFile(
+                path=a["path"],
+                partition_values=dict(a.get("partitionValues") or {}),
+                deletion_vector=dv,
+            )
+    return schema, partition_columns, active
+
+
 def replay_log(table_path: str | Path, version: int | None = None) -> DeltaSnapshot:
     """Replay ``<table>/_delta_log/*.json`` up to ``version`` (latest if
-    None) per the public action-reconciliation rules."""
+    None) per the public action-reconciliation rules. If the log has a
+    ``_last_checkpoint``, replay seeds from the checkpoint parquet and
+    applies only the JSON commits after it — the path a real aged table
+    requires once log cleanup has removed pre-checkpoint JSON commits;
+    time travel to a cleaned-up version raises."""
     table_path = Path(table_path)
     log_dir = table_path / "_delta_log"
     commits = sorted(
@@ -273,17 +312,47 @@ def replay_log(table_path: str | Path, version: int | None = None) -> DeltaSnaps
     )
     if not commits:
         raise FileNotFoundError(f"no commits under {log_dir}")
-    expected = list(range(len(commits)))
-    if [v for v, _ in commits] != expected:
-        raise ValueError("non-contiguous Delta log")
-    if version is not None:
-        commits = commits[: version + 1]
-        if not commits:
-            raise ValueError(f"version {version} predates the log")
+
     schema: T.StructType | None = None
     partition_columns: list[str] = []
     # path -> AddFile; remove tombstones delete the key
     active: dict[str, AddFile] = {}
+
+    cp_version: int | None = None
+    lc = log_dir / "_last_checkpoint"
+    if lc.is_file():
+        cp_version = int(json.loads(lc.read_text())["version"])
+    have = {v for v, _ in commits}
+    if cp_version is not None and 0 not in have and version is not None and version < cp_version:
+        raise ValueError(
+            f"version {version} predates the checkpoint ({cp_version}) "
+            "and its JSON commits were cleaned up"
+        )
+    if (
+        cp_version is not None
+        and (version is None or version >= cp_version)
+        # a fully retained JSON log can always serve the request; only
+        # seed from the checkpoint when cleanup removed early commits
+        and 0 not in have
+    ):
+        schema, partition_columns, active = _read_checkpoint(log_dir, cp_version)
+        commits = [(v, f) for v, f in commits if v > cp_version]
+        expected = list(range(cp_version + 1, cp_version + 1 + len(commits)))
+        base_version = cp_version
+    else:
+        expected = list(range(len(commits)))
+        base_version = None
+    if [v for v, _ in commits] != expected:
+        raise ValueError("non-contiguous Delta log")
+    if version is not None:
+        if base_version is not None and version < base_version:
+            raise ValueError(
+                f"version {version} predates the checkpoint ({base_version}) "
+                "and its JSON commits were cleaned up"
+            )
+        commits = [(v, f) for v, f in commits if v <= version]
+        if base_version is None and not commits:
+            raise ValueError(f"version {version} predates the log")
     for v, f in commits:
         for line in f.read_text().splitlines():
             if not line.strip():
@@ -317,8 +386,12 @@ def replay_log(table_path: str | Path, version: int | None = None) -> DeltaSnaps
             # commitInfo / txn / cdc: informational, ignored
     if schema is None:
         raise ValueError("log contains no metaData action")
+    if commits:
+        final_version = commits[-1][0]
+    else:  # checkpoint-seeded with no later JSON commits in range
+        final_version = version if version is not None else cp_version
     return DeltaSnapshot(
-        version=commits[-1][0],
+        version=final_version,
         schema=schema,
         partition_columns=partition_columns,
         files=sorted(active.values(), key=lambda a: a.path),

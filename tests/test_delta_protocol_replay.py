@@ -364,3 +364,119 @@ def test_roaring_roundtrip_shapes():
             assert dp.decode_dv_blob(dp.dv_blob(c)) == c
     data = b"hello world!"  # 12 bytes
     assert dp.z85_decode(dp.z85_encode(data)) == data
+
+
+def _write_checkpoint(table_dir: Path, version: int, schema_string: str,
+                      adds: list[dict]) -> None:
+    """Author a classic single-file checkpoint parquet the way the real
+    engine lays it down: one action per row as nullable structs, plus
+    the _last_checkpoint pointer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        {
+            "metaData": {
+                "id": "00000000-0000-0000-0000-000000000000",
+                "schemaString": schema_string,
+                "partitionColumns": [],
+            },
+            "protocol": None,
+            "add": None,
+        },
+        {
+            "metaData": None,
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "add": None,
+        },
+    ] + [{"metaData": None, "protocol": None, "add": a} for a in adds]
+    # explicit arrow schema: partitionValues is a map<string,string> in
+    # the real checkpoint format (pyarrow would infer an empty struct)
+    arrow_schema = pa.schema(
+        [
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        pa.field("id", pa.string()),
+                        pa.field("schemaString", pa.string()),
+                        pa.field("partitionColumns", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        pa.field("minReaderVersion", pa.int32()),
+                        pa.field("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("partitionValues", pa.map_(pa.string(), pa.string())),
+                        pa.field("size", pa.int64()),
+                        pa.field("modificationTime", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    for r in rows:
+        if r["add"] is not None:
+            r["add"]["partitionValues"] = list(
+                (r["add"].get("partitionValues") or {}).items()
+            )
+    log = table_dir / "_delta_log"
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=arrow_schema),
+        str(log / f"{version:020d}.checkpoint.parquet"),
+    )
+    (log / "_last_checkpoint").write_text(
+        json.dumps({"version": version, "size": len(rows)})
+    )
+
+
+def test_checkpoint_seeded_replay_after_log_cleanup(spark, tmp_path):
+    # A real aged table: JSON commits 0..cp are cleaned up and only the
+    # checkpoint parquet + later JSONs remain. Replay must seed from
+    # the checkpoint, apply the tail commits, and refuse time travel to
+    # cleaned-up versions.
+    t = tmp_path / "delta_cp"
+    t.mkdir()
+    df0 = _cars(spark, [("IT", "FERRARI", 4000.0, 2018)])
+    df1 = _cars(spark, [("DE", "BMW", 2000.0, 2018)])
+    df2 = _cars(spark, [("FR", "RENAULT", 1200.0, 2019)])
+    for df, name in [(df0, "a"), (df1, "b"), (df2, "c")]:
+        _write_part_file(spark, df, t, f"part-00000-{name}.parquet")
+    ss = _schema_string(spark, df0)
+    _commit(t, 0, [_protocol(), _metadata(ss), _add("part-00000-a.parquet")])
+    _commit(t, 1, [_add("part-00000-b.parquet")])
+    _commit(t, 2, [_add("part-00000-c.parquet")])
+    # while the full JSON log exists, _last_checkpoint must not change
+    # the result (a retained log can always serve)
+    _write_checkpoint(
+        t, 1, ss,
+        [{"path": p, "partitionValues": {}, "size": 1024,
+          "modificationTime": 0, "dataChange": True}
+         for p in ("part-00000-a.parquet", "part-00000-b.parquet")],
+    )
+    full = {r.Mh for r in dp.read_snapshot(spark, t).collect()}
+    assert full == {"FERRARI", "BMW", "RENAULT"}
+    # log cleanup removes the pre-checkpoint JSON commits
+    (t / "_delta_log" / f"{0:020d}.json").unlink()
+    (t / "_delta_log" / f"{1:020d}.json").unlink()
+    snap = dp.replay_log(t)
+    assert snap.version == 2 and len(snap.files) == 3
+    got = {r.Mh for r in dp.read_snapshot(spark, t).collect()}
+    assert got == {"FERRARI", "BMW", "RENAULT"}
+    # exactly the checkpoint version still works (no tail commits)
+    at_cp = {r.Mh for r in dp.read_snapshot(spark, t, version=1).collect()}
+    assert at_cp == {"FERRARI", "BMW"}
+    with pytest.raises(ValueError, match="cleaned up"):
+        dp.replay_log(t, version=0)
