@@ -107,6 +107,14 @@ ITERATIVE_EXTRA = [
     "sim_retrieval_eval",
     "a13_salted_skew_agg",
     "j8_salted_skew_join",
+    # r13 additions: connected components is the catalog's deepest
+    # iterative-lineage entry (pointer doubling + periodic
+    # localCheckpoint — per-round cost must stay flat) and was never
+    # probed; the cap-cliff entry embeds a constant-size planted
+    # mega-cluster in a growing corpus, so its cost must track the
+    # plain capped-LSH entry, not the cluster.
+    "dedup_connected_components",
+    "dedup_lsh_cap_cliff_recovery",
 ]
 
 SFS = [
