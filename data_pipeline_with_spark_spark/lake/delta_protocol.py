@@ -419,7 +419,7 @@ def read_snapshot(
         dv_rows: set[int] | None = None
         if af.deletion_vector is not None:
             dv_rows = _dv_row_indexes(af.deletion_vector, table_path)
-        if dv_rows is not None:
+        if dv_rows:  # an empty DV deletes nothing (isin() needs ≥1 value)
             df = df.select("*", F.col("_metadata.row_index").alias("__ri"))
             df = df.where(~F.col("__ri").isin(*[int(r) for r in dv_rows])).drop(
                 "__ri"

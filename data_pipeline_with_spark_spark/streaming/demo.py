@@ -53,6 +53,10 @@ def streaming_session(spark: SparkSession, state_partitions: int | None = None) 
     (re)built from it, so no frame crosses sessions.
     """
     n = STREAM_STATE_PARTITIONS if state_partitions is None else state_partitions
+    # idempotent: a demo invoked with an already-derived child (e.g. a
+    # run_* composed inside another run_*) must not mint a grandchild
+    if getattr(spark, "_dps_is_stream_session", False):
+        return spark
     cache = getattr(spark, "_dps_stream_sessions", None)
     if cache is None:
         cache = {}
@@ -61,6 +65,7 @@ def streaming_session(spark: SparkSession, state_partitions: int | None = None) 
     if s is None:
         s = spark.newSession()
         s.conf.set("spark.sql.shuffle.partitions", str(n))
+        s._dps_is_stream_session = True
         cache[n] = s
     return s
 
