@@ -1162,7 +1162,10 @@ def novelty_scores(
     post = exploded(sh, [id_col], "shingles", "__s").select(
         id_col, F.md5(F.col("__s")).alias("sid")
     )
-    return novelty_from_postings(post, id_col=id_col)
+    # unique (id, sid) BY CONSTRUCTION (array_distinct shingles), so the
+    # serve's redelivery dedupe would be a cached no-op — skip it and
+    # keep the original single-pass shape
+    return novelty_from_postings(post, id_col=id_col, assume_unique=True)
 
 
 def novelty_from_postings(
@@ -1185,12 +1188,21 @@ def novelty_from_postings(
     redelivery otherwise. Exchange-neutral shape: the explicit
     ``repartition(sid)`` is THE one O(postings) exchange —
     HashPartitioning(sid) satisfies the (sid, id) dedupe AND the
-    ownership groupBy(sid) (subset clustering), so neither adds a
-    shuffle, and per-doc counts keep their map-side-combined
-    O(docs×partitions) exchange. ``assume_unique=True`` skips the
-    dedupe for callers that enforce uniqueness upstream."""
+    ownership groupBy(sid) (subset clustering, both preserved through
+    the cache's InMemoryRelation output partitioning), and per-doc
+    counts keep their map-side-combined O(docs×partitions) exchange.
+    The deduped frame is ``session_cache``d (MEMORY_ONLY — digest-keyed
+    and deterministic, recompute-safe) because BOTH aggregates consume
+    it and Spark's ReuseExchange does not fire across the two subtrees
+    (verified on the executed plan: without the cache the sid exchange
+    and the whole shingle pipeline execute twice).
+    ``assume_unique=True`` skips dedupe AND cache for callers whose
+    postings are unique by construction (``novelty_scores``: per-doc
+    shingles are array_distinct) — the original single-pass shape."""
     if not assume_unique:
-        post = post.repartition(F.col("sid")).dropDuplicates(["sid", id_col])
+        post = session_cache(
+            post.repartition(F.col("sid")).dropDuplicates(["sid", id_col])
+        )
     counts = post.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles")
     )
