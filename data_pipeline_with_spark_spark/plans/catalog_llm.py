@@ -2337,12 +2337,19 @@ def _tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     toks = exploded(docs, ["doc_id"], text.tokens(F.col("text")), "term")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # tf rows are already distinct per (doc, term): counting them by term
-    # IS document frequency, no separate distinct pass needed. The
-    # always-true tf >= 1 filter is load-bearing: it forces this branch to
-    # consume the count, otherwise Catalyst prunes it, the partial
-    # aggregate under the shuffle stops matching the main branch's, and
-    # ReuseExchange can't fold the two tf subtrees — which would tokenize
-    # and shuffle the whole corpus twice.
+    # IS document frequency, no separate distinct pass needed. The two tf
+    # consumers (df-counts and the scored join) each execute the
+    # tokenize+shuffle subtree — ReuseExchange does NOT fold them on this
+    # Spark (r13 executed-plan audit: 0 ReusedExchange, 2 (doc_id, term)
+    # exchanges; the historical tf >= 1 canonicalization trick below no
+    # longer fires). Measured A/B at sf1: a session_cache(tf) variant is
+    # SLOWER (3.97 vs 3.64 s min — the InMemoryRelation write+columnar
+    # round-trip costs more than re-tokenizing), so the recompute is the
+    # deliberate choice here, unlike novelty_from_postings where the
+    # recomputed subtree is the far heavier shingle pipeline.
+    # The tf >= 1 filter stays: it is value-neutral and keeps the two
+    # branches' partial aggregates shaped identically should a future
+    # Spark restore the fold.
     df_tbl = (
         tf.where(F.col("tf") >= 1)
         .groupBy("term")

@@ -400,3 +400,48 @@ def test_codegen_cache_sized_for_catalog_sweeps(spark):
     in SCALING.md and inflated late-sweep entries in the oracle gate —
     so pin it here where the cause is documented."""
     assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 50000
+
+
+def test_novelty_serve_caches_deduped_postings(spark):
+    # r13 find: ReuseExchange does not fold two sibling consumers of the
+    # same frame, so the dedupe-path serve must session_cache the
+    # deduped postings (else the repartition(sid) exchange AND the
+    # shingle pipeline execute twice), while the batch entry
+    # (assume_unique) keeps its original single-pass shape with no
+    # repartition-by-column at all. Pin both plan shapes.
+    import re
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_spark_spark.llm import dedup
+    from data_pipeline_with_spark_spark.util import (
+        exploded,
+        release_session_caches,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc{i} zeta eta theta")
+         for i in range(1, 9)],
+        ["doc_id", "text"],
+    )
+    batch = dedup.novelty_scores(docs)
+    batch.count()
+    batch_plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_COL" not in batch_plan
+    assert "InMemoryTableScan" not in batch_plan
+
+    sh = dedup.with_shingles(docs).select("doc_id", "shingles")
+    post = exploded(sh, ["doc_id"], F.col("shingles"), "__s").select(
+        "doc_id", F.md5("__s").alias("sid")
+    )
+    served = dedup.novelty_from_postings(post)
+    served.count()
+    served_plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in served_plan
+    # the cached dedupe subtree appears under the scans but executes
+    # once; outside the cache no further sid repartition may exist
+    outside = re.sub(
+        r"InMemoryTableScan[\s\S]*", "", served_plan
+    )
+    assert "REPARTITION_BY_COL" not in outside
+    release_session_caches()
