@@ -20,7 +20,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from data_pipeline_with_spark_spark.plans import headline_queries
+from data_pipeline_with_spark_spark.plans import all_queries, headline_queries
 from data_pipeline_with_spark_spark.session import get_spark
 from data_pipeline_with_spark_spark.sources.writers import write_noop
 
@@ -213,11 +213,31 @@ def main() -> None:
         "dedup_minhash_lsh_pairs", "w1_topk_per_group",
         "text_tfidf_top_terms",
     )
+    # Graph-family scaling probes (r13 verdict task 2): these are NOT
+    # headline queries (frozen cross-round comparables), but the judge's
+    # 100 TB question needs their sf0.1→sf1 growth on the per-round
+    # record — iterative label propagation and peeling rounds are
+    # exactly where superlinear cost hides. Timed rows-only (no oracle
+    # needed for wall clock) at BOTH SFs inside the same interleaved
+    # sweeps as the sf1 set.
+    scaling_extra = (
+        "graph_pagerank_event_flow", "graph_triangles_dup_docs",
+        "graph_ktruss_dup_edges", "graph_kcore_dup_docs",
+        "dedup_connected_components",
+    )
     sf1_timings: dict[str, float] = {}
     sf1_timings_min: dict[str, float] = {}
     sf1_sweep_refs: list[float] = []
+    extra_sf01_min: dict[str, float] = {}
+    extra_sf1_min: dict[str, float] = {}
     if Path(sf1_dir).is_dir() and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
-        sf1_sweep: dict[str, list[float]] = {name: [] for name in sf1_set}
+        catalog = all_queries()
+        for name in scaling_extra:
+            write_noop(catalog[name].build(spark, "/root/testdata/sf0.001"))
+        sf1_sweep: dict[str, list[float]] = {
+            name: [] for name in (*sf1_set, *scaling_extra)
+        }
+        extra_sf01_sweep: dict[str, list[float]] = {n: [] for n in scaling_extra}
         for _ in range(runs):
             # Anchor per sf1 sweep (r11): the sf1 section is only ~2-3
             # minutes at the END of the run, so a single contention
@@ -229,10 +249,26 @@ def main() -> None:
                 t0 = time.perf_counter()
                 write_noop(specs[name].build(spark, sf1_dir))
                 sf1_sweep[name].append(time.perf_counter() - t0)
+            for name in scaling_extra:
+                t0 = time.perf_counter()
+                write_noop(catalog[name].build(spark, SF_DIR))
+                extra_sf01_sweep[name].append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                write_noop(catalog[name].build(spark, sf1_dir))
+                sf1_sweep[name].append(time.perf_counter() - t0)
+        # sf1_timings keeps the FROZEN sf1_set composition (sf1_total is
+        # cross-round compared); the scaling extras live in their own
+        # dicts and only feed the scaling table below.
         sf1_timings = {
-            n: round(statistics.median(s), 3) for n, s in sf1_sweep.items()
+            n: round(statistics.median(sf1_sweep[n]), 3) for n in sf1_set
         }
-        sf1_timings_min = {n: round(min(s), 3) for n, s in sf1_sweep.items()}
+        sf1_timings_min = {n: round(min(sf1_sweep[n]), 3) for n in sf1_set}
+        extra_sf1_min = {
+            n: round(min(sf1_sweep[n]), 3) for n in scaling_extra
+        }
+        extra_sf01_min = {
+            n: round(min(s), 3) for n, s in extra_sf01_sweep.items()
+        }
         # Closing bracket for the last sf1 sweep (also reported as
         # cpu_ref_post below).
         sf1_sweep_refs.append(cpu_reference_seconds())
@@ -315,6 +351,42 @@ def main() -> None:
         out["sf1_n"] = len(sf1_timings)
         out["sf1_queries_min"] = sf1_timings_min
         out["sf1_min_total"] = round(sum(sf1_timings_min.values()), 3)
+        # Superlinearity probe (r13 verdict task 2): per-query
+        # sf0.1→sf1 growth for every entry measured at both SFs this
+        # run — the sf1 regression set plus the graph family. Data
+        # grows 10×, so ratio ≈ 10 (exp ≈ 1) is scan-bound; the flag
+        # threshold matches tools/scaling_probe.py's SUPERLINEAR=1.15
+        # (ratio ≳ 14). Mins over interleaved sweeps on both sides, so
+        # one-sided host noise can't fabricate an exponent. A flagged
+        # entry is adjudicated by the standing fresh-subprocess rule
+        # (tools/scaling_probe.py re-times it in a clean session)
+        # before it's believed — in-session JVM aging has faked this
+        # twice. The 4-SF view with adjudication lives in SCALING.md.
+        import math
+
+        scaling: dict[str, dict] = {}
+        superlinear: list[str] = []
+        for name, hi in {**sf1_timings_min, **extra_sf1_min}.items():
+            lo = timings_min.get(name) or extra_sf01_min.get(name)
+            if not lo or lo <= 0 or hi <= 0:
+                continue
+            exp = math.log10(hi / lo)
+            scaling[name] = {
+                "sf01_min": lo,
+                "sf1_min": hi,
+                "ratio": round(hi / lo, 2),
+                "exp": round(exp, 2),
+            }
+            if exp > 1.15:
+                superlinear.append(name)
+                print(
+                    f"superlinear: {name} sf0.1→sf1 ratio "
+                    f"{hi / lo:.1f}x (exp {exp:.2f}) — adjudicate via "
+                    "tools/scaling_probe.py fresh-subprocess rule",
+                    file=sys.stderr,
+                )
+        out["sf1_scaling"] = scaling
+        out["sf1_superlinear"] = superlinear
         # Machine-detectable regression guard (r8 verdict item #5): each
         # sf1 timing compares against the committed SF1_BASELINE.json;
         # exceeding baseline * regression_factor emits a loud

@@ -20,10 +20,24 @@ Protocol surface implemented (all from the public spec):
 
 * Commit files ``_delta_log/<version % 020d>.json`` — newline-delimited
   JSON actions; replay in version order.
-* Action reconciliation: last ``metaData`` wins; an ``add`` for a
-  (path, dvId) replaces any earlier ``add`` for the same path; a
-  ``remove`` tombstones the path. ``protocol`` gates reader support;
+* Action reconciliation keyed by **(path, dvUniqueId)** per the spec
+  (r13 advice: path-only keying let an intra-commit
+  ``add(path, dv)``-before-``remove(path, no-dv)`` ordering pop the
+  live DV-bearing add): last ``metaData`` wins; an ``add`` replaces any
+  earlier ``add`` for the same (path, dvId); a ``remove`` tombstones
+  exactly its (path, dvId). ``protocol`` gates reader support;
   ``commitInfo`` / ``txn`` are informational.
+* Column mapping (``delta.columnMapping.mode = 'name'``): parquet
+  columns and ``partitionValues`` keys are resolved through each
+  schema field's ``delta.columnMapping.physicalName`` metadata; ``id``
+  mode (parquet field-id matching) raises loudly rather than reading
+  NULLs.
+* Checkpoints: classic single-file ``<v%020d>.checkpoint.parquet``,
+  multi-part classic ``<v>.checkpoint.<k%010d>.<n%010d>.parquet``
+  (completeness-validated), and V2 UUID-named
+  ``<v>.checkpoint.<uniqueStr>.parquet`` with ``checkpointMetadata``
+  and ``sidecar`` actions resolving into ``_delta_log/_sidecars/``
+  parquet files.
 * ``metaData.schemaString`` is Spark's own ``StructType`` JSON — parsed
   with ``StructType.fromJson``; ``partitionColumns`` values come from
   ``add.partitionValues`` (stringly, cast per schema on read).
@@ -253,6 +267,11 @@ class DeltaSnapshot:
     schema: T.StructType
     partition_columns: list[str]
     files: list[AddFile]
+    configuration: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def column_mapping_mode(self) -> str:
+        return self.configuration.get("delta.columnMapping.mode", "none")
 
 
 _SUPPORTED_READER_FEATURES = {
@@ -263,39 +282,140 @@ _SUPPORTED_READER_FEATURES = {
 }
 
 
+def dv_unique_id(dv: dict | None) -> str | None:
+    """The spec's DV unique id — ``storageType + pathOrInlineDv`` plus
+    ``@offset`` when an offset is present; None for no DV. File actions
+    are keyed by (path, dvUniqueId), NOT path alone."""
+    if dv is None:
+        return None
+    uid = f"{dv['storageType']}{dv['pathOrInlineDv']}"
+    if dv.get("offset") is not None:
+        uid = f"{uid}@{dv['offset']}"
+    return uid
+
+
+def _check_protocol(p: dict) -> None:
+    # `or []`: checkpoint parquet rows materialize absent list fields
+    # as None rather than omitting the key
+    feats = set(p.get("readerFeatures") or [])
+    if not feats <= _SUPPORTED_READER_FEATURES:
+        raise NotImplementedError(
+            f"unsupported readerFeatures {feats - _SUPPORTED_READER_FEATURES}"
+        )
+    if (p.get("minReaderVersion") or 1) not in (1, 2, 3):
+        raise NotImplementedError("unknown minReaderVersion")
+
+
+def _apply_metadata(md: dict) -> tuple[T.StructType, list[str], dict[str, str]]:
+    fmt = (md.get("format") or {}).get("provider", "parquet")
+    if fmt != "parquet":
+        raise NotImplementedError(f"format {fmt}")
+    schema = T.StructType.fromJson(json.loads(md["schemaString"]))
+    partition_columns = list(md.get("partitionColumns") or [])
+    configuration = dict(md.get("configuration") or {})
+    mode = configuration.get("delta.columnMapping.mode", "none")
+    if mode not in ("none", "name"):
+        # 'id' mode resolves by parquet field_id, which this reader does
+        # not do — raise loudly instead of materializing NULL columns.
+        raise NotImplementedError(
+            f"columnMapping mode {mode!r} (supported: 'none', 'name')"
+        )
+    return schema, partition_columns, configuration
+
+
+def _checkpoint_part_files(log_dir: Path, cp_version: int) -> list[Path]:
+    """Resolve the parquet file(s) of the checkpoint at ``cp_version``:
+    classic single-file, multi-part classic (all parts validated
+    present), or a V2 UUID-named file (any one instance is complete)."""
+    prefix = f"{cp_version:020d}.checkpoint"
+    single = log_dir / f"{prefix}.parquet"
+    if single.is_file():
+        return [single]
+    candidates = sorted(log_dir.glob(f"{prefix}.*.parquet"))
+    # multi-part classic: <prefix>.<part %010d>.<n_parts %010d>.parquet
+    multi = [
+        f
+        for f in candidates
+        if (segs := f.name[len(prefix) + 1 : -len(".parquet")].split("."))
+        and len(segs) == 2
+        and all(s.isdigit() for s in segs)
+    ]
+    if multi:
+        n_parts = {int(f.name.split(".")[-2]) for f in multi}
+        if len(n_parts) != 1:
+            raise ValueError(f"inconsistent multi-part checkpoint counts {n_parts}")
+        n = n_parts.pop()
+        ks = sorted(int(f.name.split(".")[-3]) for f in multi)
+        if ks != list(range(1, n + 1)):
+            raise ValueError(
+                f"incomplete multi-part checkpoint: have parts {ks} of {n}"
+            )
+        return multi
+    # V2: <prefix>.<uniqueStr>.parquet — multiple writers may race; any
+    # one file is a complete checkpoint, so take the first sorted.
+    v2 = [
+        f
+        for f in candidates
+        if "." not in f.name[len(prefix) + 1 : -len(".parquet")]
+    ]
+    if v2:
+        return [v2[0]]
+    raise FileNotFoundError(f"no checkpoint parquet for version {cp_version}")
+
+
 def _read_checkpoint(
     log_dir: Path, cp_version: int
-) -> tuple[T.StructType | None, list[str], dict[str, AddFile]]:
-    """Seed replay state from a classic single-file checkpoint parquet
-    (``<v%020d>.checkpoint.parquet`` — one action per row as nullable
-    structs; remove tombstones exist only for VACUUM and are ignored
-    for snapshot reconstruction). Multi-part and v2 checkpoints raise."""
+) -> tuple[
+    T.StructType | None, list[str], dict[str, str], dict[tuple, AddFile]
+]:
+    """Seed replay state from a checkpoint — classic single-file,
+    multi-part classic, or V2 (UUID-named file whose ``sidecar``
+    actions point at ``_delta_log/_sidecars/*.parquet`` holding the
+    file actions). One action per parquet row as nullable structs;
+    remove tombstones exist only for VACUUM and are ignored for
+    snapshot reconstruction."""
     import pyarrow.parquet as pq
 
-    single = log_dir / f"{cp_version:020d}.checkpoint.parquet"
-    if not single.is_file():
-        parts = list(log_dir.glob(f"{cp_version:020d}.checkpoint.*.parquet"))
-        raise NotImplementedError(
-            f"only classic single-file checkpoints supported; found {parts}"
-        )
-    tbl = pq.read_table(str(single)).to_pylist()
     schema: T.StructType | None = None
     partition_columns: list[str] = []
-    active: dict[str, AddFile] = {}
-    for row in tbl:
+    configuration: dict[str, str] = {}
+    active: dict[tuple, AddFile] = {}
+
+    def apply_row(row: dict, allow_sidecar: bool) -> None:
+        nonlocal schema, partition_columns, configuration
         md = row.get("metaData")
-        if md:
-            schema = T.StructType.fromJson(json.loads(md["schemaString"]))
-            partition_columns = list(md.get("partitionColumns") or [])
+        if md and md.get("schemaString"):
+            schema, partition_columns, configuration = _apply_metadata(md)
+        p = row.get("protocol")
+        if p and (p.get("minReaderVersion") is not None or p.get("readerFeatures")):
+            _check_protocol(p)
+        cm = row.get("checkpointMetadata")
+        if cm and cm.get("version") is not None:
+            if int(cm["version"]) != cp_version:
+                raise ValueError(
+                    f"checkpointMetadata version {cm['version']} != "
+                    f"file version {cp_version}"
+                )
+        sc = row.get("sidecar")
+        if sc and sc.get("path"):
+            if not allow_sidecar:
+                raise ValueError("sidecar action inside a sidecar file")
+            sidecar_file = log_dir / "_sidecars" / sc["path"]
+            for srow in pq.read_table(str(sidecar_file)).to_pylist():
+                apply_row(srow, allow_sidecar=False)
         a = row.get("add")
-        if a:
+        if a and a.get("path"):
             dv = a.get("deletionVector") or None
-            active[a["path"]] = AddFile(
+            active[(a["path"], dv_unique_id(dv))] = AddFile(
                 path=a["path"],
                 partition_values=dict(a.get("partitionValues") or {}),
                 deletion_vector=dv,
             )
-    return schema, partition_columns, active
+
+    for part in _checkpoint_part_files(log_dir, cp_version):
+        for row in pq.read_table(str(part)).to_pylist():
+            apply_row(row, allow_sidecar=True)
+    return schema, partition_columns, configuration, active
 
 
 def replay_log(table_path: str | Path, version: int | None = None) -> DeltaSnapshot:
@@ -315,8 +435,19 @@ def replay_log(table_path: str | Path, version: int | None = None) -> DeltaSnaps
 
     schema: T.StructType | None = None
     partition_columns: list[str] = []
-    # path -> AddFile; remove tombstones delete the key
-    active: dict[str, AddFile] = {}
+    configuration: dict[str, str] = {}
+    # (path, dvUniqueId) -> AddFile; a remove tombstones exactly its
+    # (path, dvUniqueId) — the spec's file-action identity (r13 advice:
+    # path-only keying was order-sensitive within a DV-delete commit).
+    active: dict[tuple, AddFile] = {}
+
+    latest = commits[-1][0]
+    if version is not None and version > latest:
+        # Real Delta raises VersionNotFoundException; silently serving
+        # the latest snapshot would read wrong data on a typo'd version.
+        raise ValueError(
+            f"version {version} is newer than the latest commit ({latest})"
+        )
 
     cp_version: int | None = None
     lc = log_dir / "_last_checkpoint"
@@ -335,7 +466,9 @@ def replay_log(table_path: str | Path, version: int | None = None) -> DeltaSnaps
         # seed from the checkpoint when cleanup removed early commits
         and 0 not in have
     ):
-        schema, partition_columns, active = _read_checkpoint(log_dir, cp_version)
+        schema, partition_columns, configuration, active = _read_checkpoint(
+            log_dir, cp_version
+        )
         commits = [(v, f) for v, f in commits if v > cp_version]
         expected = list(range(cp_version + 1, cp_version + 1 + len(commits)))
         base_version = cp_version
@@ -359,30 +492,22 @@ def replay_log(table_path: str | Path, version: int | None = None) -> DeltaSnaps
                 continue
             action = json.loads(line)
             if "metaData" in action:
-                md = action["metaData"]
-                fmt = md.get("format", {}).get("provider", "parquet")
-                if fmt != "parquet":
-                    raise NotImplementedError(f"format {fmt}")
-                schema = T.StructType.fromJson(json.loads(md["schemaString"]))
-                partition_columns = list(md.get("partitionColumns", []))
+                schema, partition_columns, configuration = _apply_metadata(
+                    action["metaData"]
+                )
             elif "protocol" in action:
-                p = action["protocol"]
-                feats = set(p.get("readerFeatures", []))
-                if not feats <= _SUPPORTED_READER_FEATURES:
-                    raise NotImplementedError(
-                        f"unsupported readerFeatures {feats - _SUPPORTED_READER_FEATURES}"
-                    )
-                if p.get("minReaderVersion", 1) not in (1, 2, 3):
-                    raise NotImplementedError("unknown minReaderVersion")
+                _check_protocol(action["protocol"])
             elif "add" in action:
                 a = action["add"]
-                active[a["path"]] = AddFile(
+                dv = a.get("deletionVector")
+                active[(a["path"], dv_unique_id(dv))] = AddFile(
                     path=a["path"],
                     partition_values=a.get("partitionValues") or {},
-                    deletion_vector=a.get("deletionVector"),
+                    deletion_vector=dv,
                 )
             elif "remove" in action:
-                active.pop(action["remove"]["path"], None)
+                r = action["remove"]
+                active.pop((r["path"], dv_unique_id(r.get("deletionVector"))), None)
             # commitInfo / txn / cdc: informational, ignored
     if schema is None:
         raise ValueError("log contains no metaData action")
@@ -394,7 +519,11 @@ def replay_log(table_path: str | Path, version: int | None = None) -> DeltaSnaps
         version=final_version,
         schema=schema,
         partition_columns=partition_columns,
-        files=sorted(active.values(), key=lambda a: a.path),
+        files=sorted(
+            active.values(),
+            key=lambda a: (a.path, dv_unique_id(a.deletion_vector) or ""),
+        ),
+        configuration=configuration,
     )
 
 
@@ -413,6 +542,22 @@ def read_snapshot(
     differential tests."""
     table_path = Path(table_path)
     snap = replay_log(table_path, version)
+    mapped = snap.column_mapping_mode == "name"
+
+    def physical_name(fld: T.StructField) -> str:
+        # In 'name' mode, parquet columns AND partitionValues keys use
+        # the physical name stored in the field metadata; the reader
+        # that resolved by logical name materialized NULLs (r13 advice).
+        if not mapped:
+            return fld.name
+        phys = (fld.metadata or {}).get("delta.columnMapping.physicalName")
+        if not phys:
+            raise ValueError(
+                f"columnMapping mode 'name' but field {fld.name!r} has no "
+                "delta.columnMapping.physicalName metadata"
+            )
+        return phys
+
     parts: list[DataFrame] = []
     for af in snap.files:
         df = spark.read.parquet(str(table_path / af.path))
@@ -427,15 +572,16 @@ def read_snapshot(
         cols = []
         file_cols = set(df.columns)
         for fld in snap.schema.fields:
-            if fld.name in af.partition_values:
-                raw = af.partition_values[fld.name]
+            phys = physical_name(fld)
+            if phys in af.partition_values:
+                raw = af.partition_values[phys]
                 cols.append(
                     (F.lit(None) if raw is None else F.lit(raw))
                     .cast(fld.dataType)
                     .alias(fld.name)
                 )
-            elif fld.name in file_cols:
-                cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
+            elif phys in file_cols:
+                cols.append(F.col(phys).cast(fld.dataType).alias(fld.name))
             else:
                 cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
         parts.append(df.select(*cols))

@@ -613,7 +613,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 20,
-    checkpoint_every: int = 3,
+    checkpoint_every: int | None = 3,
 ) -> DataFrame:
     """Resolve pairwise duplicate edges into clusters: every node gets
     ``component`` = the minimum id reachable from it. This is the step
@@ -645,7 +645,9 @@ def connected_components(
     2/3/6/never are within host noise of each other — the knob only
     matters for graphs needing tens of rounds, where lower cadence
     bounds plan growth and higher cadence saves block-manager writes;
-    it is exposed rather than tuned.
+    it is exposed rather than tuned. Pass ``checkpoint_every=None`` (or
+    ``0``) for the "never" cadence; anything else must be a positive
+    integer.
 
     Convergence detection rides the SAME action that materializes the
     round (an ``Observation`` counting component != old-component rows)
@@ -656,6 +658,14 @@ def connected_components(
     CollectMetrics (see minhash_candidate_pairs) cannot fire here.
     """
     from pyspark.sql import Observation
+
+    if checkpoint_every in (None, 0):
+        checkpoint_every = None  # never checkpoint; persist each round
+    elif not isinstance(checkpoint_every, int) or checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be a positive int, or None/0 for "
+            f"'never checkpoint'; got {checkpoint_every!r}"
+        )
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -719,7 +729,7 @@ def connected_components(
             # executes on materialization.
             .drop("__old")
         )
-        if it % checkpoint_every == 0:
+        if checkpoint_every is not None and it % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels.persist()

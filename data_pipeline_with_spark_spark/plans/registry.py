@@ -81,8 +81,11 @@ def _order_key(item: tuple[str, QuerySpec]) -> tuple[int, int]:
 @functools.lru_cache(maxsize=1)
 def _driver_sample_history() -> dict[str, tuple[int, bool, bool]]:
     """Per-query driver sample history from ``CORRECTNESS_r*.json`` at
-    the repo root: name → (last round sampled, red in that sample,
-    no-hash-evidence in that sample).
+    the repo root AND under ``artifacts/`` (r13 housekeeping moved old
+    round files there; reading only the root made every entry last
+    sampled before r12 look never-sampled, which buried the genuinely
+    stalest greens — r14 verdict task 8): name → (last round sampled,
+    red in that sample, no-hash-evidence in that sample).
 
     The driver's gate samples a prefix window of ``queries()``, so a
     static order resamples the same names every round. The rotation
@@ -92,7 +95,10 @@ def _driver_sample_history() -> dict[str, tuple[int, bool, bool]]:
     """
     history: dict[str, tuple[int, bool, bool]] = {}
     root = Path(__file__).resolve().parents[2]
-    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+    files = list(root.glob("CORRECTNESS_r*.json")) + list(
+        root.glob("artifacts/CORRECTNESS_r*.json")
+    )
+    for f in sorted(files):
         try:
             rnd = int(f.stem.split("_r")[-1])
         except ValueError:

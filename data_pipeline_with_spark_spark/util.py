@@ -172,25 +172,32 @@ def exploded(
     generates (its size>0 filter would be wrong under outer), never
     applies. The ordinal column is dropped unless ``pos`` names it.
 
-    Name-collision guard (r12 advice): if the input frame already has a
-    column equal to the ordinal name or to ``alias`` and the caller
-    also projects it in ``cols``, the select would emit a duplicate
-    name and the trailing ``.drop(p)`` would remove the caller's
-    pre-existing column too — silently. Raise loudly instead.
+    Name-collision guard (r12 advice, narrowed r14): the hazard is the
+    caller PROJECTING a column (via ``cols``, possibly through ``"*"``)
+    whose name equals the ordinal name or ``alias`` — the select would
+    emit a duplicate name and the trailing ``.drop(p)`` would remove
+    the caller's pre-existing column too, silently. Only that case
+    raises; a column named ``alias`` that exists in ``df`` but is NOT
+    projected is the well-defined replace-a-column spelling and passes.
+    ``cols`` entries are resolved by name through an analysis-only
+    ``df.select(*cols)`` so string names, ``"*"``, and aliased Column
+    expressions are all covered.
     """
     from pyspark.sql import functions as F
 
     p = pos or "__exploded_pos"
-    existing = set(df.columns)
-    if p in existing:
+    projected = set(df.select(*cols).columns) if cols else set()
+    if p in projected:
         raise ValueError(
-            f"exploded(): ordinal column name {p!r} already exists in the "
-            "input frame; pass a distinct pos= name"
+            f"exploded(): ordinal column name {p!r} is among the projected "
+            "cols; the output would carry a duplicate name and drop(p) "
+            "would remove the caller's column — pass a distinct pos= name"
         )
-    if alias in existing:
+    if alias in projected:
         raise ValueError(
-            f"exploded(): alias {alias!r} already exists in the input "
-            "frame; the explode output would shadow or duplicate it"
+            f"exploded(): alias {alias!r} is among the projected cols; the "
+            "explode output would duplicate it — drop it from cols to "
+            "replace, or pick a distinct alias"
         )
     out = df.select(
         *cols, F.posexplode_outer(arr).alias(p, alias)

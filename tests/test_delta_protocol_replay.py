@@ -366,79 +366,134 @@ def test_roaring_roundtrip_shapes():
     assert dp.z85_decode(dp.z85_encode(data)) == data
 
 
-def _write_checkpoint(table_dir: Path, version: int, schema_string: str,
-                      adds: list[dict]) -> None:
-    """Author a classic single-file checkpoint parquet the way the real
-    engine lays it down: one action per row as nullable structs, plus
-    the _last_checkpoint pointer."""
+def _checkpoint_arrow_schema(v2: bool = False):
+    """The nullable one-action-per-row arrow schema of a real checkpoint
+    parquet (partitionValues is map<string,string>; pyarrow would infer
+    an empty struct). v2 adds checkpointMetadata + sidecar columns."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    rows = [
-        {
-            "metaData": {
-                "id": "00000000-0000-0000-0000-000000000000",
-                "schemaString": schema_string,
-                "partitionColumns": [],
-            },
-            "protocol": None,
-            "add": None,
-        },
-        {
-            "metaData": None,
-            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
-            "add": None,
-        },
-    ] + [{"metaData": None, "protocol": None, "add": a} for a in adds]
-    # explicit arrow schema: partitionValues is a map<string,string> in
-    # the real checkpoint format (pyarrow would infer an empty struct)
-    arrow_schema = pa.schema(
-        [
+    fields = [
+        pa.field(
+            "metaData",
+            pa.struct(
+                [
+                    pa.field("id", pa.string()),
+                    pa.field("schemaString", pa.string()),
+                    pa.field("partitionColumns", pa.list_(pa.string())),
+                ]
+            ),
+        ),
+        pa.field(
+            "protocol",
+            pa.struct(
+                [
+                    pa.field("minReaderVersion", pa.int32()),
+                    pa.field("minWriterVersion", pa.int32()),
+                    pa.field("readerFeatures", pa.list_(pa.string())),
+                ]
+            ),
+        ),
+        pa.field(
+            "add",
+            pa.struct(
+                [
+                    pa.field("path", pa.string()),
+                    pa.field("partitionValues", pa.map_(pa.string(), pa.string())),
+                    pa.field("size", pa.int64()),
+                    pa.field("modificationTime", pa.int64()),
+                    pa.field("dataChange", pa.bool_()),
+                ]
+            ),
+        ),
+    ]
+    if v2:
+        fields += [
             pa.field(
-                "metaData",
-                pa.struct(
-                    [
-                        pa.field("id", pa.string()),
-                        pa.field("schemaString", pa.string()),
-                        pa.field("partitionColumns", pa.list_(pa.string())),
-                    ]
-                ),
+                "checkpointMetadata",
+                pa.struct([pa.field("version", pa.int64())]),
             ),
             pa.field(
-                "protocol",
-                pa.struct(
-                    [
-                        pa.field("minReaderVersion", pa.int32()),
-                        pa.field("minWriterVersion", pa.int32()),
-                    ]
-                ),
-            ),
-            pa.field(
-                "add",
+                "sidecar",
                 pa.struct(
                     [
                         pa.field("path", pa.string()),
-                        pa.field("partitionValues", pa.map_(pa.string(), pa.string())),
-                        pa.field("size", pa.int64()),
+                        pa.field("sizeInBytes", pa.int64()),
                         pa.field("modificationTime", pa.int64()),
-                        pa.field("dataChange", pa.bool_()),
                     ]
                 ),
             ),
         ]
+    return pa.schema(fields)
+
+
+def _action_rows(schema_string: str | None, adds: list[dict],
+                 v2: bool = False, extra: list[dict] | None = None) -> list[dict]:
+    keys = ["metaData", "protocol", "add"] + (
+        ["checkpointMetadata", "sidecar"] if v2 else []
     )
-    for r in rows:
-        if r["add"] is not None:
-            r["add"]["partitionValues"] = list(
-                (r["add"].get("partitionValues") or {}).items()
-            )
+
+    def row(**set_vals):
+        r = {k: None for k in keys}
+        r.update(set_vals)
+        return r
+
+    rows = []
+    if schema_string is not None:
+        rows.append(
+            row(metaData={"id": "00000000-0000-0000-0000-000000000000",
+                          "schemaString": schema_string,
+                          "partitionColumns": []})
+        )
+        rows.append(
+            row(protocol={"minReaderVersion": 1, "minWriterVersion": 2,
+                          "readerFeatures": None})
+        )
+    for a in adds:
+        a = dict(a)
+        a["partitionValues"] = list((a.get("partitionValues") or {}).items())
+        rows.append(row(add=a))
+    for e in extra or []:
+        rows.append(row(**e))
+    return rows
+
+
+def _simple_add(path: str) -> dict:
+    return {"path": path, "partitionValues": {}, "size": 1024,
+            "modificationTime": 0, "dataChange": True}
+
+
+def _write_checkpoint(table_dir: Path, version: int, schema_string: str,
+                      adds: list[dict], n_parts: int = 1) -> None:
+    """Author a classic checkpoint parquet (single-file, or multi-part
+    with the <v>.checkpoint.<k %010d>.<n %010d>.parquet naming) plus
+    the _last_checkpoint pointer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     log = table_dir / "_delta_log"
-    pq.write_table(
-        pa.Table.from_pylist(rows, schema=arrow_schema),
-        str(log / f"{version:020d}.checkpoint.parquet"),
-    )
+    schema = _checkpoint_arrow_schema()
+    if n_parts == 1:
+        rows = _action_rows(schema_string, adds)
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=schema),
+            str(log / f"{version:020d}.checkpoint.parquet"),
+        )
+        total = len(rows)
+    else:
+        # metaData+protocol in part 1; adds round-robined across parts
+        # (the real engine distributes actions across parts arbitrarily)
+        total = 0
+        for k in range(1, n_parts + 1):
+            part_adds = [a for i, a in enumerate(adds) if i % n_parts == k - 1]
+            rows = _action_rows(schema_string if k == 1 else None, part_adds)
+            total += len(rows)
+            pq.write_table(
+                pa.Table.from_pylist(rows, schema=schema),
+                str(log / f"{version:020d}.checkpoint.{k:010d}.{n_parts:010d}.parquet"),
+            )
     (log / "_last_checkpoint").write_text(
-        json.dumps({"version": version, "size": len(rows)})
+        json.dumps({"version": version, "size": total,
+                    **({"parts": n_parts} if n_parts > 1 else {})})
     )
 
 
@@ -480,3 +535,269 @@ def test_checkpoint_seeded_replay_after_log_cleanup(spark, tmp_path):
     assert at_cp == {"FERRARI", "BMW"}
     with pytest.raises(ValueError, match="cleaned up"):
         dp.replay_log(t, version=0)
+    # time travel BEYOND the newest commit must raise, not silently
+    # serve the latest snapshot (r13 advice; real Delta raises
+    # VersionNotFoundException)
+    with pytest.raises(ValueError, match="newer than"):
+        dp.replay_log(t, version=99)
+
+
+def test_dv_add_before_remove_ordering(spark, tmp_path):
+    # r13 advice (medium): the spec keys file actions by
+    # (path, dvUniqueId) and does NOT mandate intra-commit ordering. A
+    # DV-delete commit that writes add(path, dv) BEFORE
+    # remove(path, no-dv) must leave the DV-bearing add active —
+    # path-only keying popped it and silently dropped the whole file.
+    t = tmp_path / "delta_dv_order"
+    t.mkdir()
+    rows = [
+        ("IT", "FERRARI", 4000.0, 2018),
+        ("DE", "BMW", 2000.0, 2018),
+        ("FR", "RENAULT", 1200.0, 2019),
+    ]
+    df = _cars(spark, rows)
+    _write_part_file(spark, df, t, "part-00000-a.parquet")
+    blob = dp.dv_blob({1})  # BMW deleted
+    padded = blob + b"\x00" * (-len(blob) % 4)
+    dv = {
+        "storageType": "i",
+        "pathOrInlineDv": dp.z85_encode(padded),
+        "sizeInBytes": len(blob),
+        "cardinality": 1,
+    }
+    ss = _schema_string(spark, df)
+    _commit(t, 0, [_protocol(dv=True), _metadata(ss), _add("part-00000-a.parquet")])
+    # add FIRST, remove SECOND — reconciliation must be order-free
+    _commit(t, 1, [_add("part-00000-a.parquet", dv=dv), _remove("part-00000-a.parquet")])
+    snap = dp.replay_log(t)
+    assert len(snap.files) == 1
+    assert snap.files[0].deletion_vector is not None
+    got = sorted(r.Mh for r in dp.read_snapshot(spark, t).collect())
+    assert got == ["FERRARI", "RENAULT"]
+    # ...and a later FULL delete of the DV-bearing file must carry the
+    # same dv descriptor in its remove (spec identity), emptying the table
+    _commit(t, 2, [{"remove": {"path": "part-00000-a.parquet",
+                               "deletionTimestamp": 1700000002000,
+                               "dataChange": True,
+                               "deletionVector": dv}}])
+    assert dp.replay_log(t).files == []
+    assert dp.read_snapshot(spark, t).count() == 0
+    # a dv-less remove would NOT tombstone the DV-bearing add (distinct
+    # identity under the spec keying) — pin that at version 1 semantics
+    assert dp.dv_unique_id(dv) != dp.dv_unique_id(None)
+
+
+def _mapped_schema_string(fields: list[tuple[str, str, str]]) -> str:
+    # [(logical_name, sql_type, physical_name)] with the columnMapping
+    # field metadata a real writer stamps.
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": lg,
+                    "type": tp,
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": i + 1,
+                        "delta.columnMapping.physicalName": ph,
+                    },
+                }
+                for i, (lg, tp, ph) in enumerate(fields)
+            ],
+        }
+    )
+
+
+def test_column_mapping_name_mode_replay(spark, tmp_path):
+    # r13 advice (medium): on a column-mapped table the parquet files
+    # carry PHYSICAL names (col-<uuid>) and partitionValues keys are
+    # physical too; resolving by logical name read every column as NULL.
+    t = tmp_path / "delta_colmap"
+    (t / "year=2018").mkdir(parents=True)
+    phys = spark.createDataFrame(
+        [("FERRARI", 4000.0)], ["col-aaaa0001", "col-aaaa0002"]
+    )
+    _write_part_file(spark, phys, t / "year=2018", "part-00000-a.parquet")
+    ss = _mapped_schema_string(
+        [("Mh", "string", "col-aaaa0001"),
+         ("ec_cm3", "double", "col-aaaa0002"),
+         ("year", "integer", "col-aaaa0003")]
+    )
+    md = _metadata(ss, partition_cols=["year"])
+    md["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": "3",
+    }
+    _commit(
+        t, 0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping"]}},
+            md,
+            # partitionValues keyed by the PHYSICAL partition column name
+            _add("year=2018/part-00000-a.parquet",
+                 partition_values={"col-aaaa0003": "2018"}),
+        ],
+    )
+    snap = dp.replay_log(t)
+    assert snap.column_mapping_mode == "name"
+    out = dp.read_snapshot(spark, t)
+    assert out.columns == ["Mh", "ec_cm3", "year"]  # logical names out
+    r = out.collect()[0]
+    assert (r.Mh, r.ec_cm3, r.year) == ("FERRARI", 4000.0, 2018)
+
+
+def test_column_mapping_id_mode_raises(spark, tmp_path):
+    # 'id' mode matches by parquet field_id, which this reader does not
+    # implement — it must raise loudly, never materialize NULLs.
+    t = tmp_path / "delta_colmap_id"
+    t.mkdir()
+    df = _cars(spark, [("IT", "FERRARI", 4000.0, 2018)])
+    _write_part_file(spark, df, t, "part-00000-a.parquet")
+    md = _metadata(_schema_string(spark, df))
+    md["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
+    _commit(t, 0, [_protocol(), md, _add("part-00000-a.parquet")])
+    with pytest.raises(NotImplementedError, match="columnMapping mode 'id'"):
+        dp.replay_log(t)
+
+
+def test_multipart_checkpoint_replay(spark, tmp_path):
+    # Multi-part classic checkpoint: actions split across
+    # <v>.checkpoint.<k>.<n>.parquet; replay merges all parts and
+    # refuses an incomplete set.
+    t = tmp_path / "delta_cp_multi"
+    t.mkdir()
+    dfs = [
+        _cars(spark, [("IT", "FERRARI", 4000.0, 2018)]),
+        _cars(spark, [("DE", "BMW", 2000.0, 2018)]),
+        _cars(spark, [("FR", "RENAULT", 1200.0, 2019)]),
+    ]
+    for i, df in enumerate(dfs):
+        _write_part_file(spark, df, t, f"part-00000-{i}.parquet")
+    ss = _schema_string(spark, dfs[0])
+    _commit(t, 0, [_protocol(), _metadata(ss), _add("part-00000-0.parquet")])
+    _commit(t, 1, [_add("part-00000-1.parquet")])
+    _commit(t, 2, [_add("part-00000-2.parquet")])
+    _write_checkpoint(
+        t, 1, ss,
+        [_simple_add("part-00000-0.parquet"), _simple_add("part-00000-1.parquet")],
+        n_parts=2,
+    )
+    # cleanup pre-checkpoint JSONs → replay must seed from the parts
+    (t / "_delta_log" / f"{0:020d}.json").unlink()
+    (t / "_delta_log" / f"{1:020d}.json").unlink()
+    snap = dp.replay_log(t)
+    assert snap.version == 2 and len(snap.files) == 3
+    got = {r.Mh for r in dp.read_snapshot(spark, t).collect()}
+    assert got == {"FERRARI", "BMW", "RENAULT"}
+    # incomplete part set must refuse, not silently under-read
+    part1 = next(
+        (t / "_delta_log").glob(f"{1:020d}.checkpoint.{1:010d}.*.parquet")
+    )
+    part1.unlink()
+    with pytest.raises(ValueError, match="incomplete multi-part"):
+        dp.replay_log(t)
+
+
+def _write_v2_checkpoint(table_dir: Path, version: int, schema_string: str,
+                         adds: list[dict], unique: str,
+                         n_sidecars: int = 2) -> None:
+    """Author a V2 checkpoint: UUID-named top-level file holding
+    metaData/protocol/checkpointMetadata/sidecar actions; the file
+    actions live in _delta_log/_sidecars/*.parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log = table_dir / "_delta_log"
+    sidecars = log / "_sidecars"
+    sidecars.mkdir(exist_ok=True)
+    schema = _checkpoint_arrow_schema(v2=True)
+    sidecar_names = []
+    for k in range(n_sidecars):
+        part_adds = [a for i, a in enumerate(adds) if i % n_sidecars == k]
+        name = f"sidecar-{unique}-{k}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist(_action_rows(None, part_adds, v2=True),
+                                 schema=schema),
+            str(sidecars / name),
+        )
+        sidecar_names.append(name)
+    top = _action_rows(
+        schema_string, [], v2=True,
+        extra=[{"checkpointMetadata": {"version": version}}]
+        + [{"sidecar": {"path": n, "sizeInBytes": 4096, "modificationTime": 0}}
+           for n in sidecar_names],
+    )
+    pq.write_table(
+        pa.Table.from_pylist(top, schema=schema),
+        str(log / f"{version:020d}.checkpoint.{unique}.parquet"),
+    )
+    (log / "_last_checkpoint").write_text(
+        json.dumps({"version": version, "size": len(top)})
+    )
+
+
+def test_v2_uuid_checkpoint_with_sidecars_replay(spark, tmp_path):
+    # V2 checkpoint: UUID-named file + sidecar parquets carrying the
+    # add actions. Replay must traverse sidecars and then apply the
+    # post-checkpoint JSON commits.
+    t = tmp_path / "delta_cp_v2"
+    t.mkdir()
+    dfs = [
+        _cars(spark, [("IT", "FERRARI", 4000.0, 2018)]),
+        _cars(spark, [("DE", "BMW", 2000.0, 2018)]),
+        _cars(spark, [("FR", "RENAULT", 1200.0, 2019)]),
+        _cars(spark, [("IT", "FIAT", 900.0, 2020)]),
+    ]
+    for i, df in enumerate(dfs):
+        _write_part_file(spark, df, t, f"part-00000-{i}.parquet")
+    ss = _schema_string(spark, dfs[0])
+    _commit(t, 0, [_protocol(), _metadata(ss), _add("part-00000-0.parquet")])
+    _commit(t, 1, [_add("part-00000-1.parquet")])
+    _commit(t, 2, [_add("part-00000-2.parquet")])
+    _commit(t, 3, [_add("part-00000-3.parquet")])
+    _write_v2_checkpoint(
+        t, 2, ss,
+        [_simple_add(f"part-00000-{i}.parquet") for i in range(3)],
+        unique="3ae45673-9172-4e39-9bc1-f99e0c5b12f0",
+    )
+    for v in (0, 1, 2):
+        (t / "_delta_log" / f"{v:020d}.json").unlink()
+    snap = dp.replay_log(t)
+    assert snap.version == 3 and len(snap.files) == 4
+    got = {r.Mh for r in dp.read_snapshot(spark, t).collect()}
+    assert got == {"FERRARI", "BMW", "RENAULT", "FIAT"}
+    # checkpoint-version read works off the sidecars alone
+    at_cp = {r.Mh for r in dp.read_snapshot(spark, t, version=2).collect()}
+    assert at_cp == {"FERRARI", "BMW", "RENAULT"}
+    # a mismatched checkpointMetadata.version is a corrupt checkpoint
+    bad = tmp_path / "delta_cp_v2_bad"
+    bad.mkdir()
+    _write_part_file(spark, dfs[0], bad, "part-00000-0.parquet")
+    _commit(bad, 0, [_protocol(), _metadata(ss), _add("part-00000-0.parquet")])
+    _commit(bad, 1, [_add("part-00000-0.parquet")])
+    _write_v2_checkpoint(bad, 1, ss, [_simple_add("part-00000-0.parquet")],
+                         unique="00000000-0000-0000-0000-00000000beef")
+    # corrupt: rewrite with the wrong embedded version
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    cp_file = next((bad / "_delta_log").glob("*.checkpoint.*.parquet"))
+    rows = pq.read_table(str(cp_file)).to_pylist()
+    for r in rows:
+        if r.get("checkpointMetadata"):
+            r["checkpointMetadata"]["version"] = 7
+        if r.get("add"):
+            r["add"]["partitionValues"] = list(
+                (r["add"].get("partitionValues") or {}).items()
+            ) if isinstance(r["add"].get("partitionValues"), dict) else (
+                r["add"].get("partitionValues") or []
+            )
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=_checkpoint_arrow_schema(v2=True)),
+        str(cp_file),
+    )
+    (bad / "_delta_log" / f"{0:020d}.json").unlink()
+    with pytest.raises(ValueError, match="checkpointMetadata version"):
+        dp.replay_log(bad)

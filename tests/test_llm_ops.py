@@ -679,13 +679,26 @@ def test_exploded_semantics_and_collision_guard(spark):
     assert [(r.id, r.i, r.v) for r in outp.orderBy("id", "i").collect()] == [
         (1, 0, 10), (1, 1, None), (1, 2, 30),
     ]
-    # Collision guard (r12 advice): a pre-existing column named like
-    # the ordinal or the alias used to be silently dropped/shadowed.
+    # Collision guard (r12 advice, narrowed r13 advice): raising is
+    # reserved for the actual hazard — the colliding name being among
+    # the PROJECTED cols (directly or via "*"), where the output would
+    # carry a duplicate name / drop(p) would eat the caller's column.
     with pytest.raises(ValueError, match="ordinal"):
         exploded(df.withColumn("__exploded_pos", F.lit(0)),
-                 ["id"], F.col("arr"), "v")
+                 ["id", "__exploded_pos"], F.col("arr"), "v")
     with pytest.raises(ValueError, match="alias"):
-        exploded(df.withColumn("v", F.lit(0)), ["id"], F.col("arr"), "v")
+        exploded(df.withColumn("v", F.lit(0)), ["*"], F.col("arr"), "v")
+    # ...but alias present-yet-unprojected is the well-defined
+    # replace-a-column spelling and must NOT raise (r13 advice):
+    replaced = exploded(df.withColumn("v", F.lit(99)), ["id"], F.col("arr"), "v")
+    assert replaced.columns == ["id", "v"]
+    assert [(r.id, r.v) for r in replaced.orderBy("id", "v").collect()] == [
+        (1, None), (1, 10), (1, 30),
+    ]
+    # same for a pre-existing ordinal-named column that isn't projected
+    shadow_p = exploded(df.withColumn("__exploded_pos", F.lit(0)),
+                        ["id"], F.col("arr"), "v")
+    assert shadow_p.columns == ["id", "v"]
 
 
 def test_connected_components_no_cache_leak(spark):
@@ -705,6 +718,22 @@ def test_connected_components_no_cache_leak(spark):
     assert labels.count() == 12
     labels.unpersist()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_connected_components_checkpoint_cadence_validation(spark):
+    # r13 advice: checkpoint_every=0 used to ZeroDivisionError at
+    # `it % checkpoint_every`; the docstring's 'never' cadence had no
+    # direct spelling. Now: None/0 = never checkpoint (persist-only
+    # rounds, same labels); anything else must be a positive int.
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    for cadence in (None, 0):
+        lab = dedup.connected_components(pairs, checkpoint_every=cadence)
+        assert {r.component for r in lab.collect()} == {1}
+        lab.unpersist()
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        dedup.connected_components(pairs, checkpoint_every=-1)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        dedup.connected_components(pairs, checkpoint_every=2.5)
 
 
 def test_phash_image_near_dups(spark):

@@ -269,6 +269,103 @@ def _generate_filter_hazards(name: str, df) -> list[str]:
     return []
 
 
+# Plan-regression lints (r13 verdict task 6): the two silent plan
+# regressions most likely to slip into a previously-tuned entry.
+#
+# 1. SortMergeJoin where broadcast was available: every equi-join whose
+#    smaller side is under spark.sql.autoBroadcastJoinThreshold should
+#    plan as a BroadcastHashJoin; an SMJ appearing there means a code
+#    change suppressed broadcast (a stats-hiding barrier, a stray
+#    hint, a conf leak). Joins that CANNOT broadcast are excluded:
+#    user-hinted joins (deliberate strategy), full-outer (no broadcast
+#    side exists), and joins whose min side exceeds the threshold.
+# 2. Lost WindowGroupLimit: a rank()/row_number()/dense_rank() window
+#    whose output is filtered to a literal bound should optimize into a
+#    partial top-k BELOW the Window — either a WindowGroupLimit
+#    (partitioned windows, InferWindowGroupLimit) or a pushed
+#    GlobalLimit/LocalLimit + top-k Sort (empty partition spec,
+#    LimitPushDownThroughWindow — verified: that rule, not WGL, handles
+#    the global-row_number case and is strictly better). Losing BOTH
+#    silently reverts to fully sorting every partition. Flag when the
+#    rank-filter shape exists but the Window's immediate child is
+#    neither a WindowGroupLimit nor a pushed Limit.
+
+
+def _iter_jnodes(node):
+    yield node
+    cs = node.children()
+    for i in range(cs.size()):
+        yield from _iter_jnodes(cs.apply(i))
+
+
+def _smj_hazards(name: str, df, spark) -> list[str]:
+    qe = df._jdf.queryExecution()
+    threshold = (
+        spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
+    )
+    non_broadcastable = 0
+    for n in _iter_jnodes(qe.optimizedPlan()):
+        if n.nodeName() != "Join":
+            continue
+        hinted = n.hint().toString() != "JoinHint(None, None)"
+        full_outer = "FullOuter" in n.joinType().toString()
+        try:
+            min_side = min(
+                int(n.children().apply(0).stats().sizeInBytes().toString()),
+                int(n.children().apply(1).stats().sizeInBytes().toString()),
+            )
+        except Exception:  # noqa: BLE001 — unknown stats can't prove broadcastability
+            min_side = threshold + 1
+        if hinted or full_outer or threshold <= 0 or min_side > threshold:
+            non_broadcastable += 1
+    smj_count = qe.sparkPlan().treeString().count("SortMergeJoin")
+    if smj_count > non_broadcastable:
+        return [
+            f"{name}: {smj_count} SortMergeJoin(s) in the physical plan but "
+            f"only {non_broadcastable} join(s) are legitimately "
+            "non-broadcastable (hinted / full-outer / min side over "
+            "autoBroadcastJoinThreshold) — a small-side join lost its "
+            "broadcast; check for stats-hiding barriers or stray hints"
+        ]
+    return []
+
+
+_RANK_ALIAS_RE = re.compile(
+    r"\b(?:row_number|rank|dense_rank)\(\)[^\n]*? AS (\w+)#(\d+)"
+)
+
+
+def _window_group_limit_hazards(name: str, df) -> list[str]:
+    tree = df._jdf.queryExecution().optimizedPlan().treeString()
+    lines = tree.splitlines()
+    out: list[str] = []
+    for i, wline in enumerate(lines):
+        m = _RANK_ALIAS_RE.search(wline)
+        if m is None or "Window" not in wline:
+            continue
+        alias, attr_id = m.groups()
+        ref = rf"{re.escape(alias)}#{attr_id}L?"
+        bounded = any(
+            "Filter" in fl
+            and (
+                re.search(rf"\({ref} <=? \d+\)", fl)
+                or re.search(rf"\({ref} = \d+\)", fl)
+            )
+            for fl in lines
+        )
+        if not bounded:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if not re.search(r"WindowGroupLimit|GlobalLimit|LocalLimit", child):
+            out.append(
+                f"{name}: rank-filter over `{alias}#{attr_id}` but the "
+                "Window's child is neither WindowGroupLimit nor a pushed "
+                "Limit — the map-side partial top-k was lost and every "
+                f"partition fully sorts. Window child: {child.strip()[:120]}"
+            )
+    return out
+
+
 def lint_specs(spark, sf_dir: str) -> list[str]:
     import duckdb
 
@@ -305,8 +402,10 @@ def lint_specs(spark, sf_dir: str) -> list[str]:
         problems.extend(_decimal_plan_hazards(name, sdf))
         try:
             problems.extend(_generate_filter_hazards(name, sdf))
+            problems.extend(_window_group_limit_hazards(name, sdf))
+            problems.extend(_smj_hazards(name, sdf, spark))
         except Exception as e:  # noqa: BLE001 — optimization can fail where analysis didn't
-            problems.append(f"{name}: optimized-plan walk failed: {e}")
+            problems.append(f"{name}: optimized/physical-plan walk failed: {e}")
 
         for col, sdt in spark_types.items():
             if _SPARK_HAZARD.match(sdt):

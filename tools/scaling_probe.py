@@ -368,6 +368,36 @@ def main() -> None:
     if out.exists() and MANUAL_MARKER in (prev := out.read_text()):
         lines.append(prev[prev.index(MANUAL_MARKER):])
     out.write_text("\n".join(lines))
+    # Machine-readable twin (r13 verdict task 2): the per-round bench
+    # JSON carries its own sf0.1→sf1 exponents; SCALING.json gives
+    # tooling the full 4-SF grid + adjudication without parsing the md.
+    import json as _json
+
+    Path("SCALING.json").write_text(
+        _json.dumps(
+            {
+                "sfs": col_names,
+                "superlinear_threshold": SUPERLINEAR,
+                "queries": {
+                    name: {
+                        "min_sec": [round(t, 3) for t in ts],
+                        "exp_top_decade": round(exp, 3),
+                    }
+                    for name, ts, exp in rows
+                },
+                "flagged": [
+                    {"name": nm, "exp": round(e, 3)} for nm, e in flagged
+                ],
+                "demoted_aging_suspect": {
+                    nm: round(e, 3) for nm, e in demoted.items()
+                },
+                "sweep_refs": [
+                    [str(r), sf, round(ref, 4)] for r, sf, ref in sweep_refs
+                ],
+            },
+            indent=1,
+        )
+    )
     print(f"wrote SCALING.md ({len(results)} queries, {n} scale points)")
     for name, exp in flagged:
         print(f"SUPERLINEAR: {name} exp={exp:.2f}")
