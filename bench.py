@@ -316,6 +316,16 @@ def main() -> None:
     # the baseline file documents the adjudicated environmental band
     # and its wider factor + re-tighten protocol.
     sf01_base_path = Path(__file__).resolve().parent / "SF01_BASELINE.json"
+    # Multi-core contention gate (r14, enables the 1.9→1.5 re-tighten):
+    # the r12 uniform inflation passed the single-thread quiet check —
+    # cpu_ref stayed ~0.30 while 32-way throughput degraded 1.5×/thread
+    # — so a guard tight enough to catch real regressions must ALSO
+    # demote to "suspect_contention" when either parallel anchor reads
+    # under the quiet floor (quiet box ≈ 15-20×).
+    PAR_QUIET = 12.0
+    par_quiet = (
+        min(cpu_par_pre, out["cpu_par_multiple_post"]) >= PAR_QUIET
+    )
     if sf01_base_path.is_file():
         sf01_base = json.loads(sf01_base_path.read_text())
         HOT01 = 0.45
@@ -324,6 +334,8 @@ def main() -> None:
             for i in range(runs)
             if sf01_sweep_refs[i] < HOT01 and sf01_sweep_refs[i + 1] < HOT01
         ]
+        if not par_quiet:
+            quiet01 = []
         if quiet01:
             gated01 = {
                 n: round(min(s[i] for i in quiet01), 3) for n, s in sweep.items()
@@ -415,6 +427,8 @@ def main() -> None:
                 for i in range(runs)
                 if sf1_sweep_refs[i] < HOT and sf1_sweep_refs[i + 1] < HOT
             ]
+            if not par_quiet:  # same multi-core gate as the sf01 guard
+                quiet_idx = []
             if quiet_idx:
                 gated = {
                     n: round(min(s[i] for i in quiet_idx), 3)

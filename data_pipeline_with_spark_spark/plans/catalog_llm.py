@@ -2346,7 +2346,15 @@ def _tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     # SLOWER (3.97 vs 3.64 s min — the InMemoryRelation write+columnar
     # round-trip costs more than re-tokenizing), so the recompute is the
     # deliberate choice here, unlike novelty_from_postings where the
-    # recomputed subtree is the far heavier shingle pipeline.
+    # recomputed subtree is the far heavier shingle pipeline. r14
+    # extended the A/B to the FAMILY level (r13 verdict task 7): one
+    # session_cached (doc_id, term) postings frame shared by tfidf's two
+    # consumers AND bm25, measured over profile+tfidf+bm25 serially at
+    # sf1 (4 interleaved sweeps, quiet anchors 0.31-0.34, results
+    # value-identical) — shared-cache min 8.52 s vs recompute 7.58 s.
+    # Caching loses even amortized over three readers: the exploded
+    # postings are wider than the text they derive from, and the regex
+    # tokenize is a cheap codegen'd scan.
     # The tf >= 1 filter stays: it is value-neutral and keeps the two
     # branches' partial aggregates shaped identically should a future
     # Spark restore the fold.

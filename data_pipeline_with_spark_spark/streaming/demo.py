@@ -1015,6 +1015,16 @@ def fold_dedup_batch(ledger, batch_df: DataFrame, epoch_id: int) -> bool:
             # insert a fresh NULL-hash row per batch, so the key must be
             # null-safe.
             null_safe_keys=True,
+            # Provably redundant here (the matview doctrine): delta IS a
+            # groupBy on the merge key, so uniqueness holds by
+            # construction, and the validation count job re-evaluates
+            # the md5+groupBy subtree once more PER MICRO-BATCH — this
+            # was the r13 "~1 s/batch foreachBatch residual". Measured
+            # A/B r14 (run_stream_dedup at sf0.1, 3 interleaved runs,
+            # quiet anchors 0.27-0.32, drained-ledger hash identical
+            # across all 6 runs): 5.55 s with validation vs 3.15 s
+            # without (-43%).
+            validate_unique_source=False,
         )
         return True
 
