@@ -17,11 +17,14 @@ image containers need no external compression library:
   opens.
 - **JPEG** (baseline sequential DCT, ITU-T T.81) — the Huffman coder,
   quantizer and 8x8 DCT are spec math implementable in numpy alone:
-  the decoder handles any 8-bit baseline JPEG (arbitrary sampling
-  factors incl. 4:2:0, multiple DQT/DHT, DRI/RSTn restart markers);
-  the encoder emits grayscale or YCbCr 4:4:4 with Annex K tables
-  scaled by the libjpeg quality formula. Progressive (SOF2),
-  arithmetic coding and 12-bit raise UnsupportedImageError honestly.
+  the decoder handles any 8-bit baseline (SOF0/1) or progressive
+  (SOF2) JPEG (arbitrary sampling factors incl. 4:2:0, multiple
+  DQT/DHT, DRI/RSTn restart markers; spectral selection + successive
+  approximation with EOB runs for progressive); the encoders emit
+  grayscale or YCbCr 4:4:4 — sequential with Annex K tables scaled by
+  the libjpeg quality formula, progressive with a libjpeg-style scan
+  script. Arithmetic coding and 12-bit raise UnsupportedImageError
+  honestly.
 
 These are *real* codecs for those formats (byte-exact round-trip for
 BMP/PPM, pixel-exact for PNG, lossy-but-in-tolerance for JPEG — and
@@ -541,12 +544,16 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 # JPEG: baseline sequential DCT (ITU-T T.81). Pure numpy + stdlib — the
 # Huffman coder, quantizer and IDCT are spec math, no codec library.
-# Encoder: grayscale or RGB (4:4:4, no subsampling), Annex K quant
-# tables scaled by the libjpeg quality formula, Annex K Huffman tables.
-# Decoder: any baseline JPEG — 8-bit, SOF0, arbitrary sampling factors
-# (4:4:4 and 4:2:0 included; replication upsample), DRI/RSTn restart
-# markers, APPn/COM skipped. Progressive (SOF2), arithmetic coding and
-# 12-bit depth raise UnsupportedImageError honestly.
+# Encoders: grayscale or RGB (4:4:4, no subsampling) — sequential with
+# Annex K quant/Huffman tables scaled by the libjpeg quality formula;
+# progressive (encode_jpeg_progressive) with a libjpeg-style scan
+# script (DC Al=1 + refinement; AC spectral bands at Al=2 refined to 0).
+# Decoder: any 8-bit baseline (SOF0/1) or progressive (SOF2) JPEG —
+# arbitrary sampling factors (4:4:4 and 4:2:0 included; replication
+# upsample), DRI/RSTn restart markers, APPn/COM skipped; progressive
+# spectral selection + successive approximation incl. EOBn runs and AC
+# refinement correction bits. Arithmetic coding and 12-bit depth raise
+# UnsupportedImageError honestly.
 
 _JPEG_ZIGZAG = np.array([
      0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
@@ -714,12 +721,11 @@ def _pad_to_blocks(plane: np.ndarray) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge") if ph or pw else plane
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """Baseline sequential JPEG. 2-D input → single-component
-    (grayscale) JFIF; H×W×3 input → YCbCr 4:4:4. At ``quality=100``
-    every quantizer entry is 1, so an image whose 8×8 blocks are each
-    CONSTANT round-trips bit-exactly (DC-only blocks, unit quantizer —
-    the property the oracle-checked multimodal entry pins)."""
+def _jpeg_quantized_components(img: np.ndarray, quality: int):
+    """Shared forward path for the sequential and progressive encoders:
+    color convert (4:4:4), level shift, blockwise DCT, quantize. Returns
+    (zigzag-order coefficient arrays [(nby, nbx, 64) int64 per comp],
+    gray, h, w, qluma, qchroma)."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     qluma, qchroma = _jpeg_quality_tables(quality)
@@ -736,6 +742,25 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
             _pad_to_blocks(np.clip(np.round(p), 0, 255)) for p in (y, cb, cr)
         ]
     h, w = img.shape[:2]
+    m = _JPEG_DCT_M
+    zzs = []
+    for ci, p in enumerate(planes):
+        qtab = qluma if ci == 0 else qchroma
+        nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+        coeffs = np.einsum("ij,abjk,kl->abil", m, blocks, m.T)
+        quant = np.round(coeffs / qtab).astype(np.int64)
+        zzs.append(quant.reshape(nby, nbx, 64)[..., _JPEG_ZIGZAG])
+    return zzs, gray, h, w, qluma, qchroma
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """Baseline sequential JPEG. 2-D input → single-component
+    (grayscale) JFIF; H×W×3 input → YCbCr 4:4:4. At ``quality=100``
+    every quantizer entry is 1, so an image whose 8×8 blocks are each
+    CONSTANT round-trips bit-exactly (DC-only blocks, unit quantizer —
+    the property the oracle-checked multimodal entry pins)."""
+    zzs, gray, h, w, qluma, qchroma = _jpeg_quantized_components(img, quality)
     out = bytearray(b"\xff\xd8")  # SOI
     out += _jpeg_dqt_segment(0, qluma)
     if not gray:
@@ -758,7 +783,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     bw = _BitWriter()
     # 4:4:4 non-interleaved-per-block MCU order: one block of each
     # component per MCU position, matching the SOF sampling of 1x1
-    nby, nbx = planes[0].shape[0] // 8, planes[0].shape[1] // 8
+    nby, nbx = zzs[0].shape[:2]
     preds = [0] * ncomp
     specs = [
         (qluma, _JPEG_DC_LUMA, _JPEG_AC_LUMA),
@@ -770,11 +795,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     for by in range(nby):
         for bx in range(nbx):
             for c in range(ncomp):
-                qtab = specs[c][0]
-                block = planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coeffs = _JPEG_DCT_M @ block @ _JPEG_DCT_M.T
-                quant = np.round(coeffs / qtab).astype(np.int64)
-                zz = quant.reshape(-1)[_JPEG_ZIGZAG]
+                zz = zzs[c][by, bx]
                 diff = int(zz[0]) - preds[c]
                 preds[c] = int(zz[0])
                 cat = _jpeg_category(diff)
@@ -803,6 +824,239 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
                     code, length = ac_codes[c][0x00]
                     bw.write(code, length)
     out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# Huffman table for progressive AC scans: ALL symbols the progressive
+# AC grammar can emit — EOBn (n 0..14), ZRL, and (run<<4)|size for
+# size 1..10 — as a flat 8-bit canonical code (176 symbols, Kraft
+# 176/256 ≤ 1, so the canonical construction is valid). The standard
+# baseline AC tables lack the EOBn (n ≥ 1) symbols entirely, which is
+# why real progressive files always carry custom DHTs; a flat table
+# trades compression for one table that serves every scan.
+_JPEG_AC_PROG = (
+    [0] * 7 + [176] + [0] * 8,
+    sorted(
+        [n << 4 for n in range(15)]          # EOB0..EOB14
+        + [0xF0]                              # ZRL
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    ),
+)
+
+
+class _ProgEOBState:
+    """Deferred EOBn emission shared across blocks of one AC scan:
+    ``eobrun`` counts consecutive blocks ending in EOB; ``pending``
+    buffers their correction bits (refinement scans), emitted right
+    after the EOBn code per G.1.2.3."""
+
+    def __init__(self, bw: "_BitWriter", ac_codes: dict):
+        self.bw = bw
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush(self) -> None:
+        if self.eobrun:
+            n = self.eobrun.bit_length() - 1
+            code, length = self.ac_codes[n << 4]
+            self.bw.write(code, length)
+            if n:
+                self.bw.write(self.eobrun & ((1 << n) - 1), n)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending = []
+
+    def end_block(self, bits: list[int]) -> None:
+        self.eobrun += 1
+        self.pending.extend(bits)
+        if self.eobrun == 0x7FFF:
+            self.flush()
+
+
+def _jpeg_emit_ac_first(zz_c, ss, se, al, ac_codes, bw) -> None:
+    """AC first scan (Ah=0): band values point-transformed by
+    truncation toward zero, run/size coded with deferred EOBn."""
+    eob = _ProgEOBState(bw, ac_codes)
+    nby, nbx = zz_c.shape[:2]
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = zz_c[by, bx]
+            sh = []
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                sh.append(-((-v) >> al) if v < 0 else v >> al)
+            nz = [i for i, v in enumerate(sh) if v]
+            if not nz:
+                eob.end_block([])
+                continue
+            eob.flush()
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = sh[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                cat = _jpeg_category(v)
+                code, length = ac_codes[(run << 4) | cat]
+                bw.write(code, length)
+                bw.write(_jpeg_magnitude_bits(v, cat), cat)
+                run = 0
+            if nz[-1] < se - ss:
+                eob.end_block([])
+    eob.flush()
+
+
+def _jpeg_emit_ac_refine(zz_c, ss, se, al, ac_codes, bw) -> None:
+    """AC refinement scan (Ah=Al+1): per G.1.2.3 — newly-significant
+    coefficients (|c|>>Al == 1) emit (run|1)+sign, history coefficients
+    (|c|>>Al > 1) contribute one correction bit each, interleaved in
+    the exact span order the decoder's advance consumes them."""
+    eob = _ProgEOBState(bw, ac_codes)
+    nby, nbx = zz_c.shape[:2]
+    band = list(range(ss, se + 1))
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = zz_c[by, bx]
+            # kind per position: 0 zero-history, 1 newly significant,
+            # 2 history-nonzero (payload = its correction bit)
+            kinds = []
+            for k in band:
+                t = abs(int(zz[k])) >> al
+                if t == 0:
+                    kinds.append((0, 0))
+                elif t == 1:
+                    kinds.append((1, 1 if int(zz[k]) > 0 else 0))
+                else:
+                    kinds.append((2, t & 1))
+            pos = 0  # next band index not yet covered by a symbol span
+
+            def advance_span(tp: int) -> None:
+                # walk pos..tp emitting the correction bits of history
+                # coefficients the decoder passes inside this span
+                nonlocal pos
+                while pos <= tp:
+                    if kinds[pos][0] == 2:
+                        bw.write(kinds[pos][1], 1)
+                    pos += 1
+
+            for idx in range(len(band)):
+                kind, payload = kinds[idx]
+                if kind != 1:
+                    continue
+                zcount = sum(
+                    1 for i in range(pos, idx) if kinds[i][0] == 0
+                )
+                while zcount > 15:
+                    eob.flush()
+                    code, length = ac_codes[0xF0]
+                    bw.write(code, length)
+                    # span of exactly 16 zero-history coefficients
+                    cnt = 0
+                    while cnt < 16:
+                        if kinds[pos][0] == 0:
+                            cnt += 1
+                        elif kinds[pos][0] == 2:
+                            bw.write(kinds[pos][1], 1)
+                        pos += 1
+                    zcount -= 16
+                eob.flush()
+                code, length = ac_codes[(zcount << 4) | 1]
+                bw.write(code, length)
+                bw.write(payload, 1)  # sign bit
+                advance_span(idx)
+            if pos < len(band):
+                # trailing positions fold into a (deferred) EOB whose
+                # correction bits ride after the EOBn code
+                eob.end_block(
+                    [kinds[i][1] for i in range(pos, len(band)) if kinds[i][0] == 2]
+                )
+    eob.flush()
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    """Progressive JPEG (SOF2), 4:4:4 like the sequential encoder, with
+    a libjpeg-style scan script exercising BOTH progressive mechanisms:
+    DC first at Al=1 (interleaved) + DC refinement; per-component AC
+    spectral bands 1-5 / 6-63 first-coded at Al=2, then two successive-
+    approximation refinement passes (Ah=2→Al=1, Ah=1→Al=0). All bands
+    reach Al=0, so the decoded image is BIT-IDENTICAL to decoding the
+    sequential encoding at the same quality (same quantized
+    coefficients, same reconstruction math) — the property the tests
+    pin."""
+    zzs, gray, h, w, qluma, qchroma = _jpeg_quantized_components(img, quality)
+    ncomp = len(zzs)
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_dqt_segment(0, qluma)
+    if not gray:
+        out += _jpeg_dqt_segment(1, qchroma)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for cid in range(ncomp):
+        sof += bytes([cid + 1, 0x11, 0 if cid == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _jpeg_dht_segment(0, 0, _JPEG_DC_LUMA)
+    if not gray:
+        out += _jpeg_dht_segment(0, 1, _JPEG_DC_CHROMA)
+    out += _jpeg_dht_segment(1, 0, _JPEG_AC_PROG)
+    dc_codes = [
+        _huffman_canonical(*(_JPEG_DC_LUMA if c == 0 else _JPEG_DC_CHROMA))
+        for c in range(ncomp)
+    ]
+    ac_codes = _huffman_canonical(*_JPEG_AC_PROG)
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for c in comp_ids:
+            td = 0 if c == 0 else 1
+            body += bytes([c + 1, (td << 4) | 0])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    nby, nbx = zzs[0].shape[:2]
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        for by in range(nby):
+            for bx in range(nbx):
+                for c in range(ncomp):
+                    dc = int(zzs[c][by, bx, 0])
+                    if ah == 0:  # first: diff-code the arithmetic shift
+                        v = dc >> al
+                        diff = v - preds[c]
+                        preds[c] = v
+                        cat = _jpeg_category(diff)
+                        code, length = dc_codes[c][cat]
+                        bw.write(code, length)
+                        if cat:
+                            bw.write(_jpeg_magnitude_bits(diff, cat), cat)
+                    else:  # refinement: raw bit Al (two's complement)
+                        bw.write((dc >> al) & 1, 1)
+        return bw.flush()
+
+    # scan script (every band refined down to Al=0)
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
+    out += dc_scan(0, 1)
+    for c in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos_header([c], ss, se, 0, 2)
+            bw = _BitWriter()
+            _jpeg_emit_ac_first(zzs[c], ss, se, 2, ac_codes, bw)
+            out += bw.flush()
+    for ah, al in ((2, 1), (1, 0)):
+        for c in range(ncomp):
+            out += sos_header([c], 1, 63, ah, al)
+            bw = _BitWriter()
+            _jpeg_emit_ac_refine(zzs[c], 1, 63, al, ac_codes, bw)
+            out += bw.flush()
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
+    out += dc_scan(1, 0)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -882,10 +1136,13 @@ def _decode_huffman(br: _BitReader, dmap: dict[tuple[int, int], int]) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to H×W×3 uint8 RGB (grayscale
-    replicates to 3 channels). Supports arbitrary h/v sampling factors
-    (replication upsample), multiple DQT/DHT segments, DRI/RSTn.
-    Progressive/arithmetic/12-bit raise UnsupportedImageError."""
+    """Decode a baseline-sequential (SOF0/1) or progressive (SOF2) JPEG
+    to H×W×3 uint8 RGB (grayscale replicates to 3 channels). Supports
+    arbitrary h/v sampling factors (replication upsample), multiple
+    DQT/DHT segments, DRI/RSTn; progressive supports spectral selection
+    and successive approximation (DC + AC refinement scans, EOB runs).
+    Arithmetic coding / 12-bit / lossless / hierarchical raise
+    UnsupportedImageError."""
     if data[:3] != b"\xff\xd8\xff":
         raise UnsupportedImageError("not a JPEG payload")
     pos = 2
@@ -895,6 +1152,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps = None  # list of (cid, h, v, tq)
     h = w = 0
     restart_interval = 0
+    progressive = False
+    coef = dims = grid = None  # progressive coefficient store
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise UnsupportedImageError("malformed JPEG marker stream")
@@ -914,7 +1173,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 t[_JPEG_ZIGZAG] = zz
                 qtabs[tq] = t.reshape(8, 8)
                 i += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline + extended sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             if body[0] != 8:
                 raise UnsupportedImageError("only 8-bit JPEG supported")
             h, w = struct.unpack(">HH", body[1:5])
@@ -923,9 +1182,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for ci in range(n):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(
-                "only baseline sequential JPEG supported (got SOF%x)" % (marker - 0xC0)
+                "unsupported JPEG SOF%x (lossless/arithmetic/hierarchical)"
+                % (marker - 0xC0)
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -949,12 +1210,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tt = body[1 + 2 * ci], body[2 + 2 * ci]
                 scomps.append((cs, tt >> 4, tt & 0xF))
             pos = pos + 2 + seglen
-            return _jpeg_decode_scan(
-                data, pos, h, w, comps, scomps, qtabs, dc_maps, ac_maps,
-                restart_interval,
+            if not progressive:
+                return _jpeg_decode_scan(
+                    data, pos, h, w, comps, scomps, qtabs, dc_maps, ac_maps,
+                    restart_interval,
+                )
+            if comps is None or not h or not w:
+                raise UnsupportedImageError("JPEG SOS before SOF")
+            if coef is None:
+                coef, dims, grid = _jpeg_alloc_coef(comps, h, w)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            pos = _jpeg_progressive_scan(
+                data, pos, comps, scomps, coef, dims, grid,
+                ss, se, a >> 4, a & 0xF, dc_maps, ac_maps, restart_interval,
             )
+            continue  # pos already points at the next marker
         # APPn, COM, anything else: skip
         pos = pos + 2 + seglen
+    if progressive and coef is not None:
+        return _jpeg_reconstruct_progressive(coef, comps, qtabs, h, w, grid)
     raise UnsupportedImageError("JPEG has no SOS scan")
 
 
@@ -1020,6 +1295,12 @@ def _jpeg_decode_scan(
         if ch < hmax or cv < vmax:
             p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
         full.append(p[:h, :w])
+    return _jpeg_finish(full)
+
+
+def _jpeg_finish(full: list[np.ndarray]) -> np.ndarray:
+    """Shared color assembly: cropped component planes (Y or Y,Cb,Cr as
+    float) → uint8 RGB."""
     if len(full) == 1:
         gray = full[0].astype(np.uint8)
         return np.stack([gray] * 3, axis=2)
@@ -1029,3 +1310,226 @@ def _jpeg_decode_scan(
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — spectral selection + successive approximation.
+#
+# Coefficients accumulate across scans in per-component ZIGZAG-order
+# arrays (nby, nbx, 64); each SOS covers a band [Ss, Se] at bit
+# precision [Ah, Al] per T.81 G.2. DC first scans are diff-coded like
+# baseline on (DC >> Al) (arithmetic shift — Python's >> on negative
+# ints); DC refinement reads one raw bit per block OR-ed into bit Al
+# (exact in two's complement because the earlier floor-shifted value
+# has zero low bits). AC scans are single-component, non-interleaved,
+# over the component's own block grid; AC first scans use EOBn run
+# coding, AC refinement interleaves correction bits for
+# already-nonzero coefficients with newly-significant ±2^Al insertions
+# (the G.1.2.3 ordering: symbol, sign, then the correction bits of the
+# history coefficients the symbol's advance passes over).
+
+
+def _jpeg_alloc_coef(comps, h, w):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coef: dict[int, np.ndarray] = {}
+    dims: dict[int, tuple[int, int]] = {}
+    for cid, ch, cv, _tq in comps:
+        cw = -(-(w * ch) // hmax)  # component pixel dims (T.81 A.1.1)
+        chh = -(-(h * cv) // vmax)
+        dims[cid] = (-(-chh // 8), -(-cw // 8))  # non-interleaved block grid
+        # allocation is the (larger) MCU-padded grid: interleaved DC
+        # scans code the pad blocks too
+        coef[cid] = np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64)
+    return coef, dims, (mcux, mcuy, hmax, vmax)
+
+
+def _jpeg_dc_progressive(br, zz, preds, cs, dmap, ah, al) -> None:
+    if ah == 0:  # first DC scan: baseline diff coding of (DC >> Al)
+        cat = _decode_huffman(br, dmap)
+        diff = _jpeg_extend(br.read_bits(cat), cat) if cat else 0
+        preds[cs] += diff
+        zz[0] = preds[cs] << al
+    else:  # refinement: one raw bit into bit Al
+        if br.read_bit():
+            zz[0] |= 1 << al
+
+
+def _jpeg_ac_first(br, zz, ss, se, al, amap, state) -> None:
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huffman(br, amap)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.read_bits(r)
+            return  # current block ends; eobrun covers SUBSEQUENT blocks
+        k += r
+        if k > se:
+            raise UnsupportedImageError("JPEG progressive AC index overflow")
+        zz[k] = _jpeg_extend(br.read_bits(s), s) << al
+        k += 1
+
+
+def _jpeg_ac_refine(br, zz, ss, se, al, amap, state) -> None:
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def refine(k: int) -> None:
+        if br.read_bit() and (zz[k] & p1) == 0:
+            zz[k] += p1 if zz[k] > 0 else m1
+
+    if state["eobrun"] > 0:
+        # whole block inside an EOB run: correction bits only
+        state["eobrun"] -= 1
+        for k in range(ss, se + 1):
+            if zz[k] != 0:
+                refine(k)
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huffman(br, amap)
+        r, s = rs >> 4, rs & 0xF
+        newval = 0
+        if s == 0:
+            if r < 15:  # EOBn: rest of this block is correction bits only
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.read_bits(r)
+                r = 64  # sweep to the end of the band
+            # r == 15 (ZRL): skip 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise UnsupportedImageError("bad JPEG AC refinement magnitude")
+            newval = p1 if br.read_bit() else m1
+        while k <= se:
+            if zz[k] != 0:
+                refine(k)
+            else:
+                if r == 0:
+                    if newval:
+                        zz[k] = newval
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+
+
+def _jpeg_progressive_scan(
+    data, pos, comps, scomps, coef, dims, grid, ss, se, ah, al,
+    dc_maps, ac_maps, restart_interval,
+):
+    """Decode one progressive SOS's entropy data into ``coef``; return
+    the byte position of the next marker."""
+    mcux, mcuy, _hmax, _vmax = grid
+    by_id = {c[0]: c for c in comps}
+    br = _BitReader(data, pos)
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise UnsupportedImageError("progressive DC scan must have Se=0")
+        order = []
+        for cs, td, _ta in scomps:
+            _cid, ch, cv, _tq = by_id[cs]
+            if ah == 0 and td not in dc_maps:
+                raise UnsupportedImageError("missing JPEG DC Huffman table")
+            order.append((cs, ch, cv, dc_maps.get(td)))
+        preds = {cs: 0 for cs, *_ in order}
+        n = 0
+        if len(order) == 1:  # single-component scan: non-interleaved grid
+            cs, _ch, _cv, dmap = order[0]
+            th, tw = dims[cs]
+            for by in range(th):
+                for bx in range(tw):
+                    if restart_interval and n and n % restart_interval == 0:
+                        br.sync_restart()
+                        preds = {cs: 0}
+                    n += 1
+                    _jpeg_dc_progressive(
+                        br, coef[cs][by, bx], preds, cs, dmap, ah, al
+                    )
+        else:  # interleaved MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and n and n % restart_interval == 0:
+                        br.sync_restart()
+                        preds = {cs: 0 for cs in preds}
+                    n += 1
+                    for cs, ch, cv, dmap in order:
+                        for v_i in range(cv):
+                            for h_i in range(ch):
+                                _jpeg_dc_progressive(
+                                    br,
+                                    coef[cs][my * cv + v_i, mx * ch + h_i],
+                                    preds, cs, dmap, ah, al,
+                                )
+    else:  # AC scan: always single-component, non-interleaved
+        if len(scomps) != 1:
+            raise UnsupportedImageError(
+                "progressive AC scan must be single-component"
+            )
+        cs, _td, ta = scomps[0]
+        if ta not in ac_maps:
+            raise UnsupportedImageError("missing JPEG AC Huffman table")
+        amap = ac_maps[ta]
+        th, tw = dims[cs]
+        state = {"eobrun": 0}
+        n = 0
+        for by in range(th):
+            for bx in range(tw):
+                if restart_interval and n and n % restart_interval == 0:
+                    br.sync_restart()
+                    state["eobrun"] = 0
+                n += 1
+                zz = coef[cs][by, bx]
+                if ah == 0:
+                    _jpeg_ac_first(br, zz, ss, se, al, amap, state)
+                else:
+                    _jpeg_ac_refine(br, zz, ss, se, al, amap, state)
+    # seek the next marker past padding bits / fill bytes / stuffing
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] != 0xFF:
+            p += 1
+        elif data[p + 1] == 0x00 or 0xD0 <= data[p + 1] <= 0xD7:
+            p += 2
+        elif data[p + 1] == 0xFF:  # fill byte before a marker
+            p += 1
+        else:
+            break
+    return p
+
+
+def _jpeg_reconstruct_progressive(coef, comps, qtabs, h, w, grid):
+    """Dequantize + IDCT the accumulated coefficient store (vectorized
+    over all blocks), upsample, color-convert — the progressive twin of
+    the baseline scan's reconstruction (identical math, so a
+    progressive re-encode of the same quantized coefficients decodes
+    bit-identically to the baseline encoding)."""
+    _mcux, _mcuy, hmax, vmax = grid
+    m = _JPEG_DCT_M
+    full = []
+    for cid, ch, cv, tq in comps:
+        zz = coef[cid].astype(np.float64)  # (nby, nbx, 64), zigzag order
+        qzz = qtabs[tq].reshape(-1)[_JPEG_ZIGZAG].astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[..., _JPEG_ZIGZAG] = zz * qzz
+        nby, nbx = nat.shape[:2]
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", m.T, blocks, m)
+        plane = np.clip(np.round(px + 128.0), 0, 255)
+        plane = np.transpose(plane, (0, 2, 1, 3)).reshape(nby * 8, nbx * 8)
+        if ch < hmax or cv < vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+            )
+        full.append(plane[:h, :w])
+    return _jpeg_finish(full)

@@ -111,8 +111,9 @@ def attach_jpeg_payload(
     width: int = 24,
     height: int = 16,
     id_col: str = "doc_id",
+    progressive: bool = False,
 ) -> DataFrame:
-    """Attach a REAL baseline-JPEG payload whose decode is BIT-EXACT and
+    """Attach a REAL JPEG payload whose decode is BIT-EXACT and
     SQL-replayable despite JPEG being lossy: the image is 8×8
     BLOCK-CONSTANT (block (by,bx) carries gray value ``(doc_id*177 +
     (by*(width/8)+bx)*55) % 256``) and encoded at quality=100, where
@@ -120,10 +121,15 @@ def attach_jpeg_payload(
     coefficient is an exact integer, and the IDCT of a DC-only block is
     flat, so decode(encode(img)) == img exactly (pinned in
     test_codecs). The oracle replays the block formula; the Spark side
-    round-trips genuine Huffman entropy coding either way."""
+    round-trips genuine Huffman entropy coding either way.
+    ``progressive=True`` (r14) encodes SOF2 with the multi-scan
+    successive-approximation script instead — same exactness argument
+    (identical quantized coefficients), so the SAME oracle replays it
+    while the Spark side exercises the progressive entropy decoder."""
     import numpy as np
 
     bx_n, by_n = width // 8, height // 8
+    enc = codecs.encode_jpeg_progressive if progressive else codecs.encode_jpeg
 
     @F.pandas_udf(T.BinaryType())
     def gen(ids: pd.Series) -> pd.Series:
@@ -137,7 +143,7 @@ def attach_jpeg_payload(
                 dtype=np.uint8,
             )
             gray = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
-            out.append(codecs.encode_jpeg(gray, quality=100))
+            out.append(enc(gray, quality=100))
         return pd.Series(out)
 
     with_payload = df.withColumn("payload", gen(F.col(id_col).cast("long")))
@@ -157,9 +163,10 @@ def decode_image_stub(payload: bytes, fake: bool = False) -> dict:
     """Codec boundary. REAL decode for BMP / P6 PPM / PNG (pure-numpy
     + stdlib-zlib ``llm/codecs.py``): features are the 16-bin
     grayscale-luma histogram, checksum the pixel-value sum. JPEG
-    (baseline) decodes for real too (r10); for an unrecognized
-    container ``fake=True`` produces the deterministic byte-histogram
-    fake decode, else NotImplementedError."""
+    decodes for real too — baseline since r10, progressive (SOF2,
+    spectral selection + successive approximation) since r14; for an
+    unrecognized container ``fake=True`` produces the deterministic
+    byte-histogram fake decode, else NotImplementedError."""
     data = bytes(payload)
     if codecs.sniff_format(data) is not None:
         try:
@@ -183,8 +190,8 @@ def decode_image_stub(payload: bytes, fake: bool = False) -> dict:
                 raise
     if not fake:
         raise NotImplementedError(
-            "unrecognized container (progressive JPEG?); supply "
-            "BMP/PPM/PNG/baseline-JPEG payloads or use fake=True for "
+            "unrecognized container; supply BMP/PPM/PNG/JPEG "
+            "(baseline or progressive) payloads or use fake=True for "
             "the deterministic test decoder"
         )
     n = len(data)

