@@ -715,3 +715,62 @@ def test_jpeg_progressive_hand_authored_stream():
     block = m.T @ nat.reshape(8, 8) @ m
     expect = np.clip(np.round(block + 128.0), 0, 255).astype(np.uint8)
     assert np.array_equal(got, np.stack([expect] * 3, axis=2))
+
+
+def test_jpeg_progressive_handwritten_420_subsampled_decodes():
+    # Progressive twin of the baseline 4:2:0 fixture: 16x16, Y 2x2
+    # (4 blocks, interleaved DC MCU geometry), Cb/Cr 1x1 (1 block
+    # each, non-interleaved AC grids), flat gray 100. Scans: DC first
+    # at Al=1, per-component all-zero AC bands via EOBn runs (EOB2
+    # covering Y's 4 blocks — exercises eobrun > 1 over a subsampled
+    # grid), DC refinement Ah=1->Al=0.
+    import struct as st
+
+    out = bytearray(b"\xff\xd8")
+    out += codecs._jpeg_dqt_segment(0, np.ones((8, 8), dtype=np.int64))
+    sof = bytes([8]) + st.pack(">HH", 16, 16) + bytes(
+        [3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    out += b"\xff\xc2" + st.pack(">H", 2 + len(sof)) + sof
+    out += codecs._jpeg_dht_segment(0, 0, codecs._JPEG_DC_LUMA)
+    out += codecs._jpeg_dht_segment(1, 0, codecs._JPEG_AC_PROG)
+    dc = codecs._huffman_canonical(*codecs._JPEG_DC_LUMA)
+    ac = codecs._huffman_canonical(*codecs._JPEG_AC_PROG)
+
+    def sos(comps, ss, se, ah, al):
+        body = bytes([len(comps)])
+        for c in comps:
+            body += bytes([c, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + st.pack(">H", 2 + len(body)) + body
+
+    # scan 1: interleaved DC first, Al=1. Y DC = 8*(100-128) = -224,
+    # shifted -112; diffs: -112, 0, 0, 0; Cb/Cr 0.
+    out += sos([1, 2, 3], 0, 0, 0, 1)
+    bw = codecs._BitWriter()
+    for diff in (-112, 0, 0, 0, 0, 0):
+        cat = codecs._jpeg_category(diff)
+        code, ln = dc[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(codecs._jpeg_magnitude_bits(diff, cat), cat)
+    out += bw.flush()
+    # scans 2-4: all-zero AC bands per component via EOBn
+    for comp, eobrun in ((1, 4), (2, 1), (3, 1)):
+        out += sos([comp], 1, 63, 0, 0)
+        bw = codecs._BitWriter()
+        n = eobrun.bit_length() - 1
+        code, ln = ac[n << 4]
+        bw.write(code, ln)
+        if n:
+            bw.write(eobrun & ((1 << n) - 1), n)
+        out += bw.flush()
+    # scan 5: DC refinement Ah=1 -> Al=0: bit0 of -224 is 0 (6 blocks)
+    out += sos([1, 2, 3], 0, 0, 1, 0)
+    bw = codecs._BitWriter()
+    for _ in range(6):
+        bw.write(0, 1)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    dec = codecs.decode_jpeg(bytes(out))
+    assert dec.shape == (16, 16, 3) and (dec == 100).all()

@@ -380,6 +380,10 @@ def _checkpoint_arrow_schema(v2: bool = False):
                     pa.field("id", pa.string()),
                     pa.field("schemaString", pa.string()),
                     pa.field("partitionColumns", pa.list_(pa.string())),
+                    # real checkpoints carry the table configuration —
+                    # a checkpoint-seeded column-mapped table is
+                    # unreadable without it (r14)
+                    pa.field("configuration", pa.map_(pa.string(), pa.string())),
                 ]
             ),
         ),
@@ -427,7 +431,8 @@ def _checkpoint_arrow_schema(v2: bool = False):
 
 
 def _action_rows(schema_string: str | None, adds: list[dict],
-                 v2: bool = False, extra: list[dict] | None = None) -> list[dict]:
+                 v2: bool = False, extra: list[dict] | None = None,
+                 configuration: dict | None = None) -> list[dict]:
     keys = ["metaData", "protocol", "add"] + (
         ["checkpointMetadata", "sidecar"] if v2 else []
     )
@@ -442,7 +447,8 @@ def _action_rows(schema_string: str | None, adds: list[dict],
         rows.append(
             row(metaData={"id": "00000000-0000-0000-0000-000000000000",
                           "schemaString": schema_string,
-                          "partitionColumns": []})
+                          "partitionColumns": [],
+                          "configuration": list((configuration or {}).items())})
         )
         rows.append(
             row(protocol={"minReaderVersion": 1, "minWriterVersion": 2,
@@ -463,7 +469,8 @@ def _simple_add(path: str) -> dict:
 
 
 def _write_checkpoint(table_dir: Path, version: int, schema_string: str,
-                      adds: list[dict], n_parts: int = 1) -> None:
+                      adds: list[dict], n_parts: int = 1,
+                      configuration: dict | None = None) -> None:
     """Author a classic checkpoint parquet (single-file, or multi-part
     with the <v>.checkpoint.<k %010d>.<n %010d>.parquet naming) plus
     the _last_checkpoint pointer."""
@@ -473,7 +480,7 @@ def _write_checkpoint(table_dir: Path, version: int, schema_string: str,
     log = table_dir / "_delta_log"
     schema = _checkpoint_arrow_schema()
     if n_parts == 1:
-        rows = _action_rows(schema_string, adds)
+        rows = _action_rows(schema_string, adds, configuration=configuration)
         pq.write_table(
             pa.Table.from_pylist(rows, schema=schema),
             str(log / f"{version:020d}.checkpoint.parquet"),
@@ -647,6 +654,38 @@ def test_column_mapping_name_mode_replay(spark, tmp_path):
     assert out.columns == ["Mh", "ec_cm3", "year"]  # logical names out
     r = out.collect()[0]
     assert (r.Mh, r.ec_cm3, r.year) == ("FERRARI", 4000.0, 2018)
+
+
+def test_column_mapping_survives_checkpoint_seeding(spark, tmp_path):
+    # A checkpoint-seeded COLUMN-MAPPED table: the mode lives in
+    # metaData.configuration, which real checkpoints persist — replay
+    # must restore it from the checkpoint row or every mapped column
+    # would silently resolve by logical name (the r13-advice NULL bug,
+    # through the aged-table path this time).
+    t = tmp_path / "delta_colmap_cp"
+    t.mkdir()
+    phys = spark.createDataFrame([("FERRARI", 4000.0)],
+                                 ["col-aaaa0001", "col-aaaa0002"])
+    _write_part_file(spark, phys, t, "part-00000-a.parquet")
+    ss = _mapped_schema_string(
+        [("Mh", "string", "col-aaaa0001"), ("ec_cm3", "double", "col-aaaa0002")]
+    )
+    cfg = {"delta.columnMapping.mode": "name",
+           "delta.columnMapping.maxColumnId": "2"}
+    md = _metadata(ss)
+    md["metaData"]["configuration"] = cfg
+    proto = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping"]}}
+    _commit(t, 0, [proto, md, _add("part-00000-a.parquet")])
+    _commit(t, 1, [_add("part-00000-a.parquet")])  # no-op re-add
+    _write_checkpoint(t, 0, ss, [_simple_add("part-00000-a.parquet")],
+                      configuration=cfg)
+    (t / "_delta_log" / f"{0:020d}.json").unlink()  # aged table
+    snap = dp.replay_log(t)
+    assert snap.column_mapping_mode == "name"
+    r = dp.read_snapshot(spark, t).collect()[0]
+    assert (r.Mh, r.ec_cm3) == ("FERRARI", 4000.0)
 
 
 def test_column_mapping_id_mode_raises(spark, tmp_path):
