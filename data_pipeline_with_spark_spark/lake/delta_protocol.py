@@ -27,11 +27,12 @@ Protocol surface implemented (all from the public spec):
   earlier ``add`` for the same (path, dvId); a ``remove`` tombstones
   exactly its (path, dvId). ``protocol`` gates reader support;
   ``commitInfo`` / ``txn`` are informational.
-* Column mapping (``delta.columnMapping.mode = 'name'``): parquet
-  columns and ``partitionValues`` keys are resolved through each
-  schema field's ``delta.columnMapping.physicalName`` metadata; ``id``
-  mode (parquet field-id matching) raises loudly rather than reading
-  NULLs.
+* Column mapping: in ``'name'`` mode parquet columns and
+  ``partitionValues`` keys resolve through each schema field's
+  ``delta.columnMapping.physicalName`` metadata; in ``'id'`` mode data
+  columns resolve by the parquet ``field_id`` each file carries
+  (matched to ``delta.columnMapping.id``) while partition values stay
+  physical-name-keyed, per the spec.
 * Checkpoints: classic single-file ``<v%020d>.checkpoint.parquet``,
   multi-part classic ``<v>.checkpoint.<k%010d>.<n%010d>.parquet``
   (completeness-validated), and V2 UUID-named
@@ -314,11 +315,9 @@ def _apply_metadata(md: dict) -> tuple[T.StructType, list[str], dict[str, str]]:
     partition_columns = list(md.get("partitionColumns") or [])
     configuration = dict(md.get("configuration") or {})
     mode = configuration.get("delta.columnMapping.mode", "none")
-    if mode not in ("none", "name"):
-        # 'id' mode resolves by parquet field_id, which this reader does
-        # not do — raise loudly instead of materializing NULL columns.
+    if mode not in ("none", "name", "id"):
         raise NotImplementedError(
-            f"columnMapping mode {mode!r} (supported: 'none', 'name')"
+            f"columnMapping mode {mode!r} (supported: 'none', 'name', 'id')"
         )
     return schema, partition_columns, configuration
 
@@ -527,6 +526,20 @@ def replay_log(table_path: str | Path, version: int | None = None) -> DeltaSnaps
     )
 
 
+def _parquet_field_ids(path: Path) -> dict[int, str]:
+    """field_id → column name from one parquet file's schema (arrow
+    surfaces the parquet field_id as ``PARQUET:field_id`` field
+    metadata) — the resolution key for columnMapping mode 'id'."""
+    import pyarrow.parquet as pq
+
+    out: dict[int, str] = {}
+    for f in pq.read_schema(str(path)):
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            out[int(fid)] = f.name
+    return out
+
+
 def read_snapshot(
     spark: SparkSession, table_path: str | Path, version: int | None = None
 ) -> DataFrame:
@@ -542,25 +555,40 @@ def read_snapshot(
     differential tests."""
     table_path = Path(table_path)
     snap = replay_log(table_path, version)
-    mapped = snap.column_mapping_mode == "name"
+    mode = snap.column_mapping_mode
 
     def physical_name(fld: T.StructField) -> str:
-        # In 'name' mode, parquet columns AND partitionValues keys use
-        # the physical name stored in the field metadata; the reader
+        # With column mapping on, partitionValues keys ALWAYS use the
+        # physical name stored in the field metadata (both modes), and
+        # in 'name' mode data columns resolve by it too; the reader
         # that resolved by logical name materialized NULLs (r13 advice).
-        if not mapped:
+        if mode == "none":
             return fld.name
         phys = (fld.metadata or {}).get("delta.columnMapping.physicalName")
         if not phys:
             raise ValueError(
-                f"columnMapping mode 'name' but field {fld.name!r} has no "
+                f"columnMapping mode {mode!r} but field {fld.name!r} has no "
                 "delta.columnMapping.physicalName metadata"
             )
         return phys
 
+    def mapping_id(fld: T.StructField) -> int:
+        cid = (fld.metadata or {}).get("delta.columnMapping.id")
+        if cid is None:
+            raise ValueError(
+                f"columnMapping mode 'id' but field {fld.name!r} has no "
+                "delta.columnMapping.id metadata"
+            )
+        return int(cid)
+
     parts: list[DataFrame] = []
     for af in snap.files:
         df = spark.read.parquet(str(table_path / af.path))
+        if mode == "id":
+            # 'id' mode matches data columns by the parquet field_id
+            # each file carries, not by name (T.81-style physical names
+            # may differ file-to-file after renames).
+            fid_to_col = _parquet_field_ids(table_path / af.path)
         dv_rows: set[int] | None = None
         if af.deletion_vector is not None:
             dv_rows = _dv_row_indexes(af.deletion_vector, table_path)
@@ -573,6 +601,10 @@ def read_snapshot(
         file_cols = set(df.columns)
         for fld in snap.schema.fields:
             phys = physical_name(fld)
+            if mode == "id":
+                data_col = fid_to_col.get(mapping_id(fld))
+            else:
+                data_col = phys
             if phys in af.partition_values:
                 raw = af.partition_values[phys]
                 cols.append(
@@ -580,8 +612,8 @@ def read_snapshot(
                     .cast(fld.dataType)
                     .alias(fld.name)
                 )
-            elif phys in file_cols:
-                cols.append(F.col(phys).cast(fld.dataType).alias(fld.name))
+            elif data_col is not None and data_col in file_cols:
+                cols.append(F.col(data_col).cast(fld.dataType).alias(fld.name))
             else:
                 cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
         parts.append(df.select(*cols))

@@ -688,18 +688,80 @@ def test_column_mapping_survives_checkpoint_seeding(spark, tmp_path):
     assert (r.Mh, r.ec_cm3) == ("FERRARI", 4000.0)
 
 
-def test_column_mapping_id_mode_raises(spark, tmp_path):
-    # 'id' mode matches by parquet field_id, which this reader does not
-    # implement — it must raise loudly, never materialize NULLs.
+def test_column_mapping_id_mode_replay(spark, tmp_path):
+    # 'id' mode (r14): data columns match by the parquet field_id each
+    # file carries — NOT by name — so two files whose physical column
+    # names differ (a rename between writes) still resolve to the same
+    # logical column through their shared delta.columnMapping.id.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     t = tmp_path / "delta_colmap_id"
     t.mkdir()
-    df = _cars(spark, [("IT", "FERRARI", 4000.0, 2018)])
-    _write_part_file(spark, df, t, "part-00000-a.parquet")
-    md = _metadata(_schema_string(spark, df))
-    md["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
-    _commit(t, 0, [_protocol(), md, _add("part-00000-a.parquet")])
-    with pytest.raises(NotImplementedError, match="columnMapping mode 'id'"):
-        dp.replay_log(t)
+
+    def write_with_ids(name: str, colnames: list[str], mh: str, ec: float):
+        schema = pa.schema(
+            [
+                pa.field(colnames[0], pa.string(),
+                         metadata={b"PARQUET:field_id": b"1"}),
+                pa.field(colnames[1], pa.float64(),
+                         metadata={b"PARQUET:field_id": b"2"}),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pylist([{colnames[0]: mh, colnames[1]: ec}],
+                                 schema=schema),
+            str(t / name),
+        )
+
+    # file A uses one set of physical names, file B another (rename
+    # happened between the writes) — field ids are the stable identity
+    write_with_ids("part-00000-a.parquet", ["col-x1", "col-x2"], "FERRARI", 4000.0)
+    write_with_ids("part-00000-b.parquet", ["col-y1", "col-y2"], "BMW", 2000.0)
+    ss = _mapped_schema_string(
+        [("Mh", "string", "col-x1"), ("ec_cm3", "double", "col-x2")]
+    )
+    # _mapped_schema_string stamps delta.columnMapping.id = 1, 2
+    md = _metadata(ss)
+    md["metaData"]["configuration"] = {"delta.columnMapping.mode": "id",
+                                       "delta.columnMapping.maxColumnId": "2"}
+    _commit(
+        t, 0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping"]}},
+            md,
+            _add("part-00000-a.parquet"),
+            _add("part-00000-b.parquet"),
+        ],
+    )
+    snap = dp.replay_log(t)
+    assert snap.column_mapping_mode == "id"
+    got = {(r.Mh, r.ec_cm3) for r in dp.read_snapshot(spark, t).collect()}
+    assert got == {("FERRARI", 4000.0), ("BMW", 2000.0)}
+    # a mapped field missing its delta.columnMapping.id raises loudly
+    bad_ss = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "Mh", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.physicalName": "col-x1"}},
+            ],
+        }
+    )
+    bad = tmp_path / "delta_colmap_id_bad"
+    bad.mkdir()
+    write_dir = bad  # reuse one data file
+    write_with_ids_path = t / "part-00000-a.parquet"
+    (write_dir / "part-00000-a.parquet").write_bytes(
+        write_with_ids_path.read_bytes()
+    )
+    bmd = _metadata(bad_ss)
+    bmd["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
+    _commit(bad, 0, [_protocol(), bmd, _add("part-00000-a.parquet")])
+    with pytest.raises(ValueError, match="delta.columnMapping.id"):
+        dp.read_snapshot(spark, bad).collect()
 
 
 def test_multipart_checkpoint_replay(spark, tmp_path):
