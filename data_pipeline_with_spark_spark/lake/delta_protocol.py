@@ -48,9 +48,10 @@ Protocol surface implemented (all from the public spec):
   [int32 BE CRC32(data)]``). The DV data blob is ``[int32 LE magic]
   [RoaringBitmapArray]``; the portable RoaringBitmapArray is
   ``[int64 LE n_bitmaps]`` followed by standard-portable 32-bit
-  RoaringBitmaps (array containers cover every fixture here). Binary
-  constants follow the spec as published; the JSON/action layer — the
-  part the state-machine differential exercises — is exact.
+  RoaringBitmaps — all three container kinds (array, bitmap, run)
+  decode, and the fixture encoder can emit each. Binary constants
+  follow the spec as published; the JSON/action layer — the part the
+  state-machine differential exercises — is exact.
 
 Reference parity: reference ``update_versioning.py:40-79`` (UPDATE /
 time travel / RESTORE) and ``lakehouse_data_igestion.py:126-212``
@@ -114,29 +115,49 @@ _SERIAL_COOKIE_RUN = 12347
 _DV_MAGIC = 1681511377
 
 
+_NO_OFFSET_THRESHOLD = 4  # run-cookie streams omit offsets below this
+
+
 def _decode_portable_roaring32(buf: bytes, off: int) -> tuple[set[int], int]:
     """Decode one standard-portable 32-bit RoaringBitmap starting at
-    ``off``; return (values, next_offset). Array + bitmap containers
-    (run containers don't appear in these fixtures and raise)."""
+    ``off``; return (values, next_offset). All three container kinds —
+    array, bitmap, and run (the RoaringFormatSpec run cookie with its
+    runFlag bitset; real engines emit runs for dense DVs)."""
     (cookie32,) = struct.unpack_from("<I", buf, off)
     cookie = cookie32 & 0xFFFF
     if cookie == _SERIAL_COOKIE_RUN:
-        raise NotImplementedError("run containers not implemented")
-    if cookie != _SERIAL_COOKIE_NO_RUN:
+        n_containers = (cookie32 >> 16) + 1
+        off += 4
+        n_flag_bytes = (n_containers + 7) // 8
+        run_flags = buf[off : off + n_flag_bytes]
+        off += n_flag_bytes
+        has_offsets = n_containers >= _NO_OFFSET_THRESHOLD
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (n_containers,) = struct.unpack_from("<I", buf, off + 4)
+        off += 8
+        run_flags = b""
+        has_offsets = True  # always present for the no-run cookie
+    else:
         raise ValueError(f"bad roaring cookie {cookie}")
-    (n_containers,) = struct.unpack_from("<I", buf, off + 4)
-    off += 8
     keys_cards = []
     for _ in range(n_containers):
         key, card_m1 = struct.unpack_from("<HH", buf, off)
         keys_cards.append((key, card_m1 + 1))
         off += 4
-    # offset header is always present for the no-run cookie
-    off += 4 * n_containers
+    if has_offsets:
+        off += 4 * n_containers
     values: set[int] = set()
-    for key, card in keys_cards:
+    for i, (key, card) in enumerate(keys_cards):
         base = key << 16
-        if card <= 4096:
+        is_run = bool(run_flags) and (run_flags[i // 8] >> (i % 8)) & 1
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, off)
+            off += 2
+            for _ in range(n_runs):
+                start, len_m1 = struct.unpack_from("<HH", buf, off)
+                off += 4
+                values.update(base | v for v in range(start, start + len_m1 + 1))
+        elif card <= 4096:
             vals = struct.unpack_from(f"<{card}H", buf, off)
             values.update(base | v for v in vals)
             off += 2 * card
@@ -163,9 +184,28 @@ def decode_roaring_bitmap_array(data: bytes) -> set[int]:
     return out
 
 
-def encode_roaring_bitmap_array(row_indexes: set[int]) -> bytes:
+def _runs_of(vals: list[int]) -> list[tuple[int, int]]:
+    """Sorted 16-bit values → [(start, length-1)] runs."""
+    runs: list[tuple[int, int]] = []
+    start = prev = vals[0]
+    for v in vals[1:]:
+        if v == prev + 1:
+            prev = v
+            continue
+        runs.append((start, prev - start))
+        start = prev = v
+    runs.append((start, prev - start))
+    return runs
+
+
+def encode_roaring_bitmap_array(
+    row_indexes: set[int], run_containers: bool = False
+) -> bytes:
     """Inverse of :func:`decode_roaring_bitmap_array` for fixture
-    authoring (array containers only — fine for test-sized DVs)."""
+    authoring. Default emits the no-run cookie with array containers
+    (≤4096 values) and bitmap containers (8 KiB bitset) above;
+    ``run_containers=True`` emits the run cookie with every container
+    run-length encoded — the shape real engines produce for dense DVs."""
     stripes: dict[int, dict[int, list[int]]] = {}
     for ri in sorted(row_indexes):
         stripe, low32 = ri >> 32, ri & 0xFFFFFFFF
@@ -176,19 +216,42 @@ def encode_roaring_bitmap_array(row_indexes: set[int]) -> bytes:
     out = bytearray(struct.pack("<q", n_stripes))
     for s in range(n_stripes):
         containers = sorted(stripes.get(s, {}).items())
-        out += struct.pack("<I", _SERIAL_COOKIE_NO_RUN)
-        out += struct.pack("<I", len(containers))
+        n = len(containers)
+        if run_containers and n:
+            out += struct.pack("<I", _SERIAL_COOKIE_RUN | ((n - 1) << 16))
+            flags = bytearray((n + 7) // 8)
+            for i in range(n):
+                flags[i // 8] |= 1 << (i % 8)
+            out += bytes(flags)
+            has_offsets = n >= _NO_OFFSET_THRESHOLD
+        else:
+            out += struct.pack("<I", _SERIAL_COOKIE_NO_RUN)
+            out += struct.pack("<I", n)
+            has_offsets = True
         for key, vals in containers:
-            if len(vals) > 4096:
-                raise NotImplementedError("bitmap containers not emitted")
             out += struct.pack("<HH", key, len(vals) - 1)
-        # offset header
-        pos = len(out) + 4 * len(containers)
+        bodies = []
         for _, vals in containers:
-            out += struct.pack("<I", pos)
-            pos += 2 * len(vals)
-        for _, vals in containers:
-            out += struct.pack(f"<{len(vals)}H", *vals)
+            if run_containers:
+                runs = _runs_of(vals)
+                body = struct.pack("<H", len(runs))
+                for start, len_m1 in runs:
+                    body += struct.pack("<HH", start, len_m1)
+            elif len(vals) > 4096:
+                bits = bytearray(8192)
+                for v in vals:
+                    bits[v >> 3] |= 1 << (v & 7)
+                body = bytes(bits)
+            else:
+                body = struct.pack(f"<{len(vals)}H", *vals)
+            bodies.append(body)
+        if has_offsets:
+            pos = len(out) + 4 * n
+            for body in bodies:
+                out += struct.pack("<I", pos)
+                pos += len(body)
+        for body in bodies:
+            out += body
     return bytes(out)
 
 

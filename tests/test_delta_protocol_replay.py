@@ -357,13 +357,63 @@ def test_roaring_roundtrip_shapes():
         {1, 3, 65535, 65536, 70000},          # two 16-bit containers
         {5, (1 << 32) + 7, (1 << 33) + 9},    # three stripes
         set(range(0, 5000, 3)),               # large array container
+        set(range(0, 9000)),                  # >4096 → BITMAP container (r14)
+        set(range(60000, 70001)),             # bitmap + array across 64k
     ]
     for c in cases:
         assert dp.decode_roaring_bitmap_array(dp.encode_roaring_bitmap_array(c)) == c
         if c:
             assert dp.decode_dv_blob(dp.dv_blob(c)) == c
+        # r14: RUN-container form (the dense-DV shape real engines emit)
+        # decodes to the same set — incl. the ≥4-container offsets header
+        assert (
+            dp.decode_roaring_bitmap_array(
+                dp.encode_roaring_bitmap_array(c, run_containers=True)
+            )
+            == c
+        )
+    # ≥ NO_OFFSET_THRESHOLD run containers in one bitmap (offset header
+    # present) + scattered singletons (length-0 runs)
+    wide = {k << 16 for k in range(6)} | set(range(100, 164))
+    assert (
+        dp.decode_roaring_bitmap_array(
+            dp.encode_roaring_bitmap_array(wide, run_containers=True)
+        )
+        == wide
+    )
     data = b"hello world!"  # 12 bytes
     assert dp.z85_decode(dp.z85_encode(data)) == data
+
+
+def test_deletion_vector_run_container_replay(spark, tmp_path):
+    # A DV whose bitmap uses RUN containers (dense contiguous delete —
+    # what real engines write for range deletes) replays through the
+    # on-disk DV path end-to-end.
+    import struct
+
+    t = tmp_path / "delta_dv_run"
+    t.mkdir()
+    rows = [("C%02d" % i, "M%02d" % i, float(i), 2000 + i) for i in range(10)]
+    df = _cars(spark, rows)
+    _write_part_file(spark, df, t, "part-00000-a.parquet")
+    deleted = set(range(2, 8))  # rows 2..7, one contiguous run
+    blob = struct.pack("<i", dp._DV_MAGIC) + dp.encode_roaring_bitmap_array(
+        deleted, run_containers=True
+    )
+    dv_path = t / "deletion_vector_run.bin"
+    spans = dp.write_dv_file(dv_path, [blob])
+    dv = {
+        "storageType": "p",
+        "pathOrInlineDv": str(dv_path),
+        "offset": spans[0][0],
+        "sizeInBytes": spans[0][1],
+        "cardinality": len(deleted),
+    }
+    ss = _schema_string(spark, df)
+    _commit(t, 0, [_protocol(dv=True), _metadata(ss), _add("part-00000-a.parquet")])
+    _commit(t, 1, [_remove("part-00000-a.parquet"), _add("part-00000-a.parquet", dv=dv)])
+    got = sorted(r.Mh for r in dp.read_snapshot(spark, t).collect())
+    assert got == ["M00", "M01", "M08", "M09"]
 
 
 def _checkpoint_arrow_schema(v2: bool = False):
