@@ -845,6 +845,90 @@ _JPEG_AC_PROG = (
 )
 
 
+class _CountingCodes:
+    """Stand-in for a Huffman code table during the statistics pass of
+    two-pass (optimized) progressive encoding: every symbol lookup
+    counts a frequency and returns a zero-length code so the emitters
+    run unchanged against a throwaway _BitWriter."""
+
+    def __init__(self):
+        self.freq: dict[int, int] = {}
+
+    def __getitem__(self, sym: int) -> tuple[int, int]:
+        self.freq[sym] = self.freq.get(sym, 0) + 1
+        return (0, 0)
+
+
+def _optimal_huffman_spec(freq: dict[int, int]):
+    """(bits, vals) canonical Huffman spec from symbol frequencies, code
+    lengths limited to 16 — the libjpeg jpeg_gen_optimal_table shape: a
+    reserved pseudo-symbol (256, freq 1) guarantees no real symbol gets
+    the all-ones code, pairwise merging tracks code sizes via an
+    `others` chain, and over-long lengths redistribute down per the
+    Annex K adjustment."""
+    if not freq:  # defensive: every real scan emits ≥1 symbol
+        freq = {0x00: 1}
+    f = [0] * 257
+    for sym, n in freq.items():
+        f[sym] = n
+    f[256] = 1  # reserved: claims the deepest all-ones code
+    codesize = [0] * 257
+    others = [-1] * 257
+
+    def least(exclude: int) -> int:
+        best, bestf = -1, None
+        for i in range(257):
+            if f[i] > 0 and i != exclude and (bestf is None or f[i] <= bestf):
+                best, bestf = i, f[i]  # ties → larger symbol (<=)
+        return best
+
+    while True:
+        c1 = least(-1)
+        c2 = least(c1)
+        if c2 < 0:
+            break
+        f[c1] += f[c2]
+        f[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    counts = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            counts[min(codesize[i], 32)] += 1
+    # limit to 16 bits: move pairs of over-long codes up the tree
+    for length in range(32, 16, -1):
+        while counts[length] > 0:
+            j = length - 2
+            while counts[j] == 0:
+                j -= 1
+            counts[length] -= 2
+            counts[length - 1] += 1
+            counts[j + 1] += 2
+            counts[j] -= 1
+    # drop the reserved symbol's code (the longest one)
+    length = 16
+    while counts[length] == 0:
+        length -= 1
+    counts[length] -= 1
+    bits = counts[1:17]
+    # canonical symbol order: by code length, then symbol value; the
+    # reserved symbol is excluded (its slot is the dropped code)
+    vals = [
+        sym
+        for _, sym in sorted(
+            (codesize[sym], sym) for sym in range(256) if codesize[sym]
+        )
+    ]
+    return bits, vals
+
+
 class _ProgEOBState:
     """Deferred EOBn emission shared across blocks of one AC scan:
     ``eobrun`` counts consecutive blocks ending in EOB; ``pending``
@@ -980,7 +1064,9 @@ def _jpeg_emit_ac_refine(zz_c, ss, se, al, ac_codes, bw) -> None:
     eob.flush()
 
 
-def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, optimize_coding: bool = True
+) -> bytes:
     """Progressive JPEG (SOF2), 4:4:4 like the sequential encoder, with
     a libjpeg-style scan script exercising BOTH progressive mechanisms:
     DC first at Al=1 (interleaved) + DC refinement; per-component AC
@@ -989,7 +1075,14 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
     reach Al=0, so the decoded image is BIT-IDENTICAL to decoding the
     sequential encoding at the same quality (same quantized
     coefficients, same reconstruction math) — the property the tests
-    pin."""
+    pin.
+
+    ``optimize_coding`` (default, matching real progressive writers,
+    which never ship the standard tables because those lack the EOBn
+    symbols): each AC scan runs a statistics pass and emits its own
+    optimal length-limited Huffman table in a DHT right before its SOS
+    — the decoder replays mid-stream table redefinition. ``False``
+    falls back to the single flat 176-symbol table."""
     zzs, gray, h, w, qluma, qchroma = _jpeg_quantized_components(img, quality)
     ncomp = len(zzs)
     out = bytearray(b"\xff\xd8")
@@ -1003,12 +1096,13 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
     out += _jpeg_dht_segment(0, 0, _JPEG_DC_LUMA)
     if not gray:
         out += _jpeg_dht_segment(0, 1, _JPEG_DC_CHROMA)
-    out += _jpeg_dht_segment(1, 0, _JPEG_AC_PROG)
+    if not optimize_coding:
+        out += _jpeg_dht_segment(1, 0, _JPEG_AC_PROG)
     dc_codes = [
         _huffman_canonical(*(_JPEG_DC_LUMA if c == 0 else _JPEG_DC_CHROMA))
         for c in range(ncomp)
     ]
-    ac_codes = _huffman_canonical(*_JPEG_AC_PROG)
+    ac_codes_flat = _huffman_canonical(*_JPEG_AC_PROG)
 
     def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
         body = bytes([len(comp_ids)])
@@ -1040,21 +1134,29 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
                         bw.write((dc >> al) & 1, 1)
         return bw.flush()
 
+    def ac_scan(c: int, ss: int, se: int, ah: int, al: int, emit_fn) -> bytes:
+        if optimize_coding:
+            counting = _CountingCodes()
+            emit_fn(zzs[c], ss, se, al, counting, _BitWriter())
+            spec = _optimal_huffman_spec(counting.freq)
+            dht = _jpeg_dht_segment(1, 0, spec)
+            codes = _huffman_canonical(*spec)
+        else:
+            dht = b""
+            codes = ac_codes_flat
+        bw = _BitWriter()
+        emit_fn(zzs[c], ss, se, al, codes, bw)
+        return dht + sos_header([c], ss, se, ah, al) + bw.flush()
+
     # scan script (every band refined down to Al=0)
     out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
     out += dc_scan(0, 1)
     for c in range(ncomp):
         for ss, se in ((1, 5), (6, 63)):
-            out += sos_header([c], ss, se, 0, 2)
-            bw = _BitWriter()
-            _jpeg_emit_ac_first(zzs[c], ss, se, 2, ac_codes, bw)
-            out += bw.flush()
+            out += ac_scan(c, ss, se, 0, 2, _jpeg_emit_ac_first)
     for ah, al in ((2, 1), (1, 0)):
         for c in range(ncomp):
-            out += sos_header([c], 1, 63, ah, al)
-            bw = _BitWriter()
-            _jpeg_emit_ac_refine(zzs[c], 1, 63, al, ac_codes, bw)
-            out += bw.flush()
+            out += ac_scan(c, 1, 63, ah, al, _jpeg_emit_ac_refine)
     out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
     out += dc_scan(1, 0)
     out += b"\xff\xd9"  # EOI

@@ -774,3 +774,55 @@ def test_jpeg_progressive_handwritten_420_subsampled_decodes():
     out += b"\xff\xd9"
     dec = codecs.decode_jpeg(bytes(out))
     assert dec.shape == (16, 16, 3) and (dec == 100).all()
+
+
+def test_jpeg_progressive_optimized_tables():
+    # Two-pass optimized per-scan Huffman tables (the real-writer shape,
+    # with mid-stream DHT redefinition) must decode identically to both
+    # the flat-table progressive stream and the baseline encoding — and
+    # actually be smaller than the flat table.
+    rng = np.random.default_rng(11)
+    for shape, q in [((24, 24), 85), ((17, 23, 3), 75), ((32, 16, 3), 95)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=q))
+        opt = codecs.encode_jpeg_progressive(img, quality=q)  # default optimized
+        flat = codecs.encode_jpeg_progressive(img, quality=q, optimize_coding=False)
+        assert np.array_equal(codecs.decode_jpeg(opt), base), (shape, q)
+        assert np.array_equal(codecs.decode_jpeg(flat), base), (shape, q)
+        assert len(opt) < len(flat), (shape, q, len(opt), len(flat))
+        # the optimized stream redefines the AC table mid-stream: one
+        # DHT per AC scan (2 first + 2 refine per component) plus the
+        # upfront DC table(s)
+        n_ac_scans = 4 if img.ndim == 2 else 12
+        upfront_dc = 1 if img.ndim == 2 else 2
+        assert opt.count(b"\xff\xc4") == n_ac_scans + upfront_dc
+
+
+def test_optimal_huffman_spec_properties():
+    # The length-limited canonical builder: Kraft-valid, <=16 bits,
+    # covers every symbol exactly once, and survives skewed and
+    # single-symbol frequency shapes.
+    from data_pipeline_with_spark_spark.llm.codecs import (
+        _huffman_canonical,
+        _optimal_huffman_spec,
+    )
+
+    cases = [
+        {0x00: 1},                                  # single symbol
+        {0x00: 1000, 0x01: 1, 0x11: 1},             # heavy skew
+        {i: i + 1 for i in range(0, 176)},          # many symbols
+        {0x00: 1, 0x01: 2, 0x02: 4, 0x03: 8, 0x04: 16, 0x05: 32,
+         0x06: 64, 0x07: 128, 0x08: 256, 0x09: 512, 0x0A: 1024,
+         0x10: 2048, 0x20: 4096, 0x30: 8192, 0x40: 16384, 0x50: 32768,
+         0x60: 65536, 0x70: 131072},                # fibonacci-ish: deep tree
+    ]
+    for freq in cases:
+        bits, vals = _optimal_huffman_spec(freq)
+        assert len(bits) == 16
+        assert sum(bits) == len(vals) == len(freq)
+        assert sorted(vals) == sorted(freq)
+        assert sum(n * 2 ** (16 - (l + 1)) for l, n in enumerate(bits)) <= 2**16
+        codes = _huffman_canonical(bits, vals)
+        # prefix-free: canonical codes from a Kraft-valid histogram are
+        # prefix-free by construction; spot-check uniqueness
+        assert len({(c, n) for c, n in codes.values()}) == len(vals)
