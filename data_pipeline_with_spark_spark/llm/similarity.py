@@ -212,6 +212,140 @@ def brute_force_l2_topk(
     )
 
 
+def topk_recall_summary(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    floor: float,
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Bound-style verification face for approximate top-k operators
+    (the ``a7_approx_count_distinct`` pattern): reduce an ANN result to
+    per-query facts an oracle can state EXACTLY — k rows returned, all
+    distinct, never the query itself — plus a ``recall_ok`` flag
+    asserting the entry's documented mean-recall floor against the
+    exact top-k (computed by the oracle-verified brute-force twin).
+    The approximate ranking itself stays approximate; what becomes
+    hash-checkable is that it honors its recall contract.
+
+    Both inputs carry (query_id_col, neighbor_id, <score>, rnk) as
+    produced by the ``*_topk`` functions. Everything here is
+    query-scale (|Q|·k rows), so the joins are trivial next to the
+    searches that produced them. Recall divides by ``k`` (not rows
+    returned): a query that returns fewer than k rows cannot launder
+    the shortfall into a better ratio."""
+    a = approx.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+    )
+    e = exact.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+    )
+    per_q = a.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_returned"),
+        (F.count_distinct(F.col("neighbor_id")) == F.count(F.lit(1))).alias(
+            "distinct_ok"
+        ),
+        (F.max((F.col("neighbor_id") == F.col("query_id")).cast("int")) == 0).alias(
+            "no_self"
+        ),
+    )
+    hits = (
+        a.join(e, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) / F.lit(float(k))).alias("recall"))
+    )
+    mean = (
+        per_q.join(hits, on="query_id", how="left")
+        .select(F.coalesce(F.col("recall"), F.lit(0.0)).alias("recall"))
+        .agg(F.avg("recall").alias("mean_recall"))
+    )
+    return (
+        per_q.crossJoin(F.broadcast(mean))
+        .select(
+            "query_id",
+            "n_returned",
+            "distinct_ok",
+            "no_self",
+            (F.col("mean_recall") >= F.lit(float(floor))).alias("recall_ok"),
+        )
+    )
+
+
+def semantic_dedup_check(
+    emb: DataFrame,
+    kept: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    sample_n: int = 64,
+) -> DataFrame:
+    """Bound-style verification face for clustered semantic dedup:
+    per-label facts an oracle states exactly, plus invariant flags that
+    hold for ANY clustering but break on a FALSE drop:
+
+    - ``kept_le_total`` — no label keeps more rows than it has;
+    - ``kept_subset_ok`` — every kept id exists in the corpus, once;
+    - ``sampled_drops_witnessed`` — each of the ``sample_n`` lowest-id
+      dropped vectors has SOME earlier corpus vector with cosine ≥
+      threshold (the keeper rule's necessary condition, independent of
+      which cells the clusterer formed). The witness scan is
+      |sample| × n — linear in the corpus, so the entry keeps its
+      scale shape (the exact global check would be the quadratic the
+      auto path exists to avoid).
+
+    The witness threshold backs off by 1e-6: the dedup's in-cell numpy
+    cosine and this check's fold cosine can disagree in the last ulp
+    on a pair sitting exactly at the threshold."""
+    corpus = emb.where(F.col(emb_col).isNotNull())
+    kept_ids = kept.select(F.col(id_col))
+    per_label = (
+        corpus.join(kept_ids.withColumn("__k", F.lit(1)), on=id_col, how="left")
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            (F.sum(F.coalesce(F.col("__k"), F.lit(0))) <= F.count(F.lit(1))).alias(
+                "kept_le_total"
+            ),
+        )
+    )
+    n_kept = kept_ids.count()
+    subset_ok = (
+        kept_ids.distinct().count() == n_kept
+        and kept_ids.join(corpus.select(id_col), on=id_col, how="left_anti").count()
+        == 0
+    )
+    samp = (
+        corpus.join(kept_ids, on=id_col, how="left_anti")
+        .orderBy(id_col)
+        .limit(sample_n)
+        .select(F.col(id_col).alias("__d_id"), F.col(emb_col).alias("__d_emb"))
+    )
+    n_samp = samp.count()
+    witnessed = (
+        F.broadcast(samp)
+        .crossJoin(
+            corpus.select(
+                F.col(id_col).alias("__a_id"), F.col(emb_col).alias("__a_emb")
+            )
+        )
+        .where(F.col("__a_id") < F.col("__d_id"))
+        .where(cosine(F.col("__a_emb"), F.col("__d_emb")) >= threshold - 1e-6)
+        .select("__d_id")
+        .distinct()
+        .count()
+    )
+    return per_label.select(
+        label_col,
+        "n_total",
+        "kept_le_total",
+        F.lit(bool(witnessed == n_samp)).alias("sampled_drops_witnessed"),
+        F.lit(bool(subset_ok)).alias("kept_subset_ok"),
+    )
+
+
 def sign_lsh_bucket(emb: Column, bits: int = 8) -> Column:
     """Axis-hyperplane sign bucket: bit i set iff coordinate i > 0.
     Portable to ANSI SQL (element_at is 1-based in both engines)."""

@@ -355,3 +355,16 @@ def test_lint_flags_smj_where_broadcast_expected(spark):
     # assert the detector counts SMJs correctly through it.
     smj_tree = hinted._jdf.queryExecution().sparkPlan().treeString()
     assert "SortMergeJoin" in smj_tree
+
+
+def test_coverage_annotations_match_registry():
+    """COVERAGE.md's *(rows-only)* / *(bound-oracle)* annotations must
+    track the live registry (r14 verdict task 5 — the a7 note drifted
+    for two rounds before a judge read caught it)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.check_coverage_drift import main
+
+    assert main() == 0

@@ -324,6 +324,75 @@ def test_bm25_ranks_relevant_doc_first(spark):
     assert ids.index(4) < ids.index(2)
 
 
+def test_topk_recall_summary_flags_flip(spark):
+    """The bound-style ANN oracle face (r14 verdict task 1) must be
+    FALSIFIABLE: each flag flips FALSE on the violation it guards."""
+    exact = spark.createDataFrame(
+        [(q, n, 1.0, r + 1) for q in (0, 1) for r, n in enumerate((10, 11, 12))],
+        ["q_id", "neighbor_id", "cos_sim", "rnk"],
+    )
+    good = {r.query_id: r for r in similarity.topk_recall_summary(
+        exact, exact, k=3, floor=0.9).collect()}
+    assert set(good) == {0, 1}
+    assert all(r.n_returned == 3 and r.distinct_ok and r.no_self and r.recall_ok
+               for r in good.values())
+
+    # zero-overlap approx -> recall_ok False everywhere (floor unmet)
+    miss = spark.createDataFrame(
+        [(q, n, 1.0, r + 1) for q in (0, 1) for r, n in enumerate((20, 21, 22))],
+        ["q_id", "neighbor_id", "cos_sim", "rnk"],
+    )
+    rows = similarity.topk_recall_summary(miss, exact, k=3, floor=0.9).collect()
+    assert rows and all(not r.recall_ok for r in rows)
+
+    # self-match and duplicate neighbor flip their structural flags
+    bad = spark.createDataFrame(
+        [(0, 0, 1.0, 1), (0, 10, 0.9, 2), (1, 11, 1.0, 1), (1, 11, 0.9, 2)],
+        ["q_id", "neighbor_id", "cos_sim", "rnk"],
+    )
+    by_q = {r.query_id: r for r in similarity.topk_recall_summary(
+        bad, exact, k=3, floor=0.0).collect()}
+    assert not by_q[0].no_self and by_q[1].no_self
+    assert not by_q[1].distinct_ok and by_q[0].distinct_ok
+
+    # a query returning fewer than k rows can't launder recall: 1 hit
+    # out of k=3 reads 1/3 even though it returned a single row
+    short = spark.createDataFrame(
+        [(0, 10, 1.0, 1)], ["q_id", "neighbor_id", "cos_sim", "rnk"]
+    )
+    row = similarity.topk_recall_summary(short, exact, k=3, floor=0.5).collect()
+    assert row[0].n_returned == 1 and not row[0].recall_ok
+
+
+def test_semantic_dedup_check_flags_flip(spark):
+    """False drops and corpus-foreign keeps must flip the invariant
+    flags the sim_semantic_dedup_auto oracle asserts TRUE."""
+    e = [1.0, 0.0]
+    o = [0.0, 1.0]
+    emb = spark.createDataFrame(
+        [(0, e, "a"), (1, e, "a"), (2, o, "b"), (3, o, "b")],
+        ["vec_id", "embedding", "label"],
+    )
+    kept_ok = emb.where(F.col("vec_id").isin(0, 2))
+    rows = {r.label: r for r in similarity.semantic_dedup_check(
+        emb, kept_ok, 0.95).collect()}
+    assert rows["a"].n_total == 2 and rows["b"].n_total == 2
+    assert all(r.kept_le_total and r.sampled_drops_witnessed and r.kept_subset_ok
+               for r in rows.values())
+
+    # dropping vec 3's keeper TOO (vec 2: no earlier similar vector
+    # exists for it) is a false drop -> witness flag flips
+    rows = similarity.semantic_dedup_check(
+        emb, emb.where(F.col("vec_id").isin(0)), 0.95).collect()
+    assert rows and all(not r.sampled_drops_witnessed for r in rows)
+
+    # a kept id that does not exist in the corpus flips subset_ok
+    ghost = spark.createDataFrame([(99, e, "a")], ["vec_id", "embedding", "label"])
+    rows = similarity.semantic_dedup_check(
+        emb, kept_ok.unionByName(ghost), 0.95).collect()
+    assert rows and all(not r.kept_subset_ok for r in rows)
+
+
 def test_ivf_recall_vs_brute_force(spark):
     from data_pipeline_with_spark_spark.sources.readers import read_testdata
 
