@@ -619,6 +619,23 @@ def read_snapshot(
     table_path = Path(table_path)
     snap = replay_log(table_path, version)
     mode = snap.column_mapping_mode
+    if mode != "none":
+        # Nested fields carry their own columnMapping metadata in real
+        # Delta tables; this reader only resolves the TOP level, so a
+        # mapped nested column would misresolve (r14 advice: the same
+        # silent-NULL failure mode the r13 fix closed for flat
+        # schemas). Refuse honestly until nested resolution exists.
+        nested = [
+            f.name
+            for f in snap.schema.fields
+            if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
+        ]
+        if nested:
+            raise NotImplementedError(
+                f"columnMapping mode {mode!r} with nested columns "
+                f"{nested} — nested physicalName/id resolution is not "
+                "implemented"
+            )
 
     def physical_name(fld: T.StructField) -> str:
         # With column mapping on, partitionValues keys ALWAYS use the

@@ -1260,8 +1260,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise UnsupportedImageError("malformed JPEG marker stream")
         marker = data[pos + 1]
-        if marker == 0xD9:  # EOI
+        if marker == 0xD9:  # EOI — before any seglen read (r14 advice)
             break
+        if marker == 0xFF:  # T.81 B.1.1.2 fill byte before a marker
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: standalone
+            pos += 2
+            continue
         seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         body = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)

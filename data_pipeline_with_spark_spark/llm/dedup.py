@@ -659,6 +659,13 @@ def connected_components(
     """
     from pyspark.sql import Observation
 
+    # bools are ints: False would silently mean 'never' and True
+    # 'every round' — reject both before the int checks (r14 advice)
+    if isinstance(checkpoint_every, bool):
+        raise ValueError(
+            f"checkpoint_every must be a positive int, or None/0 for "
+            f"'never checkpoint'; got {checkpoint_every!r}"
+        )
     if checkpoint_every in (None, 0):
         checkpoint_every = None  # never checkpoint; persist each round
     elif not isinstance(checkpoint_every, int) or checkpoint_every < 1:

@@ -600,6 +600,27 @@ def test_jpeg_progressive_decodes_identically_to_baseline():
         )
 
 
+def test_jpeg_marker_stream_robustness():
+    # r14 advice: EOI must terminate the marker loop BEFORE any seglen
+    # read — trailing bytes after EOI, T.81 fill bytes (extra 0xFF
+    # padding before a marker), and standalone TEM/RST markers between
+    # segments must not derail the parse for either encoding mode.
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    for enc in (codecs.encode_jpeg, codecs.encode_jpeg_progressive):
+        b = enc(img, quality=90)
+        assert b.endswith(b"\xff\xd9")
+        want = codecs.decode_jpeg(b)
+        trailing = b + b"\x00\x12garbage after EOI\xff\x00\xff"
+        assert np.array_equal(codecs.decode_jpeg(trailing), want)
+        # fill bytes + a TEM marker injected right after SOI
+        padded = b[:2] + b"\xff\xff\xff\x01" + b[2:]
+        assert np.array_equal(codecs.decode_jpeg(padded), want)
+        # fill bytes immediately before EOI
+        fill_eoi = b[:-2] + b"\xff\xff\xff\xd9"
+        assert np.array_equal(codecs.decode_jpeg(fill_eoi), want)
+
+
 def test_jpeg_progressive_sniffs_and_dispatches():
     # decode_image / the multimodal boundary must serve progressive
     # payloads through the same sniff (magic is the same SOI).

@@ -706,6 +706,52 @@ def test_column_mapping_name_mode_replay(spark, tmp_path):
     assert (r.Mh, r.ec_cm3, r.year) == ("FERRARI", 4000.0, 2018)
 
 
+def test_column_mapping_nested_column_refuses(spark, tmp_path):
+    # r14 advice: nested fields carry their own columnMapping metadata,
+    # which this reader doesn't resolve — a mapped struct column must
+    # raise, never silently misresolve (the r13 silent-NULL mode).
+    t = tmp_path / "delta_colmap_nested"
+    t.mkdir()
+    phys = spark.createDataFrame([("FERRARI",)], ["col-aaaa0001"])
+    _write_part_file(spark, phys, t, "part-00000-a.parquet")
+    nested_tp = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "inner",
+                "type": "double",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 3,
+                    "delta.columnMapping.physicalName": "col-aaaa0003",
+                },
+            }
+        ],
+    }
+    ss = _mapped_schema_string(
+        [("Mh", "string", "col-aaaa0001"), ("spec", nested_tp, "col-aaaa0002")]
+    )
+    md = _metadata(ss)
+    md["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": "3",
+    }
+    _commit(
+        t, 0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping"]}},
+            md,
+            _add("part-00000-a.parquet"),
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="nested"):
+        dp.read_snapshot(spark, t)
+    # an UNMAPPED table with a struct column still reads fine
+    assert dp.replay_log(t).column_mapping_mode == "name"
+
+
 def test_column_mapping_survives_checkpoint_seeding(spark, tmp_path):
     # A checkpoint-seeded COLUMN-MAPPED table: the mode lives in
     # metaData.configuration, which real checkpoints persist — replay

@@ -803,6 +803,12 @@ def test_connected_components_checkpoint_cadence_validation(spark):
         dedup.connected_components(pairs, checkpoint_every=-1)
     with pytest.raises(ValueError, match="checkpoint_every"):
         dedup.connected_components(pairs, checkpoint_every=2.5)
+    # r14 advice: bools pass isinstance(int) — False would silently
+    # mean 'never' and True 'every round'; both must be rejected
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        dedup.connected_components(pairs, checkpoint_every=True)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        dedup.connected_components(pairs, checkpoint_every=False)
 
 
 def test_phash_image_near_dups(spark):

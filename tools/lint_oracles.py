@@ -304,6 +304,7 @@ def _smj_hazards(name: str, df, spark) -> list[str]:
         spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
     )
     non_broadcastable = 0
+    unknown_stats = 0
     for n in _iter_jnodes(qe.optimizedPlan()):
         if n.nodeName() != "Join":
             continue
@@ -316,8 +317,20 @@ def _smj_hazards(name: str, df, spark) -> list[str]:
             )
         except Exception:  # noqa: BLE001 — unknown stats can't prove broadcastability
             min_side = threshold + 1
+            unknown_stats += 1
         if hinted or full_outer or threshold <= 0 or min_side > threshold:
             non_broadcastable += 1
+    if unknown_stats:
+        # The fallback counts an unknown-stats join as non-broadcastable,
+        # which can absorb a genuinely lost broadcast elsewhere in the
+        # same plan (counts are plan-wide). Surface the blind spot
+        # instead of hiding it (r14 advice) — a WARN, not a hazard:
+        # stats estimation throwing is not itself a regression.
+        print(
+            f"  note {name}: stats unreadable on {unknown_stats} join(s) — "
+            "SMJ-vs-broadcast lint is count-based and partially blind here",
+            file=sys.stderr,
+        )
     smj_count = qe.sparkPlan().treeString().count("SortMergeJoin")
     if smj_count > non_broadcastable:
         return [
