@@ -224,6 +224,15 @@ def main() -> None:
         "graph_pagerank_event_flow", "graph_triangles_dup_docs",
         "graph_ktruss_dup_edges", "graph_kcore_dup_docs",
         "dedup_connected_components",
+        # r14 verdict task 4: the streaming family was the only major
+        # family with no sf0.1→sf1 exponent on record — these three are
+        # the slowest serial entries (ledger MERGE loops, LSH ledger
+        # probes, exactly-once index appends), exactly where a
+        # per-micro-batch cost that scales with TOTAL ingested data
+        # (instead of batch size) would hide. Timed rows-only at both
+        # SFs inside the same interleaved sweeps (r15 spot-read:
+        # exponents 0.05-0.22, fixed commit/job overhead dominates).
+        "stream_dedup_exact", "stream_near_dup_pairs", "stream_ivfpq_ingest",
     )
     sf1_timings: dict[str, float] = {}
     sf1_timings_min: dict[str, float] = {}
@@ -451,7 +460,35 @@ def main() -> None:
                 )
             if regressions:
                 out[key] = regressions
+    _write_full_artifact(out)
     print(json.dumps(out))
+
+
+def _write_full_artifact(out: dict) -> None:
+    """Persist the COMPLETE bench output under artifacts/ (r14 verdict
+    task 3): the driver's ``BENCH_r{N}.json`` keeps only a 2,000-char
+    tail, which truncates the per-query medians/mins the next round's
+    judge needs for cross-round ratios. The round number is inferred
+    from the newest driver-written round file (+1 = the round in
+    progress); repeated bench runs in one round overwrite the same
+    file, so it always holds the round's latest complete line."""
+    import re
+
+    root = Path(__file__).resolve().parent
+    rounds = [0]
+    for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json",
+                "artifacts/BENCH_r*.json", "artifacts/CORRECTNESS_r*.json"):
+        for f in root.glob(pat):
+            m = re.fullmatch(r"(?:BENCH|CORRECTNESS)_r(\d+)", f.stem)
+            if m:
+                rounds.append(int(m.group(1)))
+    dest = root / "artifacts" / f"BENCH_FULL_r{max(rounds) + 1}.json"
+    try:
+        dest.parent.mkdir(exist_ok=True)
+        dest.write_text(json.dumps(out, indent=1) + "\n")
+        print(f"full bench artifact: {dest}", file=sys.stderr)
+    except OSError as e:  # never let artifact IO break the driver line
+        print(f"full bench artifact write failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1065,7 +1065,12 @@ def _jpeg_emit_ac_refine(zz_c, ss, se, al, ac_codes, bw) -> None:
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, quality: int = 90, optimize_coding: bool = True
+    img: np.ndarray,
+    quality: int = 90,
+    optimize_coding: bool = True,
+    ac_splits: tuple[tuple[int, int], ...] | None = None,
+    ac_al: int = 2,
+    dc_al: int = 1,
 ) -> bytes:
     """Progressive JPEG (SOF2), 4:4:4 like the sequential encoder, with
     a libjpeg-style scan script exercising BOTH progressive mechanisms:
@@ -1082,7 +1087,35 @@ def encode_jpeg_progressive(
     symbols): each AC scan runs a statistics pass and emits its own
     optimal length-limited Huffman table in a DHT right before its SOS
     — the decoder replays mid-stream table redefinition. ``False``
-    falls back to the single flat 176-symbol table."""
+    falls back to the single flat 176-symbol table.
+
+    ``ac_splits``/``ac_al``/``dc_al`` parameterize the scan script
+    (r14 verdict task 8 — fuzzable EOBn/refinement bookkeeping):
+    ``ac_splits`` is a contiguous partition of the AC band 1..63
+    (default the libjpeg-style (1,5)/(6,63); custom scripts refine
+    PER SPLIT instead of the default's one (1,63) refinement scan,
+    so band-boundary bookkeeping is exercised at every precision),
+    ``ac_al``/``dc_al`` are the first-pass successive-approximation
+    shifts (each refines stepwise down to Al=0, so decode remains
+    bit-identical to the sequential encoding)."""
+    default_script = ac_splits is None
+    if default_script:
+        ac_splits = ((1, 5), (6, 63))
+    else:
+        lo = 1
+        for ss, se in ac_splits:
+            if ss != lo or se < ss or se > 63:
+                raise ValueError(
+                    f"ac_splits must contiguously partition 1..63; got {ac_splits!r}"
+                )
+            lo = se + 1
+        if lo != 64:
+            raise ValueError(
+                f"ac_splits must contiguously partition 1..63; got {ac_splits!r}"
+            )
+    if not (0 <= ac_al <= 9) or not (0 <= dc_al <= 7):
+        raise ValueError(f"successive-approximation shifts out of range: "
+                         f"ac_al={ac_al} dc_al={dc_al}")
     zzs, gray, h, w, qluma, qchroma = _jpeg_quantized_components(img, quality)
     ncomp = len(zzs)
     out = bytearray(b"\xff\xd8")
@@ -1149,16 +1182,19 @@ def encode_jpeg_progressive(
         return dht + sos_header([c], ss, se, ah, al) + bw.flush()
 
     # scan script (every band refined down to Al=0)
-    out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
-    out += dc_scan(0, 1)
+    out += sos_header(list(range(ncomp)), 0, 0, 0, dc_al)
+    out += dc_scan(0, dc_al)
     for c in range(ncomp):
-        for ss, se in ((1, 5), (6, 63)):
-            out += ac_scan(c, ss, se, 0, 2, _jpeg_emit_ac_first)
-    for ah, al in ((2, 1), (1, 0)):
+        for ss, se in ac_splits:
+            out += ac_scan(c, ss, se, 0, ac_al, _jpeg_emit_ac_first)
+    refine_bands = ((1, 63),) if default_script else tuple(ac_splits)
+    for al in range(ac_al - 1, -1, -1):
         for c in range(ncomp):
-            out += ac_scan(c, 1, 63, ah, al, _jpeg_emit_ac_refine)
-    out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
-    out += dc_scan(1, 0)
+            for ss, se in refine_bands:
+                out += ac_scan(c, ss, se, al + 1, al, _jpeg_emit_ac_refine)
+    for al in range(dc_al - 1, -1, -1):
+        out += sos_header(list(range(ncomp)), 0, 0, al + 1, al)
+        out += dc_scan(al + 1, al)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

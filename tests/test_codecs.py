@@ -600,6 +600,52 @@ def test_jpeg_progressive_decodes_identically_to_baseline():
         )
 
 
+def test_jpeg_progressive_scan_script_fuzz():
+    # r14 verdict task 8: the EOBn-run/refinement bookkeeping must hold
+    # for ANY legal scan script, not just the shipped libjpeg-style one.
+    # Random non-block-constant images × random spectral splits × random
+    # successive-approximation ladders, decoded and compared against the
+    # SEQUENTIAL encoding at the same quality (same quantized
+    # coefficients -> bit-identical reconstruction is the invariant).
+    rng = np.random.default_rng(2026)
+    for trial in range(12):
+        shape = (
+            int(rng.integers(8, 41)),
+            int(rng.integers(8, 41)),
+        ) + ((3,) if trial % 2 else ())
+        q = int(rng.choice([50, 75, 90, 100]))
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=q))
+        # random contiguous partition of 1..63 into 1-4 bands
+        n_cuts = int(rng.integers(0, 4))
+        cuts = sorted(rng.choice(np.arange(2, 63), size=n_cuts, replace=False))
+        bounds = [1, *cuts, 64]
+        splits = tuple(
+            (bounds[i], bounds[i + 1] - 1) for i in range(len(bounds) - 1)
+        )
+        ac_al = int(rng.integers(0, 4))
+        dc_al = int(rng.integers(0, 3))
+        for opt in (True, False):
+            pb = codecs.encode_jpeg_progressive(
+                img, quality=q, optimize_coding=opt,
+                ac_splits=splits, ac_al=ac_al, dc_al=dc_al,
+            )
+            assert b"\xff\xc2" in pb
+            got = codecs.decode_jpeg(pb)
+            assert np.array_equal(got, base), (
+                shape, q, splits, ac_al, dc_al, opt,
+            )
+    # malformed scripts refuse loudly
+    with pytest.raises(ValueError, match="ac_splits"):
+        codecs.encode_jpeg_progressive(
+            np.zeros((8, 8), np.uint8), ac_splits=((1, 5), (7, 63)))
+    with pytest.raises(ValueError, match="ac_splits"):
+        codecs.encode_jpeg_progressive(
+            np.zeros((8, 8), np.uint8), ac_splits=((1, 62),))
+    with pytest.raises(ValueError, match="shifts"):
+        codecs.encode_jpeg_progressive(np.zeros((8, 8), np.uint8), dc_al=9)
+
+
 def test_jpeg_marker_stream_robustness():
     # r14 advice: EOI must terminate the marker loop BEFORE any seglen
     # read — trailing bytes after EOI, T.81 fill bytes (extra 0xFF

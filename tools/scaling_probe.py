@@ -115,6 +115,15 @@ ITERATIVE_EXTRA = [
     # plain capped-LSH entry, not the cluster.
     "dedup_connected_components",
     "dedup_lsh_cap_cliff_recovery",
+    # r14 verdict task 4: the three slowest serial entries were the only
+    # major family with no scaling exponent on record. Each runs a real
+    # micro-batch loop (availableNow) whose per-batch cost must track
+    # the BATCH, not the accumulated ledger/index — a merge that
+    # re-scans the whole ledger per batch, or a probe that stops
+    # pruning, shows up here as a growing exponent.
+    "stream_dedup_exact",
+    "stream_near_dup_pairs",
+    "stream_ivfpq_ingest",
 ]
 
 SFS = [
