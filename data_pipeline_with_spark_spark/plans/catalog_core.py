@@ -38,6 +38,7 @@ from data_pipeline_with_spark_spark.operators import (
     union_by_name,
 )
 from data_pipeline_with_spark_spark.plans.registry import QuerySpec, register
+from data_pipeline_with_spark_spark.util import ensure_min_partitions
 from data_pipeline_with_spark_spark.sources.readers import (
     read_testdata,
     register_testdata_views,
@@ -56,7 +57,19 @@ def _lineitem_with_year(spark: SparkSession, sf: str) -> DataFrame:
 # W1 flagship: top-100 per (returnflag, ship year) by extendedprice.
 # Reference: serving_layer.py:256-267 (top-100 emitters per MS/year).
 def _flagship(spark: SparkSession, sf: str) -> DataFrame:
-    li = _lineitem_with_year(spark, sf)
+    # r15 (guide §2.4/§2.5): the window's map side is a full per-task
+    # SORT (the partial WindowGroupLimit needs sorted input) — by far
+    # the heaviest pre-exchange work in the plan. A single-file scan
+    # (one parquet row group = one task) runs it on one core; the
+    # guarded hash repartition splits it across the cluster and is a
+    # no-op whenever the scan already yields >= cores partitions (any
+    # real table). Hash on the high-cardinality l_orderkey: no
+    # sortBeforeRepartition pass, deterministic under retry. Measured
+    # sf0.1 min-of-sweeps 1.08 s -> 0.59 s (3 independent probes
+    # 1.5-1.8x); sf1 (multi-row-group input) unchanged 0.73 vs 0.74 s.
+    li = ensure_min_partitions(
+        _lineitem_with_year(spark, sf), by=("l_orderkey",)
+    )
     return top_k_per_group(
         li.select("l_returnflag", "ship_year", "l_orderkey", "l_linenumber", "l_extendedprice"),
         partition_by=["l_returnflag", "ship_year"],

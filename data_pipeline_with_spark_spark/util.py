@@ -2,10 +2,17 @@
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
-def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+def ensure_min_partitions(
+    df: DataFrame,
+    target: int | None = None,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
     """Repartition up to ``target`` (default: cluster parallelism) ONLY
     if the input has fewer partitions.
 
@@ -14,10 +21,25 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     dimension-sized input often arrives as one file → one partition →
     one core. The guard keeps this a no-op on big inputs where the scan
     already yields ≥ cores partitions — no gratuitous shuffle at 100 TB.
+
+    ``by`` (r15): optional high-cardinality, never-null columns to hash
+    the rows on instead of round-robin. A keyless ``repartition(n)``
+    first pays a LOCAL SORT of every input partition
+    (``spark.sql.execution.sortBeforeRepartition``, on by default since
+    SPARK-23207 so retried tasks reproduce their row→partition
+    assignment) — on the one fat partition this guard exists to split,
+    that sort is single-threaded and scales with the very input we are
+    trying to parallelize. Hash partitioning is deterministic per row,
+    needs no such sort, and on a unique key spreads as evenly as round
+    robin. Prefer ``by=<unique id>`` when the frame has one; keep round
+    robin for frames whose per-row cost is wildly skewed and whose id
+    correlates with it.
     """
     spark = df.sparkSession
     target = target or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if by:
+            return df.repartition(target, *[F.col(c) for c in by])
         return df.repartition(target)
     return df
 

@@ -80,6 +80,37 @@ def test_ensure_min_partitions_noop_when_parallel(spark):
     df = spark.range(1000).repartition(64)
     out = ensure_min_partitions(df, target=32)
     assert out is df  # guard: no extra shuffle added
+    # keyed form: same guard semantics
+    out = ensure_min_partitions(df, target=32, by=("id",))
+    assert out is df
+
+
+def test_ensure_min_partitions_by_key_hash_partitions(spark):
+    # r15: by=<cols> hash-partitions instead of round robin — no
+    # sortBeforeRepartition local sort on the fat input partition, and
+    # deterministic row→partition assignment under retry. Pin the plan
+    # node and that the guard fires only below target.
+    df = spark.range(1000).coalesce(1)
+    out = ensure_min_partitions(df, target=8, by=("id",))
+    assert out.rdd.getNumPartitions() == 8
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression [id" in plan
+    # row set unchanged
+    assert out.count() == 1000
+
+
+def test_w1_map_sort_parallelized(spark):
+    # r15 optimization: w1's pre-exchange sort (feeding the partial
+    # WindowGroupLimit) runs on the scan's partitions — a single-file
+    # fixture gave it ONE task. Pin the guarded hash repartition on
+    # l_orderkey below the window exchange so the map-side sort stays
+    # parallel.
+    from data_pipeline_with_spark_spark.plans import all_queries
+
+    df = all_queries()["w1_topk_per_group"].build(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "hashpartitioning(l_orderkey" in plan
+    assert "WindowGroupLimit" in plan
 
 
 def test_headline_shuffle_budgets(spark):
@@ -92,7 +123,9 @@ def test_headline_shuffle_budgets(spark):
     budgets = {
         "tpch_q5_local_supplier_volume": 1,  # dims broadcast; 1 agg shuffle
         "tpch_q9_product_profit": 1,
-        "w1_topk_per_group": 1,              # window partition shuffle only
+        # window partition shuffle + the r15 map-side parallelize guard
+        # (hash on l_orderkey; no-op on multi-partition scans)
+        "w1_topk_per_group": 2,
         "text_profile": 1,                   # ensure_min_partitions only
         "a2_group_avg_multikey": 1,
     }
@@ -142,7 +175,9 @@ def test_new_query_plan_contracts(spark):
     data_shuffles = len(
         _re.findall(r"^[\s:+|-]*Exchange hashpartitioning", final, _re.M)
     )
-    assert data_shuffles <= 3, f"{data_shuffles} data shuffles:\n{final}"
+    # ≤4 since r15: the tokenize parallelize guard (hash on doc_id,
+    # no-op on multi-partition scans) sits below the reused tf subtree.
+    assert data_shuffles <= 4, f"{data_shuffles} data shuffles:\n{final}"
     scalar_shuffles = len(_re.findall(r"^[\s:+|-]*Exchange SinglePartition", final, _re.M))
     assert scalar_shuffles <= 1
 
