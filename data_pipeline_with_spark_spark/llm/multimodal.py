@@ -93,6 +93,13 @@ def attach_image_payload(
         "ppm": "image/x-portable-pixmap",
         "png": "image/png",
     }[fmt]
+    # r15 (guide §8): parallelize BEFORE generating — the exchange then
+    # carries id-width rows instead of encoded payload bytes, and the
+    # Python encode runs on every core instead of the scan's (possibly
+    # single) partition. Hash on the unique id: deterministic, no
+    # sortBeforeRepartition pass. No-op when the scan is already
+    # parallel; downstream decode guards become no-ops in turn.
+    df = ensure_min_partitions(df, by=(id_col,))
     with_payload = df.withColumn("payload", gen(F.col(id_col).cast("long")))
     return with_payload.withColumn(
         "meta",
@@ -146,6 +153,8 @@ def attach_jpeg_payload(
             out.append(enc(gray, quality=100))
         return pd.Series(out)
 
+    # r15: parallelize before generating (see attach_image_payload).
+    df = ensure_min_partitions(df, by=(id_col,))
     with_payload = df.withColumn("payload", gen(F.col(id_col).cast("long")))
     return with_payload.withColumn(
         "meta",
@@ -556,6 +565,8 @@ def attach_video_payload(
             out.append(codecs.encode_y4m(frames))
         return pd.Series(out)
 
+    # r15: parallelize before generating (see attach_image_payload).
+    df = ensure_min_partitions(df, by=(id_col,))
     with_payload = df.withColumn("payload", gen(F.col(id_col).cast("long")))
     return with_payload.withColumn(
         "meta",
