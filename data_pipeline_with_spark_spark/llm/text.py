@@ -432,7 +432,10 @@ def cooccurrence_edges(
     position) and one map-side-combinable groupBy — O(total tokens)
     work, O(vocab^2)-bounded output, the right 100 TB shape for a
     corpus-level word graph."""
-    t = df.select(tokens(text_col).alias("toks")).where(
+    # r15: same parallelize guard as the module's other tokenizing
+    # entries — the adjacent-pair transform below is the heavy map side
+    # and a single-file scan would run it on one core (no-op at scale).
+    t = ensure_min_partitions(df).select(tokens(text_col).alias("toks")).where(
         F.size("toks") >= 2
     )
     bi = (
