@@ -1150,17 +1150,30 @@ def fold_near_dup_batch(
     new = _band_triples(
         batch_df.select("doc_id", "text"), k_shingle, num_hashes, bands
     )
-    cand = _candidate_pairs(new, bands_ledger.read())
-    applied = retry_on_conflict(
-        lambda: pairs_table.idempotent_append(
-            cand, app_id="stream_near_dup_pairs", batch_id=epoch_id
+    # The batch's band triples feed THREE separate evaluations — the
+    # candidate join's probe side, the pool union's new half, and the
+    # bands-ledger append (two distinct actions) — and the subtree
+    # above them (tokenize → shingle → 4×md5 minhash → band hashes) is
+    # the expensive part of the fold. Persist the tiny digest frame so
+    # that work runs once per batch (r15 A/B, 7 interleaved rounds at
+    # sf0.1, quiet anchors 0.31-0.32: median 11.28 → 9.86 s, -13%).
+    # Unpersist before returning: state must not accumulate across
+    # micro-batches.
+    new = new.persist()
+    try:
+        cand = _candidate_pairs(new, bands_ledger.read())
+        applied = retry_on_conflict(
+            lambda: pairs_table.idempotent_append(
+                cand, app_id="stream_near_dup_pairs", batch_id=epoch_id
+            )
         )
-    )
-    retry_on_conflict(
-        lambda: bands_ledger.idempotent_append(
-            new, app_id="stream_near_dup_bands", batch_id=epoch_id
+        retry_on_conflict(
+            lambda: bands_ledger.idempotent_append(
+                new, app_id="stream_near_dup_bands", batch_id=epoch_id
+            )
         )
-    )
+    finally:
+        new.unpersist()
     return applied
 
 

@@ -384,6 +384,33 @@ def test_stream_near_dup_order_independent_and_crash_safe(spark, tmp_path):
     assert {(r.id_a, r.id_b) for r in pt.read().collect()} == want
 
 
+def test_fold_near_dup_unpersists_batch_state(spark, tmp_path):
+    """r15: the fold persists its per-batch band triples (the subtree
+    feeds three evaluations); the cache must NOT leak across folds —
+    accumulating per-batch state would eventually evict executor
+    memory on a long-running stream. Covers both the applied and the
+    replay-skip (applied=False) paths."""
+    from data_pipeline_with_spark_spark.lake.versioned import VersionedTable
+    from data_pipeline_with_spark_spark.streaming.demo import fold_near_dup_batch
+
+    bl = VersionedTable(spark, str(tmp_path / "b")).create(
+        spark.createDataFrame([], "band_idx INT, band_hash STRING, doc_id BIGINT")
+    )
+    pt = VersionedTable(spark, str(tmp_path / "p")).create(
+        spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id LONG, text STRING",
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert fold_near_dup_batch(bl, pt, docs, 0, num_hashes=16, bands=8) is True
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+    # replaying the same epoch takes the skip path — still no leak
+    assert fold_near_dup_batch(bl, pt, docs, 0, num_hashes=16, bands=8) is False
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
 def test_stream_dedup_null_text_folds_into_one_group(spark, tmp_path):
     # md5(NULL) is NULL and the batch aggregate (and the DuckDB oracle's
     # GROUP BY md5(text)) makes NULL texts ONE group — the ledger MERGE
