@@ -68,6 +68,7 @@ def attach_image_payload(
     height: int = 16,
     fmt: str = "bmp",
     id_col: str = "doc_id",
+    spread_col: str | None = None,
 ) -> DataFrame:
     """Attach a REAL image payload (BMP, PPM, or PNG container, decodable by
     ``llm/codecs.py``) derived deterministically from the id column:
@@ -96,10 +97,15 @@ def attach_image_payload(
     # r15 (guide §8): parallelize BEFORE generating — the exchange then
     # carries id-width rows instead of encoded payload bytes, and the
     # Python encode runs on every core instead of the scan's (possibly
-    # single) partition. Hash on the unique id: deterministic, no
-    # sortBeforeRepartition pass. No-op when the scan is already
-    # parallel; downstream decode guards become no-ops in turn.
-    df = ensure_min_partitions(df, by=(id_col,))
+    # single) partition. Hash (deterministic, no sortBeforeRepartition
+    # pass) on ``spread_col`` — callers whose ``id_col`` is a
+    # low-cardinality CLASS id (e.g. phash's doc_id % 64) must pass a
+    # unique column here, or 64 hash values over N partitions leave
+    # some empty and some with several classes and the downstream
+    # decode runs skewed (guide §2.5: use ≫ partitions distinct keys).
+    # No-op when the scan is already parallel; downstream decode
+    # guards become no-ops in turn.
+    df = ensure_min_partitions(df, by=(spread_col or id_col,))
     with_payload = df.withColumn("payload", gen(F.col(id_col).cast("long")))
     return with_payload.withColumn(
         "meta",
@@ -119,6 +125,7 @@ def attach_jpeg_payload(
     height: int = 16,
     id_col: str = "doc_id",
     progressive: bool = False,
+    spread_col: str | None = None,
 ) -> DataFrame:
     """Attach a REAL JPEG payload whose decode is BIT-EXACT and
     SQL-replayable despite JPEG being lossy: the image is 8×8
@@ -153,8 +160,9 @@ def attach_jpeg_payload(
             out.append(enc(gray, quality=100))
         return pd.Series(out)
 
-    # r15: parallelize before generating (see attach_image_payload).
-    df = ensure_min_partitions(df, by=(id_col,))
+    # r15: parallelize before generating (see attach_image_payload;
+    # spread_col for callers whose id_col is a low-cardinality class).
+    df = ensure_min_partitions(df, by=(spread_col or id_col,))
     with_payload = df.withColumn("payload", gen(F.col(id_col).cast("long")))
     return with_payload.withColumn(
         "meta",
@@ -541,6 +549,7 @@ def attach_video_payload(
     width: int = 16,
     height: int = 8,
     id_col: str = "doc_id",
+    spread_col: str | None = None,
 ) -> DataFrame:
     """Attach a REAL video payload (grayscale Y4M container, decodable
     by ``llm/codecs.py``): pixel i of frame f for doc d is
@@ -565,8 +574,9 @@ def attach_video_payload(
             out.append(codecs.encode_y4m(frames))
         return pd.Series(out)
 
-    # r15: parallelize before generating (see attach_image_payload).
-    df = ensure_min_partitions(df, by=(id_col,))
+    # r15: parallelize before generating (see attach_image_payload;
+    # spread_col for callers whose id_col is a low-cardinality class).
+    df = ensure_min_partitions(df, by=(spread_col or id_col,))
     with_payload = df.withColumn("payload", gen(F.col(id_col).cast("long")))
     return with_payload.withColumn(
         "meta",

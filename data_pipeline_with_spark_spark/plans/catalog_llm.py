@@ -2626,7 +2626,11 @@ def _phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_testdata(spark, sf, "documents").withColumn(
         "img_class", F.col("doc_id") % 64
     )
-    assets = multimodal.attach_image_payload(docs, id_col="img_class")
+    # spread_col: img_class has only 64 distinct values — hash the
+    # parallelize guard on the unique doc_id instead (guide §2.5).
+    assets = multimodal.attach_image_payload(
+        docs, id_col="img_class", spread_col="doc_id"
+    )
     hashed = multimodal.perceptual_hash(assets)
     return multimodal.phash_near_dup_pairs(hashed, max_hamming=4)
 
