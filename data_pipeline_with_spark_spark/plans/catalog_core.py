@@ -66,9 +66,13 @@ def _flagship(spark: SparkSession, sf: str) -> DataFrame:
     # real table). Hash on the high-cardinality l_orderkey: no
     # sortBeforeRepartition pass, deterministic under retry. Measured
     # sf0.1 min-of-sweeps 1.08 s -> 0.59 s (3 independent probes
-    # 1.5-1.8x); sf1 (multi-row-group input) unchanged 0.73 vs 0.74 s.
+    # 1.5-1.8x). when_below=2: a sort's per-row cost is comparable to
+    # the shuffle's, so the repartition only pays at extreme
+    # parallelism gain — at sf1's 2-partition scan the guard LOST
+    # (interleaved min 1.21 vs 0.96 s, tools/probe_w1_sf1.py), so it
+    # fires only on single-partition inputs.
     li = ensure_min_partitions(
-        _lineitem_with_year(spark, sf), by=("l_orderkey",)
+        _lineitem_with_year(spark, sf), by=("l_orderkey",), when_below=2
     )
     return top_k_per_group(
         li.select("l_returnflag", "ship_year", "l_orderkey", "l_linenumber", "l_extendedprice"),

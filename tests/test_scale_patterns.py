@@ -99,6 +99,19 @@ def test_ensure_min_partitions_by_key_hash_partitions(spark):
     assert out.count() == 1000
 
 
+def test_ensure_min_partitions_when_below_threshold(spark):
+    # r15: when_below=N fires the guard only under N input partitions —
+    # for map sides whose per-row cost is comparable to the shuffle's
+    # (w1's window sort), the repartition only pays at extreme
+    # parallelism gain (measured sf1: guard 1.21 vs no-guard 0.96 s).
+    two = spark.range(1000).repartition(2)
+    out = ensure_min_partitions(two, target=8, by=("id",), when_below=2)
+    assert out is two  # 2 partitions: guard must NOT fire
+    one = spark.range(1000).coalesce(1)
+    out = ensure_min_partitions(one, target=8, by=("id",), when_below=2)
+    assert out.rdd.getNumPartitions() == 8  # 1 partition: fires to target
+
+
 def test_w1_map_sort_parallelized(spark):
     # r15 optimization: w1's pre-exchange sort (feeding the partial
     # WindowGroupLimit) runs on the scan's partitions — a single-file
