@@ -7,6 +7,15 @@ JSON line: {"metric", "value", "unit", "queries", "sf"}.
 Materialization uses the noop sink (reference's own timing idiom,
 udf_complex_logic.py:64-68): the full plan executes, no bytes written,
 no driver-side collect skew.
+
+Interpretation protocol (r15 verdict task 10): at sf0.1 every headline
+query is fixed-overhead/driver-bound — the r15 8-core scaling run read
+0.48-1.06x the 32-core time across the ENTIRE sf0.1 set, i.e. sf0.1
+timings cannot measure parallelism or data-path cost at all. sf0.1
+deltas under ~30% are therefore uninformative noise; the sf0.1 guard
+stays as a REGRESSION tripwire only, and "win" claims must come from
+the sf1 section (where data cost dominates: 8-core ratios 1.3-2.9x) or
+from a same-session interleaved A/B.
 """
 
 from __future__ import annotations
@@ -233,6 +242,15 @@ def main() -> None:
         # SFs inside the same interleaved sweeps (r15 spot-read:
         # exponents 0.05-0.22, fixed commit/job overhead dominates).
         "stream_dedup_exact", "stream_near_dup_pairs", "stream_ivfpq_ingest",
+        # r15 verdict task 3: the multimodal attach restructure (payload
+        # generated ABOVE the exchange) trades a small local exchange for
+        # the at-scale payload-shuffle removal; these two entries put the
+        # trade on the sf1 record where payload volume is 10× larger.
+        # NOTE: phash's OUTPUT is quadratic in same-class doc count by
+        # design (near-dup pairs within 64 payload classes), so its
+        # sf0.1→sf1 ratio is expected ≈ 100× — a by-design output-volume
+        # exponent, not a plan regression (see OPTIMIZATION_r16.md).
+        "multimodal_phash_near_dups", "multimodal_video_motion",
     )
     sf1_timings: dict[str, float] = {}
     sf1_timings_min: dict[str, float] = {}
@@ -461,6 +479,30 @@ def main() -> None:
             if regressions:
                 out[key] = regressions
     _write_full_artifact(out)
+    # Compact cross-round summary line (r15 verdict task 2): the final
+    # full JSON line outgrew the 2,000-char tail some consumers keep, so
+    # a tail-only reader lost the ENTIRE per-query record (that is how
+    # PERF_r15 lost the r14 comparison). Emit a <2,000-char line first —
+    # headline totals + per-query MINS (the regression-guard estimator)
+    # — so any truncating consumer still has the essentials, then the
+    # unchanged full line LAST (the driver contract line; same timed
+    # region, same methodology, strictly additive).
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "headline_min_total": out["headline_min_total"],
+        "queries_min": out["queries_min"],
+    }
+    if "sf1_min_total" in out:
+        compact["sf1_min_total"] = out["sf1_min_total"]
+        compact["sf1_queries_min"] = out["sf1_queries_min"]
+    line = json.dumps(compact)
+    if len(line) > 1990:  # keep the tail-survivability guarantee
+        compact.pop("queries_min", None)
+        line = json.dumps(compact)
+    print(line)
     print(json.dumps(out))
 
 
@@ -470,8 +512,10 @@ def _write_full_artifact(out: dict) -> None:
     tail, which truncates the per-query medians/mins the next round's
     judge needs for cross-round ratios. The round number is inferred
     from the newest driver-written round file (+1 = the round in
-    progress); repeated bench runs in one round overwrite the same
-    file, so it always holds the round's latest complete line."""
+    progress). r15 verdict task 2: the filename carries the core count
+    and a per-round run ordinal — the r15 scheme overwrote one file per
+    round, so the driver's own 8-CPU scaling run clobbered the 32-core
+    record."""
     import re
 
     root = Path(__file__).resolve().parent
@@ -482,9 +526,17 @@ def _write_full_artifact(out: dict) -> None:
             m = re.fullmatch(r"(?:BENCH|CORRECTNESS)_r(\d+)", f.stem)
             if m:
                 rounds.append(int(m.group(1)))
-    dest = root / "artifacts" / f"BENCH_FULL_r{max(rounds) + 1}.json"
+    rnd = max(rounds) + 1
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    adir = root / "artifacts"
+    ordinals = [0]
+    for f in adir.glob(f"BENCH_FULL_r{rnd}_c{cpus}_run*.json"):
+        m = re.fullmatch(rf"BENCH_FULL_r{rnd}_c{cpus}_run(\d+)", f.stem)
+        if m:
+            ordinals.append(int(m.group(1)))
+    dest = adir / f"BENCH_FULL_r{rnd}_c{cpus}_run{max(ordinals) + 1}.json"
     try:
-        dest.parent.mkdir(exist_ok=True)
+        adir.mkdir(exist_ok=True)
         dest.write_text(json.dumps(out, indent=1) + "\n")
         print(f"full bench artifact: {dest}", file=sys.stderr)
     except OSError as e:  # never let artifact IO break the driver line

@@ -673,9 +673,20 @@ def connected_components(
             f"checkpoint_every must be a positive int, or None/0 for "
             f"'never checkpoint'; got {checkpoint_every!r}"
         )
+    # r16 (guide §2.4): establish the per-round join partitioning ONCE.
+    # Every iteration joins edges × labels on dst; hash-partitioning by
+    # dst BEFORE the distinct makes the distinct itself exchange-free
+    # (HashPartitioning(dst) clusters equal (src, dst) rows, so the
+    # aggregate satisfies its distribution on the coarser key) and the
+    # persisted edge list then satisfies the join's required
+    # distribution for ALL O(log n) rounds — the unpartitioned cache
+    # re-shuffled the loop's biggest frame every round once labels
+    # outgrow broadcast. Net plan: one (src, dst) exchange total where
+    # the old shape paid one (distinct) plus one per round at scale.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .repartition("dst")
         .distinct()
     )
     edges.persist()

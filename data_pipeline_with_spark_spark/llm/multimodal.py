@@ -708,7 +708,16 @@ def phash_near_dup_pairs(
     # pair generation straggles. Cache cost is O(corpus rows x 16
     # bytes), MEMORY_ONLY via session_cache (LRU-evictable, releasable
     # with util.release_session_caches), and never the decoded pixels.
-    hashed = session_cache(hashed.select(id_col, hash_col))
+    # r16: parallelize the fingerprint frame BEFORE caching it — the
+    # pair scan below (broadcast N² hamming or banded explode+join) is
+    # the quadratic part and runs on the STREAM side's partitions; on a
+    # single-row-group corpus scan that was ONE task (measured: 14 s of
+    # single-core BroadcastNestedLoopJoin at sf1 = 2.5G comparisons).
+    # The exchange carries (id, 8-byte hash) only — the narrowest
+    # possible rows — and is a no-op once the scan is parallel.
+    hashed = session_cache(
+        ensure_min_partitions(hashed.select(id_col, hash_col), by=(id_col,))
+    )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
     if not too_big_to_broadcast(hashed):
         a = hashed.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"))

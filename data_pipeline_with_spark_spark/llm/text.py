@@ -423,7 +423,7 @@ def bm25_topk(
 
 
 def cooccurrence_edges(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame, text_col: str = "text", id_col: str | None = None
 ) -> DataFrame:
     """Undirected adjacent-token co-occurrence graph over a corpus:
     (a, b, w) with a < b lexicographically and w = number of adjacent
@@ -435,9 +435,15 @@ def cooccurrence_edges(
     # r15: same parallelize guard as the module's other tokenizing
     # entries — the adjacent-pair transform below is the heavy map side
     # and a single-file scan would run it on one core (no-op at scale).
-    t = ensure_min_partitions(df).select(tokens(text_col).alias("toks")).where(
-        F.size("toks") >= 2
-    )
+    # r16 (r15 advice): ``id_col`` threads a unique never-null key to
+    # the guard so it can HASH-partition — the keyless round-robin form
+    # pays a single-threaded sortBeforeRepartition local sort on
+    # exactly the fat partition the guard exists to split (util
+    # docstring / SPARK-23207). Callers generally have a doc id; the
+    # keyless fallback stays for frames that genuinely lack one.
+    t = ensure_min_partitions(
+        df, by=(id_col,) if id_col else None
+    ).select(tokens(text_col).alias("toks")).where(F.size("toks") >= 2)
     bi = (
         exploded(
             t,
@@ -462,7 +468,10 @@ def cooccurrence_edges(
 
 
 def textrank_keywords(
-    df: DataFrame, rounds: int = 5, text_col: str = "text"
+    df: DataFrame,
+    rounds: int = 5,
+    text_col: str = "text",
+    id_col: str | None = None,
 ) -> DataFrame:
     """TextRank keyword scoring (Mihalcea & Tarau '04) as weighted
     PageRank over the adjacent-token co-occurrence graph: tokens are
@@ -483,7 +492,7 @@ def textrank_keywords(
     independent of corpus size."""
     from data_pipeline_with_spark_spark.operators import graph
 
-    und = cooccurrence_edges(df, text_col)
+    und = cooccurrence_edges(df, text_col, id_col=id_col)
     edges = und.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "w"
     ).unionByName(

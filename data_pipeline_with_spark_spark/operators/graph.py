@@ -53,9 +53,19 @@ def pagerank(
     round (documented, replayed identically by the oracle).
     """
     a = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    edges = a.unionByName(
-        a.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    # r16 (guide §2.4): hash-partition the cached edge list by the
+    # per-round join key ONCE. Every iteration joins rank × edges on
+    # src; an unpartitioned cache re-shuffles the edge list (the
+    # loop's biggest frame) every round once ranks outgrow broadcast,
+    # while a HashPartitioning(src) cache satisfies the join's
+    # distribution for all `rounds` iterations — and the degree
+    # aggregate below reuses the same partitioning (zero exchanges).
+    # Cost: one narrow (src, dst) shuffle at build.
+    edges = (
+        a.unionByName(a.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src")
+        .cache()
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).cache()
     n = deg.count()  # single scalar; the one driver-side value
     if n == 0:
@@ -140,11 +150,17 @@ def pagerank_weighted(
     weights beyond ~9*10^6 split via the exact identity
     (a*w) div b = (a div b)*w + ((a mod b)*w) div b.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"),
-        F.col(dst_col).alias("dst"),
-        F.col(weight_col).cast("bigint").alias("w"),
-    ).cache()
+    # r16: same per-round join-key partitioning as `pagerank` — the
+    # contribution join and the outw aggregate are both keyed on src.
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("bigint").alias("w"),
+        )
+        .repartition("src")
+        .cache()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -384,6 +400,25 @@ def ktruss(
     # verified-pair subtree (minhash + LSH + verify) that must execute
     # once, not once per branch.
     e = canonical_edges(pairs, src_col, dst_col).localCheckpoint(eager=True)
+    # r16 (guide §1.2 "don't compute things you throw away"): for
+    # t <= 1 the peeling fixpoint is reached after ONE support pass, so
+    # one triangle enumeration replaces rounds+1 of them. Proof: an
+    # edge removed in round 1 has support < t <= 1, i.e. support 0 — it
+    # belongs to NO triangle, so removing it destroys no triangle and
+    # every surviving edge's support is unchanged; rounds 2..n remove
+    # nothing and the final annotate pass recomputes the identical
+    # supports. (For t = 0 no edge is ever removed and the filter is a
+    # no-op — same identity.) Hence the output — including the support
+    # column — equals the first pass filtered once. k=3 (t=1) is the
+    # catalog's 3-truss entry: this cuts its 3 triangle enumerations
+    # (2 peel rounds + annotate) to 1, oracle-hash-verified at 3 SFs.
+    # t >= 2 peeling can cascade, so the general loop stays.
+    if t <= 1 and rounds >= 1:
+        return (
+            edge_support(e)
+            .where(F.col("support") >= t)
+            .localCheckpoint(eager=True)
+        )
     for _ in range(rounds):
         e = (
             edge_support(e)

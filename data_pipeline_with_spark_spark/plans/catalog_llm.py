@@ -467,8 +467,24 @@ register(
 
 
 def _exact_keep(spark: SparkSession, sf: str) -> DataFrame:
+    # r16: same one-pass restructure as curation_pipeline (and the same
+    # equivalence proof — the oracle IS the window form): this entry's
+    # output drops ``text``, so dedup.exact_dedup's two-branch semi-join
+    # shape (which exists so outputs CAN carry text without shuffling
+    # bodies) paid a second full corpus scan for nothing. One scan, one
+    # narrow (md5, id, lang, source) exchange, partial WindowGroupLimit
+    # above the scan. exact_dedup itself is unchanged (pytest-covered);
+    # callers that keep text should still use it.
+    from pyspark.sql import Window
+
     docs = read_testdata(spark, sf, "documents")
-    return dedup.exact_dedup(docs).select("doc_id", "lang", "source")
+    w = Window.partitionBy("__text_hash").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang", "source", F.md5(F.col("text")).alias("__text_hash"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
 
 
 register(
@@ -1846,12 +1862,39 @@ register(
 # narrow, Catalyst-visible expressions) followed by exactly one shuffle
 # for the dedup window on md5(text); near-dup removal (minhash LSH) runs
 # as the separate dedup_minhash_lsh_pairs stage downstream.
+#
+# r16 (verdict task 1): one-pass restructure. The r15 shape delegated the
+# dedup to ``dedup.exact_dedup`` (keeper agg + left-semi join back), whose
+# two branches both consume the scored/filtered frame but prune DIFFERENT
+# columns — Catalyst plans two separate Scan+tokenize+score subtrees and
+# neither compile-time CTE dedup nor AQE exchange reuse folds them, so the
+# corpus was scanned AND tokenized twice (2× full-corpus cost at 100 TB).
+# ``exact_dedup``'s semi-join shape exists so the OUTPUT can carry ``text``
+# without shuffling bodies; this query's output drops ``text``, so the
+# window formulation is strictly better here: project doc_id/source/
+# n_tokens/quality_score + md5(text) (narrow rows — bodies never shuffle),
+# then keep row_number()=1 per md5(text) ordered by doc_id. Equivalence:
+# ``exact_dedup`` keeps exactly the min-doc_id row per distinct text of
+# its input; so does the window (doc_id is unique); the oracle below IS
+# the window formulation. Spark 4 plans the rn=1 filter as a partial
+# WindowGroupLimit above the scan — per-task top-1 per group before the
+# exchange. Proven oracle-hash-green at sf0.001/0.01/0.1 (r16).
 def _curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = read_testdata(spark, sf, "documents")
     scored = text.with_quality_score(docs)
     kept = scored.where((F.col("lang") == "en") & (F.col("quality_score") >= 0.5))
-    deduped = dedup.exact_dedup(kept)
-    return deduped.select("doc_id", "source", "n_tokens", "quality_score")
+    narrow = kept.select(
+        "doc_id", "source", "n_tokens", "quality_score",
+        F.md5(F.col("text")).alias("__text_hash"),
+    )
+    w = Window.partitionBy("__text_hash").orderBy("doc_id")
+    return (
+        narrow.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "source", "n_tokens", "quality_score")
+    )
 
 
 register(
@@ -2626,10 +2669,22 @@ def _phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_testdata(spark, sf, "documents").withColumn(
         "img_class", F.col("doc_id") % 64
     )
-    # spread_col: img_class has only 64 distinct values — hash the
-    # parallelize guard on the unique doc_id instead (guide §2.5).
+    # r16 (guide §2.3 "project before the exchange", verdict task 3):
+    # keep the r15 shape — parallelize guard ABOVE the payload
+    # generator, payload bytes never cross a shuffle — but feed the
+    # attach a PROJECTION of the two columns it needs. The r15 entry
+    # passed the full documents frame, so its guard exchange (the
+    # round's one persistent sf0.1 regression, 1.4-1.5x vs baseline)
+    # shuffled text bodies that nothing downstream reads; now the
+    # exchange carries (doc_id, img_class) = 16 bytes/row. A
+    # distinct-class restructure (fingerprint the 64 classes once,
+    # broadcast-join back — guide §8) was built, oracle-proven and
+    # MEASURED against this shape: it LOSES at fixture scale (A/B min
+    # ratios 2.17x sf0.1, 1.60x sf1 — its extra distinct/join/python
+    # stages cost more than 50k avoided encodes) and was reverted; see
+    # OPTIMIZATION_r16.md.
     assets = multimodal.attach_image_payload(
-        docs, id_col="img_class", spread_col="doc_id"
+        docs.select("doc_id", "img_class"), id_col="img_class", spread_col="doc_id"
     )
     hashed = multimodal.perceptual_hash(assets)
     return multimodal.phash_near_dup_pairs(hashed, max_hamming=4)
@@ -4369,7 +4424,9 @@ _TEXTRANK_ROUNDS = 5
 
 def _textrank_keywords(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_testdata(spark, sf, "documents")
-    return text.textrank_keywords(docs, rounds=_TEXTRANK_ROUNDS)
+    # id_col (r16, r15 advice): hash the tokenize guard on the unique
+    # doc_id instead of keyless round-robin (no local sort pass).
+    return text.textrank_keywords(docs, rounds=_TEXTRANK_ROUNDS, id_col="doc_id")
 
 
 def _textrank_oracle() -> str:

@@ -119,6 +119,46 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def testdata_row_groups(sf_dir: str, table: str) -> int | None:
+    """Total parquet row groups across the table's files — the number of
+    scan tasks that can actually CARRY ROWS, regardless of how many byte
+    ranges Spark splits the files into.
+
+    Why this exists (r15 verdict #4): Spark's split planning charges
+    ``maxPartitionBytes``/``openCostInBytes`` against FILE BYTES, so a
+    one-row-group 10 MB file splits into ~3 partitions of which two are
+    EMPTY (rows only materialize in the split containing a row-group
+    start). ``df.rdd.getNumPartitions()`` therefore over-reports real
+    parallelism, which defeated the ``when_below`` gate of
+    ``util.ensure_min_partitions`` on exactly the single-row-group
+    inputs it targets. Footer metadata is the data-aware signal: row
+    groups ARE the max number of row-carrying scan tasks.
+
+    Local-filesystem paths only (the fixture layout); returns ``None``
+    when the footer can't be read (object store, missing pyarrow) so
+    callers can fall back to the partition count."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        return None
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, fn)
+                        ).metadata.num_row_groups
+            return total or None
+        return pq.ParquetFile(path).metadata.num_row_groups
+    except (OSError, ValueError):
+        return None
+
+
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for SQL entry (E2)."""
     for t in TESTDATA_TABLES:

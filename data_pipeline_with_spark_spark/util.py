@@ -13,6 +13,7 @@ def ensure_min_partitions(
     target: int | None = None,
     by: Sequence[str] | None = None,
     when_below: int | None = None,
+    data_partitions: int | None = None,
 ) -> DataFrame:
     """Repartition up to ``target`` (default: cluster parallelism) ONLY
     if the input has fewer partitions.
@@ -37,18 +38,43 @@ def ensure_min_partitions(
     correlates with it.
 
     ``when_below`` (r15): only fire when the input has fewer than THIS
-    many partitions (default: ``target``, i.e. whenever under-parallel).
-    For map sides whose per-row cost is comparable to the shuffle's
-    per-row cost (e.g. a window's per-task sort), the repartition only
-    pays at extreme parallelism gain — pass ``when_below=2`` to fire
-    only on single-partition inputs (measured on w1 at sf1's 2-partition
-    scan: guard min 1.21 s vs no-guard 0.96 s interleaved, while the
-    1-partition sf0.1 scan wins 1.08 → 0.59 s). Leave default for map
-    sides that dominate the shuffle per row (tokenize, codec encode).
+    many partitions (default: ``target``, i.e. whenever under-parallel;
+    ``0`` means never fire; values above ``target`` are clamped to it —
+    partitions in [target, when_below) would make the repartition a
+    no-op anyway). For map sides whose per-row cost is comparable to
+    the shuffle's per-row cost (e.g. a window's per-task sort), the
+    repartition only pays at extreme parallelism gain — pass
+    ``when_below=2`` to fire only on single-partition inputs (measured
+    on w1 at sf1's multi-row-group scan: guard min 1.21 s vs no-guard
+    0.96 s interleaved, while the 1-row-group sf0.1 scan wins
+    1.08 → 0.59 s). Leave default for map sides that dominate the
+    shuffle per row (tokenize, codec encode).
+
+    ``data_partitions`` (r16): the caller's data-aware count of
+    partitions that actually HOLD ROWS — e.g. the parquet row-group
+    count (``sources.readers.testdata_row_groups``). Spark's byte-range
+    split planning can report several partitions for a one-row-group
+    file of which all but one are EMPTY, so ``getNumPartitions()``
+    over-reports real parallelism and a tight ``when_below`` gate never
+    fires on exactly the single-task inputs it targets (r15 verdict
+    finding #4: w1's sf0.1 scan reads "3 partitions" while one task
+    carries all 600k rows). The gate uses
+    ``min(getNumPartitions(), data_partitions)``; pass ``None`` (or a
+    failed footer read) to fall back to the partition count alone.
+
+    Null keys in ``by`` all hash to one partition (the docstring
+    contract is never-null keys — every current call site passes a
+    primary-key column); nothing enforces it here because a null-check
+    would cost a pass over the data in exactly the hot path this guard
+    protects.
     """
     spark = df.sparkSession
     target = target or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(target, when_below or target):
+    threshold = target if when_below is None else min(when_below, target)
+    effective = df.rdd.getNumPartitions()
+    if data_partitions is not None:
+        effective = min(effective, data_partitions)
+    if effective < threshold:
         if by:
             return df.repartition(target, *[F.col(c) for c in by])
         return df.repartition(target)

@@ -183,6 +183,40 @@ def test_ktruss_peels_chains_keeps_cliques(spark):
     assert all(s == 2 for s in got.values())
 
 
+def test_ktruss_k3_shortcut_matches_unrolled_loop(spark):
+    """r16: for t = k-2 <= 1 ktruss returns after ONE support pass (an
+    edge peeled at t<=1 has support 0, sits in no triangle, and its
+    removal changes no other edge's support — rounds 2..n are no-ops).
+    Pin the identity against the explicit unrolled loop (the pre-r16
+    implementation) on a graph that mixes cliques, chains and a bridge,
+    comparing the full (a, b, support) rows including supports."""
+    from data_pipeline_with_spark_spark.operators.graph import (
+        canonical_edges,
+        edge_support,
+        ktruss,
+    )
+    from pyspark.sql import functions as F
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tri = [(10, 11), (11, 12), (10, 12)]
+    chain = [(3, 20), (20, 21), (21, 22)]
+    bridge = [(12, 0)]
+    df = spark.createDataFrame(k4 + tri + chain + bridge, ["id_a", "id_b"])
+    got = {(r.a, r.b, r.support) for r in ktruss(df, k=3, rounds=2).collect()}
+    # the unrolled pre-r16 loop, verbatim
+    e = canonical_edges(df, "id_a", "id_b").localCheckpoint(eager=True)
+    for _ in range(2):
+        e = (
+            edge_support(e)
+            .where(F.col("support") >= 1)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    want = {(r.a, r.b, r.support) for r in edge_support(e).collect()}
+    assert got == want
+    assert {(a, b) for a, b, _ in got} == set(k4) | set(tri)
+
+
 def test_ktruss_cascade_requires_second_round(spark):
     """k=4 (support >= 2) with a cascade: two triangles sharing an edge
     give the shared edge support 2 but the outer edges support 1 —

@@ -118,12 +118,81 @@ def test_w1_map_sort_parallelized(spark):
     # fixture gave it ONE task. Pin the guarded hash repartition on
     # l_orderkey below the window exchange so the map-side sort stays
     # parallel.
+    #
+    # r16 (r15 advice): the guard decision is made eagerly at build
+    # time from the fixture's ROW-GROUP count (data_partitions), so
+    # this test silently depends on the sf0.001 lineitem staying a
+    # single row group — assert that first so a fixture relayout fails
+    # with a clear message instead of a mystifying plan diff.
     from data_pipeline_with_spark_spark.plans import all_queries
+    from data_pipeline_with_spark_spark.sources.readers import testdata_row_groups
 
+    assert testdata_row_groups("/root/testdata/sf0.001", "lineitem") == 1, (
+        "sf0.001 lineitem is no longer a single parquet row group; the "
+        "single-task premise of this plan pin no longer holds — update "
+        "the test (and re-measure the w1 guard) for the new layout"
+    )
     df = all_queries()["w1_topk_per_group"].build(spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert "hashpartitioning(l_orderkey" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_ensure_min_partitions_data_partitions_gate(spark):
+    # r16 (verdict #4): Spark byte-splits a ONE-row-group file into
+    # several partitions of which all but one are EMPTY, so the
+    # when_below gate must trust the caller's data-aware count over
+    # getNumPartitions(). data_partitions=1 fires the guard even when
+    # the frame reports more partitions; a data-aware count at/above
+    # the threshold keeps it off; when_below=0 means never.
+    df = spark.range(1000).repartition(3)
+    out = ensure_min_partitions(df, target=8, by=("id",), when_below=2)
+    assert out is df  # 3 reported partitions: gate off without the hint
+    out = ensure_min_partitions(
+        df, target=8, by=("id",), when_below=2, data_partitions=1
+    )
+    assert out.rdd.getNumPartitions() == 8  # 1 row-carrying task: fires
+    out = ensure_min_partitions(
+        df, target=8, by=("id",), when_below=2, data_partitions=2
+    )
+    assert out is df  # 2 row-carrying tasks: stays off
+    one = spark.range(10).coalesce(1)
+    assert ensure_min_partitions(one, target=8, when_below=0) is one
+
+
+def test_testdata_row_groups_matches_fixture_layout():
+    from data_pipeline_with_spark_spark.sources.readers import testdata_row_groups
+
+    # every small-SF fixture is a single row group (the premise of the
+    # round's single-task findings); unknown table/paths report None
+    assert testdata_row_groups("/root/testdata/sf0.1", "lineitem") == 1
+    assert testdata_row_groups("/root/testdata/sf0.001", "documents") == 1
+    assert testdata_row_groups("/does/not/exist", "lineitem") is None
+
+
+def test_curation_pipeline_single_pass_plan(spark):
+    # r16 (verdict task 1): the one-pass restructure must keep exactly
+    # ONE documents scan / ONE tokenize subtree — the r15 exact_dedup
+    # shape planned two (its keeper and join-back branches prune
+    # different columns, defeating subtree reuse). Also pin the
+    # rank<=1 partial WindowGroupLimit (map-side top-1 per md5 group)
+    # and that no exchange carries the text column.
+    import re
+
+    from data_pipeline_with_spark_spark.plans import all_queries
+
+    df = all_queries()["curation_pipeline"].build(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert scans == 1, f"documents scanned {scans}x (want 1):\n{plan[:2000]}"
+    assert "WindowGroupLimit" in plan
+    # the dedup exchange hashes on md5(text), never shuffles text itself
+    m = re.search(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert m and "__text_hash" in m.group(1), plan[:2000]
 
 
 def test_headline_shuffle_budgets(spark):
